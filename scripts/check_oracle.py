@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: load each Verify parquet
+dump, run the matching oracle SQL in DuckDB over the same testdata parquet,
+sort columns by name / rows by value, and compare values cell-by-cell.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, sys, math
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
+        exp = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {e}")
+        fails += 1
+        continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+        fails += 1
+        continue
+    if [str(t) for t in got.dtypes] != [str(t) for t in exp.dtypes]:
+        print(f"WARN {name}: dtypes {list(map(str,got.dtypes))} != {list(map(str,exp.dtypes))}")
+    g = got.sort_values(by=list(got.columns), ignore_index=True)
+    e = exp.sort_values(by=list(exp.columns), ignore_index=True)
+    if len(g) != len(e):
+        print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+        fails += 1
+        continue
+    bad = None
+    for c in g.columns:
+        for i, (a, b) in enumerate(zip(g[c], e[c])):
+            eq = (a == b) or (a is None and b is None)
+            try:
+                if isinstance(a, float) and isinstance(b, float):
+                    eq = (a == b) or (math.isnan(a) and math.isnan(b))
+            except Exception:
+                pass
+            if not eq:
+                bad = (c, i, a, b)
+                break
+        if bad:
+            break
+    if bad:
+        c, i, a, b = bad
+        print(f"FAIL {name}: col={c} row={i}: spark={a!r} oracle={b!r}")
+        fails += 1
+    else:
+        print(f"OK   {name} ({len(g)} rows)")
+print(f"\n{len(oracle)-fails}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)

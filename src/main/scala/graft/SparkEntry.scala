@@ -1,13 +1,343 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator/capability from SURVEY.md §2
+  * (reference file:line cited per query); `oracleSql` holds the ANSI-SQL
+  * equivalent the driver runs in DuckDB over the same parquet tables.
+  *
+  * Determinism rules used throughout (so Spark and DuckDB hash-match):
+  *   - double sums go through fixed-scale decimals (exact, order-independent);
+  *   - every result has a total ORDER BY with tiebreaks;
+  *   - integer-ish outputs are cast to BIGINT to match DuckDB's defaults;
+  *   - raw timestamps are never emitted (formatted strings / extracted ints).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q05_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Aggregations (SURVEY §2.4) ------------------------------------
+    // TPC-H-Q1-shaped pricing summary: groupBy + sum/avg/count with derived
+    // measures. Ref shape: claims distribution tables Claims_Prediction.py:67-77
+    // and higgs metric aggregates.
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+          Relational.decSum(col("l_quantity")).as("sum_qty"),
+          Relational.decSum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+            .cast("double").as("sum_disc_price"),
+          Relational.decAvg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Top-N-per-group as a window function (idiomatic upgrade of
+    // log_mining_analysis.py:43-51's three filtered+sorted frames).
+    "q02_top_users_per_type" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      Relational.topKPerGroup(counts, Seq("event_type"), col("cnt"), 3,
+          Seq(col("user_id")))
+        .withColumn("rn", col("rn").cast("long"))
+        .select("event_type", "user_id", "cnt", "rn")
+        .orderBy("event_type", "rn")
+    }),
+
+    // Distribution + percentage column (Claims_Prediction.py:46-47,67-77).
+    "q03_status_distribution" -> ((s, dir) =>
+      Relational.distributionWithPct(Tables.orders(s, dir), "o_orderstatus")),
+
+    // ---- Projection / filter / predicate pushdown (SURVEY §2.2) --------
+    // Filter + narrow projection; PushedFilters + 3-column ReadSchema reach
+    // the parquet scan. Ref shape: log_mining_analysis.py:32-34,113.
+    "q04_filter_pushdown" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+                col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- Joins (SURVEY §2.3) -------------------------------------------
+    // 4-way inner equi-join; nation/region auto-broadcast (Catalyst size
+    // threshold), orders⋈customer shuffles on the key. Ref:
+    // als_clustering_analysis.py:129,134-136.
+    "q05_revenue_by_nation" -> ((s, dir) => {
+      val o = Tables.orders(s, dir); val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir); val r = Tables.region(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"),
+             Relational.decSum(col("o_totalprice")).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // ---- split + explode + count (SURVEY §2.8 F2/F5; als:138-144) ------
+    "q06_name_token_count" -> ((s, dir) =>
+      Relational.tokenExplodeCount(Tables.part(s, dir), "p_name", " ", 10)),
+
+    // ---- Sorts / limits / temporal prefix split (SURVEY §2.6, §2.9 D3) -
+    "q07_temporal_prefix" -> ((s, dir) => {
+      val (train, _) = Relational.temporalPrefixSplit(
+        Tables.events(s, dir), "ts", "event_id", 100)
+      train.select("event_id", "user_id", "event_type").orderBy("event_id")
+    }),
+
+    // ---- Set ops (SURVEY §2.7): EXCEPT-DISTINCT (als:49 semantics) -----
+    "q08_except_users" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.select("user_id").distinct()
+        .except(e.filter(col("event_type") === "purchase" && col("value") > 195)
+          .select("user_id").distinct())
+        .orderBy("user_id")
+    }),
+
+    // unionAll accumulation (Claims_Prediction.py:52-53).
+    "q09_union_status" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_totalprice") > 200000)
+        .unionAll(o.filter(col("o_orderstatus") === "F"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // distinct after join (als_clustering_analysis.py:127).
+    "q10_distinct_nation" -> ((s, dir) => {
+      val c = Tables.customer(s, dir); val n = Tables.nation(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select("n_name").distinct().orderBy("n_name")
+    }),
+
+    // Anti/semi joins — the scalable NOT IN / EXISTS shapes.
+    "q11_customers_no_orders" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+    "q12_customers_big_orders" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // ---- Scalar functions (SURVEY §2.8) --------------------------------
+    // regexp_extract (log_mining_analysis.py:24-26).
+    "q13_regex_first_word" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(regexp_extract(col("text"), "^([a-z]+)", 1).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))),
+
+    // when/otherwise + ln (Claims_Prediction.py:35-38).
+    "q14_case_when_log" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("high_disc",
+          when(col("l_discount") > 0.05, 1.0).otherwise(0.0))
+        .withColumn("pp_qty",
+          when(col("l_quantity") === 0, 0.5).otherwise(col("l_quantity")))
+        .withColumn("log_qty", round(log(col("pp_qty")), 6))
+        .groupBy("high_disc")
+        .agg(count(lit(1)).as("cnt"),
+             min(col("log_qty")).as("min_log_qty"),
+             max(col("log_qty")).as("max_log_qty"),
+             Relational.decSum(col("pp_qty")).as("sum_pp_qty"))
+        .orderBy("high_disc")),
+
+    // split + element_at(-1) (log_mining_analysis.py:27-28, modernized F3).
+    "q15_last_token" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(element_at(split(col("p_name"), " "), -1).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))),
+
+    // day×hour heatmap aggregate (log_mining_analysis.py:113-118), on real
+    // timestamps instead of regex-parsed strings.
+    "q16_day_hour_heatmap" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(dayofmonth(col("ts")).cast("long").as("d"),
+                hour(col("ts")).cast("long").as("h"))
+        .groupBy("d", "h").agg(count(lit(1)).as("cnt"))
+        .orderBy("d", "h")),
+
+    // Global aggregates incl. countDistinct (log:40,60-62; SURVEY A5-A7).
+    "q17_global_stats" -> ((s, dir) =>
+      Tables.events(s, dir).agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("users"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        Relational.decSum(col("value")).as("v_sum"))),
+
+    // Tumbling event-time window — the streaming-ready aggregate (batch
+    // form; same plan works under readStream+watermark, see streaming pkg).
+    "q18_hourly_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+             Relational.decSum(col("value")).as("v_sum"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+                col("event_type"), col("cnt"), col("v_sum"))
+        .orderBy("win_start", "event_type")),
+
+    // ---- North-star: exact dedup (hash-groupBy) ------------------------
+    "q19_dedup_exact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+        .select("keep_id", "copies").orderBy("keep_id")),
+
+    // ---- North-star: text quality scoring ------------------------------
+    "q20_text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_words"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "the", ""))) / 3)
+          .cast("long").as("n_the"))
+        .orderBy("doc_id")),
+
+    // ---- North-star: token counting per language -----------------------
+    "q21_token_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(trim(col("text")), " ")).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+             sum(col("n_tok")).as("tot_tokens"),
+             (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tokens"))
+        .orderBy("lang")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_top_users_per_type" ->
+      """SELECT event_type, user_id, cnt, rn FROM (
+           SELECT event_type, user_id, COUNT(*) AS cnt,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY COUNT(*) DESC, user_id) AS rn
+           FROM events GROUP BY event_type, user_id)
+         WHERE rn <= 3 ORDER BY event_type, rn""",
+    "q03_status_distribution" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+         CAST(COUNT(*) AS DOUBLE) * 100 / SUM(COUNT(*)) OVER () AS pct
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q04_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount > 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+    "q05_revenue_by_nation" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q06_name_token_count" ->
+      """SELECT token, COUNT(*) AS cnt FROM (
+           SELECT unnest(string_split(p_name, ' ')) AS token FROM part
+         ) t GROUP BY token
+         ORDER BY cnt DESC, token LIMIT 10""",
+    "q07_temporal_prefix" ->
+      """SELECT event_id, user_id, event_type FROM (
+           SELECT * FROM events ORDER BY ts, event_id LIMIT 100)
+         ORDER BY event_id""",
+    "q08_except_users" ->
+      """SELECT DISTINCT user_id FROM events
+         EXCEPT
+         SELECT DISTINCT user_id FROM events
+         WHERE event_type = 'purchase' AND value > 195
+         ORDER BY user_id""",
+    "q09_union_status" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt FROM (
+           SELECT * FROM orders WHERE o_totalprice > 200000
+           UNION ALL
+           SELECT * FROM orders WHERE o_orderstatus = 'F')
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q10_distinct_nation" ->
+      """SELECT DISTINCT n_name FROM customer
+         JOIN nation ON c_nationkey = n_nationkey ORDER BY n_name""",
+    "q11_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 450000)
+         ORDER BY c_custkey""",
+    "q12_customers_big_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
+    "q13_regex_first_word" ->
+      """SELECT regexp_extract(text, '^([a-z]+)', 1) AS word, COUNT(*) AS cnt
+         FROM documents GROUP BY 1 ORDER BY cnt DESC, word""",
+    "q14_case_when_log" ->
+      """SELECT high_disc, COUNT(*) AS cnt,
+             MIN(log_qty) AS min_log_qty, MAX(log_qty) AS max_log_qty,
+             CAST(SUM(CAST(pp_qty AS DECIMAL(28,4))) AS DOUBLE) AS sum_pp_qty
+         FROM (
+           SELECT CASE WHEN l_discount > 0.05 THEN CAST(1 AS DOUBLE)
+                       ELSE CAST(0 AS DOUBLE) END AS high_disc,
+                  CASE WHEN l_quantity = 0 THEN 0.5 ELSE l_quantity END AS pp_qty,
+                  ROUND(LN(CASE WHEN l_quantity = 0 THEN 0.5 ELSE l_quantity END), 6) AS log_qty
+           FROM lineitem)
+         GROUP BY high_disc ORDER BY high_disc""",
+    "q15_last_token" ->
+      """SELECT list_extract(string_split(p_name, ' '),
+                             len(string_split(p_name, ' '))) AS tok,
+             COUNT(*) AS cnt
+         FROM part GROUP BY tok ORDER BY cnt DESC, tok""",
+    "q16_day_hour_heatmap" ->
+      """SELECT date_part('day', ts) AS d, date_part('hour', ts) AS h,
+             COUNT(*) AS cnt
+         FROM events GROUP BY d, h ORDER BY d, h""",
+    "q17_global_stats" ->
+      """SELECT COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users,
+             MIN(value) AS v_min, MAX(value) AS v_max,
+             CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS v_sum
+         FROM events""",
+    "q18_hourly_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type, COUNT(*) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS v_sum
+         FROM events GROUP BY win_start, event_type
+         ORDER BY win_start, event_type""",
+    "q19_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "q20_text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars_m,
+             len(string_split(trim(text), ' ')) AS n_words,
+             (length(text) - length(replace(text, 'the', ''))) // 3 AS n_the
+         FROM documents ORDER BY doc_id""",
+    "q21_token_stats" ->
+      """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_tok) AS BIGINT) AS tot_tokens,
+             CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens
+         FROM (SELECT lang, len(string_split(trim(text), ' ')) AS n_tok
+               FROM documents)
+         GROUP BY lang ORDER BY lang""",
+  )
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operator library.
+  *
+  * Re-expresses every relational shape the reference uses (SURVEY.md §2.2-2.9)
+  * as scale-ready Spark primitives:
+  *   - top-N-per-group is a window function, not per-group filtered frames
+  *     (reference: Log Analysis/log_mining_analysis.py:43-51 builds three
+  *     separately filtered+sorted DataFrames);
+  *   - stratified split is a single sampleBy pass, not a driver loop
+  *     (reference: Insurance Claim Predictions/Claims_Prediction.py:43-54
+  *     issues one Spark job round per stratum);
+  *   - temporal prefix split keeps multiset semantics with a deterministic
+  *     tiebreak (reference: Collaborative Filtering Analysis/
+  *     als_clustering_analysis.py:47-49 uses dedup-ing `subtract`).
+  *
+  * Determinism contract: every function that limits or ranks takes explicit
+  * tiebreak columns so results are stable under partition reordering — a
+  * requirement both for the DuckDB oracle hash-compare and for reproducible
+  * runs on a real cluster.
+  */
+object Relational {
+
+  /** Exact decimal sum of a double column surfaced as double.
+    * Summing doubles is partition-order-dependent; casting each value to a
+    * fixed-scale decimal makes the aggregation exact and therefore
+    * deterministic at any parallelism (and bit-identical to the oracle).
+    */
+  def decSum(c: Column, precision: Int = 28, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(precision, scale))).cast("double")
+
+  /** Deterministic mean: exact decimal sum / count, divided as doubles. */
+  def decAvg(c: Column, precision: Int = 28, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(precision, scale))).cast("double") / count(lit(1))
+
+  /** Top-k rows per group by descending metric, deterministic via tiebreaks.
+    * One shuffle on (groupCols) — scales to arbitrary group counts; never
+    * collects to the driver. Ref: log_mining_analysis.py:43-51.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], metric: Column,
+                   k: Int, tiebreaks: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(metric.desc +: tiebreaks: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Group-count distribution with a percentage column.
+    * Ref: Claims_Prediction.py:67-77 (count + count/total*100). The total is
+    * a scalar window aggregate — no second job, no driver round-trip.
+    */
+  def distributionWithPct(df: DataFrame, c: String): DataFrame = {
+    df.groupBy(c).agg(count(lit(1)).as("cnt"))
+      .withColumn("pct",
+        col("cnt").cast("double") * 100 / sum("cnt").over(Window.partitionBy()))
+      .orderBy(col(c))
+  }
+
+  /** First-n-rows-by-time train split + multiset-correct remainder.
+    * Ref: als_clustering_analysis.py:47-49, with quirk Q1 fixed: the
+    * reference's `subtract` has EXCEPT DISTINCT semantics (silently dedupes);
+    * we rank on (tsCol, tiebreak) and split on the rank, which preserves
+    * duplicates and is deterministic.
+    */
+  def temporalPrefixSplit(df: DataFrame, tsCol: String, tiebreak: String,
+                          n: Long): (DataFrame, DataFrame) = {
+    val w = Window.orderBy(col(tsCol), col(tiebreak))
+    val ranked = df.withColumn("__rank", row_number().over(w))
+    (ranked.filter(col("__rank") <= n).drop("__rank"),
+     ranked.filter(col("__rank") > n).drop("__rank"))
+  }
+
+  /** Per-class proportional split in a single distributed pass.
+    * Ref: Claims_Prediction.py:43-54 (driver loop over strata — quirk Q5);
+    * here: one `sampleBy` scan for train, one anti-join for test. Seeded and
+    * reproducible; no per-stratum job rounds, so it survives 100 TB inputs
+    * with high-cardinality strata.
+    */
+  def stratifiedSplit(df: DataFrame, labelCol: String, trainFrac: Double,
+                      seed: Long, idCols: Seq[String]): (DataFrame, DataFrame) = {
+    val classes = df.select(labelCol).distinct().collect().map(_.get(0))
+    val fractions = classes.map(c => c -> trainFrac).toMap
+    val train = df.stat.sampleBy(labelCol, fractions, seed)
+    val test = df.join(train.select(idCols.map(col): _*), idCols, "left_anti")
+    (train, test)
+  }
+
+  /** Explode a delimited string column and count tokens, top-k.
+    * Ref: als_clustering_analysis.py:138-144 (genre split/explode/count).
+    */
+  def tokenExplodeCount(df: DataFrame, c: String, sep: String, k: Int): DataFrame =
+    df.select(explode(split(col(c), sep)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+}
