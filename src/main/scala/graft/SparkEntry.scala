@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.Relational
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -221,6 +222,55 @@ object SparkEntry {
              sum(col("n_tok")).as("tot_tokens"),
              (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tokens"))
         .orderBy("lang")),
+
+    // ---- North-star: MinHash-LSH near-dup (estimated jaccard; rows-only
+    // check — the oracle can't reproduce xxhash64 signatures) -------------
+    "q22_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // ---- North-star: SimHash near-dup (rows-only) ----------------------
+    "q23_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // ---- North-star: n-gram-Jaccard dedup, LSH-accelerated; the oracle
+    // computes the full quadratic jaccard — the LSH must not miss a pair --
+    "q24_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // ---- North-star: embedding-cosine near-dup -------------------------
+    "q25_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // ---- North-star: brute-force cosine top-k ANN baseline -------------
+    "q26_sim_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .orderBy("q_id", "rn")
+    }),
+
+    // ---- North-star: rolling-hash document fingerprint -----------------
+    "q27_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- North-star: language-ID heuristic (rows-only: marker scoring
+    // is engine-defined) -------------------------------------------------
+    "q28_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang").as("labeled"),
+          TextFunctions.langId(TextFunctions.tokens(col("text"))).as("predicted"))
+        .groupBy("labeled", "predicted").agg(count(lit(1)).as("cnt"))
+        .orderBy("labeled", "predicted")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -339,5 +389,73 @@ object SparkEntry {
          FROM (SELECT lang, len(string_split(trim(text), ' ')) AS n_tok
                FROM documents)
          GROUP BY lang ORDER BY lang""",
+    // Full quadratic n-gram jaccard — checks that the LSH path loses no pair.
+    "q24_dedup_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM toks)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         FROM sh a, sh b
+         WHERE a.doc_id < b.doc_id
+           AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+         ORDER BY id_a, id_b""",
+    "q25_embed_neardup" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(v)+1), i -> v[i] * v[i])),
+               (acc, x) -> acc + x)) AS nrm
+           FROM e)
+         SELECT id_a, id_b, sim FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm), 4) AS sim
+           FROM n a, n b WHERE a.vec_id < b.vec_id)
+         WHERE sim > 0.5 ORDER BY id_a, id_b""",
+    "q26_sim_topk" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(v)+1), i -> v[i] * v[i])),
+               (acc, x) -> acc + x)) AS nrm
+           FROM e),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])),
+               (acc, x) -> acc + x) / (q.nrm * c.nrm), 6) AS sim
+           FROM n q, n c
+           WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
+         SELECT q_id, n_id, sim, rn FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, n_id) AS rn
+           FROM scored)
+         WHERE rn <= 5 ORDER BY q_id, rn""",
+    "q27_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
   )
 }

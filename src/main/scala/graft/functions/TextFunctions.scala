@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / fingerprinting primitives for the LLM-data-pipeline
+  * operators (north-star layer; no counterpart in the reference, which has no
+  * text ops beyond regex extraction — log_mining_analysis.py:24-28).
+  *
+  * Everything here is built from Catalyst higher-order functions over array
+  * columns — no UDFs, no driver round-trips, so every operator stays a pure
+  * narrow map over the scan and distributes trivially.
+  *
+  * ANSI-safety: Spark 4 enables ANSI mode by default, so all hash arithmetic
+  * is kept overflow-free (affine minhash transforms work mod p = 2^31-1;
+  * rolling fingerprints mod 1e9+7).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, trimmed (empty-token-free on normal text). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** w-token shingles as strings; empty array when the doc is shorter than w. */
+  def tokenShingles(toks: Column, w: Int): Column =
+    when(size(toks) < w, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(w)))))
+
+  /** Distinct xxhash64 values of the w-token shingles — the document's
+    * shingle set, used by MinHash/Jaccard dedup. Collision probability over
+    * 64 bits is negligible at any corpus size we target.
+    */
+  def shingleHashSet(text: Column, w: Int): Column =
+    array_distinct(transform(tokenShingles(tokens(text), w), s => xxhash64(s)))
+
+  private val P: Long = 2147483647L // 2^31 - 1, Mersenne prime
+
+  /** k seeded affine hash coefficients (a odd-ish in [1,p), b in [0,p)). */
+  private def coefs(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((1L + rnd.nextInt((P - 1).toInt).toLong,
+                 rnd.nextInt(P.toInt).toLong))
+  }
+
+  /** MinHash signature: array of k minima of affine transforms of the shingle
+    * hashes, computed mod 2^31-1 so no product can overflow a long under
+    * ANSI mode. One pass per coefficient over the in-row array — no shuffle.
+    */
+  def minhashSignature(shingleHashes: Column, k: Int, seed: Long = 42L): Column = {
+    val cs = coefs(k, seed)
+    when(size(shingleHashes) === 0, array().cast("array<bigint>"))
+      .otherwise(array(cs.map { case (a, b) =>
+        array_min(transform(shingleHashes,
+          h => pmod(lit(a) * pmod(h, lit(P)) + lit(b), lit(P))))
+      }: _*))
+  }
+
+  /** LSH band keys: hash each of `bands` consecutive r-slices of the
+    * signature. Docs sharing any band key become dedup candidates.
+    */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      i => xxhash64(i, concat_ws(",",
+        transform(slice(sig, i * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+          x => x.cast("string")))))
+
+  /** Estimated Jaccard from two signatures: fraction of agreeing positions. */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
+      .cast("double") / size(sigA)
+
+  /** Exact Jaccard over two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** 64-bit SimHash over a token array column (named column required — built
+    * from SQL text because per-bit shifts need column-operand shiftright,
+    * which the Scala DSL doesn't expose). Bit b is set iff the sum of
+    * (+1/-1) votes from each token hash's bit b is positive.
+    */
+  def simhash64(toksColName: String): Column = expr(
+    s"""aggregate(
+          transform($toksColName, t -> xxhash64(t)),
+          array_repeat(0L, 64),
+          (acc, h) -> zip_with(acc, sequence(0, 63),
+            (s, b) -> s + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END),
+          bits -> aggregate(
+            zip_with(bits, sequence(0, 63),
+              (s, b) -> CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END),
+            0L, (x, y) -> x ^ y))""")
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** 16-bit band chunks of a 64-bit simhash, for LSH blocking: two sketches
+    * within hamming distance 3 share at least one of the 4 chunks.
+    */
+  def simhashBands(sh: Column): Column =
+    array((0 to 3).map(i =>
+      shiftright(sh, i * 16).bitwiseAND(lit(65535L))): _*)
+
+  /** Polynomial rolling-hash fingerprint of the full text, mod 1e9+7.
+    * Deterministic, overflow-free, and reproducible in any engine with a
+    * left fold (the DuckDB oracle mirrors it with list_reduce).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L)))
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcast as literals into the plan.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "es" -> Seq("el", "los", "las", "una", "es", "y", "que"),
+    "it" -> Seq("il", "di", "che", "per", "con", "non", "una"))
+
+  /** Predicted language: argmax of per-language marker-token hit counts,
+    * 'und' when nothing matches. Ties break lexicographically larger-lang
+    * (struct max), deterministically.
+    */
+  def langId(toks: Column): Column = {
+    val scored = array(langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(
+        size(filter(toks, t => array_contains(typedlit(ms), t))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Quality-scoring measures: chars, words, mean word length, alpha ratio,
+    * stopword ratio — the length/punct/stopword heuristics of C4-style
+    * corpus filtering, as one narrow projection.
+    */
+  def qualityStats(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nWords = size(toks)
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val stopHits = size(filter(toks,
+      t => array_contains(typedlit(langMarkers("en")), t)))
+    Seq(
+      nChars.cast("long").as("n_chars_m"),
+      nWords.cast("long").as("n_words"),
+      (alpha.cast("double") / nChars).as("alpha_ratio"),
+      (stopHits.cast("double") / nWords).as("stopword_ratio"))
+  }
+}

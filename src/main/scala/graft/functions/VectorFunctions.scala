@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns, as Catalyst
+  * higher-order functions (codegen-free but fully distributed, no UDF
+  * serialization). North-star similarity-search layer.
+  *
+  * All math is done in double after an explicit per-element cast, with a
+  * strict left-fold accumulation order — so results are bit-reproducible
+  * across partitionings and across engines (the DuckDB oracle mirrors the
+  * same fold with list_reduce).
+  */
+object VectorFunctions {
+
+  /** array<float> → array<double>, the canonical compute type. */
+  def toDoubleArray(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Left-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; NaN on zero vectors (callers filter). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit sketch against `planes` fixed random hyperplanes — the
+    * random-hyperplane LSH for cosine similarity: P(bit match) =
+    * 1 - angle/pi. Used to bucket candidates so near-dup search never goes
+    * quadratic at scale.
+    */
+  def hyperplaneSketch(v: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val hp: Seq[Seq[Double]] =
+      Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val bitValues: Seq[Long] = Seq.tabulate(planes)(i => 1L << i)
+    aggregate(
+      zip_with(typedlit(hp), typedlit(bitValues),
+        (plane, bit) => when(dot(v, plane) > 0, bit).otherwise(lit(0L))),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => V}
+
+/** Approximate-nearest-neighbor search over embedding columns (north-star
+  * layer). Baseline: exact brute-force top-k with the query side broadcast —
+  * one narrow pass over the corpus, no shuffle of the corpus itself, so it
+  * scales to arbitrary corpus size for bounded query batches. Scale path:
+  * hyperplane-LSH bucketing to keep candidate generation sublinear.
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbors for each query row. `queries` must be
+    * small enough to broadcast (it is sent to every corpus partition); the
+    * corpus is only scanned, never shuffled — the final top-k per query is a
+    * partial-aggregate-friendly window over (queries × corpus) rows.
+    * Similarity is rounded to 6 dp and tie-broken on neighbor id, so the
+    * ranking is fully deterministic.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"),
+      V.toDoubleArray(col(vecCol)).as("v_n"))
+    val q = queries.select(col(idCol).as("q_id"),
+      V.toDoubleArray(col(vecCol)).as("v_q"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(V.cosine(col("v_q"), col("v_n")), 6))
+    Relational.topKPerGroup(scored, Seq("q_id"), col("sim"), k,
+        Seq(col("n_id")))
+      .withColumn("rn", col("rn").cast("long"))
+      .select("q_id", "n_id", "sim", "rn")
+  }
+
+  /** LSH-bucketed approximate top-k with OR-amplification: `tables`
+    * independent hyperplane sketches of `planes` bits each; a corpus row is
+    * a candidate if it shares ANY table's bucket with the query (recall
+    * 1-(1-p^planes)^tables), then exact cosine + window rank on candidates.
+    * Corpus cost is `tables` narrow sketch evaluations + one equi-join on
+    * (table, bucket) — never quadratic.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              dim: Int = 64, planes: Int = 8, tables: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def buckets(v: Column): Column = array((0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        V.hyperplaneSketch(v, dim, planes, seed = 42L + t).as("b"))): _*)
+    val c = corpus.select(col(idCol).as("n_id"),
+        V.toDoubleArray(col(vecCol)).as("v_n"))
+      .select(col("n_id"), col("v_n"),
+        explode(buckets(col("v_n"))).as("bucket"))
+    val q = queries.select(col(idCol).as("q_id"),
+        V.toDoubleArray(col(vecCol)).as("v_q"))
+      .select(col("q_id"), col("v_q"),
+        explode(buckets(col("v_q"))).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("sim", round(V.cosine(col("v_q"), col("v_n")), 6))
+    Relational.topKPerGroup(scored, Seq("q_id"), col("sim"), k,
+        Seq(col("n_id")))
+      .withColumn("rn", col("rn").cast("long"))
+      .select("q_id", "n_id", "sim", "rn")
+  }
+}

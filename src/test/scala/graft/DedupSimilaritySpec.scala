@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 78).map(i => s"tok$i").mkString(" ") + " changed here"
+    val other = (200 to 280).map(i => s"q$i").mkString(" ")
+    Seq((1L, base), (2L, nearDup), (3L, other), (4L, base))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id and counts copies") {
+    val got = Dedup.exact(corpus, "text", "doc_id")
+      .select("keep_id", "copies").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-dups, not the unrelated doc") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("jaccardPairs exact verification: identical docs score 1.0") {
+    val got = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val exactPair = got.find(r => r._1 == 1L && r._2 == 4L)
+    assert(exactPair.exists(_._3 == 1.0))
+  }
+
+  test("simhashPairs flags the exact duplicate at hamming 0") {
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(got.exists(r => r._1 == 1L && r._2 == 4L && r._3 == 0L))
+  }
+
+  test("embeddingPairs finds the planted duplicate vector") {
+    val v1 = Seq.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val v2 = v1.map(x => (x * 1.001f))           // near-parallel
+    val v3 = Seq.tabulate(8)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingPairs(df, "vec_id", "embedding", threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("bruteForceTopK ranks the duplicated vector first") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val withDup = emb.unionAll(
+      emb.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+          col("label")))
+    val got = Similarity.bruteForceTopK(
+        withDup, withDup.filter(col("vec_id") === 100000L), k = 3)
+      .select("n_id", "rn").as[(Long, Long)].collect()
+    assert(got.head == (0L, 1L)) // its twin is rank 1
+  }
+
+  test("lshTopK returns a subset ranking consistent with brute force") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, queries, k = 10, planes = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit for rank 1..3 should be a genuine brute-force top-10 member
+    val lshTop = Similarity.lshTopK(emb, queries, k = 3, planes = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(lshTop.count(brute.contains).toDouble / lshTop.length > 0.5)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topKPerGroup keeps exactly k per group with deterministic ties") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 5L), ("a", 4L, 1L),
+      ("b", 1L, 7L)).toDF("g", "id", "m")
+    val got = Relational.topKPerGroup(df, Seq("g"), col("m"), 2, Seq(col("id")))
+      .select("g", "id", "rn").as[(String, Long, Int)].collect().sorted
+    // ties on m=10 break by ascending id
+    assert(got.toSeq == Seq(("a", 1L, 1), ("a", 2L, 2), ("b", 1L, 1)))
+  }
+
+  test("distributionWithPct percentages sum to 100") {
+    val df = Tables.orders(spark, sf0001)
+    val pcts = Relational.distributionWithPct(df, "o_orderstatus")
+      .select("pct").as[Double].collect()
+    assert(math.abs(pcts.sum - 100.0) < 1e-9)
+  }
+
+  test("temporalPrefixSplit preserves multiset cardinality (no subtract dedup)") {
+    // duplicate rows would vanish under except(); rank-split must keep them
+    val df = Seq((1L, 1L), (1L, 1L), (2L, 2L), (3L, 3L), (3L, 3L))
+      .toDF("ts", "id")
+    val (train, test) = Relational.temporalPrefixSplit(df, "ts", "id", 3)
+    assert(train.count() == 3 && test.count() == 2)
+    assert(train.count() + test.count() == df.count())
+  }
+
+  test("stratifiedSplit is seeded-reproducible and partitions the input") {
+    val df = Tables.orders(spark, sf0001)
+    val (tr1, te1) = Relational.stratifiedSplit(df, "o_orderstatus", 0.7, 40,
+      Seq("o_orderkey"))
+    val (tr2, _) = Relational.stratifiedSplit(df, "o_orderstatus", 0.7, 40,
+      Seq("o_orderkey"))
+    assert(tr1.count() == tr2.count())
+    assert(tr1.count() + te1.count() == df.count())
+    // roughly proportional per class (binomial tolerance)
+    val frac = tr1.count().toDouble / df.count()
+    assert(frac > 0.6 && frac < 0.8)
+  }
+
+  test("tokenExplodeCount finds the most frequent token") {
+    val df = Seq("a b", "a c", "a d").toDF("s")
+    val top = Relational.tokenExplodeCount(df, "s", " ", 1)
+      .as[(String, Long)].head()
+    assert(top == ("a", 3L))
+  }
+
+  test("decSum is exact and partition-order independent") {
+    val vals = Seq.fill(1000)(0.1)
+    val a = vals.toDF("x").repartition(1)
+      .agg(Relational.decSum(col("x"))).as[Double].head()
+    val b = vals.toDF("x").repartition(7)
+      .agg(Relational.decSum(col("x"))).as[Double].head()
+    assert(a == b && a == 100.0)
+  }
+}

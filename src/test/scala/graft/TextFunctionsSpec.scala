@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenShingles produces w-grams and empty below w") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val got = df.select(T.tokenShingles(T.tokens(col("t")), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("minhash estimated jaccard approximates exact jaccard") {
+    val a = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 48).map(i => s"tok$i").mkString(" ") + " x y z " +
+      (49 to 57).map(i => s"alt$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+      .withColumn("hs", T.shingleHashSet(col("text"), 3))
+      .withColumn("sig", T.minhashSignature(col("hs"), 128))
+    val rows = df.select("hs", "sig").collect()
+    val (hsA, sigA) = (rows(0).getSeq[Long](0).toSet, rows(0).getSeq[Long](1))
+    val (hsB, sigB) = (rows(1).getSeq[Long](0).toSet, rows(1).getSeq[Long](1))
+    val exact = hsA.intersect(hsB).size.toDouble / hsA.union(hsB).size
+    val est = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / 128
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+  }
+
+  test("simhash: near-identical texts land within small hamming distance") {
+    val base = (1 to 100).map(i => s"w$i").mkString(" ")
+    val nearDup = base + " extra"
+    val far = (200 to 300).map(i => s"q$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, far)).toDF("id", "text")
+      .withColumn("toks", T.tokens(col("text")))
+      .withColumn("sh", T.simhash64("toks"))
+    val m = df.select("id", "sh").as[(Long, Long)].collect().toMap
+    val near = java.lang.Long.bitCount(m(1L) ^ m(2L))
+    val dist = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    assert(near <= 6, s"near-dup hamming $near")
+    assert(dist > 10, s"far hamming $dist")
+  }
+
+  test("fingerprint matches a reference polynomial hash") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val texts = Seq("hello world", "", "a", "the quick brown fox")
+    val got = texts.toDF("text")
+      .select(T.fingerprint(col("text"))).as[Long].collect()
+    assert(got.toSeq == texts.map(ref))
+  }
+
+  test("langId picks the marker-matching language") {
+    val df = Seq(
+      "the cat and the dog is in a house",
+      "der hund und die katze ist nicht ein",
+      "zzz qqq xxx").toDF("text")
+    val got = df.select(T.langId(T.tokens(col("text")))).as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("qualityStats ratios are in range") {
+    val df = Seq("the cat sat on the mat!").toDF("text")
+    val r = df.select(T.qualityStats(col("text")): _*).head()
+    assert(r.getLong(0) == 23) // n_chars
+    assert(r.getLong(1) == 6)  // n_words
+    assert(r.getDouble(2) > 0.7 && r.getDouble(2) < 1.0) // alpha_ratio
+    assert(r.getDouble(3) == 2.0 / 6)                    // stopword_ratio
+  }
+}
