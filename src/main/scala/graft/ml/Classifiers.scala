@@ -1,0 +1,102 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.{GBTClassifier, RandomForestClassifier}
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
+import org.apache.spark.ml.tuning.{CrossValidator, CrossValidatorModel, ParamGridBuilder}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ensemble classification suite (reference T1, E6-E8, E12-E14:
+  * higgs_ensemble_analysis.py:74-149).
+  *
+  * Differences from the reference, by design:
+  *  - confusion matrix is a DataFrame pivot aggregation, not an RDD
+  *    `MulticlassMetrics` escape (higgs:104,143 → one hash aggregate here);
+  *  - AUC is computed from the probability column (the reference's
+  *    rawPredictionCol="prediction" yields a degenerate two-point ROC —
+  *    quirk Q3, higgs:106); we emit both the correct and the parity number.
+  */
+object Classifiers {
+
+  def randomForest(features: Seq[String], labelCol: String,
+                   numTrees: Int = 25, seed: Long = 40L): Pipeline = {
+    val rf = new RandomForestClassifier()
+      .setLabelCol(labelCol).setFeaturesCol("features")
+      .setNumTrees(numTrees).setSeed(seed)
+    new Pipeline().setStages(Array(Features.assemble(features), rf))
+  }
+
+  def gbt(features: Seq[String], labelCol: String,
+          maxIter: Int = 11, maxDepth: Int = 5, seed: Long = 40L): Pipeline = {
+    val g = new GBTClassifier()
+      .setLabelCol(labelCol).setFeaturesCol("features")
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+    new Pipeline().setStages(Array(Features.assemble(features), g))
+  }
+
+  /** 3-fold CV grid search over an RF pipeline (ref grid: numTrees ×
+    * featureSubsetStrategy × subsamplingRate, higgs:77-87). `parallelism`
+    * fits grid points concurrently — the scale knob the reference lacks.
+    */
+  def rfCrossValidated(features: Seq[String], labelCol: String,
+                       numTrees: Seq[Int], subsamplingRates: Seq[Double],
+                       numFolds: Int = 3, seed: Long = 40L,
+                       parallelism: Int = 4): CrossValidator = {
+    val rf = new RandomForestClassifier()
+      .setLabelCol(labelCol).setFeaturesCol("features").setSeed(seed)
+    val pipe = new Pipeline().setStages(Array(Features.assemble(features), rf))
+    val grid = new ParamGridBuilder()
+      .addGrid(rf.numTrees, numTrees)
+      .addGrid(rf.subsamplingRate, subsamplingRates)
+      .build()
+    new CrossValidator()
+      .setEstimator(pipe)
+      .setEvaluator(new MulticlassClassificationEvaluator()
+        .setLabelCol(labelCol).setMetricName("f1"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(numFolds).setSeed(seed).setParallelism(parallelism)
+  }
+
+  /** Best params of a fitted CV model (E19: higgs:93-98). */
+  def bestParams(cv: CrossValidatorModel): Map[String, Any] = {
+    val best = cv.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+    best.stages.last.extractParamMap().toSeq
+      .map(p => p.param.name -> p.value).toMap
+  }
+
+  /** DataFrame-native confusion matrix: one distributed aggregate, replacing
+    * the reference's RDD MulticlassMetrics bridge (E12, higgs:23-40).
+    */
+  def confusionMatrix(predictions: DataFrame, labelCol: String): DataFrame =
+    predictions
+      .groupBy(col(labelCol).cast("double").as("label"),
+        col("prediction"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("label", "prediction")
+
+  /** Accuracy / weighted precision / recall / f1 in one evaluator family
+    * (E14: higgs:84,107,127,146), plus probability-based AUC and the
+    * reference-parity hard-prediction AUC (Q3) for binary problems.
+    */
+  def classificationMetrics(predictions: DataFrame, labelCol: String,
+                            binary: Boolean): Map[String, Double] = {
+    val m = new MulticlassClassificationEvaluator().setLabelCol(labelCol)
+    val base = Map(
+      "accuracy" -> m.setMetricName("accuracy").evaluate(predictions),
+      "f1" -> m.setMetricName("f1").evaluate(predictions),
+      "weightedPrecision" -> m.setMetricName("weightedPrecision").evaluate(predictions),
+      "weightedRecall" -> m.setMetricName("weightedRecall").evaluate(predictions))
+    if (!binary) base
+    else {
+      val aucProb = new BinaryClassificationEvaluator().setLabelCol(labelCol)
+        .setRawPredictionCol("probability").setMetricName("areaUnderROC")
+        .evaluate(predictions)
+      // parity with higgs:106: AUC over hard 0/1 predictions (degenerate ROC)
+      val aucHard = new BinaryClassificationEvaluator().setLabelCol(labelCol)
+        .setRawPredictionCol("prediction").setMetricName("areaUnderROC")
+        .evaluate(predictions)
+      base + ("areaUnderROC" -> aucProb) + ("areaUnderROC_hard" -> aucHard)
+    }
+  }
+}

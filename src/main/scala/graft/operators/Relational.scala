@@ -74,19 +74,21 @@ object Relational {
      ranked.filter(col("__rank") > n).drop("__rank"))
   }
 
-  /** Per-class proportional split in a single distributed pass.
-    * Ref: Claims_Prediction.py:43-54 (driver loop over strata — quirk Q5);
-    * here: one `sampleBy` scan for train, one anti-join for test. Seeded and
-    * reproducible; no per-stratum job rounds, so it survives 100 TB inputs
-    * with high-cardinality strata.
+  /** Per-class proportional (in expectation) split in a single pass.
+    * Ref: Claims_Prediction.py:43-54 (driver loop over strata, one Spark job
+    * round per class — quirk Q5). Here: a deterministic hash of the id
+    * columns + seed buckets each row; train and test are complement filters
+    * of the same scan, so train+test is exactly the input (multiset), the
+    * result is independent of partitioning/cluster size, and rows sharing an
+    * id land on the same side (leakage-free under duplicated keys). No
+    * shuffle, no driver state — works unchanged at any stratum cardinality.
     */
   def stratifiedSplit(df: DataFrame, labelCol: String, trainFrac: Double,
                       seed: Long, idCols: Seq[String]): (DataFrame, DataFrame) = {
-    val classes = df.select(labelCol).distinct().collect().map(_.get(0))
-    val fractions = classes.map(c => c -> trainFrac).toMap
-    val train = df.stat.sampleBy(labelCol, fractions, seed)
-    val test = df.join(train.select(idCols.map(col): _*), idCols, "left_anti")
-    (train, test)
+    val bucket = pmod(
+      xxhash64((idCols.map(col) :+ lit(seed)): _*), lit(1000000L))
+    val isTrain = bucket < (trainFrac * 1000000L).toLong
+    (df.filter(isTrain), df.filter(!isTrain))
   }
 
   /** Explode a delimited string column and count tokens, top-k.

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Classifiers, Recommender, Regressors, Timing}
+import graft.operators.Relational
+
+class MLSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val lineitem = Tables.lineitem(spark, sf0001)
+    .withColumn("label", when(col("l_returnflag") === "N", 1.0).otherwise(0.0))
+    .cache()
+
+  test("RF pipeline trains and beats chance on a learnable label") {
+    val Array(tr, te) = lineitem.randomSplit(Array(0.7, 0.3), 40)
+    val (model, secs) = Timing.timed(Classifiers.randomForest(
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), "label",
+      numTrees = 10).fit(tr))
+    assert(secs > 0)
+    val metrics = Classifiers.classificationMetrics(
+      model.transform(te), "label", binary = true)
+    assert(metrics("accuracy") > 0.4)
+    assert(metrics.contains("areaUnderROC") && metrics.contains("areaUnderROC_hard"))
+  }
+
+  test("confusion matrix cells sum to the scored row count") {
+    val Array(tr, te) = lineitem.randomSplit(Array(0.7, 0.3), 40)
+    val model = Classifiers.randomForest(
+      Seq("l_quantity", "l_discount"), "label", numTrees = 5).fit(tr)
+    val cm = Classifiers.confusionMatrix(model.transform(te), "label")
+    assert(cm.agg(sum("cnt")).as[Long].head() == te.count())
+  }
+
+  test("GBT pipeline fits (E7)") {
+    val m = Classifiers.gbt(Seq("l_quantity", "l_discount"), "label",
+      maxIter = 3).fit(lineitem.limit(1000))
+    assert(m.transform(lineitem.limit(100)).count() == 100)
+  }
+
+  test("poisson GLM produces finite coefficients with categorical encoding") {
+    val model = Regressors.poissonGlm(
+      Seq("l_returnflag"), Seq("l_discount", "l_tax"),
+      "l_quantity", maxIter = 10).fit(lineitem)
+    val glm = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.regression.GeneralizedLinearRegressionModel]
+    assert(glm.coefficients.toArray.forall(c => !c.isNaN && !c.isInfinite))
+  }
+
+  test("regression metrics: three immutable evaluators (Q8)") {
+    val model = Regressors.linear(Seq("l_returnflag"), Seq("l_discount"),
+      "l_quantity", elasticNet = 0.0, maxIter = 5).fit(lineitem)
+    val m = Regressors.regressionMetrics(model.transform(lineitem), "l_quantity")
+    assert(Set("rmse", "mae", "mse").subsetOf(m.keySet))
+    assert(math.abs(m("mse") - m("rmse") * m("rmse")) < 1e-6)
+  }
+
+  test("validation curve returns one point per regParam") {
+    val Array(tr, te) = lineitem.randomSplit(Array(0.7, 0.3), 40)
+    val curve = Regressors.validationCurve(
+      rp => Regressors.linear(Seq("l_returnflag"), Seq("l_discount"),
+        "l_quantity", elasticNet = 1.0, regParam = rp, maxIter = 5),
+      tr, te, "l_quantity", Seq(0.01, 10.0))
+    assert(curve.map(_._1) == Seq(0.01, 10.0))
+    assert(curve.forall(_._2 > 0))
+  }
+
+  private lazy val ratings = Tables.lineitem(spark, sf0001)
+    .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+    .select(col("o_custkey").cast("int").as("user"),
+      col("l_partkey").cast("int").as("item"),
+      col("l_quantity").as("rating"),
+      col("o_orderdate").cast("timestamp_ltz").cast("long").as("ts"),
+      col("l_orderkey") * 10 + col("l_linenumber") as "rid")
+    .cache()
+
+  test("ALS temporal eval yields finite rmse per split (E16)") {
+    val results = Recommender.temporalEval(ratings, "ts", "rid",
+      Seq(0.6, 0.8), Recommender.als(rank = 5, maxIter = 3))
+    assert(results.size == 2)
+    assert(results.forall { case (_, m) => m("rmse") > 0 && !m("rmse").isNaN })
+  }
+
+  test("KMeans over ALS user factors assigns every user (E17+E18+Q6)") {
+    val model = Recommender.als(rank = 5, maxIter = 3).fit(ratings)
+    val clusters = Recommender.clusterUserFactors(model, k = 4)
+    assert(clusters.count() == model.userFactors.count())
+    assert(clusters.select("cluster").distinct().count() <= 4)
+  }
+
+  test("cluster-token chain produces ranked tokens (als genre chain)") {
+    val model = Recommender.als(rank = 5, maxIter = 3).fit(ratings)
+    val clusters = Recommender.clusterUserFactors(model, k = 4)
+    val toks = Recommender.topAttributeTokens(clusters, ratings,
+      Tables.part(spark, sf0001).withColumnRenamed("p_partkey", "item"),
+      "item", "p_name", " ", minRatings = 1, topItems = 10, topTokens = 5)
+    assert(toks.count() > 0 && toks.count() <= 5)
+  }
+
+  test("stratifiedSplit + RF end-to-end (claims shape)") {
+    val (tr, te) = Relational.stratifiedSplit(lineitem, "l_returnflag", 0.7,
+      40, Seq("l_orderkey", "l_linenumber"))
+    assert(tr.count() + te.count() == lineitem.count())
+  }
+}
