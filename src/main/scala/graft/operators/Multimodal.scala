@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star): images/audio/video travel as
+  * opaque `binary` columns beside a typed metadata struct; decode /
+  * feature-extraction runs batched per partition so any native decoder is
+  * amortized over a batch, never per-row.
+  *
+  * The actual byte decoding is STUBBED (this container ships no image/audio
+  * codecs — see `StubDecoder`): the stub is deterministic on the bytes, so
+  * tests pin real values, and the Spark-side shape — schema, batching,
+  * partition parallelism, metadata propagation — is the part that must (and
+  * does) hold at scale.
+  */
+object Multimodal {
+
+  case class MediaMeta(media_type: String, width: Int, height: Int,
+                       n_bytes: Long)
+  case class MediaRow(media_id: Long, meta: MediaMeta, content: Array[Byte])
+  case class MediaFeatures(media_id: Long, media_type: String, n_bytes: Long,
+                           checksum: Long, brightness: Double,
+                           embedding: Array[Float])
+
+  /** Deterministic stand-in for a codec: derives pseudo-features purely
+    * from the bytes. Swap for a real decoder (JNI/ffmpeg/javacv) behind the
+    * same batch interface in production.
+    */
+  object StubDecoder {
+    def checksum(bytes: Array[Byte]): Long =
+      bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+
+    /** Fake luminance in [0,1): mean unsigned byte / 256. */
+    def brightness(bytes: Array[Byte]): Double =
+      if (bytes.isEmpty) 0.0
+      else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length / 256.0
+
+    /** Fake fixed-width embedding: seeded by the checksum. */
+    def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val rnd = new scala.util.Random(checksum(bytes))
+      Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    }
+  }
+
+  /** Wrap raw binary payloads with typed metadata — the ingest projection.
+    * `media_type` is sniffed from magic bytes (real logic, no codec needed).
+    */
+  def ingest(df: DataFrame, idCol: String, bytesCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol)).map { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      def startsWith(magic: Int*): Boolean =
+        bytes.length >= magic.length &&
+          magic.zipWithIndex.forall { case (m, i) => bytes(i) == m.toByte }
+      val mediaType =
+        if (startsWith(0x89, 0x50, 0x4e, 0x47)) "png"
+        else if (startsWith(0xff, 0xd8, 0xff)) "jpeg"
+        else if (startsWith('R', 'I', 'F', 'F')) "wav"
+        else "unknown"
+      MediaRow(r.getLong(0), MediaMeta(mediaType, -1, -1, bytes.length), bytes)
+    }
+  }
+
+  /** Batched decode/feature-extract: one decoder context per partition
+    * (the mapPartitions boundary is where a real codec would init once),
+    * rows streamed through it — the Scala analogue of a batched pandas UDF.
+    */
+  def extractFeatures(media: Dataset[MediaRow], embeddingDim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real impl: val codec = NativeCodec.open() — once per partition
+      rows.map { m =>
+        MediaFeatures(m.media_id, m.meta.media_type, m.meta.n_bytes,
+          StubDecoder.checksum(m.content),
+          StubDecoder.brightness(m.content),
+          StubDecoder.embed(m.content, embeddingDim))
+      }
+    }
+  }
+
+  /** Deterministic frame-sampling plan for video-like payloads: pick every
+    * k-th chunk boundary as a "frame" offset — pure arithmetic on metadata,
+    * pushed down as a narrow projection (no decode needed to PLAN sampling).
+    */
+  def frameOffsets(media: DataFrame, chunkBytes: Int, everyK: Int): DataFrame =
+    media.select(col("media_id"),
+      explode(sequence(lit(0),
+        greatest((col("meta.n_bytes") / chunkBytes).cast("long") - 1, lit(0)),
+        lit(everyK))).as("frame_offset"))
+}

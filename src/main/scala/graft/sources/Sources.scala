@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Input/output surface (reference §2.1 S1-S5):
+  * headerless CSV (higgs_ensemble_analysis.py:62), header CSV
+  * (Claims_Prediction.py:24, als_clustering_analysis.py:28-29), gzip text
+  * (log_mining_analysis.py:21), plus the scale-path fixes the reference
+  * lacks: schema-explicit reads and gzip→parquet re-materialization
+  * (quirk Q7 — a .gz text source is non-splittable, so stage 1 runs as ONE
+  * task no matter the cluster size).
+  */
+object Sources {
+
+  /** S1: headerless CSV — columns arrive as _c0.._cN strings; `castAll`
+    * coerces every column to double in ONE select (the reference loops
+    * withColumn per column, stacking 29 Projects — higgs:64-65).
+    */
+  def csvHeaderless(spark: SparkSession, path: String, sep: String = ","): DataFrame =
+    spark.read.option("sep", sep).csv(path)
+
+  /** S2: header CSV, all strings (schema inference deliberately off,
+    * matching the reference; use `withSchema` when the schema is known —
+    * inference costs a full extra pass over 100 TB).
+    */
+  def csvWithHeader(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  /** Schema-explicit CSV: zero inference passes, columns arrive typed. */
+  def csvWithSchema(spark: SparkSession, path: String, schema: StructType,
+                    header: Boolean): DataFrame =
+    spark.read.option("header", header.toString).schema(schema).csv(path)
+
+  /** S3: text scan (transparently handles .gz — but see materialize). */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Cast every listed column in one Project (replaces per-column
+    * withColumn loops: higgs:64-65, claims:30-32, als:33-34).
+    */
+  def castAll(df: DataFrame, to: String, cols: Seq[String]): DataFrame =
+    df.select(df.columns.map(c =>
+      if (cols.contains(c)) col(c).cast(to).as(c) else col(c)): _*)
+
+  /** Q7 scale path: one-time re-materialization of a non-splittable source
+    * into splittable parquet with a chosen partition count; every
+    * downstream read then parallelizes. At 100 TB this is the difference
+    * between a single-task scan and a full-cluster scan.
+    */
+  def materializeToParquet(df: DataFrame, outPath: String,
+                           partitions: Int): Unit =
+    df.repartition(partitions).write.mode("overwrite").parquet(outPath)
+
+  /** S5: driver-side text sink for small reports (replaces the reference's
+    * open()/write blocks, higgs:27-59). Engine results that are themselves
+    * large must go through df.write, never through this.
+    */
+  def writeTextReport(path: String, lines: Seq[String]): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}

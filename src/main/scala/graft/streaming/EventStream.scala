@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming layer (additive — the reference has no streaming,
+  * SURVEY §2.11; the `events` fixture is stream-shaped for exactly this).
+  *
+  * Design rule: every transform here is expressed so the SAME code runs in
+  * batch (`spark.read`) and streaming (`spark.readStream`) — event-time
+  * windows + watermarks, no processing-time dependence, state bounded by
+  * the watermark so executors never accumulate unbounded state at 100 TB/day
+  * rates.
+  */
+object EventStream {
+
+  /** The events schema, declared (a streaming source cannot infer). */
+  val schema: String =
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING"
+
+  /** Open the events fixture as a stream. The fixture stores ts as
+    * TIMESTAMP(NANOS) which Spark reads as long under the legacy conf —
+    * identical truncation to Tables.events. The file-stream source wants a
+    * directory, so we glob the single events.parquet inside `dir`.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling event-time aggregate with a watermark: counts + exact decimal
+    * sums per (window, event_type). Batch-equivalent of SparkEntry
+    * q18_hourly_window.
+    */
+  def hourlyStats(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("v_sum"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"),
+        col("event_type"), col("cnt"), col("v_sum"))
+
+  /** Sliding-window per-user activity rate (5 min slide, 1 h width). */
+  def slidingUserRate(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("user_id"),
+        col("n_events"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionSummary(user_id: Long, n_events: Long, total_value: Double,
+                            first_ts: Long, last_ts: Long)
+
+  /** Custom stateful sessionization via mapGroupsWithState: per-user session
+    * closes after `gapMinutes` of event-time silence. State is one small
+    * summary per live user — bounded by active-user cardinality, with an
+    * event-time timeout so idle state is evicted (never grows unboundedly).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionSummary, SessionSummary](
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[SessionSummary]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            s
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            val prev = state.getOption.getOrElse(
+              SessionSummary(uid, 0L, 0.0, sorted.head.ts.getTime, 0L))
+            val next = SessionSummary(uid,
+              prev.n_events + sorted.size,
+              prev.total_value + sorted.map(_.value).sum,
+              prev.first_ts,
+              sorted.last.ts.getTime)
+            state.update(next)
+            state.setTimeoutTimestamp(next.last_ts, s"$gapMinutes minutes")
+            next
+          }
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against the (finite) fixture
+    * via the in-memory sink; returns the materialized result. Used by tests
+    * to prove the plans are genuinely streamable.
+    */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.LogParser
+import graft.operators.Multimodal
+import graft.sources.Sources
+import graft.streaming.EventStream
+
+class StreamingEtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -- log parsing (T4) ------------------------------------------------
+  private val logLines = Seq(
+    """alpha.host.de - - [01/Jul/1995:00:00:01 -0400] "GET /a.html HTTP/1.0" 200 6245""",
+    """alpha.host.de - - [01/Jul/1995:13:10:01 -0400] "GET /b.gif HTTP/1.0" 200 3985""",
+    """beta.uni.ca - - [02/Jul/1995:23:59:59 -0400] "POST /x HTTP/1.0" 404 100""",
+    """gamma.net.sg - - [03/Jul/1995:07:30:00 -0400] "GET / HTTP/1.0" 200 7074""")
+
+  test("NASA log parser extracts all CLF fields") {
+    val parsed = LogParser.parseNasaLog(logLines.toDF("value"))
+    val r = parsed.orderBy("host", "timestamp").head()
+    assert(r.getAs[String]("host") == "alpha.host.de")
+    assert(r.getAs[String]("timestamp") == "01/Jul/1995:00:00:01 -0400")
+    assert(r.getAs[String]("request") == "GET /a.html HTTP/1.0")
+    assert(r.getAs[Int]("HTTP_reply_code") == 200)
+    assert(r.getAs[Int]("bytes_in_reply") == 6245)
+    assert(r.getAs[Int]("day") == 1 && r.getAs[Int]("hour") == 0)
+  }
+
+  test("topHostsAllSuffixes ranks within each country in one pass") {
+    val parsed = LogParser.parseNasaLog(logLines.toDF("value"))
+    val top = LogParser.topHostsAllSuffixes(parsed, Seq(".de", ".ca", ".sg"), 9)
+    val byCountry = top.select("country", "host", "count")
+      .as[(String, String, Long)].collect().groupBy(_._1)
+    assert(byCountry("de").head == (("de", "alpha.host.de", 2L)))
+    assert(byCountry.keySet == Set("de", "ca", "sg"))
+  }
+
+  test("restShare computes (total-top)/total correctly (quirk Q2 fixed)") {
+    val parsed = LogParser.parseNasaLog(logLines.toDF("value"))
+    val r = LogParser.restShare(parsed, 1).head()
+    assert(r.getAs[Long]("total") == 4 && r.getAs[Long]("top_total") == 2)
+    assert(r.getAs[Double]("rest_share") == 0.5)
+  }
+
+  // -- sources ----------------------------------------------------------
+  test("headerless CSV roundtrip with castAll (S1, higgs shape)") {
+    val dir = new java.io.File("target/tmp/higgs_csv")
+    dir.mkdirs()
+    Sources.writeTextReport(s"$dir/part.csv",
+      Seq("1.0,2.5,3.5", "0.0,1.5,0.5"))
+    val df = Sources.csvHeaderless(spark, dir.getPath)
+    assert(df.columns.toSeq == Seq("_c0", "_c1", "_c2"))
+    val typed = Sources.castAll(df, "double", df.columns)
+    assert(typed.schema.fields.forall(_.dataType.typeName == "double"))
+    assert(typed.agg(sum("_c1")).as[Double].head() == 4.0)
+  }
+
+  test("gzip text is single-partition; materializeToParquet splits it (Q7)") {
+    val dir = new java.io.File("target/tmp/gz_demo")
+    dir.mkdirs()
+    val gz = new java.io.File(dir, "log.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(gz))
+    out.write((1 to 5000).map(i => s"line $i").mkString("\n").getBytes)
+    out.close()
+    val txt = Sources.text(spark, gz.getPath)
+    assert(txt.rdd.getNumPartitions == 1) // non-splittable
+    Sources.materializeToParquet(txt, "target/tmp/gz_demo_parquet", 4)
+    val pq = spark.read.parquet("target/tmp/gz_demo_parquet")
+    assert(pq.rdd.getNumPartitions == 4 && pq.count() == 5000)
+  }
+
+  // -- streaming --------------------------------------------------------
+  test("hourlyStats runs as a real stream and matches the batch plan") {
+    // Complete mode: a finite fixture never advances the watermark past its
+    // own tail, so Append would withhold the final windows by design.
+    val streamed = EventStream.runToMemory(
+      EventStream.hourlyStats(EventStream.readEvents(spark, sf0001)),
+      "hourly_stats_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val batch = SparkEntry.queries("q18_hourly_window")(spark, sf0001)
+    val s = streamed.orderBy("win_start", "event_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    val b = batch.as[(String, String, Long, Double)].collect().toSeq
+    assert(s == b, s"stream rows ${s.size} vs batch ${b.size}")
+  }
+
+  test("sessionize keeps one bounded state per user") {
+    val events = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStream.Event]
+    val sessions = EventStream.sessionize(events, gapMinutes = 30)
+    val perUser = sessions.groupBy("user_id").count()
+    assert(perUser.count() ==
+      events.select("user_id").distinct().count())
+  }
+
+  // -- multimodal -------------------------------------------------------
+  test("multimodal ingest sniffs magic bytes and extract is deterministic") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2, 3)
+    val wav = "RIFFxxxx".getBytes
+    val df = Seq((1L, png), (2L, wav)).toDF("media_id", "content")
+    val media = Multimodal.ingest(df, "media_id", "content")
+    val types = media.collect().map(m => m.media_id -> m.meta.media_type).toMap
+    assert(types == Map(1L -> "png", 2L -> "wav"))
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
+    assert(f1.forall(f => f.embedding.length == 16))
+    assert(f1.forall(f => f.brightness >= 0 && f.brightness < 1))
+  }
+
+  test("frameOffsets plans sampling from metadata only") {
+    val media = Seq((1L, ("mp4", -1, -1, 1000L))).toDF("media_id", "meta")
+      .select(col("media_id"), col("meta").cast(
+        "struct<media_type:string,width:int,height:int,n_bytes:bigint>"))
+    val offs = Multimodal.frameOffsets(media, chunkBytes = 100, everyK = 3)
+      .as[(Long, Long)].collect()
+    assert(offs.map(_._2).toSeq == Seq(0L, 3L, 6L, 9L))
+  }
+}
