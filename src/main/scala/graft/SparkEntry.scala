@@ -26,6 +26,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q05_revenue_by_nation")(spark, "/root/testdata/sf0.001")
 
+  /** Headline bench set: every relational + north-star query, plus the
+    * bounded ML fits (CV grid and the ALS+KMeans chain are exercised by
+    * Verify/tests but are model-selection workloads, not engine throughput).
+    */
+  def benchQueries: Seq[String] =
+    queries.keys.toSeq.sorted
+      .filterNot(Set("q34_ml_cv_best_params", "q35_ml_cluster_tokens"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Aggregations (SURVEY §2.4) ------------------------------------

@@ -26,43 +26,28 @@ object TextFunctions {
       .otherwise(transform(sequence(lit(1), size(toks) - (w - 1)),
         i => concat_ws(" ", slice(toks, i, lit(w)))))
 
-  /** Distinct xxhash64 values of the w-token shingles — the document's
-    * shingle set, used by MinHash/Jaccard dedup. Collision probability over
-    * 64 bits is negligible at any corpus size we target.
+  import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+
+  /** Distinct 64-bit hashes of the w-token shingles — the document's
+    * shingle set, used by MinHash/Jaccard dedup. Compiled per-row kernel
+    * (expressions.ShingleHashSet); collision probability over 64 bits is
+    * negligible at any corpus size we target.
     */
   def shingleHashSet(text: Column, w: Int): Column =
-    array_distinct(transform(tokenShingles(tokens(text), w), s => xxhash64(s)))
+    toCol(expressions.ShingleHashSet(toExpr(tokens(text)), w))
 
-  private val P: Long = 2147483647L // 2^31 - 1, Mersenne prime
-
-  /** k seeded affine hash coefficients (a odd-ish in [1,p), b in [0,p)). */
-  private def coefs(k: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(k)((1L + rnd.nextInt((P - 1).toInt).toLong,
-                 rnd.nextInt(P.toInt).toLong))
-  }
-
-  /** MinHash signature: array of k minima of affine transforms of the shingle
-    * hashes, computed mod 2^31-1 so no product can overflow a long under
-    * ANSI mode. One pass per coefficient over the in-row array — no shuffle.
+  /** MinHash signature: k minima of seeded affine transforms of the shingle
+    * hashes, mod 2^31-1 (overflow-free under ANSI mode). One compiled pass
+    * over the in-row array — no shuffle, no per-element interpretation.
     */
-  def minhashSignature(shingleHashes: Column, k: Int, seed: Long = 42L): Column = {
-    val cs = coefs(k, seed)
-    when(size(shingleHashes) === 0, array().cast("array<bigint>"))
-      .otherwise(array(cs.map { case (a, b) =>
-        array_min(transform(shingleHashes,
-          h => pmod(lit(a) * pmod(h, lit(P)) + lit(b), lit(P))))
-      }: _*))
-  }
+  def minhashSignature(shingleHashes: Column, k: Int, seed: Long = 42L): Column =
+    toCol(expressions.MinHashSig(toExpr(shingleHashes), k, seed))
 
-  /** LSH band keys: hash each of `bands` consecutive r-slices of the
-    * signature. Docs sharing any band key become dedup candidates.
+  /** LSH band keys: one mixed 64-bit key per r-slice of the signature.
+    * Docs sharing any band key become dedup candidates.
     */
   def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      i => xxhash64(i, concat_ws(",",
-        transform(slice(sig, i * lit(rowsPerBand) + 1, lit(rowsPerBand)),
-          x => x.cast("string")))))
+    toCol(expressions.MinHashBandKeys(toExpr(sig), bands, rowsPerBand))
 
   /** Estimated Jaccard from two signatures: fraction of agreeing positions. */
   def estimatedJaccard(sigA: Column, sigB: Column): Column =
@@ -73,21 +58,12 @@ object TextFunctions {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** 64-bit SimHash over a token array column (named column required — built
-    * from SQL text because per-bit shifts need column-operand shiftright,
-    * which the Scala DSL doesn't expose). Bit b is set iff the sum of
-    * (+1/-1) votes from each token hash's bit b is positive.
+  /** 64-bit SimHash over a token array column: bit b is set iff the sum of
+    * (+1/-1) votes from each token hash's bit b is positive. Compiled
+    * per-row kernel (expressions.SimHash64).
     */
-  def simhash64(toksColName: String): Column = expr(
-    s"""aggregate(
-          transform($toksColName, t -> xxhash64(t)),
-          array_repeat(0L, 64),
-          (acc, h) -> zip_with(acc, sequence(0, 63),
-            (s, b) -> s + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END),
-          bits -> aggregate(
-            zip_with(bits, sequence(0, 63),
-              (s, b) -> CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END),
-            0L, (x, y) -> x ^ y))""")
+  def simhash64(toksColName: String): Column =
+    toCol(expressions.SimHash64(toExpr(col(toksColName))))
 
   /** Hamming distance between two 64-bit sketches. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

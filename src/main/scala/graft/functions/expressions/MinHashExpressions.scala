@@ -1,0 +1,174 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Compiled per-row kernels for the MinHash dedup path.
+  *
+  * The higher-order-function formulation (transform/aggregate lambdas)
+  * interprets one expression tree PER ARRAY ELEMENT; these expressions do
+  * one JVM-compiled loop PER ROW (CodegenFallback costs a single call).
+  * Semantics: same affine minhash math mod 2^31-1 as
+  * TextFunctions.minhashSignature; shingle hashes are FNV-1a-64 over token
+  * bytes (any injective-enough 64-bit hash is equivalent downstream — only
+  * hash-set intersections/minima are consumed, never the values).
+  */
+object HashUtil {
+  val P: Long = 2147483647L
+  private val FNV_OFFSET = 0xcbf29ce484222325L
+  private val FNV_PRIME = 0x100000001b3L
+
+  /** Distinct, sorted 64-bit hashes of the w-token shingles. */
+  def shingleHashSet(toks: ArrayData, w: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    val m = n - w + 1
+    val arr = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = FNV_OFFSET
+      var j = 0
+      while (j < w) {
+        val bytes = toks.getUTF8String(i + j).getBytes
+        var k = 0
+        while (k < bytes.length) {
+          h = (h ^ (bytes(k) & 0xffL)) * FNV_PRIME
+          k += 1
+        }
+        h = (h ^ 0x20L) * FNV_PRIME // token separator
+        j += 1
+      }
+      arr(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var uniq = 1
+    i = 1
+    while (i < m) { if (arr(i) != arr(i - 1)) uniq += 1; i += 1 }
+    val out = new Array[Long](uniq)
+    out(0) = arr(0)
+    var o = 1
+    i = 1
+    while (i < m) {
+      if (arr(i) != arr(i - 1)) { out(o) = arr(i); o += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** k-minima affine signature: min over hashes of (a_i*pmod(h,P)+b_i) mod P. */
+  def minhashSig(hashes: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val n = hashes.numElements()
+    val k = a.length
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      var hm = hashes.getLong(j) % P
+      if (hm < 0) hm += P
+      var i = 0
+      while (i < k) {
+        val v = (a(i) * hm + b(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash over the token array: FNV-1a-64 per token, ±1 votes
+    * per bit, sign of the vote sum sets the sketch bit.
+    */
+  def simhash64(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val bytes = toks.getUTF8String(i).getBytes
+      var h = FNV_OFFSET
+      var k = 0
+      while (k < bytes.length) {
+        h = (h ^ (bytes(k) & 0xffL)) * FNV_PRIME
+        k += 1
+      }
+      h ^= (h >>> 31) // finalize: spread entropy to low bits
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** One 64-bit key per band: mix of the band's r signature values. */
+  def bandKeys(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    if (sig.numElements() == 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](bands)
+    var i = 0
+    while (i < bands) {
+      var h = FNV_OFFSET ^ i
+      var j = 0
+      while (j < rowsPerBand) {
+        h = (h ^ sig.getLong(i * rowsPerBand + j)) * FNV_PRIME
+        h ^= (h >>> 29)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class ShingleHashSet(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(toks: Any): Any =
+    HashUtil.shingleHashSet(toks.asInstanceOf[ArrayData], w)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class MinHashSig(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val (aCoef, bCoef) = {
+    val rnd = new scala.util.Random(seed)
+    val a = Array.fill(k)(1L + rnd.nextInt((HashUtil.P - 1).toInt).toLong)
+    val b = Array.fill(k)(rnd.nextInt(HashUtil.P.toInt).toLong)
+    (a, b)
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(hashes: Any): Any =
+    HashUtil.minhashSig(hashes.asInstanceOf[ArrayData], aCoef, bCoef)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(toks: Any): Any =
+    HashUtil.simhash64(toks.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(sig: Any): Any =
+    HashUtil.bandKeys(sig.asInstanceOf[ArrayData], bands, rowsPerBand)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

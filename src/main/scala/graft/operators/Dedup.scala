@@ -101,16 +101,22 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, useLsh: Boolean = false,
                      dim: Int = 64, planes: Int = 16): DataFrame = {
+    // norms are computed once per row (not once per pair) and carried
+    // through the join; dot/(nrm_a*nrm_b) is float-identical to cosine()
     val base = df.select(col(idCol).as("id"),
-      V.toDoubleArray(col(vecCol)).as("v"))
+        V.toDoubleArray(col(vecCol)).as("v"))
+      .withColumn("nrm", V.norm(col("v")))
     val withKey =
       if (useLsh)
         base.withColumn("k", V.hyperplaneSketch(col("v"), dim, planes))
       else base.withColumn("k", lit(0L))
-    val a = withKey.select(col("k"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withKey.select(col("k"), col("id").as("id_b"), col("v").as("v_b"))
+    val a = withKey.select(col("k"), col("id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("nrm_a"))
+    val b = withKey.select(col("k"), col("id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("nrm_b"))
     a.join(b, Seq("k")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(V.cosine(col("v_a"), col("v_b")), 4))
+      .withColumn("sim", round(
+        V.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 4))
       .filter(col("sim") > threshold)
       .select("id_a", "id_b", "sim")
   }

@@ -24,12 +24,15 @@ object Similarity {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"),
-      V.toDoubleArray(col(vecCol)).as("v_n"))
+        V.toDoubleArray(col(vecCol)).as("v_n"))
+      .withColumn("nrm_n", V.norm(col("v_n")))
     val q = queries.select(col(idCol).as("q_id"),
-      V.toDoubleArray(col(vecCol)).as("v_q"))
+        V.toDoubleArray(col(vecCol)).as("v_q"))
+      .withColumn("nrm_q", V.norm(col("v_q")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(V.cosine(col("v_q"), col("v_n")), 6))
+      .withColumn("sim", round(
+        V.dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")), 6))
     Relational.topKPerGroup(scored, Seq("q_id"), col("sim"), k,
         Seq(col("n_id")))
       .withColumn("rn", col("rn").cast("long"))
@@ -51,16 +54,19 @@ object Similarity {
         V.hyperplaneSketch(v, dim, planes, seed = 42L + t).as("b"))): _*)
     val c = corpus.select(col(idCol).as("n_id"),
         V.toDoubleArray(col(vecCol)).as("v_n"))
-      .select(col("n_id"), col("v_n"),
+      .withColumn("nrm_n", V.norm(col("v_n")))
+      .select(col("n_id"), col("v_n"), col("nrm_n"),
         explode(buckets(col("v_n"))).as("bucket"))
     val q = queries.select(col(idCol).as("q_id"),
         V.toDoubleArray(col(vecCol)).as("v_q"))
-      .select(col("q_id"), col("v_q"),
+      .withColumn("nrm_q", V.norm(col("v_q")))
+      .select(col("q_id"), col("v_q"), col("nrm_q"),
         explode(buckets(col("v_q"))).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")
-      .withColumn("sim", round(V.cosine(col("v_q"), col("v_n")), 6))
+      .withColumn("sim", round(
+        V.dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")), 6))
     Relational.topKPerGroup(scored, Seq("q_id"), col("sim"), k,
         Seq(col("n_id")))
       .withColumn("rn", col("rn").cast("long"))
