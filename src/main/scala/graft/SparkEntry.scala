@@ -367,6 +367,67 @@ object SparkEntry {
         .sortBy(_._1).toDF("param", "value")
     }),
 
+    // ---- Splits (SURVEY §2.9 D1/D2; deterministic hash split is engine-
+    // defined → rows-only, pinned exactly by RelationalSpec) --------------
+    "q36_stratified_split_counts" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val (tr, te) = Relational.stratifiedSplit(o, "o_orderstatus", 0.7, 40,
+        Seq("o_orderkey"))
+      tr.groupBy("o_orderstatus").agg(count(lit(1)).as("train_cnt"))
+        .join(te.groupBy("o_orderstatus").agg(count(lit(1)).as("test_cnt")),
+          Seq("o_orderstatus"), "outer")
+        .orderBy("o_orderstatus")
+    }),
+    "q37_random_split_counts" -> ((s, dir) => {
+      val Array(a, b) = Tables.orders(s, dir)
+        .randomSplit(Array(0.7, 0.3), seed = 40)
+      import s.implicits._
+      Seq(("train", a.count()), ("test", b.count()))
+        .toDF("part", "cnt").orderBy("part")
+    }),
+
+    // ---- North-star: quality scoring (full stats; oracle-checked) ------
+    "q38_quality_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id") +: TextFunctions.qualityStats(col("text")): _*)
+        .orderBy("doc_id")),
+
+    // ---- Window analytics beyond the reference (running agg, lag) ------
+    "q39_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(28, 4))).over(w)
+            .cast("double").as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q40_lag_delta" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"),
+          (col("o_totalprice") - lag("o_totalprice", 1).over(w))
+            .as("delta_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- Hierarchical aggregates (ROLLUP) ------------------------------
+    // Expressed via spark.sql over temp views: exercises the SQL surface,
+    // and sidesteps a DetectAmbiguousSelfJoin false positive on
+    // rollup-after-join in the Dataset DSL (Expand re-emits grouping attrs).
+    "q41_rollup_counts" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      Tables.region(s, dir).createOrReplaceTempView("region_v")
+      s.sql("""SELECT r_name, n_name, COUNT(*) AS cnt FROM customer_v
+               JOIN nation_v ON c_nationkey = n_nationkey
+               JOIN region_v ON n_regionkey = r_regionkey
+               GROUP BY ROLLUP (r_name, n_name)
+               ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
+    }),
+
     // E16-E18 chained: ALS factors → K-Means → largest-cluster attribute
     // tokens (the als:110-146 genre chain, fully relational).
     "q35_ml_cluster_tokens" -> ((s, dir) => {
@@ -561,6 +622,37 @@ object SparkEntry {
                        ORDER BY sim DESC, n_id) AS rn
            FROM scored)
          WHERE rn <= 5 ORDER BY q_id, rn""",
+    "q38_quality_stats" ->
+      """SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(string_split_regex(trim(text), '\s+')) AS n_words,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / length(text) AS alpha_ratio,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                t -> t IN ('the','and','of','to','in','is','a'))) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
+         FROM documents ORDER BY doc_id""",
+    "q39_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q40_lag_delta" ->
+      """SELECT o_custkey, o_orderkey,
+           o_totalprice - lag(o_totalprice, 1)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS delta_prev
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q41_rollup_counts" ->
+      """SELECT r_name, n_name, COUNT(*) AS cnt
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
     "q27_fingerprint" ->
       """SELECT doc_id,
            list_reduce(
