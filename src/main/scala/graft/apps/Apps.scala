@@ -1,0 +1,198 @@
+package graft.apps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.LogParser
+import graft.ml.{Classifiers, Recommender, Regressors, Timing}
+import graft.sources.Sources
+
+/** Four runnable applications mirroring the reference's T1-T4 end-to-end
+  * analyses, re-expressed on this engine. Each takes [inputDir [outputDir]]
+  * (defaults: the sf0.001 fixtures, target/app_output) — all paths/masters
+  * are config, never hardcoded (reference quirk Q9).
+  *
+  * Reports are written with the driver-side text sink (small aggregates
+  * only); anything potentially large stays a DataFrame.
+  */
+object AppSession {
+  def create(name: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def fmt(m: Map[String, Double]): Seq[String] =
+    m.toSeq.sortBy(_._1).map { case (k, v) => f"$k = $v%.6f" }
+}
+
+/** T1 analog (higgs_ensemble_analysis.py): CV grid over an ensemble
+  * classifier on a sample, final fit on the full input, metrics +
+  * confusion + importances report.
+  */
+object EnsembleApp {
+  def main(args: Array[String]): Unit = {
+    val in = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("target/app_output/ensemble")
+    val spark = AppSession.create("graft-ensemble")
+    val features =
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linenumber")
+    val data = Tables.lineitem(spark, in)
+      .withColumn("label", when(col("l_returnflag") === "N", 1.0).otherwise(0.0))
+      .cache()
+    // CV on a subsample (ref: 1% CV sample, higgs:69), grid like higgs:77-87
+    val sample = data.sample(0.5, seed = 40)
+    val (cvModel, cvSecs) = Timing.timed(Classifiers.rfCrossValidated(
+      features, "label", numTrees = Seq(10, 20),
+      subsamplingRates = Seq(0.75, 1.0)).fit(sample))
+    val best = Classifiers.bestParams(cvModel)
+    // final fit on the full data with the winning params (higgs:156-177)
+    val Array(train, test) = data.randomSplit(Array(0.7, 0.3), seed = 40)
+    val (model, fitSecs) = Timing.timed(Classifiers.randomForest(
+      features, "label",
+      numTrees = best("numTrees").asInstanceOf[Int]).fit(train))
+    val preds = model.transform(test).cache()
+    val metrics = Classifiers.classificationMetrics(preds, "label", binary = true)
+    val confusion = Classifiers.confusionMatrix(preds, "label").collect()
+      .map(r => s"${r.get(0)},${r.get(1)},${r.get(2)}")
+    Sources.writeTextReport(s"$out/metrics.txt",
+      AppSession.fmt(metrics) ++
+        Seq(f"cv_fit_seconds = $cvSecs%.2f", f"final_fit_seconds = $fitSecs%.2f") ++
+        best.toSeq.sortBy(_._1).map { case (k, v) => s"best_$k = $v" })
+    Sources.writeTextReport(s"$out/confusion_matrix.csv",
+      "label,prediction,count" +: confusion.toSeq)
+    println(s"[ensemble] accuracy=${metrics("accuracy")} auc=${metrics("areaUnderROC")} -> $out")
+    spark.stop()
+  }
+}
+
+/** T2 analog (Claims_Prediction.py): encoded feature pipeline, Poisson /
+  * linear / logistic fits, regParam validation curves.
+  */
+object ClaimsApp {
+  def main(args: Array[String]): Unit = {
+    val in = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("target/app_output/claims")
+    val spark = AppSession.create("graft-claims")
+    val cats = Seq("l_returnflag", "l_linestatus")
+    val nums = Seq("l_discount", "l_tax", "l_extendedprice")
+    val data = Tables.lineitem(spark, in)
+      .withColumn("nz", when(col("l_quantity") > 25, 1.0).otherwise(0.0))
+      .withColumn("logq", log(col("l_quantity") + 0.5))
+      .cache()
+    val (train, test) = graft.operators.Relational.stratifiedSplit(
+      data, "l_returnflag", 0.7, 14, Seq("l_orderkey", "l_linenumber"))
+    val fits = Map(
+      "poisson_rmse" -> Regressors.poissonGlm(cats, nums, "l_quantity", maxIter = 20),
+      "linear_l1_rmse" -> Regressors.linear(cats, nums, "logq", 1.0, maxIter = 20),
+      "linear_l2_rmse" -> Regressors.linear(cats, nums, "logq", 0.0, maxIter = 20))
+      .map { case (name, pipe) =>
+        val m = pipe.fit(train)
+        val label = if (name.startsWith("poisson")) "l_quantity" else "logq"
+        name -> Regressors.regressionMetrics(m.transform(test), label)("rmse")
+      }
+    val logAcc = {
+      val m = Regressors.logistic(cats, nums, "nz", 0.0, maxIter = 20).fit(train)
+      Classifiers.classificationMetrics(m.transform(test), "nz", binary = true)
+    }
+    val curve = Regressors.validationCurve(
+      rp => Regressors.poissonGlm(cats, nums, "l_quantity", rp, maxIter = 20),
+      train, test, "l_quantity", Seq(0.001, 0.01, 0.1, 1.0, 10.0))
+    Sources.writeTextReport(s"$out/metrics.txt",
+      AppSession.fmt(fits ++ Map(
+        "logistic_accuracy" -> logAcc("accuracy"),
+        "logistic_auc" -> logAcc("areaUnderROC"))))
+    Sources.writeTextReport(s"$out/validation_curve.csv",
+      "regParam,rmse" +: curve.map { case (rp, r) => f"$rp,$r%.6f" })
+    println(s"[claims] ${fits.mkString(", ")} -> $out")
+    spark.stop()
+  }
+}
+
+/** T3 analog (als_clustering_analysis.py): ALS at multiple temporal splits,
+  * K-Means over user factors, largest-cluster top attribute tokens.
+  */
+object RecommendApp {
+  def main(args: Array[String]): Unit = {
+    val in = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("target/app_output/recommend")
+    val spark = AppSession.create("graft-recommend")
+    val ratings = Tables.lineitem(spark, in)
+      .join(Tables.orders(spark, in), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"),
+        col("l_quantity").as("rating"),
+        col("o_orderdate").cast("timestamp_ltz").cast("long").as("ts"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
+      .cache()
+    val evals = Recommender.temporalEval(ratings, "ts", "rid",
+      Seq(0.4, 0.6, 0.8), Recommender.als(rank = 8, maxIter = 8))
+    val model = Recommender.als(rank = 8, maxIter = 8).fit(ratings)
+    val clusters = Recommender.clusterUserFactors(model, k = 8)
+    val sizes = clusters.groupBy("cluster").count()
+      .orderBy("cluster").collect()
+      .map(r => s"${r.get(0)},${r.get(1)}")
+    val tokens = Recommender.topAttributeTokens(clusters, ratings,
+      Tables.part(spark, in).withColumnRenamed("p_partkey", "item"),
+      "item", "p_name", " ", minRatings = 2, topItems = 10, topTokens = 10)
+      .collect().map(r => s"${r.get(0)},${r.get(1)}")
+    Sources.writeTextReport(s"$out/als_metrics.txt",
+      evals.flatMap { case (f, m) =>
+        AppSession.fmt(m.map { case (k, v) => s"split_${f}_$k" -> v }) })
+    Sources.writeTextReport(s"$out/cluster_sizes.csv",
+      "cluster,size" +: sizes.toSeq)
+    Sources.writeTextReport(s"$out/top_tokens.csv",
+      "token,count" +: tokens.toSeq)
+    println(s"[recommend] ${evals.map { case (f, m) => f"$f:rmse=${m("rmse")}%.3f" }.mkString(" ")} -> $out")
+    spark.stop()
+  }
+}
+
+/** T4 analog (log_mining_analysis.py): parse CLF logs, per-country host
+  * stats, day×hour heatmap, rest-share — all emitted as tables/CSV.
+  * Input: a text/gz log file, or synthesized demo lines when absent.
+  */
+object LogApp {
+  def main(args: Array[String]): Unit = {
+    val out = args.lift(1).getOrElse("target/app_output/logmining")
+    val spark = AppSession.create("graft-logmining")
+    import spark.implicits._
+    val raw: DataFrame = args.headOption match {
+      case Some(path) => Sources.text(spark, path)
+      case None => // deterministic demo corpus
+        val hosts = Seq("alpha.web.de", "beta.web.de", "gamma.uni.ca",
+          "delta.org.sg", "epsilon.web.de", "zeta.uni.ca")
+        (0 until 5000).map { i =>
+          val h = hosts(i % hosts.size)
+          val day = 1 + (i % 28)
+          val hour = i % 24
+          f"$h - - [$day%02d/Jul/1995:$hour%02d:00:00 -0400] " +
+            "\"GET /index.html HTTP/1.0\" 200 " + (1000 + i)
+        }.toDF("value")
+    }
+    val parsed = LogParser.parseNasaLog(raw).cache()
+    val top = LogParser.topHostsAllSuffixes(parsed, Seq(".de", ".ca", ".sg"), 9)
+      .collect().map(r => s"${r.getAs[String]("country")},${r.getAs[String]("host")},${r.getAs[Long]("count")}")
+    val heat = LogParser.dayHourHeatmap(parsed)
+      .collect().map(r => s"${r.get(0)},${r.get(1)},${r.get(2)}")
+    val rest = LogParser.restShare(parsed, 9).head()
+    Sources.writeTextReport(s"$out/top_hosts.csv",
+      "country,host,count" +: top.toSeq)
+    Sources.writeTextReport(s"$out/day_hour_heatmap.csv",
+      "day,hour,count" +: heat.toSeq)
+    Sources.writeTextReport(s"$out/summary.txt", Seq(
+      s"total_requests = ${rest.getAs[Long]("total")}",
+      s"top9_requests = ${rest.getAs[Long]("top_total")}",
+      f"rest_share = ${rest.getAs[Double]("rest_share")}%.6f"))
+    println(s"[logmining] total=${rest.getAs[Long]("total")} -> $out")
+    spark.stop()
+  }
+}
