@@ -386,6 +386,28 @@ object SparkEntry {
         .toDF("part", "cnt").orderBy("part")
     }),
 
+    // ---- Set ops, multiset + intersect (SURVEY §2.7 completion) --------
+    "q42_except_all" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.filter(col("event_type") === "click").select("user_id")
+        .exceptAll(e.filter(col("event_type") === "error").select("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .orderBy("user_id")
+    }),
+    "q43_intersect_users" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.filter(col("event_type") === "click").select("user_id")
+        .intersect(e.filter(col("event_type") === "error").select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // ---- Approximate aggregates (HLL — the 100 TB countDistinct path;
+    // rows-only: HLL estimates are engine-specific) ----------------------
+    "q44_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users"))
+        .orderBy("event_type")),
+
     // ---- North-star: quality scoring (full stats; oracle-checked) ------
     "q38_quality_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -622,6 +644,17 @@ object SparkEntry {
                        ORDER BY sim DESC, n_id) AS rn
            FROM scored)
          WHERE rn <= 5 ORDER BY q_id, rn""",
+    "q42_except_all" ->
+      """SELECT user_id, COUNT(*) AS cnt FROM (
+           SELECT user_id FROM events WHERE event_type = 'click'
+           EXCEPT ALL
+           SELECT user_id FROM events WHERE event_type = 'error')
+         GROUP BY user_id ORDER BY user_id""",
+    "q43_intersect_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'error'
+         ORDER BY user_id""",
     "q38_quality_stats" ->
       """SELECT doc_id,
            length(text) AS n_chars_m,
