@@ -251,6 +251,12 @@ object SparkEntry {
           threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
+    // ---- North-star: dedup APPLIED — the kept corpus (keep-first) ------
+    "q45_dedup_apply" -> ((s, dir) =>
+      Dedup.dropNearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+          threshold = 0.8)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // ---- North-star: embedding-cosine near-dup -------------------------
     "q25_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -603,6 +609,26 @@ object SparkEntry {
            AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
          ORDER BY id_a, id_b""",
+    "q45_dedup_apply" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM toks),
+         dups AS (
+           SELECT DISTINCT b.doc_id
+           FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+         ORDER BY doc_id""",
     "q25_embed_neardup" ->
       """WITH e AS (
            SELECT vec_id,

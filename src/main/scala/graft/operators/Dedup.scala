@@ -27,24 +27,34 @@ object Dedup {
     * signature, exploded into `bands` band keys, self-joined on the key.
     * Returns (id_a, id_b, hs_a, hs_b, sig_a, sig_b) with id_a < id_b,
     * deduplicated — ready for estimated or exact verification.
+    *
+    * Shuffle discipline (the 100 TB concern): only (band_key, id) pairs —
+    * 16 bytes/row — go through the ×bands self-join; the wide shingle/
+    * signature arrays are joined back afterwards, and only for rows that
+    * actually became candidates. The sketch subplan is recomputed per join
+    * side, but that is narrow, linear, scan-local work — no extra shuffle
+    * (callers deduplicating enormous corpora can .persist() upstream).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleWidth: Int = 3, bands: Int = 32,
                         rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    val sketched = df.select(
+    val sketch = df.select(
         col(idCol).as("id"),
         T.shingleHashSet(col(textCol), shingleWidth).as("hs"))
       .withColumn("sig", T.minhashSignature(col("hs"), k))
-      .select(col("id"), col("hs"), col("sig"),
-        explode(T.bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
-    val a = sketched.select(col("bh"), col("id").as("id_a"),
-      col("hs").as("hs_a"), col("sig").as("sig_a"))
-    val b = sketched.select(col("bh"), col("id").as("id_b"),
-      col("hs").as("hs_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("bh")).filter(col("id_a") < col("id_b"))
+    val bandKeys = sketch.select(col("id"),
+      explode(T.bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
+    val pairs = bandKeys.select(col("bh"), col("id").as("id_a"))
+      .join(bandKeys.select(col("bh"), col("id").as("id_b")), Seq("bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-      .drop("bh")
+    pairs
+      .join(sketch.select(col("id").as("id_a"), col("hs").as("hs_a"),
+        col("sig").as("sig_a")), Seq("id_a"))
+      .join(sketch.select(col("id").as("id_b"), col("hs").as("hs_b"),
+        col("sig").as("sig_b")), Seq("id_b"))
   }
 
   /** MinHash near-dup pairs with signature-estimated Jaccard ≥ threshold. */
@@ -70,6 +80,20 @@ object Dedup {
       .withColumn("jaccard", T.jaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+
+  /** The end-to-end dedup semantics: drop every document that
+    * near-duplicates (n-gram Jaccard ≥ threshold) a smaller-id document —
+    * the standard keep-first policy of corpus pipelines. One anti-join
+    * against the (small) duplicate-id set.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, shingleWidth: Int = 3,
+                         bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val dupIds = jaccardPairs(df, idCol, textCol, threshold, shingleWidth,
+        bands, rowsPerBand)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
 
   /** SimHash near-dup pairs: 64-bit sketch, blocked on 4 × 16-bit chunks
     * (any pair within hamming distance 3 shares a chunk — pigeonhole), then
