@@ -441,6 +441,22 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ---- As-of join (time-series enrichment; composed union+window) ----
+    "q46_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ets"))
+      val o = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("last_order"))
+        .select(col("user_id"),
+          unix_micros(col("o_orderdate").cast("timestamp_ltz")).as("ots"),
+          col("last_order"))
+      Relational.asofJoin(e, o, "user_id", "ets", "ots", "last_order")
+        .select("event_id", "user_id", "last_order")
+        .orderBy("event_id")
+    }),
+
     // ---- Hierarchical aggregates (ROLLUP) ------------------------------
     // Expressed via spark.sql over temp views: exercises the SQL surface,
     // and sidesteps a DetectAmbiguousSelfJoin false positive on
@@ -705,6 +721,16 @@ object SparkEntry {
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              AS delta_prev
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q46_asof_join" ->
+      """WITH o AS (
+           SELECT o_custkey AS user_id, o_orderdate,
+                  MAX(o_orderkey) AS last_order
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, o.last_order
+         FROM events e
+         ASOF LEFT JOIN o
+           ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+         ORDER BY e.event_id""",
     "q41_rollup_counts" ->
       """SELECT r_name, n_name, COUNT(*) AS cnt
          FROM customer

@@ -91,6 +91,38 @@ object Relational {
     (df.filter(isTrain), df.filter(!isTrain))
   }
 
+  /** As-of join: for each left row, attach the single right-side value with
+    * the greatest `rightTs` ≤ the row's `leftTs`, per join key — the
+    * time-series enrichment operator Spark lacks natively.
+    *
+    * Composed from built-ins (preference order (a) in SURVEY §7.3): tag and
+    * union both sides, then one window per key ordered by (ts, side) takes
+    * `last(value, ignoreNulls)` over the preceding frame. Right rows sort
+    * before left rows at equal ts, so "at or before" is inclusive. ONE
+    * shuffle on the key — same cost as a regular sort-merge join; no range
+    * explosion, no per-row probes.
+    *
+    * `right` must be unique per (key, ts) — pre-aggregate if needed (ties
+    * would otherwise be nondeterministic in any engine's ASOF).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, valueCol: String): DataFrame = {
+    val rowType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val lTagged = left.select(
+      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
+      lit(null).cast(right.schema(valueCol).dataType).as("__v"),
+      struct(left.columns.map(col): _*).as("__row"))
+    val rTagged = right.select(
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+      col(valueCol).as("__v"), lit(null).cast(rowType).as("__row"))
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged, allowMissingColumns = false)
+      .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__row.*") +: Seq(col("__asof").as(valueCol)): _*)
+  }
+
   /** Explode a delimited string column and count tokens, top-k.
     * Ref: als_clustering_analysis.py:138-144 (genre split/explode/count).
     */

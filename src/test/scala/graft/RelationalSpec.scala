@@ -53,6 +53,19 @@ class RelationalSpec extends SparkSpec {
     assert(top == ("a", 3L))
   }
 
+  test("asofJoin picks latest right value at-or-before each left ts") {
+    val left = Seq((1L, 5L, 100L), (1L, 12L, 101L), (2L, 3L, 102L),
+      (3L, 9L, 103L)).toDF("k", "ts", "eid")
+    val right = Seq((1L, 5L, "a"), (1L, 10L, "b"), (2L, 4L, "c"))
+      .toDF("k", "rts", "v")
+    val got = Relational.asofJoin(left, right, "k", "ts", "rts", "v")
+      .select("eid", "v").as[(Long, Option[String])].collect().toMap
+    assert(got(100L).contains("a"))  // tie at ts=5 is inclusive
+    assert(got(101L).contains("b"))  // latest before 12 is 10
+    assert(got(102L).isEmpty)        // right at 4 is after left 3 -> no match
+    assert(got(103L).isEmpty)        // key with no right rows
+  }
+
   test("decSum is exact and partition-order independent") {
     val vals = Seq.fill(1000)(0.1)
     val a = vals.toDF("x").repartition(1)
