@@ -98,6 +98,33 @@ class StreamingEtlSpec extends SparkSpec {
       events.select("user_id").distinct().count())
   }
 
+  test("streaming dedup: dropDuplicates over a watermarked stream") {
+    val deduped = EventStream.readEvents(spark, sf0001)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+    val got = EventStream.runToMemory(
+      deduped.groupBy("user_id").count(), "stream_dedup_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val batch = Tables.events(spark, sf0001)
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("user_id").count()
+    assert(got.as[(Long, Long)].collect().toMap ==
+      batch.as[(Long, Long)].collect().toMap)
+  }
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+                graft_simhash(array('a', 'b')) AS sh,
+                size(graft_shingle_hashes(array('a','b','c','d'), 3)) AS nsh,
+                size(graft_minhash_sig(array(1L, 2L, 3L), 16, 42L)) AS nsig
+      """).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) != 0L)
+    assert(r.getInt(2) == 2 && r.getInt(3) == 16)
+  }
+
   // -- multimodal -------------------------------------------------------
   test("multimodal ingest sniffs magic bytes and extract is deterministic") {
     val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2, 3)
