@@ -123,6 +123,23 @@ object Relational {
       .select(col("__row.*") +: Seq(col("__asof").as(valueCol)): _*)
   }
 
+  /** Skew-resistant equi-join: the big (skewed) side gets a deterministic
+    * salt in [0, saltFactor); the small side is replicated saltFactor times
+    * with every salt value; the join key becomes (key, salt), splitting any
+    * hot key across saltFactor reducers. Use when one key holds a large
+    * fraction of the rows and AQE's skew-join split isn't available (e.g.
+    * broadcast is too big but a handful of keys dominate).
+    * Results are identical to a plain inner equi-join (spec-checked).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Explode a delimited string column and count tokens, top-k.
     * Ref: als_clustering_analysis.py:138-144 (genre split/explode/count).
     */

@@ -53,6 +53,18 @@ object Sources {
                            partitions: Int): Unit =
     df.repartition(partitions).write.mode("overwrite").parquet(outPath)
 
+  /** Bucketed table write: pre-shuffles once on `key` into `buckets` files
+    * per partition, so every later equi-join/aggregation on `key` between
+    * co-bucketed tables runs with NO exchange — the amortize-one-shuffle
+    * pattern for repeatedly-joined 100 TB fact tables. Requires a table
+    * (bucketing lives in the catalog), hence saveAsTable.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** S5: driver-side text sink for small reports (replaces the reference's
     * open()/write blocks, higgs:27-59). Engine results that are themselves
     * large must go through df.write, never through this.

@@ -66,6 +66,34 @@ class RelationalSpec extends SparkSpec {
     assert(got(103L).isEmpty)        // key with no right rows
   }
 
+  test("saltedJoin equals plain inner join on skewed data") {
+    // 90% of rows share one key — the classic hot-key shape
+    val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (950L, "cold")).toDF("k", "v")
+    val plain = big.join(small, "k").select("k", "payload", "v")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    val salted = Relational.saltedJoin(big, small, "k", 8)
+      .select("k", "payload", "v")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    assert(salted == plain && plain.size == 901)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    graft.sources.Sources.writeBucketed(
+      Tables.orders(spark, sf0001), "orders_b", "o_custkey", 4)
+    graft.sources.Sources.writeBucketed(
+      Tables.customer(spark, sf0001)
+        .withColumnRenamed("c_custkey", "o_custkey"), "customer_b",
+      "o_custkey", 4)
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b").hint("merge"), "o_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == Tables.orders(spark, sf0001).count())
+  }
+
   test("decSum is exact and partition-order independent") {
     val vals = Seq.fill(1000)(0.1)
     val a = vals.toDF("x").repartition(1)
