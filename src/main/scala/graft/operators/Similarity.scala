@@ -3,6 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+
 import graft.functions.{VectorFunctions => V}
 
 /** Approximate-nearest-neighbor search over embedding columns (north-star
@@ -30,6 +33,48 @@ object Similarity {
         V.toDoubleArray(col(vecCol)).as("v_q"))
       .withColumn("nrm_q", V.norm(col("v_q")))
     val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(
+        V.dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")), 6))
+    Relational.topKPerGroup(scored, Seq("q_id"), col("sim"), k,
+        Seq(col("n_id")))
+      .withColumn("rn", col("rn").cast("long"))
+      .select("q_id", "n_id", "sim", "rn")
+  }
+
+  /** IVF (inverted-file) approximate top-k: partition the corpus into
+    * `nLists` KMeans cells once; at query time score only the `nProbe`
+    * nearest cells' members. Corpus side: one narrow assignment pass +
+    * cell-key equi-join; centroids broadcast as literals. The coarse
+    * quantizer is trained on a bounded sample, so training cost is
+    * independent of corpus size.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4, seed: Long = 40L,
+              trainSample: Double = 1.0,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"),
+        V.toDoubleArray(col(vecCol)).as("v_n"))
+      .withColumn("nrm_n", V.norm(col("v_n")))
+      .withColumn("fv", array_to_vector(col("v_n")))
+    val train = if (trainSample < 1.0) c.sample(trainSample, seed) else c
+    val km = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("fv")
+      .fit(train)
+    val assigned = km.transform(c).withColumnRenamed("prediction", "cell")
+      .select("n_id", "v_n", "nrm_n", "cell")
+    val centroids = km.clusterCenters.map(_.toArray.toSeq).toSeq
+    // nProbe nearest cells per query, via distance to the literal centroids
+    val cellsOf = (v: Column) => slice(transform(array_sort(
+      zip_with(typedlit(centroids), typedlit(centroids.indices.map(_.toLong)),
+        (cen, i) => struct(
+          (V.dot(v, cen) * -2 + V.dot(cen, cen)).as("negaff"), i.as("cell")))),
+      s => s.getField("cell")), 1, nProbe)
+    val q = queries.select(col(idCol).as("q_id"),
+        V.toDoubleArray(col(vecCol)).as("v_q"))
+      .withColumn("nrm_q", V.norm(col("v_q")))
+      .withColumn("cell_l", explode(cellsOf(col("v_q"))))
+      .withColumn("cell", col("cell_l").cast("int")).drop("cell_l")
+    val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", round(
         V.dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")), 6))

@@ -63,6 +63,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.head == (0L, 1L)) // its twin is rank 1
   }
 
+  test("ivfTopK finds the duplicated vector with full probing") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val withDup = emb.unionAll(
+      emb.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+          col("label")))
+    val got = Similarity.ivfTopK(withDup,
+        withDup.filter(col("vec_id") === 100000L), k = 3,
+        nLists = 8, nProbe = 8)
+      .select("n_id", "rn").as[(Long, Long)].collect()
+    assert(got.head == (0L, 1L)) // its twin is rank 1 (exhaustive probe)
+    val partial = Similarity.ivfTopK(withDup,
+        withDup.filter(col("vec_id") === 100000L), k = 3,
+        nLists = 8, nProbe = 2)
+      .select("n_id", "rn").as[(Long, Long)].collect()
+    assert(partial.head == (0L, 1L)) // twin shares the query's own cell
+  }
+
   test("lshTopK returns a subset ranking consistent with brute force") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 3)
