@@ -277,6 +277,29 @@ object SparkEntry {
           TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // ---- North-star: winnowing fingerprint overlap — doc pairs sharing
+    // enough MOSS fingerprints (containment detection; rows-only) --------
+    "q47_winnow_overlap" -> ((s, dir) => {
+      val sets = Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.winnowFingerprints(col("text")).as("fps"))
+        .withColumn("n_fp", size(col("fps")))
+      val fps = sets.select(col("doc_id"), col("n_fp"),
+        explode(col("fps")).as("fp"))
+      val a = fps.select(col("fp"), col("doc_id").as("id_a"),
+        col("n_fp").as("n_a"))
+      val b = fps.select(col("fp"), col("doc_id").as("id_b"),
+        col("n_fp").as("n_b"))
+      // containment: shared / smaller fingerprint set — robust to length skew
+      a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"),
+          first("n_a").as("n_a"), first("n_b").as("n_b"))
+        .withColumn("containment",
+          col("shared").cast("double") / least(col("n_a"), col("n_b")))
+        .filter(col("containment") >= 0.5)
+        .select("id_a", "id_b", "shared")
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- North-star: language-ID heuristic (rows-only: marker scoring
     // is engine-defined) -------------------------------------------------
     "q28_langid" -> ((s, dir) =>

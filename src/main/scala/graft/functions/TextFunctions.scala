@@ -85,6 +85,14 @@ object TextFunctions {
       lit(0L),
       (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L)))
 
+  /** Winnowing fingerprint set (MOSS scheme): any shared substring of
+    * length ≥ k+w-1 between two documents yields a shared fingerprint —
+    * the containment-style complement to whole-document polynomial
+    * fingerprints. Compiled kernel (expressions.WinnowFingerprints).
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    toCol(expressions.WinnowFingerprints(toExpr(text), k, w))
+
   /** Marker stopwords per language for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: broadcast as literals into the plan.
     */

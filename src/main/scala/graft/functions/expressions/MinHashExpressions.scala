@@ -111,6 +111,49 @@ object HashUtil {
     out
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS scheme,
+    * public SIGMOD'03 algorithm): hash all char k-grams, slide a window of
+    * `w` hashes, keep each window's minimum (rightmost on ties), dedupe.
+    * Guarantees any shared substring of length ≥ k+w-1 yields a shared
+    * fingerprint.
+    */
+  def winnow(text: org.apache.spark.unsafe.types.UTF8String, k: Int,
+             w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val grams = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = FNV_OFFSET
+      var j = 0
+      while (j < k) {
+        h = (h ^ (bytes(i + j) & 0xffL)) * FNV_PRIME
+        j += 1
+      }
+      grams(i) = h ^ (h >>> 31)
+      i += 1
+    }
+    val picked = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    while (start < n) {
+      val end = math.min(start + w, n)
+      var minIdx = start
+      var m = start
+      while (m < end) { // rightmost minimal hash in the window
+        if (grams(m) <= grams(minIdx)) minIdx = m
+        m += 1
+      }
+      picked.add(grams(minIdx))
+      start += 1
+    }
+    val out = new Array[Long](picked.size())
+    val it = picked.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** One 64-bit key per band: mix of the band's r signature values. */
   def bandKeys(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
     if (sig.numElements() == 0) return new GenericArrayData(Array.empty[Long])
@@ -151,6 +194,16 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(hashes: Any): Any =
     HashUtil.minhashSig(hashes.asInstanceOf[ArrayData], aCoef, bCoef)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(text: Any): Any =
+    HashUtil.winnow(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

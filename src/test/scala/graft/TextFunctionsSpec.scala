@@ -53,6 +53,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.toSeq == texts.map(ref))
   }
 
+  test("winnowing: shared long substring yields shared fingerprints") {
+    val shared = "the quick brown fox jumps over the lazy dog repeatedly"
+    val d1 = "prefix one " + shared + " suffix alpha"
+    val d2 = "different start " + shared + " other ending"
+    val d3 = "completely unrelated content with no overlap whatsoever here"
+    val rows = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("id", "text")
+      .select(col("id"), T.winnowFingerprints(col("text")).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val s12 = rows(1L).toSet.intersect(rows(2L).toSet).size
+    val s13 = rows(1L).toSet.intersect(rows(3L).toSet).size
+    assert(s12 >= 5, s"expected many shared fingerprints, got $s12")
+    assert(s13 <= 1, s"unrelated docs share $s13")
+  }
+
   test("langId picks the marker-matching language") {
     val df = Seq(
       "the cat and the dog is in a house",
