@@ -80,6 +80,16 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle exchange") {
+    // fresh in-memory catalog + leftover warehouse dir from a previous JVM
+    // -> LOCATION_ALREADY_EXISTS; clear both before writing
+    for (t <- Seq("orders_b", "customer_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"target/tmp/warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     graft.sources.Sources.writeBucketed(
       Tables.orders(spark, sf0001), "orders_b", "o_custkey", 4)
     graft.sources.Sources.writeBucketed(
