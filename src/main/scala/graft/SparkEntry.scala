@@ -204,6 +204,39 @@ object SparkEntry {
                 col("event_type"), col("cnt"), col("v_sum"))
         .orderBy("win_start", "event_type")),
 
+    // Sliding event-time windows (1 h width, 15 min slide) — each event
+    // lands in 4 windows; the oracle reproduces Spark's epoch-aligned
+    // window-start arithmetic exactly in integer microseconds.
+    "q48_sliding_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"),
+          col("event_type"), col("cnt"))
+        .orderBy("win_start", "event_type")),
+
+    // Gap-based sessionization in batch: new session after >30 min of
+    // per-user silence; pure window functions, exact integer time math.
+    "q49_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("tus", unix_micros(col("ts")))
+        .withColumn("new_sess",
+          when(col("tus") - lag("tus", 1).over(byUser) > 1800000000L, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("sess",
+          sum("new_sess").over(byUser.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"),
+          (max("tus") - min("tus")).as("duration_us"))
+        .select(col("user_id"), col("sess"), col("n_events"),
+          col("duration_us"))
+        .orderBy("user_id", "sess")
+    }),
+
     // ---- North-star: exact dedup (hash-groupBy) ------------------------
     "q19_dedup_exact" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -625,6 +658,31 @@ object SparkEntry {
              CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS v_sum
          FROM events GROUP BY win_start, event_type
          ORDER BY win_start, event_type""",
+    "q48_sliding_window" ->
+      """SELECT strftime(make_timestamp(
+               (epoch_us(ts) // 900000000 - i) * 900000000),
+               '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type, COUNT(*) AS cnt
+         FROM events, range(0, 4) r(i)
+         GROUP BY win_start, event_type
+         ORDER BY win_start, event_type""",
+    "q49_sessionize" ->
+      """WITH t AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM events),
+         s AS (
+           SELECT user_id, tus,
+             SUM(new_sess) OVER (PARTITION BY user_id
+               ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM t)
+         SELECT user_id, CAST(sess AS BIGINT) AS sess,
+             COUNT(*) AS n_events,
+             MAX(tus) - MIN(tus) AS duration_us
+         FROM s GROUP BY user_id, sess ORDER BY user_id, sess""",
     "q19_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS copies
          FROM documents GROUP BY text ORDER BY keep_id""",

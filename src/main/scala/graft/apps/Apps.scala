@@ -55,18 +55,31 @@ object EnsembleApp {
       subsamplingRates = Seq(0.75, 1.0)).fit(sample))
     val best = Classifiers.bestParams(cvModel)
     // final fit on the full data with the winning params (higgs:156-177)
+    // GBT grid, the second ensemble arm (higgs:119-129)
+    val (gbtCv, gbtCvSecs) = Timing.timed(Classifiers.gbtCrossValidated(
+      features, "label", maxIters = Seq(5, 8),
+      maxDepths = Seq(3, 5), numFolds = 2).fit(sample))
+    val gbtBest = Classifiers.bestParams(gbtCv)
     val Array(train, test) = data.randomSplit(Array(0.7, 0.3), seed = 40)
     val (model, fitSecs) = Timing.timed(Classifiers.randomForest(
       features, "label",
       numTrees = best("numTrees").asInstanceOf[Int]).fit(train))
     val preds = model.transform(test).cache()
+    val gbtPreds = gbtCv.bestModel.transform(test)
     val metrics = Classifiers.classificationMetrics(preds, "label", binary = true)
+    val gbtMetrics = Classifiers.classificationMetrics(gbtPreds, "label",
+      binary = true).map { case (k, v) => s"gbt_$k" -> v }
     val confusion = Classifiers.confusionMatrix(preds, "label").collect()
       .map(r => s"${r.get(0)},${r.get(1)},${r.get(2)}")
     Sources.writeTextReport(s"$out/metrics.txt",
-      AppSession.fmt(metrics) ++
-        Seq(f"cv_fit_seconds = $cvSecs%.2f", f"final_fit_seconds = $fitSecs%.2f") ++
-        best.toSeq.sortBy(_._1).map { case (k, v) => s"best_$k = $v" })
+      AppSession.fmt(metrics ++ gbtMetrics) ++
+        Seq(f"cv_fit_seconds = $cvSecs%.2f",
+          f"gbt_cv_fit_seconds = $gbtCvSecs%.2f",
+          f"final_fit_seconds = $fitSecs%.2f") ++
+        (best.map { case (k, v) => s"best_rf_$k" -> v } ++
+          gbtBest.filter { case (k, _) => Set("maxIter", "maxDepth")(k) }
+            .map { case (k, v) => s"best_gbt_$k" -> v })
+          .toSeq.sortBy(_._1).map { case (k, v) => s"$k = $v" })
     Sources.writeTextReport(s"$out/confusion_matrix.csv",
       "label,prediction,count" +: confusion.toSeq)
     println(s"[ensemble] accuracy=${metrics("accuracy")} auc=${metrics("areaUnderROC")} -> $out")

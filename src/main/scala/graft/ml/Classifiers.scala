@@ -58,6 +58,28 @@ object Classifiers {
       .setNumFolds(numFolds).setSeed(seed).setParallelism(parallelism)
   }
 
+  /** 3-fold CV grid over a GBT pipeline (ref grid: maxIter × maxDepth ×
+    * subsamplingRate, higgs:119-129).
+    */
+  def gbtCrossValidated(features: Seq[String], labelCol: String,
+                        maxIters: Seq[Int], maxDepths: Seq[Int],
+                        numFolds: Int = 3, seed: Long = 40L,
+                        parallelism: Int = 4): CrossValidator = {
+    val g = new GBTClassifier()
+      .setLabelCol(labelCol).setFeaturesCol("features").setSeed(seed)
+    val pipe = new Pipeline().setStages(Array(Features.assemble(features), g))
+    val grid = new ParamGridBuilder()
+      .addGrid(g.maxIter, maxIters)
+      .addGrid(g.maxDepth, maxDepths)
+      .build()
+    new CrossValidator()
+      .setEstimator(pipe)
+      .setEvaluator(new MulticlassClassificationEvaluator()
+        .setLabelCol(labelCol).setMetricName("f1"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(numFolds).setSeed(seed).setParallelism(parallelism)
+  }
+
   /** Best params of a fitted CV model (E19: higgs:93-98). */
   def bestParams(cv: CrossValidatorModel): Map[String, Any] = {
     val best = cv.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
