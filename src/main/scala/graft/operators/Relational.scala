@@ -62,16 +62,28 @@ object Relational {
 
   /** First-n-rows-by-time train split + multiset-correct remainder.
     * Ref: als_clustering_analysis.py:47-49, with quirk Q1 fixed: the
-    * reference's `subtract` has EXCEPT DISTINCT semantics (silently dedupes);
-    * we rank on (tsCol, tiebreak) and split on the rank, which preserves
-    * duplicates and is deterministic.
+    * reference's `subtract` has EXCEPT DISTINCT semantics (silently
+    * dedupes); we split on the (tsCol, tiebreak) order, which preserves
+    * duplicates and is deterministic for unique (ts, tiebreak) pairs.
+    *
+    * Scale shape: a global row_number window would force ALL data through
+    * one partition. Instead the n-th (ts, tiebreak) boundary is computed
+    * with a distributed TakeOrdered (two tiny driver scalars), and both
+    * splits are complement FILTERS of the same scan — fully parallel, and
+    * the boundary comparison pushes down to the parquet scan.
     */
   def temporalPrefixSplit(df: DataFrame, tsCol: String, tiebreak: String,
                           n: Long): (DataFrame, DataFrame) = {
-    val w = Window.orderBy(col(tsCol), col(tiebreak))
-    val ranked = df.withColumn("__rank", row_number().over(w))
-    (ranked.filter(col("__rank") <= n).drop("__rank"),
-     ranked.filter(col("__rank") > n).drop("__rank"))
+    if (n <= 0) return (df.limit(0), df)
+    val boundaryRow = df.select(col(tsCol).as("t"), col(tiebreak).as("b"))
+      .orderBy(col("t"), col("b")).limit(n.toInt)
+      .agg(max(struct(col("t"), col("b"))).as("m"))
+      .select(col("m.t"), col("m.b")).head()
+    if (boundaryRow.isNullAt(0)) return (df.limit(0), df) // empty input
+    val (bt, bb) = (boundaryRow.get(0), boundaryRow.get(1))
+    val inPrefix = col(tsCol) < lit(bt) ||
+      (col(tsCol) === lit(bt) && col(tiebreak) <= lit(bb))
+    (df.filter(inPrefix), df.filter(!inPrefix))
   }
 
   /** Per-class proportional (in expectation) split in a single pass.
