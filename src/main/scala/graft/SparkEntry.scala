@@ -508,6 +508,14 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ---- Pivot (wide aggregation) --------------------------------------
+    "q50_pivot_status" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(Relational.decSum(col("l_quantity")))
+        .orderBy("l_returnflag")),
+
     // ---- As-of join (time-series enrichment; composed union+window) ----
     "q46_asof_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -813,6 +821,13 @@ object SparkEntry {
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              AS delta_prev
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q50_pivot_status" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS O
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q46_asof_join" ->
       """WITH o AS (
            SELECT o_custkey AS user_id, o_orderdate,
