@@ -51,6 +51,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("embeddingPairs with LSH blocking still finds near-parallel vectors") {
+    val v1 = Seq.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val v2 = v1.map(x => x * 1.001f)
+    val v3 = Seq.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingPairs(df, "vec_id", "embedding",
+        threshold = 0.99, useLsh = true, dim = 16, planes = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L))) // near-parallel pair shares all sign bits
+  }
+
   test("bruteForceTopK ranks the duplicated vector first") {
     val emb = Tables.embeddings(spark, sf0001)
     val withDup = emb.unionAll(
