@@ -291,9 +291,16 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")),
 
     // ---- North-star: embedding-cosine near-dup -------------------------
+    // Gated on the LSH plan (the scale path): OR-amplified hyperplane
+    // blocking, recall sized by Dedup.lshTablesFor so a pair at θ=0.5 is
+    // missed with p ≤ 1e-6 — the oracle computes the full quadratic cosine
+    // in DuckDB, so a hash-green row proves the blocking lost no pair.
+    // θ=0.5 (60°) forces few planes per table; at production dedup
+    // thresholds (θ ≥ 0.9) the same operator runs 16-plane tables.
     "q25_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.5)
+          threshold = 0.5, useLsh = true, dim = 64, planes = 4,
+          tables = Dedup.lshTablesFor(0.5, planes = 4))
         .orderBy("id_a", "id_b")),
 
     // ---- North-star: brute-force cosine top-k ANN baseline -------------

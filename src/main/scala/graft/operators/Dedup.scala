@@ -117,28 +117,76 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Embedding near-dup pairs: cosine > threshold. Small corpora take the
-    * exact pairwise path; `useLsh` blocks by a `planes`-bit hyperplane
-    * sketch first (sign-agreement LSH) so candidate generation stays
-    * near-linear at 100 TB.
+  /** Number of OR-amplified hyperplane tables needed so a pair at EXACTLY
+    * cosine `threshold` is missed with probability ≤ `maxMiss`.
+    *
+    * Sign-agreement LSH: P(one bit agrees) = 1 - acos(θ)/π, so one
+    * `planes`-bit table catches the pair with p = (1 - acos(θ)/π)^planes
+    * and `t` independent tables miss it with (1-p)^t. Pairs ABOVE the
+    * threshold are caught with even higher probability, so this bounds the
+    * miss rate for every emitted pair. The planes/tables trade-off: more
+    * planes → smaller (more selective) buckets but more tables for the same
+    * recall. At high thresholds (real near-dup dedup, θ ≥ 0.9) a handful of
+    * 16-plane tables suffice; at θ near 0.5 recall forces few planes —
+    * that regime is where the IVF path (Similarity.ivfTopK) takes over.
+    */
+  def lshTablesFor(threshold: Double, planes: Int,
+                   maxMiss: Double = 1e-6): Int = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    val pBit = 1.0 - math.acos(threshold) / math.Pi
+    val pTable = math.pow(pBit, planes)
+    require(pTable > 0, "planes too high for this threshold")
+    math.ceil(math.log(maxMiss) / math.log1p(-pTable)).toInt.max(1)
+  }
+
+  /** Embedding near-dup pairs: cosine > threshold (rounded to 4 dp, exact
+    * verification on every candidate). Small corpora may take the exact
+    * pairwise path (`useLsh=false` — quadratic, test/oracle use only);
+    * `useLsh=true` is the scale path: OR-amplified sign-agreement LSH
+    * blocks candidates on `tables` independent `planes`-bit hyperplane
+    * sketches, so candidate generation is a bounded equi-join — never
+    * all-pairs, no constant join key, no single-reducer funnel.
+    *
+    * Shuffle discipline mirrors the MinHash path: only (bucket, id) rows —
+    * 16 bytes — go through the ×tables self-join; vectors are joined back
+    * only for DISTINCT candidate pairs. Recall is sized via
+    * [[lshTablesFor]]: with its default 1e-6, a pair at the threshold is
+    * practically never lost (and the q25 oracle checks this against the
+    * full quadratic DuckDB computation).
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, useLsh: Boolean = false,
-                     dim: Int = 64, planes: Int = 16): DataFrame = {
+                     dim: Int = 64, planes: Int = 16, tables: Int = 8,
+                     seed: Long = 7L): DataFrame = {
     // norms are computed once per row (not once per pair) and carried
     // through the join; dot/(nrm_a*nrm_b) is float-identical to cosine()
     val base = df.select(col(idCol).as("id"),
         V.toDoubleArray(col(vecCol)).as("v"))
       .withColumn("nrm", V.norm(col("v")))
-    val withKey =
-      if (useLsh)
-        base.withColumn("k", V.hyperplaneSketch(col("v"), dim, planes))
-      else base.withColumn("k", lit(0L))
-    val a = withKey.select(col("k"), col("id").as("id_a"), col("v").as("v_a"),
+    val aSide = base.select(col("id").as("id_a"), col("v").as("v_a"),
       col("nrm").as("nrm_a"))
-    val b = withKey.select(col("k"), col("id").as("id_b"), col("v").as("v_b"),
+    val bSide = base.select(col("id").as("id_b"), col("v").as("v_b"),
       col("nrm").as("nrm_b"))
-    a.join(b, Seq("k")).filter(col("id_a") < col("id_b"))
+    val paired =
+      if (!useLsh) {
+        // exact all-pairs: vectors carried straight through the cross join
+        aSide.crossJoin(bSide).filter(col("id_a") < col("id_b"))
+      } else {
+        // bucket key packs (table, sketch) into one long: t*2^planes + bits;
+        // only these 16-byte (key, id) rows go through the ×tables self-join
+        val buckets = array((0 until tables).map(t =>
+          (lit(t.toLong * (1L << planes)) +
+            V.hyperplaneSketch(col("v"), dim, planes, seed + t)).as(s"b$t")): _*)
+        val keyed = base.select(col("id"), explode(buckets).as("bk"))
+        keyed.select(col("bk"), col("id").as("id_a"))
+          .join(keyed.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .dropDuplicates("id_a", "id_b")
+          .join(aSide, Seq("id_a"))
+          .join(bSide, Seq("id_b"))
+      }
+    paired
       .withColumn("sim", round(
         V.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 4))
       .filter(col("sim") > threshold)

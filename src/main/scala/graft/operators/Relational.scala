@@ -60,6 +60,73 @@ object Relational {
       .orderBy(col(c))
   }
 
+  /** Order-preserving numeric codec for rank selection: a column mapping
+    * into an orderable long/double space, and the inverse taking a selected
+    * value back to an ORIGINAL-space literal (so boundary filters still
+    * push down to the parquet scan). None → type has no such codec here
+    * (strings, decimals) and callers fall back to sort-based selection.
+    */
+  private def ordCodec(dt: org.apache.spark.sql.types.DataType)
+      : Option[(Column => Column, Any => Column)] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType =>
+        Some((c => unix_micros(c), v => timestamp_micros(lit(v))))
+      case DateType =>
+        val epoch = java.sql.Date.valueOf("1970-01-01")
+        Some((c => datediff(c, lit(epoch)).cast("long"),
+          v => date_add(lit(epoch), lit(v).cast("int"))))
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some((c => c.cast("long"), v => lit(v).cast(dt)))
+      case FloatType | DoubleType =>
+        Some((c => c.cast("double"), v => lit(v).cast(dt)))
+      case _ => None
+    }
+  }
+
+  /** The value with 1-based `rank` in ascending order of `vals`'s single
+    * column `__v`, plus the count of rows strictly below it. Iterative
+    * quantile refinement: percentile_approx proposes a candidate (an actual
+    * data value, rank-error ≤ window/accuracy), one aggregate verifies its
+    * exact rank, and the window narrows geometrically (factor ~accuracy per
+    * round) until the candidate's rank interval covers `rank` — exact in
+    * ~log_accuracy(N) scans, scalars-only on the driver, NO TakeOrdered /
+    * global sort / single-task materialization anywhere.
+    */
+  private[graft] def selectByRank(vals: DataFrame, rank: Long,
+                                  accuracy: Int = 10000): (Any, Long) = {
+    var pred: Column = lit(true)
+    var target = rank
+    var remaining = -1L // window row count, carried across iterations
+    var base = 0L       // rows excluded below the current window
+    var iter = 0
+    while (iter < 60) {
+      iter += 1
+      val sub = vals.filter(pred)
+      val cnt = if (remaining >= 0) remaining else sub.count()
+      val frac = math.min(1.0, target.toDouble / cnt)
+      val cand = sub.agg(
+        percentile_approx(col("__v"), lit(frac), lit(accuracy))).head().get(0)
+      val r = sub.agg(
+        sum(when(col("__v") < lit(cand), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("__v") <= lit(cand), 1L).otherwise(0L)).as("le")).head()
+      val cLt = r.getLong(0)
+      val cLe = r.getLong(1)
+      if (cLt < target && target <= cLe) return (cand, base + cLt)
+      if (target <= cLt) {
+        pred = pred && col("__v") < lit(cand)
+        remaining = cLt
+      } else {
+        pred = pred && col("__v") > lit(cand)
+        base += cLe
+        target -= cLe
+        remaining = cnt - cLe
+      }
+    }
+    throw new IllegalStateException(
+      "selectByRank did not converge in 60 rounds (accuracy too low?)")
+  }
+
   /** First-n-rows-by-time train split + multiset-correct remainder.
     * Ref: als_clustering_analysis.py:47-49, with quirk Q1 fixed: the
     * reference's `subtract` has EXCEPT DISTINCT semantics (silently
@@ -67,23 +134,61 @@ object Relational {
     * duplicates and is deterministic for unique (ts, tiebreak) pairs.
     *
     * Scale shape: a global row_number window would force ALL data through
-    * one partition. Instead the n-th (ts, tiebreak) boundary is computed
-    * with a distributed TakeOrdered (two tiny driver scalars), and both
-    * splits are complement FILTERS of the same scan — fully parallel, and
-    * the boundary comparison pushes down to the parquet scan.
+    * one partition, and an orderBy.limit(n) boundary would materialize n
+    * rows in a single TakeOrdered task (temporalEval calls this with
+    * n = 0.4-0.8 × total). Instead the n-th ts is found by iterative
+    * quantile refinement ([[selectByRank]] — distributed aggregates, driver
+    * sees only scalars, works for any n: Long), the tiebreak is resolved
+    * the same way WITHIN the boundary-ts tie set, and both splits are
+    * complement FILTERS of the same scan — fully parallel, with the
+    * original-space boundary comparison pushed down to the parquet scan.
     */
   def temporalPrefixSplit(df: DataFrame, tsCol: String, tiebreak: String,
                           n: Long): (DataFrame, DataFrame) = {
     if (n <= 0) return (df.limit(0), df)
-    val boundaryRow = df.select(col(tsCol).as("t"), col(tiebreak).as("b"))
-      .orderBy(col("t"), col("b")).limit(n.toInt)
-      .agg(max(struct(col("t"), col("b"))).as("m"))
-      .select(col("m.t"), col("m.b")).head()
-    if (boundaryRow.isNullAt(0)) return (df.limit(0), df) // empty input
-    val (bt, bb) = (boundaryRow.get(0), boundaryRow.get(1))
-    val inPrefix = col(tsCol) < lit(bt) ||
-      (col(tsCol) === lit(bt) && col(tiebreak) <= lit(bb))
-    (df.filter(inPrefix), df.filter(!inPrefix))
+    val tsDt = df.schema(tsCol).dataType
+    val tbDt = df.schema(tiebreak).dataType
+    ordCodec(tsDt) match {
+      case None =>
+        // non-numeric ts (rare): sort-based boundary, explicitly bounded
+        require(n <= Int.MaxValue,
+          s"temporalPrefixSplit: n=$n exceeds Int.MaxValue for " +
+            s"non-numeric ts column '$tsCol' (${tsDt.simpleString})")
+        val boundaryRow = df.select(col(tsCol).as("t"), col(tiebreak).as("b"))
+          .orderBy(col("t"), col("b")).limit(n.toInt)
+          .agg(max(struct(col("t"), col("b"))).as("m"))
+          .select(col("m.t"), col("m.b")).head()
+        if (boundaryRow.isNullAt(0)) return (df.limit(0), df) // empty input
+        val (bt, bb) = (boundaryRow.get(0), boundaryRow.get(1))
+        val inPrefix = col(tsCol) < lit(bt) ||
+          (col(tsCol) === lit(bt) && col(tiebreak) <= lit(bb))
+        (df.filter(inPrefix), df.filter(!inPrefix))
+      case Some((tsTo, tsFrom)) =>
+        val total = df.count()
+        if (total == 0) return (df.limit(0), df)
+        if (n >= total) return (df, df.limit(0))
+        val (tStar, cLt) =
+          selectByRank(df.select(tsTo(col(tsCol)).as("__v")), n)
+        val tsB = tsFrom(tStar)
+        val r = n - cLt // 1-based rank of the boundary within the ts tie set
+        val ties = df.filter(col(tsCol) === tsB)
+        val tbB: Column = ordCodec(tbDt) match {
+          case Some((tbTo, tbFrom)) =>
+            val (bStar, _) =
+              selectByRank(ties.select(tbTo(col(tiebreak)).as("__v")), r)
+            tbFrom(bStar)
+          case None =>
+            // tie set is bounded by ts granularity — sort just the ties
+            require(r <= Int.MaxValue,
+              s"temporalPrefixSplit: tie-set rank $r exceeds Int.MaxValue " +
+                s"for non-numeric tiebreak '$tiebreak'")
+            lit(ties.select(col(tiebreak).as("b")).orderBy(col("b"))
+              .limit(r.toInt).agg(max(col("b"))).head().get(0))
+        }
+        val inPrefix = col(tsCol) < tsB ||
+          (col(tsCol) === tsB && col(tiebreak) <= tbB)
+        (df.filter(inPrefix), df.filter(!inPrefix))
+    }
   }
 
   /** Per-class proportional (in expectation) split in a single pass.

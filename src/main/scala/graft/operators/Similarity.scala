@@ -6,20 +6,42 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 
-import graft.functions.{VectorFunctions => V}
+import graft.functions.{AggFunctions, VectorFunctions => V}
 
 /** Approximate-nearest-neighbor search over embedding columns (north-star
   * layer). Baseline: exact brute-force top-k with the query side broadcast —
   * one narrow pass over the corpus, no shuffle of the corpus itself, so it
   * scales to arbitrary corpus size for bounded query batches. Scale path:
   * hyperplane-LSH bucketing to keep candidate generation sublinear.
+  *
+  * The final reduction in every variant is the bounded-heap
+  * `AggFunctions.topKByScore` partial aggregate: each corpus partition emits
+  * at most k entries per query, so only `queries × k × partitions` rows ever
+  * shuffle — never the scored corpus itself.
   */
 object Similarity {
 
+  /** Shared top-k reduction: scored(q_id, n_id, sim) → (q_id, n_id, sim, rn)
+    * with rn = 1..k by (sim DESC, n_id ASC). A partial-merge aggregate, NOT
+    * a row_number window: a window over partitionBy(q_id) would shuffle and
+    * sort ALL scored rows into one reducer per query (no partial phase),
+    * while this keeps a k-entry heap per input partition and merges k-sized
+    * heaps — the reduction the ANN paths need at corpus scale.
+    */
+  private def topKReduce(scored: DataFrame, k: Int): DataFrame = {
+    val idType = scored.schema("n_id").dataType
+    scored.groupBy("q_id")
+      .agg(AggFunctions.topKByScore(col("sim"), col("n_id").cast("long"), k)
+        .as("nbrs"))
+      .select(col("q_id"), posexplode(col("nbrs")))
+      .select(col("q_id"), col("col.n_id").cast(idType).as("n_id"),
+        col("col.sim").as("sim"), (col("pos") + 1).cast("long").as("rn"))
+  }
+
   /** Exact cosine top-k neighbors for each query row. `queries` must be
     * small enough to broadcast (it is sent to every corpus partition); the
-    * corpus is only scanned, never shuffled — the final top-k per query is a
-    * partial-aggregate-friendly window over (queries × corpus) rows.
+    * corpus is only scanned, never shuffled — the final top-k per query is
+    * the bounded-heap partial aggregate above.
     * Similarity is rounded to 6 dp and tie-broken on neighbor id, so the
     * ranking is fully deterministic.
     */
@@ -36,10 +58,7 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", round(
         V.dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")), 6))
-    Relational.topKPerGroup(scored, Seq("q_id"), col("sim"), k,
-        Seq(col("n_id")))
-      .withColumn("rn", col("rn").cast("long"))
-      .select("q_id", "n_id", "sim", "rn")
+    topKReduce(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k: partition the corpus into
@@ -78,10 +97,7 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", round(
         V.dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")), 6))
-    Relational.topKPerGroup(scored, Seq("q_id"), col("sim"), k,
-        Seq(col("n_id")))
-      .withColumn("rn", col("rn").cast("long"))
-      .select("q_id", "n_id", "sim", "rn")
+    topKReduce(scored, k)
   }
 
   /** LSH-bucketed approximate top-k with OR-amplification: `tables`
@@ -112,9 +128,6 @@ object Similarity {
       .dropDuplicates("q_id", "n_id")
       .withColumn("sim", round(
         V.dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")), 6))
-    Relational.topKPerGroup(scored, Seq("q_id"), col("sim"), k,
-        Seq(col("n_id")))
-      .withColumn("rn", col("rn").cast("long"))
-      .select("q_id", "n_id", "sim", "rn")
+    topKReduce(scored, k)
   }
 }

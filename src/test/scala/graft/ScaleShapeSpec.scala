@@ -1,0 +1,151 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.graft.TestBridges
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import graft.functions.AggFunctions
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Plan-shape regression tests for the 100×-scale fixes of round 2:
+  * no TakeOrdered boundary in temporalPrefixSplit, a genuine partial
+  * aggregate in the ANN top-k reduction, and no constant-key/all-pairs
+  * funnel in the gated embedding-dedup path.
+  */
+class ScaleShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Capture every executed plan while `body` runs. */
+  private def capturingPlans[A](body: => A): (A, Seq[String]) = {
+    val plans = new ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val result = body
+      TestBridges.waitUntilListenerBusEmpty(spark.sparkContext)
+      (result, plans.asScala.toSeq)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("temporalPrefixSplit: n=500k of 1M without TakeOrdered, exact boundary") {
+    // ts = id % 1000 (1000 rows per ts); order by (ts, tb=id):
+    // first 500 ts-groups = exactly 500000 rows
+    val df = spark.range(1000000)
+      .select((col("id") % 1000).as("ts"), col("id").as("tb"))
+    val ((tr, te), plans) = capturingPlans {
+      val (a, b) = Relational.temporalPrefixSplit(df, "ts", "tb", 500000L)
+      (a.cache().count(), b.count()) // force the boundary jobs
+      (a, b)
+    }
+    assert(tr.count() == 500000L)
+    assert(te.count() == 500000L)
+    val m = tr.agg(max(struct(col("ts"), col("tb")))).head().getStruct(0)
+    assert(m.getLong(0) == 499L && m.getLong(1) == 999499L)
+    assert(plans.nonEmpty)
+    assert(!plans.exists(_.contains("TakeOrdered")),
+      "boundary computation must not materialize n rows in one task")
+    tr.unpersist()
+  }
+
+  test("temporalPrefixSplit: boundary inside a ts tie set resolves by tiebreak") {
+    val df = spark.range(1000000)
+      .select((col("id") % 1000).as("ts"), col("id").as("tb"))
+    // 500500 = 500 full groups + the 500 smallest tiebreaks of ts=500
+    val (tr, _) = Relational.temporalPrefixSplit(df, "ts", "tb", 500500L)
+    assert(tr.count() == 500500L)
+    val m = tr.filter(col("ts") === 500).agg(max("tb")).head().getLong(0)
+    assert(m == 500L + 499L * 1000L) // 500th smallest tb in the tie set
+  }
+
+  test("temporalPrefixSplit: non-numeric tiebreak falls back to tie-set sort only") {
+    val df = spark.range(10000)
+      .select((col("id") % 100).as("ts"),
+        format_string("k%06d", col("id")).as("tb"))
+    val (tr, te) = Relational.temporalPrefixSplit(df, "ts", "tb", 5050L)
+    assert(tr.count() == 5050L && te.count() == 10000L - 5050L)
+  }
+
+  test("temporalPrefixSplit: edge cases n<=0, n>=total, empty input") {
+    val df = spark.range(100).select(col("id").as("ts"), col("id").as("tb"))
+    val (e1, f1) = Relational.temporalPrefixSplit(df, "ts", "tb", 0L)
+    assert(e1.count() == 0L && f1.count() == 100L)
+    val (e2, f2) = Relational.temporalPrefixSplit(df, "ts", "tb", 100L)
+    assert(e2.count() == 100L && f2.count() == 0L)
+    val empty = df.filter(lit(false))
+    val (e3, f3) = Relational.temporalPrefixSplit(empty, "ts", "tb", 5L)
+    assert(e3.count() == 0L && f3.count() == 0L)
+  }
+
+  test("selectByRank matches a full sort on skewed data") {
+    val df = spark.range(100000)
+      .select((pmod(hash(col("id")), lit(997)) * pmod(hash(col("id")), lit(997)))
+        .cast("long").as("__v"))
+    for (rank <- Seq(1L, 37L, 50000L, 99999L, 100000L)) {
+      val (v, below) = Relational.selectByRank(df, rank)
+      val expected = df.orderBy("__v").limit(rank.toInt)
+        .agg(max("__v")).head().getLong(0) // test-only oracle
+      assert(v.asInstanceOf[Long] == expected, s"rank $rank")
+      assert(below < rank)
+    }
+  }
+
+  test("topKByScore aggregate matches the row_number window reduction") {
+    val scored = spark.range(20000).select(
+      (col("id") % 16).as("q_id"),
+      col("id").as("n_id"),
+      round(sin(col("id").cast("double")), 6).as("sim"))
+    val viaAgg = scored.groupBy("q_id")
+      .agg(AggFunctions.topKByScore(col("sim"), col("n_id"), 7).as("nbrs"))
+      .select(col("q_id"), posexplode(col("nbrs")))
+      .select(col("q_id"), col("col.n_id").as("n_id"), col("col.sim").as("sim"),
+        (col("pos") + 1).cast("long").as("rn"))
+    val viaWindow = Relational.topKPerGroup(scored, Seq("q_id"), col("sim"), 7,
+        Seq(col("n_id")))
+      .select(col("q_id"), col("n_id"), col("sim"), col("rn").cast("long"))
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
+  test("ANN top-k plans use a partial aggregate, not a window sort") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 3)
+    val plan = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkbyscore"),
+      "map-side partial phase must exist")
+    assert(!plan.contains("Window"), "no row_number window in the reduction")
+  }
+
+  test("gated embedding-dedup plan: LSH keys, no constant-key funnel") {
+    val q25 = SparkEntry.queries("q25_embed_neardup")(spark, sf0001)
+    val plan = q25.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"))
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"))
+    // the bucket keys actually spread: far more distinct keys than tables
+    val emb = Tables.embeddings(spark, sf0001)
+    val tables = Dedup.lshTablesFor(0.5, planes = 4)
+    val keyed = emb.select(graft.functions.VectorFunctions
+      .toDoubleArray(col("embedding")).as("v"))
+      .select(explode(array((0 until tables).map(t =>
+        lit(t.toLong * 16) + graft.functions.VectorFunctions
+          .hyperplaneSketch(col("v"), 64, 4, 7L + t)): _*)).as("bk"))
+    assert(keyed.select(countDistinct("bk")).head().getLong(0) >= tables * 4L)
+  }
+
+  test("lshTablesFor: recall sizing is sane and monotonic") {
+    assert(Dedup.lshTablesFor(0.5, 4) == 63)
+    assert(Dedup.lshTablesFor(0.9, 4) < Dedup.lshTablesFor(0.5, 4))
+    assert(Dedup.lshTablesFor(0.5, 8) > Dedup.lshTablesFor(0.5, 4))
+    assert(Dedup.lshTablesFor(0.5, 4, 1e-9) > Dedup.lshTablesFor(0.5, 4, 1e-3))
+  }
+}
