@@ -71,6 +71,15 @@ object EnsembleApp {
       binary = true).map { case (k, v) => s"gbt_$k" -> v }
     val confusion = Classifiers.confusionMatrix(preds, "label").collect()
       .map(r => s"${r.get(0)},${r.get(1)},${r.get(2)}")
+    // E12 parity: per-class precision/recall/fMeasure (higgs:23-40)
+    val perClass = Classifiers.perClassMetrics(preds, "label").collect()
+      .map(r => f"${r.get(0)},${r.getDouble(1)}%.6f,${r.getDouble(2)}%.6f,${r.getDouble(3)}%.6f")
+    // E19 parity: featureImportances for both ensemble arms (higgs:47,55)
+    val rfImp = Classifiers.featureImportances(model, features)
+      .map { case (f, v) => f"rf,$f,$v%.6f" }
+    val gbtImp = Classifiers.featureImportances(
+        gbtCv.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel], features)
+      .map { case (f, v) => f"gbt,$f,$v%.6f" }
     Sources.writeTextReport(s"$out/metrics.txt",
       AppSession.fmt(metrics ++ gbtMetrics) ++
         Seq(f"cv_fit_seconds = $cvSecs%.2f",
@@ -82,6 +91,10 @@ object EnsembleApp {
           .toSeq.sortBy(_._1).map { case (k, v) => s"$k = $v" })
     Sources.writeTextReport(s"$out/confusion_matrix.csv",
       "label,prediction,count" +: confusion.toSeq)
+    Sources.writeTextReport(s"$out/per_class_metrics.csv",
+      "class,precision,recall,f_measure" +: perClass.toSeq)
+    Sources.writeTextReport(s"$out/feature_importances.csv",
+      "model,feature,importance" +: (rfImp ++ gbtImp))
     println(s"[ensemble] accuracy=${metrics("accuracy")} auc=${metrics("areaUnderROC")} -> $out")
     spark.stop()
   }

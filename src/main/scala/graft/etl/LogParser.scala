@@ -16,6 +16,12 @@ object LogParser {
     * Same Java regex engine and patterns as the reference (log:24-26), so
     * extraction semantics are identical; day/hour (log:114-115) are
     * extracted here once instead of re-parsing downstream.
+    *
+    * Numeric fields use try_cast: real NASA CLF data carries '-' for
+    * bytes_in_reply and malformed lines regexp-extract to '' — under
+    * Spark 4's default ANSI mode a plain cast would throw mid-job, where
+    * the reference's non-ANSI cast yields null. try_cast restores the
+    * null-on-malformed semantics without disabling ANSI.
     */
   def parseNasaLog(raw: DataFrame): DataFrame = {
     val ts = regexp_extract(col("value"), """.* - - \[(.*)\].*""", 1)
@@ -23,10 +29,10 @@ object LogParser {
       regexp_extract(col("value"), """^(.*) - -.*""", 1).as("host"),
       ts.as("timestamp"),
       regexp_extract(col("value"), """.*\"(.*)\".*""", 1).as("request"),
-      element_at(split(col("value"), " "), -2).cast("int").as("HTTP_reply_code"),
-      element_at(split(col("value"), " "), -1).cast("int").as("bytes_in_reply"),
-      regexp_extract(ts, """^(\d{2})""", 1).cast("int").as("day"),
-      regexp_extract(ts, """^\d{2}/\w{3}/\d{4}:(\d{2})""", 1).cast("int").as("hour"))
+      element_at(split(col("value"), " "), -2).try_cast("int").as("HTTP_reply_code"),
+      element_at(split(col("value"), " "), -1).try_cast("int").as("bytes_in_reply"),
+      regexp_extract(ts, """^(\d{2})""", 1).try_cast("int").as("day"),
+      regexp_extract(ts, """^\d{2}/\w{3}/\d{4}:(\d{2})""", 1).try_cast("int").as("hour"))
   }
 
   /** Per-country-suffix host stats (log:32-51), as one plan per suffix:

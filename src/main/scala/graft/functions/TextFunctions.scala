@@ -68,13 +68,6 @@ object TextFunctions {
   /** Hamming distance between two 64-bit sketches. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** 16-bit band chunks of a 64-bit simhash, for LSH blocking: two sketches
-    * within hamming distance 3 share at least one of the 4 chunks.
-    */
-  def simhashBands(sh: Column): Column =
-    array((0 to 3).map(i =>
-      shiftright(sh, i * 16).bitwiseAND(lit(65535L))): _*)
-
   /** Polynomial rolling-hash fingerprint of the full text, mod 1e9+7.
     * Deterministic, overflow-free, and reproducible in any engine with a
     * left fold (the DuckDB oracle mirrors it with list_reduce).

@@ -157,6 +157,11 @@ object HashUtil {
   /** One 64-bit key per band: mix of the band's r signature values. */
   def bandKeys(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
     if (sig.numElements() == 0) return new GenericArrayData(Array.empty[Long])
+    if (sig.numElements() < bands * rowsPerBand)
+      throw new IllegalArgumentException(
+        s"minhash band keys need a signature of >= ${bands * rowsPerBand} " +
+          s"values (bands=$bands x rowsPerBand=$rowsPerBand), got " +
+          s"${sig.numElements()} — generate the signature with matching k")
     val out = new Array[Long](bands)
     var i = 0
     while (i < bands) {

@@ -97,6 +97,54 @@ object Classifiers {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("label", "prediction")
 
+  /** Per-class precision / recall / fMeasure, derived from the confusion
+    * counts in ONE distributed aggregate (E12 parity: the reference reads
+    * `MulticlassMetrics.precision(label)` etc., higgs_ensemble_analysis.py:
+    * 23-40, consumed at :104-149). Null-safe: a class never predicted gets
+    * precision 0.0, a class absent from the labels gets recall 0.0.
+    * Output: (class, precision, recall, f_measure) ordered by class.
+    */
+  def perClassMetrics(predictions: DataFrame, labelCol: String): DataFrame = {
+    val cm = confusionMatrix(predictions, labelCol) // label, prediction, cnt
+    val byLabel = cm.groupBy(col("label").as("class"))
+      .agg(sum("cnt").as("n_label"))
+    val byPred = cm.groupBy(col("prediction").as("class"))
+      .agg(sum("cnt").as("n_pred"))
+    val tp = cm.filter(col("label") === col("prediction"))
+      .select(col("label").as("class"), col("cnt").as("tp"))
+    val safeDiv = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      when(b.isNull || b === 0, 0.0).otherwise(a.cast("double") / b)
+    byLabel.join(byPred, Seq("class"), "full_outer")
+      .join(tp, Seq("class"), "left_outer")
+      .withColumn("tp", coalesce(col("tp"), lit(0L)))
+      .withColumn("precision", safeDiv(col("tp"), col("n_pred")))
+      .withColumn("recall", safeDiv(col("tp"), col("n_label")))
+      .withColumn("f_measure",
+        when(col("precision") + col("recall") === 0, 0.0)
+          .otherwise(col("precision") * col("recall") * 2 /
+            (col("precision") + col("recall"))))
+      .select("class", "precision", "recall", "f_measure")
+      .orderBy("class")
+  }
+
+  /** Feature importances of the final tree-ensemble stage of a fitted
+    * pipeline, named and sorted descending (E19 parity:
+    * higgs_ensemble_analysis.py:47,55 writes `featureImportances` for both
+    * RF and GBT). Driver-side: the vector is model metadata, not data.
+    */
+  def featureImportances(model: org.apache.spark.ml.PipelineModel,
+                         featureNames: Seq[String]): Seq[(String, Double)] = {
+    val imp = model.stages.last match {
+      case m: org.apache.spark.ml.classification.RandomForestClassificationModel =>
+        m.featureImportances
+      case m: org.apache.spark.ml.classification.GBTClassificationModel =>
+        m.featureImportances
+      case other => throw new IllegalArgumentException(
+        s"last pipeline stage has no featureImportances: ${other.getClass}")
+    }
+    featureNames.zip(imp.toArray).sortBy { case (_, v) => -v }
+  }
+
   /** Accuracy / weighted precision / recall / f1 in one evaluator family
     * (E14: higgs:84,107,127,146), plus probability-based AUC and the
     * reference-parity hard-prediction AUC (Q3) for binary problems.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
@@ -37,7 +37,19 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleWidth: Int = 3, bands: Int = 32,
-                        rowsPerBand: Int = 4): DataFrame = {
+                        rowsPerBand: Int = 4): DataFrame =
+    minhashCandidatesWithSketch(df, idCol, textCol, shingleWidth, bands,
+      rowsPerBand)._1
+
+  /** As [[minhashCandidates]], also returning the per-doc sketch frame so
+    * callers that run MULTIPLE actions over the candidates (e.g.
+    * dropNearDuplicates) can persist it for the sketch subplan's 3 uses
+    * instead of recomputing the shingle/signature kernels per use.
+    */
+  private def minhashCandidatesWithSketch(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int, bands: Int,
+      rowsPerBand: Int): (DataFrame, DataFrame) = {
     val k = bands * rowsPerBand
     val sketch = df.select(
         col(idCol).as("id"),
@@ -50,11 +62,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    pairs
+    val cands = pairs
       .join(sketch.select(col("id").as("id_a"), col("hs").as("hs_a"),
         col("sig").as("sig_a")), Seq("id_a"))
       .join(sketch.select(col("id").as("id_b"), col("hs").as("hs_b"),
         col("sig").as("sig_b")), Seq("id_b"))
+    (cands, sketch)
   }
 
   /** MinHash near-dup pairs with signature-estimated Jaccard ≥ threshold. */
@@ -85,32 +98,71 @@ object Dedup {
     * near-duplicates (n-gram Jaccard ≥ threshold) a smaller-id document —
     * the standard keep-first policy of corpus pipelines. One anti-join
     * against the (small) duplicate-id set.
+    *
+    * The sketch subplan is persisted (MEMORY_AND_DISK) while the dup-id
+    * set is materialized — it is consumed 3× (band self-join twice,
+    * candidate join-back) and the shingle/minhash kernels are the
+    * expensive narrow work — then unpersisted; only the SMALL dup-id
+    * frame stays resident for the anti-join.
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double, shingleWidth: Int = 3,
                          bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
-    val dupIds = jaccardPairs(df, idCol, textCol, threshold, shingleWidth,
-        bands, rowsPerBand)
-      .select(col("id_b").as(idCol)).distinct()
-    df.join(dupIds, Seq(idCol), "left_anti")
+    val (cands, sketch) = minhashCandidatesWithSketch(df, idCol, textCol,
+      shingleWidth, bands, rowsPerBand)
+    sketch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupIds = cands
+        .withColumn("jaccard", T.jaccard(col("hs_a"), col("hs_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_b").as(idCol)).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dupIds.count() // materialize the small dup-id set off the sketch
+      df.join(dupIds, Seq(idCol), "left_anti")
+    } finally sketch.unpersist(blocking = false)
   }
 
-  /** SimHash near-dup pairs: 64-bit sketch, blocked on 4 × 16-bit chunks
-    * (any pair within hamming distance 3 shares a chunk — pigeonhole), then
+  /** SimHash near-dup pairs: 64-bit sketch, blocked on CHUNK-PAIR keys,
     * verified with bit_count. Output: (id_a, id_b, hamming).
+    *
+    * Blocking math (the 100 TB concern): with the 64 bits split into
+    * c = maxHamming + 2 chunks, any pair within hamming ≤ maxHamming
+    * corrupts at most maxHamming chunks, leaving ≥ 2 intact — so by
+    * pigeonhole it matches on at least one of the C(c,2) chunk-PAIR keys.
+    * Each key carries ~2×64/c bits, so for the default maxHamming=3
+    * (c=5, ~26-bit keys) two RANDOM sketches collide on a given key with
+    * p ≈ 2^-25.6 — candidate volume ≈ 10·N²/2^26.6, ~4000× below the old
+    * single-chunk scheme (4 × 16-bit chunks ⇒ 4·N²/2^17, which turns
+    * quadratic-ish at 10⁹ docs). Recall guarantee is exact, not
+    * probabilistic; the hamming verify keeps output semantics identical.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 12,
+      s"simhashPairs: maxHamming in [1,12], got $maxHamming")
+    val c = maxHamming + 2
+    val sizes = Array.tabulate(c)(i => 64 / c + (if (i < 64 % c) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    def chunk(i: Int): Column =
+      shiftrightunsigned(col("sh"), offsets(i))
+        .bitwiseAND(lit((1L << sizes(i)) - 1))
+    // key packs (pairIdx, chunk_i, chunk_j) into one long; slot width =
+    // widest chunk (≤ 22 bits at c=3), pairIdx ≤ C(14,2) < 2^7 → ≤ 51 bits
+    val slot = sizes.max
+    val pairs = for { i <- 0 until c; j <- i + 1 until c } yield (i, j)
+    val keys = array(pairs.zipWithIndex.map { case ((i, j), p) =>
+      (lit(p.toLong).multiply(lit(1L << slot)).plus(chunk(i)))
+        .multiply(lit(1L << slot)).plus(chunk(j))
+    }: _*)
     val sketched = df.select(col(idCol).as("id"),
         T.tokens(col(textCol)).as("toks"))
       .withColumn("sh", T.simhash64("toks"))
-      .select(col("id"), col("sh"),
-        posexplode(T.simhashBands(col("sh"))).as(Seq("band", "chunk")))
-    val a = sketched.select(col("band"), col("chunk"),
+      .select(col("id"), col("sh"), explode(keys).as("ck"))
+    val a = sketched.select(col("ck"),
       col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sketched.select(col("band"), col("chunk"),
+    val b = sketched.select(col("ck"),
       col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "chunk")).filter(col("id_a") < col("id_b"))
+    a.join(b, Seq("ck")).filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", T.hamming64(col("sh_a"), col("sh_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)

@@ -199,12 +199,27 @@ object Relational {
     * result is independent of partitioning/cluster size, and rows sharing an
     * id land on the same side (leakage-free under duplicated keys). No
     * shuffle, no driver state — works unchanged at any stratum cardinality.
+    *
+    * `fractions` gives PER-STRATUM train fractions keyed by the (string)
+    * label value — the sampleBy-style contract of the reference; strata
+    * not listed fall back to `trainFrac`. With the default empty map every
+    * stratum uses `trainFrac`: proportions then hold per class in
+    * expectation because the hash is independent of the label (expected
+    * per-class deviation is O(1/√class_size), same as any Bernoulli
+    * split).
     */
   def stratifiedSplit(df: DataFrame, labelCol: String, trainFrac: Double,
-                      seed: Long, idCols: Seq[String]): (DataFrame, DataFrame) = {
+                      seed: Long, idCols: Seq[String],
+                      fractions: Map[String, Double] = Map.empty)
+      : (DataFrame, DataFrame) = {
     val bucket = pmod(
       xxhash64((idCols.map(col) :+ lit(seed)): _*), lit(1000000L))
-    val isTrain = bucket < (trainFrac * 1000000L).toLong
+    val cut: Column = fractions.foldLeft(lit((trainFrac * 1000000L).toLong)) {
+      case (acc, (label, f)) =>
+        when(col(labelCol).cast("string") === label,
+          lit((f * 1000000L).toLong)).otherwise(acc)
+    }
+    val isTrain = bucket < cut
     (df.filter(isTrain), df.filter(!isTrain))
   }
 

@@ -97,9 +97,14 @@ object EventStream {
   /** Run a streaming DataFrame to completion against the (finite) fixture
     * via the in-memory sink; returns the materialized result. Used by tests
     * to prove the plans are genuinely streamable.
+    *
+    * `mode` is REQUIRED on purpose: for watermarked aggregations over a
+    * FINITE input, Append withholds every window not yet past the final
+    * watermark — a silently empty/truncated result. Pass
+    * `OutputMode.Complete()` for aggregation queries on fixtures;
+    * Append is only right for non-aggregating transforms.
     */
-  def runToMemory(df: DataFrame, name: String,
-                  mode: OutputMode = OutputMode.Append()): DataFrame = {
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
     q.processAllAvailable()

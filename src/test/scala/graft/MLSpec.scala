@@ -32,6 +32,43 @@ class MLSpec extends SparkSpec {
     assert(cm.agg(sum("cnt")).as[Long].head() == te.count())
   }
 
+  test("per-class metrics agree with hand-computed confusion ratios (E12)") {
+    val preds = Seq(
+      (1.0, 1.0), (1.0, 1.0), (1.0, 0.0),      // label 1: tp=2, fn=1
+      (0.0, 0.0), (0.0, 1.0), (0.0, 0.0), (0.0, 0.0)) // label 0: tp=3, fp->1
+      .toDF("label", "prediction")
+    val rows = Classifiers.perClassMetrics(preds, "label").collect()
+      .map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val (p1, r1, f1) = rows(1.0)
+    assert(math.abs(p1 - 2.0 / 3) < 1e-9) // predicted-1: 3, tp: 2
+    assert(math.abs(r1 - 2.0 / 3) < 1e-9) // labeled-1: 3, tp: 2
+    assert(math.abs(f1 - 2.0 / 3) < 1e-9)
+    val (p0, r0, _) = rows(0.0)
+    assert(math.abs(p0 - 3.0 / 4) < 1e-9)
+    assert(math.abs(r0 - 3.0 / 4) < 1e-9)
+  }
+
+  test("per-class metrics null-safe for never-predicted classes (E12)") {
+    val preds = Seq((2.0, 0.0), (2.0, 0.0), (0.0, 0.0))
+      .toDF("label", "prediction")
+    val rows = Classifiers.perClassMetrics(preds, "label").collect()
+      .map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(rows(2.0) == ((0.0, 0.0, 0.0))) // never predicted
+    assert(rows(0.0)._2 == 1.0)            // its one label row was caught
+  }
+
+  test("featureImportances are named, sorted, and sum to ~1 (E19)") {
+    val features = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val model = Classifiers.randomForest(features, "label", numTrees = 10)
+      .fit(lineitem)
+    val imp = Classifiers.featureImportances(model, features)
+    assert(imp.map(_._1).toSet == features.toSet)
+    assert(math.abs(imp.map(_._2).sum - 1.0) < 1e-6)
+    assert(imp == imp.sortBy(-_._2))
+  }
+
   test("GBT pipeline fits (E7)") {
     val m = Classifiers.gbt(Seq("l_quantity", "l_discount"), "label",
       maxIter = 3).fit(lineitem.limit(1000))
