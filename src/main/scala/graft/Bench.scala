@@ -8,7 +8,15 @@ import org.apache.spark.sql.SparkSession
   * Methodology: each query is executed through the `noop` sink so the FULL
   * physical plan runs (a count() would let Spark skip projections); one
   * warm-up query absorbs session/codegen/JIT startup so per-query numbers
-  * measure the engine, not the JVM.
+  * measure the engine, not the JVM. Between queries the cache is cleared
+  * and a GC is requested so heap debt from earlier queries (the ML fits
+  * allocate heavily) is not billed to whichever query runs next — without
+  * this, late queries measure collector catch-up, not their plans.
+  *
+  * SPARK_GRAFT_BENCH_QUERIES (comma-separated names) restricts the run for
+  * isolation experiments. The JSON carries `excluded`: benchQueries leaves
+  * out the model-selection workloads (CV grid, ALS+KMeans chain) by
+  * design — the total is NOT all-50 coverage.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,6 +32,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def run(name: String): Double = {
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -38,11 +48,19 @@ object Bench {
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.benchQueries.map(n => n -> run(n))
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+      case Some(list) => SparkEntry.benchQueries.filter(
+        list.split(",").map(_.trim).toSet)
+      case None => SparkEntry.benchQueries
+    }
+    val excluded = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(SparkEntry.benchQueries.toSet)
+    val results = selected.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ex = excluded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded":$ex,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
