@@ -1,0 +1,53 @@
+package graft
+
+import scala.io.Source
+
+/** Golden pins for the `no_oracle` queries (engine-defined hashing — the
+  * DuckDB oracle can't reproduce them, so CORRECTNESS only checks row
+  * counts). These sf0.01 goldens freeze the exact output so a
+  * hash-semantics regression (kernel change, seed drift, blocking bug)
+  * can't hide behind the weaker rows-only gate. Every pinned query has a
+  * total ORDER BY, so outputs are partition-count-independent and the pin
+  * is safe at any test parallelism.
+  *
+  * Regenerate (only after an INTENTIONAL semantics change) by re-dumping
+  * `target/verify_out/<q>/` from a `graft.Verify` run at sf0.01.
+  */
+class GoldenSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  private def golden(name: String): (Array[String], Seq[Array[String]]) = {
+    val src = Source.fromURL(getClass.getResource(s"/goldens/$name.csv"))
+    try {
+      val lines = src.getLines().toList
+      (lines.head.split(","), lines.tail.map(_.split(",", -1)))
+    } finally src.close()
+  }
+
+  private def check(name: String): Unit = {
+    val (cols, want) = golden(name)
+    val df = SparkEntry.queries(name)(spark, sf001)
+    assert(df.columns.toSeq == cols.toSeq, s"$name column mismatch")
+    val got = df.collect()
+    assert(got.length == want.length,
+      s"$name rows: got ${got.length}, golden ${want.length}")
+    got.zip(want).zipWithIndex.foreach { case ((row, exp), i) =>
+      cols.indices.foreach { c =>
+        row.get(c) match {
+          case d: Double =>
+            assert(math.abs(d - exp(c).toDouble) < 1e-12,
+              s"$name row $i col ${cols(c)}: $d vs ${exp(c)}")
+          case v =>
+            assert(v.toString == exp(c),
+              s"$name row $i col ${cols(c)}: $v vs ${exp(c)}")
+        }
+      }
+    }
+  }
+
+  test("golden: q22_dedup_minhash exact rows at sf0.01")(check("q22_dedup_minhash"))
+  test("golden: q23_dedup_simhash exact rows at sf0.01")(check("q23_dedup_simhash"))
+  test("golden: q28_langid exact rows at sf0.01")(check("q28_langid"))
+  test("golden: q47_winnow_overlap exact rows at sf0.01")(check("q47_winnow_overlap"))
+}
