@@ -209,11 +209,15 @@ object LogApp {
       .collect().map(r => s"${r.getAs[String]("country")},${r.getAs[String]("host")},${r.getAs[Long]("count")}")
     val heat = LogParser.dayHourHeatmap(parsed)
       .collect().map(r => s"${r.get(0)},${r.get(1)},${r.get(2)}")
+    val heatTop = LogParser.dayHourHeatmapTopHost(parsed)
+      .collect().map(r => s"${r.get(0)},${r.get(1)},${r.get(2)}")
     val rest = LogParser.restShare(parsed, 9).head()
     Sources.writeTextReport(s"$out/top_hosts.csv",
       "country,host,count" +: top.toSeq)
     Sources.writeTextReport(s"$out/day_hour_heatmap.csv",
       "day,hour,count" +: heat.toSeq)
+    Sources.writeTextReport(s"$out/day_hour_heatmap_top_host.csv",
+      "day,hour,count" +: heatTop.toSeq)
     Sources.writeTextReport(s"$out/summary.txt", Seq(
       s"total_requests = ${rest.getAs[Long]("total")}",
       s"top9_requests = ${rest.getAs[Long]("top_total")}",

@@ -66,6 +66,18 @@ object LogParser {
     parsed.groupBy("day", "hour").agg(count(lit(1)).as("cnt"))
       .orderBy("day", "hour")
 
+  /** Day×hour heatmap for the single most frequent host — reference parity:
+    * log_mining_analysis.py:112-118 filters to the top host before the
+    * heatmap. The top host is a 1-row broadcast semi-join (ties break to
+    * the lexicographically smallest host), never a collected value.
+    */
+  def dayHourHeatmapTopHost(parsed: DataFrame): DataFrame = {
+    val top = parsed.groupBy("host").agg(count("host").as("count"))
+      .orderBy(desc("count"), asc("host")).limit(1)
+    dayHourHeatmap(
+      parsed.join(broadcast(top.select("host")), Seq("host"), "left_semi"))
+  }
+
   /** Fraction of traffic captured by the top-k hosts, computed correctly —
     * the reference's pie-chart math has a precedence bug (quirk Q2,
     * log:75,107-108: `total - top/total` instead of `(total-top)/total`).

@@ -44,22 +44,28 @@ object Multimodal {
   }
 
   /** Wrap raw binary payloads with typed metadata — the ingest projection.
-    * `media_type` is sniffed from magic bytes (real logic, no codec needed).
+    * `media_type` is sniffed from magic bytes (real logic, no codec
+    * needed), as PURE COLUMN EXPRESSIONS — binary `startswith` against
+    * magic-byte literals stays inside Tungsten/codegen, no per-row
+    * object deserialization (a typed Dataset.map here would force every
+    * payload through an encoder round-trip just to read 4 bytes).
     */
   def ingest(df: DataFrame, idCol: String, bytesCol: String): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"), col(bytesCol)).map { r =>
-      val bytes = r.getAs[Array[Byte]](1)
-      def startsWith(magic: Int*): Boolean =
-        bytes.length >= magic.length &&
-          magic.zipWithIndex.forall { case (m, i) => bytes(i) == m.toByte }
-      val mediaType =
-        if (startsWith(0x89, 0x50, 0x4e, 0x47)) "png"
-        else if (startsWith(0xff, 0xd8, 0xff)) "jpeg"
-        else if (startsWith('R', 'I', 'F', 'F')) "wav"
-        else "unknown"
-      MediaRow(r.getLong(0), MediaMeta(mediaType, -1, -1, bytes.length), bytes)
-    }
+    val b = col(bytesCol)
+    def magic(bytes: Int*): org.apache.spark.sql.Column =
+      startswith(b, lit(bytes.map(_.toByte).toArray))
+    val mediaType = when(magic(0x89, 0x50, 0x4e, 0x47), "png")
+      .when(magic(0xff, 0xd8, 0xff), "jpeg")
+      .when(magic('R', 'I', 'F', 'F'), "wav")
+      .otherwise("unknown")
+    df.select(
+        col(idCol).cast("long").as("media_id"),
+        struct(mediaType.as("media_type"), lit(-1).as("width"),
+          lit(-1).as("height"), octet_length(b).cast("long").as("n_bytes"))
+          .as("meta"),
+        b.as("content"))
+      .as[MediaRow]
   }
 
   /** Batched decode/feature-extract: one decoder context per partition

@@ -37,6 +37,28 @@ class StreamingEtlSpec extends SparkSpec {
     assert(byCountry.keySet == Set("de", "ca", "sg"))
   }
 
+  test("malformed CLF fields parse to null under ANSI (try_cast), not a crash") {
+    val withJunk = logLines :+
+      """dash.host.de - - [04/Jul/1995:08:00:00 -0400] "GET /d HTTP/1.0" 200 -""" :+
+      """garbage line with no structure at all"""
+    val parsed = LogParser.parseNasaLog(withJunk.toDF("value"))
+    assert(parsed.count() == 6) // nothing thrown, every line emitted
+    val dash = parsed.filter(col("host") === "dash.host.de").head()
+    assert(dash.isNullAt(dash.fieldIndex("bytes_in_reply"))) // '-' → null
+    assert(dash.getAs[Int]("HTTP_reply_code") == 200)
+    val junk = parsed.filter(col("timestamp") === "").head()
+    assert(junk.isNullAt(junk.fieldIndex("day")) &&
+      junk.isNullAt(junk.fieldIndex("hour"))) // '' extracts → null ints
+  }
+
+  test("dayHourHeatmapTopHost filters to the single most frequent host") {
+    val parsed = LogParser.parseNasaLog(logLines.toDF("value"))
+    val heat = LogParser.dayHourHeatmapTopHost(parsed)
+      .as[(Int, Int, Long)].collect().toSet
+    // alpha.host.de (2 requests) wins; its two day/hour cells only
+    assert(heat == Set((1, 0, 1L), (1, 13, 1L)))
+  }
+
   test("restShare computes (total-top)/total correctly (quirk Q2 fixed)") {
     val parsed = LogParser.parseNasaLog(logLines.toDF("value"))
     val r = LogParser.restShare(parsed, 1).head()
