@@ -49,4 +49,18 @@ object VectorFunctions {
       lit(0L),
       (acc, b) => acc.bitwiseOR(b))
   }
+
+  /** All `tables` OR-amplification sketches at once, as PACKED bucket keys
+    * `t * 2^planes + bits` — one compiled kernel pass per row
+    * (expressions.HyperplaneSketches) instead of `tables` interpreted HOF
+    * evaluations. Element t equals
+    * `lit(t * 2^planes) + hyperplaneSketch(v, dim, planes, seed + t)`
+    * exactly (spec-pinned), so callers can mix the two forms.
+    */
+  def hyperplaneSketches(v: Column, dim: Int, planes: Int, tables: Int,
+                         seed: Long = 42L): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.HyperplaneSketches(
+      ColumnBridge.expression(v), dim, planes, tables, seed))
+  }
 }

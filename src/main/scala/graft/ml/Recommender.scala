@@ -80,7 +80,7 @@ object Recommender {
       .agg(avg("rating").as("avg_rating"), count(lit(1)).as("n"))
       .filter(col("n") >= minRatings)
       .orderBy(desc("avg_rating"), col(itemCol)).limit(topItems)
-    top.join(items, itemCol)
+    broadcast(top).join(items, itemCol)
       .select(explode(split(col(attrCol), sep)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("token")).limit(topTokens)

@@ -225,11 +225,10 @@ object Dedup {
         aSide.crossJoin(bSide).filter(col("id_a") < col("id_b"))
       } else {
         // bucket key packs (table, sketch) into one long: t*2^planes + bits;
-        // only these 16-byte (key, id) rows go through the ×tables self-join
-        val buckets = array((0 until tables).map(t =>
-          (lit(t.toLong * (1L << planes)) +
-            V.hyperplaneSketch(col("v"), dim, planes, seed + t)).as(s"b$t")): _*)
-        val keyed = base.select(col("id"), explode(buckets).as("bk"))
+        // all tables computed in one compiled kernel pass per row, and only
+        // these 16-byte (key, id) rows go through the ×tables self-join
+        val keyed = base.select(col("id"), explode(
+          V.hyperplaneSketches(col("v"), dim, planes, tables, seed)).as("bk"))
         keyed.select(col("bk"), col("id").as("id_a"))
           .join(keyed.select(col("bk"), col("id").as("id_b")), Seq("bk"))
           .filter(col("id_a") < col("id_b"))

@@ -110,9 +110,9 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dim: Int = 64, planes: Int = 8, tables: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def buckets(v: Column): Column = array((0 until tables).map(t =>
-      struct(lit(t).as("t"),
-        V.hyperplaneSketch(v, dim, planes, seed = 42L + t).as("b"))): _*)
+    // packed (table, bucket) keys, all tables in one compiled kernel pass
+    def buckets(v: Column): Column =
+      V.hyperplaneSketches(v, dim, planes, tables, seed = 42L)
     val c = corpus.select(col(idCol).as("n_id"),
         V.toDoubleArray(col(vecCol)).as("v_n"))
       .withColumn("nrm_n", V.norm(col("v_n")))

@@ -136,10 +136,24 @@ class ScaleShapeSpec extends SparkSpec {
     val tables = Dedup.lshTablesFor(0.5, planes = 4)
     val keyed = emb.select(graft.functions.VectorFunctions
       .toDoubleArray(col("embedding")).as("v"))
-      .select(explode(array((0 until tables).map(t =>
-        lit(t.toLong * 16) + graft.functions.VectorFunctions
-          .hyperplaneSketch(col("v"), 64, 4, 7L + t)): _*)).as("bk"))
+      .select(explode(graft.functions.VectorFunctions
+        .hyperplaneSketches(col("v"), 64, 4, tables, 7L)).as("bk"))
     assert(keyed.select(countDistinct("bk")).head().getLong(0) >= tables * 4L)
+  }
+
+  test("hyperplaneSketches kernel reproduces the per-table HOF sketches") {
+    import graft.functions.{VectorFunctions => V}
+    val df = Tables.embeddings(spark, sf0001).limit(50)
+      .select(V.toDoubleArray(col("embedding")).as("v"))
+    val tables = 5
+    val viaKernel = df.select(V.hyperplaneSketches(col("v"), 64, 8, tables,
+      seed = 42L).as("ks"))
+    val viaHof = df.select(array((0 until tables).map(t =>
+      lit(t.toLong * 256) + V.hyperplaneSketch(col("v"), 64, 8, 42L + t)): _*)
+      .as("ks"))
+    val a = viaKernel.as[Seq[Long]].collect()
+    val b = viaHof.as[Seq[Long]].collect()
+    assert(a.toSeq == b.toSeq)
   }
 
   test("lshTablesFor: recall sizing is sane and monotonic") {

@@ -145,6 +145,34 @@ class StreamingEtlSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) != 0L)
     assert(r.getInt(2) == 2 && r.getInt(3) == 16)
+    val r2 = spark.sql(
+      """SELECT size(graft_winnow('the quick brown fox jumps', 4, 3)) AS nw,
+                size(graft_hyperplane_sketches(array(1.0d, -2.0d), 2, 8, 5, 42L)) AS nhp
+      """).head()
+    assert(r2.getInt(0) > 0 && r2.getInt(1) == 5)
+    val topk = spark.sql(
+      """SELECT g, graft_topk(s, i, 2) AS top FROM VALUES
+           (1, 0.9d, 10L), (1, 0.5d, 11L), (1, 0.7d, 12L),
+           (2, 0.1d, 20L) AS t(g, s, i)
+         GROUP BY g ORDER BY g""").collect()
+    assert(topk(0).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) ==
+      Seq(10L, 12L)) // best two by score desc
+    assert(topk(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) ==
+      Seq(20L))
+  }
+
+  test("GraftExtensions injects every function via SparkSessionExtensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = spark.sessionState.functionRegistry.clone()
+    GraftFunctions.builders.foreach { case (name, _) =>
+      reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+    }
+    org.apache.spark.sql.graft.ExtensionsTestBridge.registerFunctions(ext, reg)
+    GraftFunctions.builders.foreach { case (name, _) =>
+      assert(reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)), name)
+    }
   }
 
   // -- multimodal -------------------------------------------------------
