@@ -133,61 +133,73 @@ object Relational {
     * dedupes); we split on the (tsCol, tiebreak) order, which preserves
     * duplicates and is deterministic for unique (ts, tiebreak) pairs.
     *
-    * Scale shape: a global row_number window would force ALL data through
-    * one partition, and an orderBy.limit(n) boundary would materialize n
-    * rows in a single TakeOrdered task (temporalEval calls this with
-    * n = 0.4-0.8 × total). Instead the n-th ts is found by iterative
-    * quantile refinement ([[selectByRank]] — distributed aggregates, driver
-    * sees only scalars, works for any n: Long), the tiebreak is resolved
-    * the same way WITHIN the boundary-ts tie set, and both splits are
-    * complement FILTERS of the same scan — fully parallel, with the
-    * original-space boundary comparison pushed down to the parquet scan.
+    * Scale shape — two regimes by n: a global row_number window would
+    * force ALL data through one partition regardless, so neither regime
+    * uses one. For n ≤ [[smallBoundaryN]] the boundary is one TakeOrdered
+    * pass (a single task holding ≤ 100k pairs — optimal and bounded). For
+    * larger n (temporalEval calls this with n = 0.4-0.8 × total, where
+    * TakeOrdered would materialize n rows in one task) the n-th ts is
+    * found by iterative quantile refinement ([[selectByRank]] —
+    * distributed aggregates, driver sees only scalars, works for any
+    * n: Long), and the tiebreak is resolved the same way WITHIN the
+    * boundary-ts tie set. Both splits are complement FILTERS of the same
+    * scan — fully parallel, with the original-space boundary comparison
+    * pushed down to the parquet scan.
     */
+  /** Below this n, the boundary uses one TakeOrdered pass: a single task
+    * materializing ≤ smallBoundaryN (ts, tiebreak) pairs is cheaper than
+    * the multi-scan quantile loop, and bounded by construction. Above it,
+    * the quantile loop keeps the driver/task footprint scalar.
+    */
+  val smallBoundaryN: Long = 100000L
+
   def temporalPrefixSplit(df: DataFrame, tsCol: String, tiebreak: String,
                           n: Long): (DataFrame, DataFrame) = {
     if (n <= 0) return (df.limit(0), df)
     val tsDt = df.schema(tsCol).dataType
     val tbDt = df.schema(tiebreak).dataType
-    ordCodec(tsDt) match {
-      case None =>
-        // non-numeric ts (rare): sort-based boundary, explicitly bounded
-        require(n <= Int.MaxValue,
-          s"temporalPrefixSplit: n=$n exceeds Int.MaxValue for " +
-            s"non-numeric ts column '$tsCol' (${tsDt.simpleString})")
-        val boundaryRow = df.select(col(tsCol).as("t"), col(tiebreak).as("b"))
-          .orderBy(col("t"), col("b")).limit(n.toInt)
-          .agg(max(struct(col("t"), col("b"))).as("m"))
-          .select(col("m.t"), col("m.b")).head()
-        if (boundaryRow.isNullAt(0)) return (df.limit(0), df) // empty input
-        val (bt, bb) = (boundaryRow.get(0), boundaryRow.get(1))
-        val inPrefix = col(tsCol) < lit(bt) ||
-          (col(tsCol) === lit(bt) && col(tiebreak) <= lit(bb))
-        (df.filter(inPrefix), df.filter(!inPrefix))
-      case Some((tsTo, tsFrom)) =>
-        val total = df.count()
-        if (total == 0) return (df.limit(0), df)
-        if (n >= total) return (df, df.limit(0))
-        val (tStar, cLt) =
-          selectByRank(df.select(tsTo(col(tsCol)).as("__v")), n)
-        val tsB = tsFrom(tStar)
-        val r = n - cLt // 1-based rank of the boundary within the ts tie set
-        val ties = df.filter(col(tsCol) === tsB)
-        val tbB: Column = ordCodec(tbDt) match {
-          case Some((tbTo, tbFrom)) =>
-            val (bStar, _) =
-              selectByRank(ties.select(tbTo(col(tiebreak)).as("__v")), r)
-            tbFrom(bStar)
-          case None =>
-            // tie set is bounded by ts granularity — sort just the ties
-            require(r <= Int.MaxValue,
-              s"temporalPrefixSplit: tie-set rank $r exceeds Int.MaxValue " +
-                s"for non-numeric tiebreak '$tiebreak'")
-            lit(ties.select(col(tiebreak).as("b")).orderBy(col("b"))
-              .limit(r.toInt).agg(max(col("b"))).head().get(0))
-        }
-        val inPrefix = col(tsCol) < tsB ||
-          (col(tsCol) === tsB && col(tiebreak) <= tbB)
-        (df.filter(inPrefix), df.filter(!inPrefix))
+    val tsCodec = ordCodec(tsDt)
+    if (tsCodec.isEmpty || n <= smallBoundaryN) {
+      // small n (TakeOrdered optimal: one scan, bounded single task) or
+      // non-numeric ts (no codec): sort-based boundary, explicitly bounded
+      require(n <= Int.MaxValue,
+        s"temporalPrefixSplit: n=$n exceeds Int.MaxValue for " +
+          s"non-numeric ts column '$tsCol' (${tsDt.simpleString})")
+      val boundaryRow = df.select(col(tsCol).as("t"), col(tiebreak).as("b"))
+        .orderBy(col("t"), col("b")).limit(n.toInt)
+        .agg(max(struct(col("t"), col("b"))).as("m"))
+        .select(col("m.t"), col("m.b")).head()
+      if (boundaryRow.isNullAt(0)) return (df.limit(0), df) // empty input
+      val (bt, bb) = (boundaryRow.get(0), boundaryRow.get(1))
+      val inPrefix = col(tsCol) < lit(bt) ||
+        (col(tsCol) === lit(bt) && col(tiebreak) <= lit(bb))
+      (df.filter(inPrefix), df.filter(!inPrefix))
+    } else {
+      val (tsTo, tsFrom) = tsCodec.get
+      val total = df.count()
+      if (total == 0) return (df.limit(0), df)
+      if (n >= total) return (df, df.limit(0))
+      val (tStar, cLt) =
+        selectByRank(df.select(tsTo(col(tsCol)).as("__v")), n)
+      val tsB = tsFrom(tStar)
+      val r = n - cLt // 1-based rank of the boundary within the ts tie set
+      val ties = df.filter(col(tsCol) === tsB)
+      val tbB: Column = ordCodec(tbDt) match {
+        case Some((tbTo, tbFrom)) =>
+          val (bStar, _) =
+            selectByRank(ties.select(tbTo(col(tiebreak)).as("__v")), r)
+          tbFrom(bStar)
+        case None =>
+          // tie set is bounded by ts granularity — sort just the ties
+          require(r <= Int.MaxValue,
+            s"temporalPrefixSplit: tie-set rank $r exceeds Int.MaxValue " +
+              s"for non-numeric tiebreak '$tiebreak'")
+          lit(ties.select(col(tiebreak).as("b")).orderBy(col("b"))
+            .limit(r.toInt).agg(max(col("b"))).head().get(0))
+      }
+      val inPrefix = col(tsCol) < tsB ||
+        (col(tsCol) === tsB && col(tiebreak) <= tbB)
+      (df.filter(inPrefix), df.filter(!inPrefix))
     }
   }
 

@@ -94,6 +94,69 @@ object EventStream {
       }
   }
 
+  /** Append-mode-correct sessionization via flatMapGroupsWithState: emit
+    * a session ONLY when it closes — either a same-batch gap splits it, or
+    * the event-time timeout fires once the watermark passes the gap. State
+    * is one open-session summary per live user (watermark-bounded, evicted
+    * on emit), and each output row is final — exactly what a downstream
+    * append sink needs. (mapGroupsWithState must return one value per
+    * invoke, so [[sessionize]] emits running partials instead; this is the
+    * flatMap variant that doesn't.)
+    */
+  /** Open-session state for [[sessionizeClosed]]; timestamps in MICROS so
+    * the gap comparison matches the batch q49 semantics exactly (getTime
+    * millis would truncate sub-ms gaps at the 30-min boundary).
+    */
+  case class OpenSession(user_id: Long, n_events: Long, total_value: Double,
+                         first_us: Long, last_us: Long)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
+
+  def sessionizeClosed(events: Dataset[Event],
+                       gapMinutes: Int): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+    def emit(s: OpenSession): SessionSummary =
+      SessionSummary(s.user_id, s.n_events, s.total_value,
+        s.first_us / 1000, s.last_us / 1000)
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(s))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => micros(e.ts))
+            val closed = Seq.newBuilder[SessionSummary]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              open = open match {
+                case Some(s) if t - s.last_us > gapUs =>
+                  closed += emit(s) // gap inside the batch: session is final
+                  Some(OpenSession(uid, 1L, e.value, t, t))
+                case Some(s) =>
+                  Some(OpenSession(uid, s.n_events + 1,
+                    s.total_value + e.value, s.first_us, t))
+                case None =>
+                  Some(OpenSession(uid, 1L, e.value, t, t))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_us / 1000,
+                s"$gapMinutes minutes")
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the (finite) fixture
     * via the in-memory sink; returns the materialized result. Used by tests
     * to prove the plans are genuinely streamable.

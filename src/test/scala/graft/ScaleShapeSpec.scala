@@ -69,11 +69,15 @@ class ScaleShapeSpec extends SparkSpec {
   }
 
   test("temporalPrefixSplit: non-numeric tiebreak falls back to tie-set sort only") {
-    val df = spark.range(10000)
+    // n > smallBoundaryN so the quantile path runs, with a string tiebreak
+    val df = spark.range(200000)
       .select((col("id") % 100).as("ts"),
-        format_string("k%06d", col("id")).as("tb"))
-    val (tr, te) = Relational.temporalPrefixSplit(df, "ts", "tb", 5050L)
-    assert(tr.count() == 5050L && te.count() == 10000L - 5050L)
+        format_string("k%07d", col("id")).as("tb"))
+    val (tr, te) = Relational.temporalPrefixSplit(df, "ts", "tb", 150500L)
+    assert(tr.count() == 150500L && te.count() == 200000L - 150500L)
+    // boundary ts = 75 (150000 rows in 75 full groups), 500 ties beyond
+    val m = tr.filter(col("ts") === 75).agg(max("tb")).head().getString(0)
+    assert(m == f"k${75 + 499 * 100}%07d")
   }
 
   test("temporalPrefixSplit: edge cases n<=0, n>=total, empty input") {

@@ -120,6 +120,48 @@ class StreamingEtlSpec extends SparkSpec {
       events.select("user_id").distinct().count())
   }
 
+  test("sessionizeClosed (flatMapGroupsWithState) emits exactly the non-final sessions in batch") {
+    val events = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStream.Event]
+    // batch semantics: one invoke per user with all events; only the last
+    // (still-open) session per user is withheld
+    val closed = EventStream.sessionizeClosed(events, gapMinutes = 30)
+      .collect().map(s => (s.user_id, s.n_events)).sorted.toSeq
+    val q49 = SparkEntry.queries("q49_sessionize")(spark, sf0001).collect()
+    val lastSess = q49.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).max).toMap
+    val expected = q49.filter(r => r.getLong(1) != lastSess(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(closed == expected)
+  }
+
+  test("sessionizeClosed runs as a real append-mode stream") {
+    val events = EventStream.readEvents(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStream.Event]
+    val got = EventStream.runToMemory(
+      EventStream.sessionizeClosed(events, gapMinutes = 30).toDF(),
+      "closed_sessions_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val q49 = SparkEntry.queries("q49_sessionize")(spark, sf0001).collect()
+    val batchAll = q49.map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val lastSess = q49.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).max).toMap
+    val nonFinal = q49.filter(r => r.getLong(1) != lastSess(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // every emitted session is a real batch session; all gap-closed
+    // sessions are emitted (timeout-flushed finals depend on the watermark)
+    def multiset(s: Seq[(Long, Long)]) = s.groupBy(identity).view.mapValues(_.size).toMap
+    val gotM = multiset(got); val allM = multiset(batchAll)
+    assert(gotM.forall { case (k, n) => allM.getOrElse(k, 0) >= n })
+    assert(multiset(nonFinal).forall { case (k, n) =>
+      gotM.getOrElse(k, 0) >= n })
+  }
+
   test("streaming dedup: dropDuplicates over a watermarked stream") {
     val deduped = EventStream.readEvents(spark, sf0001)
       .withWatermark("ts", "1 hour")
