@@ -554,6 +554,43 @@ object SparkEntry {
                ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
     }),
 
+    // ---- Skew-salted join, oracle-proven equal to the plain join -------
+    // The skew-mitigation operator's contract is "bit-identical rows to an
+    // inner equi-join"; gating it against the plain-SQL oracle proves it.
+    "q51_salted_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      Relational.saltedJoin(o, c, "o_custkey", saltFactor = 8)
+        .select("o_orderkey", "o_custkey", "c_name")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- IVF ANN with exhaustive probing == exact top-k ----------------
+    // nProbe = nLists scores every cell, so the IVF machinery (coarse
+    // quantizer routing, cell equi-join, top-k reduction) must reproduce
+    // the exact brute-force ranking — same oracle as q26.
+    "q52_ivf_exhaustive" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+          nLists = 8, nProbe = 8)
+        .orderBy("q_id", "rn")
+    }),
+
+    // ---- End-to-end corpus pipeline: quality filter → near-dedup -------
+    // The C4-style composition (length/alpha gates, then keep-first
+    // near-dup removal), oracle-checked against the full quadratic
+    // jaccard over the filtered corpus.
+    "q53_corpus_filter" -> ((s, dir) => {
+      val filtered = Tables.documents(s, dir)
+        .filter(size(split(trim(col("text")), "\\s+")) >= 30 &&
+          (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+            length(col("text"))) >= 0.8)
+      Dedup.dropNearDuplicates(filtered, "doc_id", "text", threshold = 0.8)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // E16-E18 chained: ALS factors → K-Means → largest-cluster attribute
     // tokens (the als:110-146 genre chain, fully relational).
     "q35_ml_cluster_tokens" -> ((s, dir) => {
@@ -852,6 +889,59 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)
          ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q51_salted_join" ->
+      """SELECT o_orderkey, o_custkey, c_name FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    // identical to q26: exhaustive probing must reproduce exact top-k
+    "q52_ivf_exhaustive" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(v)+1), i -> v[i] * v[i])),
+               (acc, x) -> acc + x)) AS nrm
+           FROM e),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])),
+               (acc, x) -> acc + x) / (q.nrm * c.nrm), 6) AS sim
+           FROM n q, n c
+           WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
+         SELECT q_id, n_id, sim, rn FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, n_id) AS rn
+           FROM scored)
+         WHERE rn <= 5 ORDER BY q_id, rn""",
+    "q53_corpus_filter" ->
+      """WITH q AS (
+           SELECT * FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) >= 30
+             AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / length(text) >= 0.8),
+         toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM q),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM toks),
+         dups AS (
+           SELECT DISTINCT b.doc_id
+           FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+         SELECT doc_id, lang FROM q
+         WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+         ORDER BY doc_id""",
     "q27_fingerprint" ->
       """SELECT doc_id,
            list_reduce(
