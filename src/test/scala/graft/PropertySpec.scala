@@ -63,6 +63,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: TopKHeap == sort-prefix under (score desc, id asc) for any input") {
+    val gen = Gen.listOfN(200, Gen.zip(Gen.chooseNum(-50, 50), Gen.chooseNum(0L, 30L)))
+    for (pairs <- samples(gen, 8); k <- Seq(1, 5, 17)) {
+      val heap = new graft.functions.expressions.TopKHeap(k)
+      pairs.foreach { case (s, id) => heap.insert(s.toDouble, id) }
+      val got = heap.sorted.toSeq
+      val exp = pairs.map { case (s, id) => (s.toDouble, id) }
+        .sortBy { case (s, id) => (-s, id) }.take(k)
+      assert(got == exp, s"k=$k pairs=$pairs")
+    }
+  }
+
+  test("law: TopKHeap merge == insert-all (partial aggregation soundness)") {
+    val gen = Gen.zip(
+      Gen.listOfN(60, Gen.zip(Gen.chooseNum(-9, 9), Gen.chooseNum(0L, 20L))),
+      Gen.listOfN(60, Gen.zip(Gen.chooseNum(-9, 9), Gen.chooseNum(0L, 20L))))
+    for ((xs, ys) <- samples(gen, 8)) {
+      val k = 7
+      val a = new graft.functions.expressions.TopKHeap(k)
+      val b = new graft.functions.expressions.TopKHeap(k)
+      xs.foreach { case (s, id) => a.insert(s.toDouble, id) }
+      ys.foreach { case (s, id) => b.insert(s.toDouble, id) }
+      var i = 0
+      while (i < b.size) { a.insert(b.scores(i), b.ids(i)); i += 1 }
+      val whole = new graft.functions.expressions.TopKHeap(k)
+      (xs ++ ys).foreach { case (s, id) => whole.insert(s.toDouble, id) }
+      assert(a.sorted.toSeq == whole.sorted.toSeq, s"xs=$xs ys=$ys")
+    }
+  }
+
+  test("law: simhash chunk-pair blocking never misses a pair within hamming c-2") {
+    // mirrors Dedup.simhashPairs's key construction: c = maxHamming + 2
+    // chunks guarantee ≥ 2 intact chunks for ≤ maxHamming flipped bits
+    for (maxHamming <- Seq(3, 6)) {
+      val c = maxHamming + 2
+      val sizes = Array.tabulate(c)(i => 64 / c + (if (i < 64 % c) 1 else 0))
+      val offsets = sizes.scanLeft(0)(_ + _)
+      val slot = sizes.max
+      def keys(sh: Long): Set[Long] =
+        (for { i <- 0 until c; j <- i + 1 until c } yield (i, j))
+          .zipWithIndex.map { case ((i, j), p) =>
+            val ci = (sh >>> offsets(i)) & ((1L << sizes(i)) - 1)
+            val cj = (sh >>> offsets(j)) & ((1L << sizes(j)) - 1)
+            (p.toLong * (1L << slot) + ci) * (1L << slot) + cj
+          }.toSet
+      val gen = Gen.zip(Gen.long,
+        Gen.listOfN(maxHamming, Gen.chooseNum(0, 63)))
+      for ((base, flips) <- samples(gen, 40)) {
+        val corrupted = flips.foldLeft(base)((v, b) => v ^ (1L << b))
+        // ≤ maxHamming distinct flipped bits → some pair key must survive
+        assert(keys(base).intersect(keys(corrupted)).nonEmpty,
+          s"c=$c base=$base flips=$flips")
+      }
+    }
+  }
+
+  test("law: selectByRank == sorted(rank-1) on random multisets") {
+    for (vals <- samples(Gen.listOfN(400, Gen.chooseNum(0L, 25L)), 5)) {
+      val df = vals.toDF("__v")
+      for (rank <- Seq(1L, vals.size / 3L, vals.size.toLong)) {
+        if (rank >= 1) {
+          val (v, below) = Relational.selectByRank(df, rank)
+          val sorted = vals.sorted
+          assert(v.asInstanceOf[Long] == sorted(rank.toInt - 1),
+            s"rank=$rank vals=$vals")
+          assert(below == sorted.count(_ < sorted(rank.toInt - 1)))
+        }
+      }
+    }
+  }
+
   test("law: temporalPrefixSplit prefix is minimal by (ts, id)") {
     for (ts <- samples(Gen.listOfN(30, Gen.chooseNum(0L, 10L)), 6)
          if ts.nonEmpty) {
