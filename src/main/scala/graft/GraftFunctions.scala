@@ -53,9 +53,12 @@ object GraftFunctions {
   * application never touches imperatively) see the SQL surface.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo("graft", name), b))
     }
+    // opt-in (spark.graft.topkRewrite.enabled): window-top-k → partial agg
+    ext.injectOptimizerRule(_ => graft.plans.RewriteTopKWindow)
+  }
 }
