@@ -554,6 +554,21 @@ object SparkEntry {
                ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
     }),
 
+    // ---- Approximate quantiles (the 100 TB percentile path) ------------
+    // Greenwald-Khanna sketch; with accuracy > group size the rank error
+    // is < 1, so the result is EXACTLY the discrete quantile and the
+    // DuckDB quantile_disc oracle hash-matches — gating the sketch
+    // machinery itself (the same primitive temporalPrefixSplit's
+    // large-n boundary refinement builds on).
+    "q54_approx_quantiles" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.25), lit(1000000)).as("p25"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)).as("p50"),
+          percentile_approx(col("o_totalprice"), lit(0.75), lit(1000000)).as("p75"))
+        .orderBy("o_orderpriority")),
+
     // ---- Skew-salted join, oracle-proven equal to the plain join -------
     // The skew-mitigation operator's contract is "bit-identical rows to an
     // inner equi-join"; gating it against the plain-SQL oracle proves it.
@@ -889,6 +904,12 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)
          ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q54_approx_quantiles" ->
+      """SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.5) AS p50,
+           quantile_disc(o_totalprice, 0.75) AS p75
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q51_salted_join" ->
       """SELECT o_orderkey, o_custkey, c_name FROM orders
          JOIN customer ON o_custkey = c_custkey
