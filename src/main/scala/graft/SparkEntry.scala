@@ -554,6 +554,24 @@ object SparkEntry {
                ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
     }),
 
+    // ---- Multimodal plumbing, oracle-gated --------------------------------
+    // Binary-column ingest + batched feature extraction over fixture bytes
+    // (documents.text cast to binary): schema, metadata struct, magic
+    // sniff, and the per-partition batch path all execute; the stub
+    // checksum/brightness are portable folds the DuckDB oracle reproduces.
+    // (The seeded fake embedding is JVM-specific → excluded here,
+    // spec-pinned instead.)
+    "q55_media_features" -> ((s, dir) => {
+      val media = operators.Multimodal.ingest(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("bytes")),
+        "doc_id", "bytes")
+      operators.Multimodal.extractFeatures(media, embeddingDim = 8)
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("checksum"), round(col("brightness"), 6).as("brightness"))
+        .orderBy("media_id")
+    }),
+
     // ---- Approximate quantiles (the 100 TB percentile path) ------------
     // Greenwald-Khanna sketch; with accuracy > group size the rank error
     // is < 1, so the result is EXACTLY the discrete quantile and the
@@ -904,6 +922,18 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)
          ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q55_media_features" ->
+      """SELECT doc_id AS media_id, 'unknown' AS media_type,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(text, ''),
+                 ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+           round(CAST(list_sum(list_transform(string_split(text, ''),
+               ch -> CAST(ascii(ch) AS BIGINT))) AS DOUBLE)
+             / length(text) / 256, 6) AS brightness
+         FROM documents ORDER BY media_id""",
     "q54_approx_quantiles" ->
       """SELECT o_orderpriority,
            quantile_disc(o_totalprice, 0.25) AS p25,

@@ -28,8 +28,12 @@ object Multimodal {
     * same batch interface in production.
     */
   object StubDecoder {
+    /** Polynomial checksum over UNSIGNED bytes, mod 1e9+7 — overflow-free
+      * (engine-portable: any system with a left fold reproduces it, which
+      * is what lets q55 gate this path against the DuckDB oracle).
+      */
     def checksum(bytes: Array[Byte]): Long =
-      bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+      bytes.foldLeft(7L)((h, b) => (31 * h + (b & 0xff)) % 1000000007L)
 
     /** Fake luminance in [0,1): mean unsigned byte / 256. */
     def brightness(bytes: Array[Byte]): Double =
