@@ -554,6 +554,24 @@ object SparkEntry {
                ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
     }),
 
+    // ---- Stateful streaming operator, oracle-gated in batch ------------
+    // flatMapGroupsWithState closed-session emission, run in batch mode:
+    // one invoke per user sees all events, so the output is exactly every
+    // session except each user's final (still-open) one — which the q49
+    // sessionization CTE expresses in SQL. Gates the custom-state operator
+    // itself, not just its windowed cousins.
+    "q56_closed_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val events = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .as[streaming.EventStream.Event]
+      streaming.EventStream.sessionizeClosed(events, gapMinutes = 30).toDF()
+        .select(col("user_id"), col("n_events"), col("first_ts"),
+          col("last_ts"))
+        .orderBy("user_id", "first_ts")
+    }),
+
     // ---- Multimodal plumbing, oracle-gated --------------------------------
     // Binary-column ingest + batched feature extraction over fixture bytes
     // (documents.text cast to binary): schema, metadata struct, magic
@@ -922,6 +940,27 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)
          ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q56_closed_sessions" ->
+      """WITH t AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM events),
+         s AS (
+           SELECT user_id, tus,
+             SUM(new_sess) OVER (PARTITION BY user_id
+               ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM t),
+         g AS (
+           SELECT user_id, sess, COUNT(*) AS n_events,
+             MIN(tus) // 1000 AS first_ts, MAX(tus) // 1000 AS last_ts
+           FROM s GROUP BY user_id, sess),
+         m AS (SELECT user_id, MAX(sess) AS last_sess FROM g GROUP BY user_id)
+         SELECT g.user_id AS user_id, g.n_events, g.first_ts, g.last_ts
+         FROM g JOIN m ON g.user_id = m.user_id AND g.sess != m.last_sess
+         ORDER BY g.user_id, g.first_ts""",
     "q55_media_features" ->
       """SELECT doc_id AS media_id, 'unknown' AS media_type,
            CAST(length(text) AS BIGINT) AS n_bytes,
