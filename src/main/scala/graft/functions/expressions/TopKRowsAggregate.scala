@@ -115,13 +115,14 @@ case class TopKRows(
   override def serialize(buf: RowHeap): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    val writeBuffer = new Array[Byte](4096)
     out.writeInt(buf.pq.size)
     val it = buf.pq.iterator()
     while (it.hasNext) {
       val e = it.next()
       val ur = serProj(new GenericInternalRow(e.keys :+ (e.row: Any)))
       out.writeInt(ur.getSizeInBytes)
-      ur.writeToStream(out, null)
+      ur.writeToStream(out, writeBuffer)
     }
     out.flush()
     bos.toByteArray

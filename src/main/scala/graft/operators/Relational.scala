@@ -153,6 +153,40 @@ object Relational {
     */
   val smallBoundaryN: Long = 100000L
 
+  /** Sort-based boundary split: one TakeOrdered pass over (ts, tiebreak).
+    * Bounded: a single task materializes ≤ n pairs — right for small n,
+    * non-numeric types, or null-bearing key columns (orderBy's null-first
+    * semantics apply naturally here; the quantile path cannot express
+    * them in its boundary filter).
+    */
+  private def sortBoundarySplit(df: DataFrame, tsCol: String,
+                                tiebreak: String, n: Long): (DataFrame, DataFrame) = {
+    require(n <= Int.MaxValue,
+      s"temporalPrefixSplit: n=$n exceeds Int.MaxValue on the sort-based " +
+        s"boundary path (non-numeric or null-bearing '$tsCol'/'$tiebreak')")
+    // boundary = last (t, b) of the sorted n-prefix. The prefix is sorted
+    // asc-nulls-first, so its LAST struct under the same null-last max
+    // semantics needs nulls mapped below everything: order by the struct
+    // with per-field null flags folded in via the row count guard below.
+    val boundaryRow = df.select(col(tsCol).as("t"), col(tiebreak).as("b"))
+      .orderBy(col("t"), col("b")).limit(n.toInt)
+      .agg(count(lit(1)).as("c"),
+        max_by(struct(col("t"), col("b")),
+          struct(col("t").isNotNull, col("t"), col("b").isNotNull, col("b")))
+          .as("m"))
+      .select(col("c"), col("m.t"), col("m.b")).head()
+    if (boundaryRow.getLong(0) == 0L) return (df.limit(0), df) // empty input
+    val (bt, bb) = (lit(boundaryRow.get(1)), lit(boundaryRow.get(2)))
+    // null-safe orderings matching orderBy's asc-nulls-first: every
+    // predicate below is non-null, so prefix/remainder complement exactly
+    def before(c: Column, v: Column): Column =
+      coalesce(c < v, c.isNull && v.isNotNull)
+    def beforeOrEq(c: Column, v: Column): Column = (c <=> v) || before(c, v)
+    val inPrefix = before(col(tsCol), bt) ||
+      (col(tsCol) <=> bt && beforeOrEq(col(tiebreak), bb))
+    (df.filter(inPrefix), df.filter(!inPrefix))
+  }
+
   def temporalPrefixSplit(df: DataFrame, tsCol: String, tiebreak: String,
                           n: Long): (DataFrame, DataFrame) = {
     if (n <= 0) return (df.limit(0), df)
@@ -160,25 +194,21 @@ object Relational {
     val tbDt = df.schema(tiebreak).dataType
     val tsCodec = ordCodec(tsDt)
     if (tsCodec.isEmpty || n <= smallBoundaryN) {
-      // small n (TakeOrdered optimal: one scan, bounded single task) or
-      // non-numeric ts (no codec): sort-based boundary, explicitly bounded
-      require(n <= Int.MaxValue,
-        s"temporalPrefixSplit: n=$n exceeds Int.MaxValue for " +
-          s"non-numeric ts column '$tsCol' (${tsDt.simpleString})")
-      val boundaryRow = df.select(col(tsCol).as("t"), col(tiebreak).as("b"))
-        .orderBy(col("t"), col("b")).limit(n.toInt)
-        .agg(max(struct(col("t"), col("b"))).as("m"))
-        .select(col("m.t"), col("m.b")).head()
-      if (boundaryRow.isNullAt(0)) return (df.limit(0), df) // empty input
-      val (bt, bb) = (boundaryRow.get(0), boundaryRow.get(1))
-      val inPrefix = col(tsCol) < lit(bt) ||
-        (col(tsCol) === lit(bt) && col(tiebreak) <= lit(bb))
-      (df.filter(inPrefix), df.filter(!inPrefix))
+      // small n (TakeOrdered optimal) or non-numeric ts (no codec)
+      sortBoundarySplit(df, tsCol, tiebreak, n)
     } else {
       val (tsTo, tsFrom) = tsCodec.get
-      val total = df.count()
+      val counts = df.agg(count(lit(1)).as("c"),
+        sum(when(col(tsCol).isNull || col(tiebreak).isNull, 1L)
+          .otherwise(0L)).as("nulls")).head()
+      val total = counts.getLong(0)
       if (total == 0) return (df.limit(0), df)
       if (n >= total) return (df, df.limit(0))
+      if (!counts.isNullAt(1) && counts.getLong(1) > 0) {
+        // null keys sort first under orderBy but are inexpressible in the
+        // quantile path's boundary filter — take the sort-based boundary
+        return sortBoundarySplit(df, tsCol, tiebreak, n)
+      }
       val (tStar, cLt) =
         selectByRank(df.select(tsTo(col(tsCol)).as("__v")), n)
       val tsB = tsFrom(tStar)

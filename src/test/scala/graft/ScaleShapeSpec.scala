@@ -80,6 +80,27 @@ class ScaleShapeSpec extends SparkSpec {
     assert(m == f"k${75 + 499 * 100}%07d")
   }
 
+  test("temporalPrefixSplit: null keys keep asc-nulls-first semantics") {
+    def mk(rows: Long) = spark.range(rows).select(
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id") % 50).as("ts"),
+      when(col("id") % 97 === 0, lit(null)).otherwise(col("id")).as("tb"))
+    // small n → sort path with null-safe boundary predicates
+    val df = mk(1000)
+    for (n <- Seq(55L, 600L)) {
+      val (tr, te) = Relational.temporalPrefixSplit(df, "ts", "tb", n)
+      assert(tr.count() == n, s"n=$n")
+      assert(te.count() == 1000 - n, s"n=$n")
+      val key = (r: org.apache.spark.sql.Row) => (r.get(0), r.get(1))
+      val expected = df.orderBy(col("ts"), col("tb")).limit(n.toInt)
+        .collect().map(key).toSet
+      assert(tr.collect().map(key).toSet == expected, s"n=$n")
+    }
+    // large n with nulls → quantile branch detects them and falls back
+    val big = mk(150000)
+    val (tr2, te2) = Relational.temporalPrefixSplit(big, "ts", "tb", 120000L)
+    assert(tr2.count() == 120000L && te2.count() == 30000L)
+  }
+
   test("temporalPrefixSplit: edge cases n<=0, n>=total, empty input") {
     val df = spark.range(100).select(col("id").as("ts"), col("id").as("tb"))
     val (e1, f1) = Relational.temporalPrefixSplit(df, "ts", "tb", 0L)
