@@ -377,10 +377,13 @@ object SparkEntry {
     // E2-E5+E9: claims-style encode pipeline + Poisson GLM; coefficients out.
     "q30_ml_glr_poisson" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
+      // tiny ridge: regParam=0 triggers Spark's Cholesky→Quasi-Newton
+      // retry on near-singular covariance (benign but noisy, and the
+      // unregularized solve is numerically fragile at scale)
       val model = ml.Regressors.poissonGlm(
         Seq("l_returnflag", "l_linestatus"),
         Seq("l_discount", "l_tax", "l_extendedprice"),
-        "l_quantity", maxIter = 25).fit(li)
+        "l_quantity", regParam = 0.001, maxIter = 25).fit(li)
       val glm = model.stages.last
         .asInstanceOf[org.apache.spark.ml.regression.GeneralizedLinearRegressionModel]
       val rows = glm.coefficients.toArray.zipWithIndex.map {
