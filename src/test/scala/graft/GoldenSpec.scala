@@ -50,4 +50,8 @@ class GoldenSpec extends SparkSpec {
   test("golden: q23_dedup_simhash exact rows at sf0.01")(check("q23_dedup_simhash"))
   test("golden: q28_langid exact rows at sf0.01")(check("q28_langid"))
   test("golden: q47_winnow_overlap exact rows at sf0.01")(check("q47_winnow_overlap"))
+  // hash-split and HLL outputs are partition-order-independent (xxhash per
+  // row; HLL merge commutative), so they pin safely too
+  test("golden: q36_stratified_split_counts exact rows at sf0.01")(check("q36_stratified_split_counts"))
+  test("golden: q44_approx_distinct exact rows at sf0.01")(check("q44_approx_distinct"))
 }

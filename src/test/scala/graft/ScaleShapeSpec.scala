@@ -181,6 +181,32 @@ class ScaleShapeSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("partition pruning reaches the scan on partitioned data") {
+    val dir = "target/tmp/events_by_type"
+    Tables.events(spark, sf0001)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+      .select("event_id", "user_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"),
+      s"partition filter did not reach the scan:\n$plan")
+    val all = spark.read.parquet(dir).filter(col("event_type") === "click").count()
+    assert(df.count() == all)
+  }
+
+  test("column pruning: q04's scan reads only the needed columns") {
+    val plan = SparkEntry.queries("q04_filter_pushdown")(spark, sf0001)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse(fail(s"no ReadSchema in\n$plan"))
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("l_orderkey", "l_linenumber", "l_extendedprice",
+      "l_shipdate", "l_discount"), cols.toString)
+  }
+
   test("lshTablesFor: recall sizing is sane and monotonic") {
     assert(Dedup.lshTablesFor(0.5, 4) == 63)
     assert(Dedup.lshTablesFor(0.9, 4) < Dedup.lshTablesFor(0.5, 4))
