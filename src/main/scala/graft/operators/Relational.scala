@@ -285,7 +285,7 @@ object Relational {
     val lTagged = left.select(
       col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
       lit(null).cast(right.schema(valueCol).dataType).as("__v"),
-      struct(left.columns.map(col): _*).as("__row"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__row"))
     val rTagged = right.select(
       col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
       col(valueCol).as("__v"), lit(null).cast(rowType).as("__row"))
@@ -308,7 +308,7 @@ object Relational {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(saltFactor)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

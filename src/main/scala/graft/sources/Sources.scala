@@ -41,7 +41,7 @@ object Sources {
     * withColumn loops: higgs:64-65, claims:30-32, als:33-34).
     */
   def castAll(df: DataFrame, to: String, cols: Seq[String]): DataFrame =
-    df.select(df.columns.map(c =>
+    df.select(df.columns.toIndexedSeq.map(c =>
       if (cols.contains(c)) col(c).cast(to).as(c) else col(c)): _*)
 
   /** Q7 scale path: one-time re-materialization of a non-splittable source
