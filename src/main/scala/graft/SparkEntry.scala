@@ -632,6 +632,46 @@ object SparkEntry {
         .orderBy("q_id", "rn")
     }),
 
+    // ---- LSH ANN, recall-sized to reproduce the exact top-k ------------
+    // OR-amplified hyperplane LSH with `tables` sized by lshTablesFor so a
+    // neighbor at the fixture's 5th-neighbor similarity FLOOR (measured:
+    // 0.255 at sf0.01, 0.279 at sf0.001, 0.329 at sf0.1 — sized at 0.25)
+    // is missed with p ≤ 1e-6; the oracle is the exact brute-force top-k
+    // SQL (same as q26), so a hash-green row proves the bucketing lost no
+    // neighbor. At production ANN similarity floors (≥0.7) the same
+    // operator needs an order of magnitude fewer tables.
+    "q57_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+          dim = 64, planes = 4, tables = Dedup.lshTablesFor(0.25, planes = 4))
+        .orderBy("q_id", "rn")
+    }),
+
+    // ---- Top-k window rewrite, gated on the REWRITTEN plan -------------
+    // q02's query under GraftExtensions' RewriteTopKWindow: the isolated
+    // session (private SQLConf + ExperimentalMethods — the flag and rule
+    // never leak into concurrently-running queries) opts in, and the
+    // require() proves the oracle-checked result came from the bounded-heap
+    // topkrows aggregate, not the row_number window.
+    "q58_topk_rewrite" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations = Seq(plans.RewriteTopKWindow)
+      s2.conf.set("spark.graft.topkRewrite.enabled", "true")
+      val counts = Tables.events(s2, dir)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      val df = Relational.topKPerGroup(counts, Seq("event_type"), col("cnt"),
+          3, Seq(col("user_id")))
+        .withColumn("rn", col("rn").cast("long"))
+        .select("event_type", "user_id", "cnt", "rn")
+        .orderBy("event_type", "rn")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("topkrows"),
+        "q58 must execute the rewritten bounded-heap plan")
+      require(!plan.contains("Window"),
+        "q58 must not contain a row_number window")
+      df
+    }),
+
     // ---- End-to-end corpus pipeline: quality filter → near-dedup -------
     // The C4-style composition (length/alpha gates, then keep-first
     // near-dup removal), oracle-checked against the full quadratic
@@ -662,6 +702,45 @@ object SparkEntry {
     }),
   )
 
+  /** Exact brute-force cosine top-5 for queries vec_id < 5 — the shared
+    * oracle for every ANN variant (q26 brute-force, q52 IVF-exhaustive,
+    * q57 recall-sized LSH): approximate paths must reproduce it exactly.
+    */
+  private val exactTopKSql: String =
+    """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(v)+1), i -> v[i] * v[i])),
+               (acc, x) -> acc + x)) AS nrm
+           FROM e),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])),
+               (acc, x) -> acc + x) / (q.nrm * c.nrm), 6) AS sim
+           FROM n q, n c
+           WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
+         SELECT q_id, n_id, sim, rn FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, n_id) AS rn
+           FROM scored)
+         WHERE rn <= 5 ORDER BY q_id, rn"""
+
+  /** Top-3 users per event type — shared by q02 (window plan) and q58 (the
+    * same query under the opt-in bounded-heap rewrite).
+    */
+  private val topUsersSql: String =
+    """SELECT event_type, user_id, cnt, rn FROM (
+           SELECT event_type, user_id, COUNT(*) AS cnt,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY COUNT(*) DESC, user_id) AS rn
+           FROM events GROUP BY event_type, user_id)
+         WHERE rn <= 3 ORDER BY event_type, rn"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -672,13 +751,8 @@ object SparkEntry {
          COUNT(*) AS cnt
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
-    "q02_top_users_per_type" ->
-      """SELECT event_type, user_id, cnt, rn FROM (
-           SELECT event_type, user_id, COUNT(*) AS cnt,
-                  ROW_NUMBER() OVER (PARTITION BY event_type
-                                     ORDER BY COUNT(*) DESC, user_id) AS rn
-           FROM events GROUP BY event_type, user_id)
-         WHERE rn <= 3 ORDER BY event_type, rn""",
+    "q02_top_users_per_type" -> topUsersSql,
+    "q58_topk_rewrite" -> topUsersSql,
     "q03_status_distribution" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt,
          CAST(COUNT(*) AS DOUBLE) * 100 / SUM(COUNT(*)) OVER () AS pct
@@ -861,29 +935,8 @@ object SparkEntry {
                (acc, x) -> acc + x) / (a.nrm * b.nrm), 4) AS sim
            FROM n a, n b WHERE a.vec_id < b.vec_id)
          WHERE sim > 0.5 ORDER BY id_a, id_b""",
-    "q26_sim_topk" ->
-      """WITH e AS (
-           SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-         n AS (
-           SELECT vec_id, v,
-             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_transform(range(1, len(v)+1), i -> v[i] * v[i])),
-               (acc, x) -> acc + x)) AS nrm
-           FROM e),
-         scored AS (
-           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])),
-               (acc, x) -> acc + x) / (q.nrm * c.nrm), 6) AS sim
-           FROM n q, n c
-           WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
-         SELECT q_id, n_id, sim, rn FROM (
-           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-                       ORDER BY sim DESC, n_id) AS rn
-           FROM scored)
-         WHERE rn <= 5 ORDER BY q_id, rn""",
+    "q26_sim_topk" -> exactTopKSql,
+    "q57_lsh_topk" -> exactTopKSql,
     "q42_except_all" ->
       """SELECT user_id, COUNT(*) AS cnt FROM (
            SELECT user_id FROM events WHERE event_type = 'click'
@@ -987,29 +1040,7 @@ object SparkEntry {
          JOIN customer ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
     // identical to q26: exhaustive probing must reproduce exact top-k
-    "q52_ivf_exhaustive" ->
-      """WITH e AS (
-           SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-         n AS (
-           SELECT vec_id, v,
-             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_transform(range(1, len(v)+1), i -> v[i] * v[i])),
-               (acc, x) -> acc + x)) AS nrm
-           FROM e),
-         scored AS (
-           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])),
-               (acc, x) -> acc + x) / (q.nrm * c.nrm), 6) AS sim
-           FROM n q, n c
-           WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
-         SELECT q_id, n_id, sim, rn FROM (
-           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-                       ORDER BY sim DESC, n_id) AS rn
-           FROM scored)
-         WHERE rn <= 5 ORDER BY q_id, rn""",
+    "q52_ivf_exhaustive" -> exactTopKSql,
     "q53_corpus_filter" ->
       """WITH q AS (
            SELECT * FROM documents

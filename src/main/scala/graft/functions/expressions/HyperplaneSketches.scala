@@ -1,9 +1,9 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** All `tables` hyperplane sketches of a double-array vector in ONE
   * compiled pass: element t of the output is the packed bucket key
@@ -19,9 +19,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class HyperplaneSketches(child: Expression, dim: Int, planes: Int,
                               tables: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
-  require(planes >= 1 && planes <= 62, s"planes in [1,62]: $planes")
-  require(tables >= 1, s"tables >= 1: $tables")
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  // packed key is t * 2^planes + bits: cap planes so tables * 2^planes can
+  // never overflow Long and alias bucket keys across tables
+  require(planes >= 1 && planes <= 56, s"planes in [1,56]: $planes")
+  require(tables >= 1 && tables.toLong <= (Long.MaxValue >> planes),
+    s"tables * 2^planes must fit in a Long: tables=$tables planes=$planes")
+
+  // the SQL surface (graft_hyperplane_sketches) would otherwise accept any
+  // array type and read 8-byte doubles over e.g. float elements — demand
+  // array<double> so the analyzer inserts a cast or rejects the call
+  // Seq[DataType] <: Seq[AbstractDataType] (AbstractDataType is
+  // private[sql] in Spark 4; the covariant override keeps us on public API)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
 
   // tables × planes plane vectors, flattened; row (t*planes + p) is plane p
   // of table t — same gaussian stream as hyperplaneSketch(seed + t)

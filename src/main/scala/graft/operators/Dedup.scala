@@ -99,15 +99,33 @@ object Dedup {
     * the standard keep-first policy of corpus pipelines. One anti-join
     * against the (small) duplicate-id set.
     *
+    * NOTE: the dup-id frame (small — one id per dropped document) stays
+    * cached for the SESSION lifetime so the returned plan can be executed
+    * any number of times; callers running many dedups in one long-lived
+    * session should use [[dropNearDuplicatesReleasable]] and invoke the
+    * release hook once the result is materialized.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, shingleWidth: Int = 3,
+                         bands: Int = 32, rowsPerBand: Int = 4): DataFrame =
+    dropNearDuplicatesReleasable(df, idCol, textCol, threshold, shingleWidth,
+      bands, rowsPerBand)._1
+
+  /** As [[dropNearDuplicates]], also returning a release hook that frees
+    * the cached dup-id frame. Call it AFTER the returned DataFrame has been
+    * materialized (written / collected / counted); executing the plan after
+    * release recomputes the full candidate generation.
+    *
     * The sketch subplan is persisted (MEMORY_AND_DISK) while the dup-id
     * set is materialized — it is consumed 3× (band self-join twice,
     * candidate join-back) and the shingle/minhash kernels are the
     * expensive narrow work — then unpersisted; only the SMALL dup-id
-    * frame stays resident for the anti-join.
+    * frame stays resident for the anti-join, released by the hook.
     */
-  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                         threshold: Double, shingleWidth: Int = 3,
-                         bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+  def dropNearDuplicatesReleasable(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleWidth: Int = 3,
+      bands: Int = 32, rowsPerBand: Int = 4): (DataFrame, () => Unit) = {
     val (cands, sketch) = minhashCandidatesWithSketch(df, idCol, textCol,
       shingleWidth, bands, rowsPerBand)
     sketch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -118,7 +136,8 @@ object Dedup {
         .select(col("id_b").as(idCol)).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       dupIds.count() // materialize the small dup-id set off the sketch
-      df.join(dupIds, Seq(idCol), "left_anti")
+      (df.join(dupIds, Seq(idCol), "left_anti"),
+        () => { dupIds.unpersist(blocking = false); () })
     } finally sketch.unpersist(blocking = false)
   }
 

@@ -64,9 +64,20 @@ object Similarity {
   /** IVF (inverted-file) approximate top-k: partition the corpus into
     * `nLists` KMeans cells once; at query time score only the `nProbe`
     * nearest cells' members. Corpus side: one narrow assignment pass +
-    * cell-key equi-join; centroids broadcast as literals. The coarse
-    * quantizer is trained on a bounded sample, so training cost is
-    * independent of corpus size.
+    * cell-key equi-join. The coarse quantizer is trained on a bounded
+    * sample, so training cost is independent of corpus size.
+    *
+    * Coarse probe (the IVF-scale concern): centroids live in a SMALL
+    * DataFrame — one row per cell — never a plan-embedded literal array, so
+    * the plan/codegen size is O(1) in nLists (at IVF-scale list counts,
+    * nLists ≈ √N ≈ 10⁴-10⁵, a typedlit of all centroids is megabytes in
+    * every plan). Queries × centroids is a broadcast cross join (the
+    * centroid side is broadcast; per-row work is one dot product, sharded
+    * across partitions instead of an O(nLists·dim) sort per query row),
+    * ranked by the affinity 2·q·c − |c|² (equivalent to squared distance),
+    * and the nProbe cell selection reuses the same bounded-heap partial
+    * aggregate as the final reduction — shuffle volume is nProbe rows per
+    * query per partition, never queries × nLists.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4, seed: Long = 40L,
@@ -81,18 +92,25 @@ object Similarity {
       .fit(train)
     val assigned = km.transform(c).withColumnRenamed("prediction", "cell")
       .select("n_id", "v_n", "nrm_n", "cell")
-    val centroids = km.clusterCenters.map(_.toArray.toSeq).toSeq
-    // nProbe nearest cells per query, via distance to the literal centroids
-    val cellsOf = (v: Column) => slice(transform(array_sort(
-      zip_with(typedlit(centroids), typedlit(centroids.indices.map(_.toLong)),
-        (cen, i) => struct(
-          (V.dot(v, cen) * -2 + V.dot(cen, cen)).as("negaff"), i.as("cell")))),
-      s => s.getField("cell")), 1, nProbe)
-    val q = queries.select(col(idCol).as("q_id"),
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cent = km.clusterCenters.toSeq.zipWithIndex
+      .map { case (cv, i) => (i.toLong, cv.toArray.toSeq) }
+      .toDF("cell_id", "cen")
+      .withColumn("c2", V.dot(col("cen"), col("cen")))
+    val qBase = queries.select(col(idCol).as("q_id"),
         V.toDoubleArray(col(vecCol)).as("v_q"))
       .withColumn("nrm_q", V.norm(col("v_q")))
-      .withColumn("cell_l", explode(cellsOf(col("v_q"))))
-      .withColumn("cell", col("cell_l").cast("int")).drop("cell_l")
+    // nProbe nearest cells per query: maximize 2·q·c − |c|² (ties → smaller
+    // cell id, matching the heap's deterministic ordering)
+    val qCells = qBase.crossJoin(broadcast(cent))
+      .withColumn("aff", V.dot(col("v_q"), col("cen")) * 2 - col("c2"))
+      .groupBy("q_id")
+      .agg(AggFunctions.topKByScore(col("aff"), col("cell_id"), nProbe)
+        .as("cells"))
+      .select(col("q_id"), explode(col("cells")).as("ce"))
+      .select(col("q_id"), col("ce.n_id").cast("int").as("cell"))
+    val q = qBase.join(qCells, Seq("q_id"))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", round(

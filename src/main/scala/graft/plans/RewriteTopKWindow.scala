@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, CreateStruct, CurrentRow, Expression, GetStructField, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PosExplode, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.types.{IntegerType, StructType}
@@ -63,8 +63,22 @@ object RewriteTopKWindow extends Rule[LogicalPlan] {
                 .isOrderable(so.child.dataType)) &&
             partSpec.forall(_.deterministic) =>
         extractK(cond, alias.toAttribute) match {
-          case Some(k) if k >= 1 && k <= maxK => rewrite(alias, partSpec,
-            orderSpec, child, k)
+          case Some(k) if k >= 1 && k <= maxK =>
+            // absorb the WindowGroupLimit Spark's InferWindowGroupLimit
+            // inserted from the SAME rn-filter: it keeps every row with
+            // ranklike ≤ limit — a superset of the row_number top-k the
+            // aggregate selects (ranklike ≤ row_number), so dropping it is
+            // semantics-preserving and removes its per-partition sort
+            val base = child match {
+              case WindowGroupLimit(p, o, _, limit, inner)
+                if limit >= k && p.length == partSpec.length &&
+                  p.zip(partSpec).forall { case (a, b) => a.semanticEquals(b) } &&
+                  o.length == orderSpec.length &&
+                  o.zip(orderSpec).forall { case (a, b) => a.semanticEquals(b) } =>
+                inner
+              case other => other
+            }
+            rewrite(alias, partSpec, orderSpec, base, k)
           case _ => f
         }
     }

@@ -141,8 +141,14 @@ object EventStream {
                   closed += emit(s) // gap inside the batch: session is final
                   Some(OpenSession(uid, 1L, e.value, t, t))
                 case Some(s) =>
+                  // merge with min/max bounds: a late-but-within-watermark
+                  // event from a later batch can carry t < s.last_us (or
+                  // even t < s.first_us); taking last_us = t would REGRESS
+                  // the session end and shrink the already-set event-time
+                  // timeout
                   Some(OpenSession(uid, s.n_events + 1,
-                    s.total_value + e.value, s.first_us, t))
+                    s.total_value + e.value,
+                    math.min(s.first_us, t), math.max(s.last_us, t)))
                 case None =>
                   Some(OpenSession(uid, 1L, e.value, t, t))
               }

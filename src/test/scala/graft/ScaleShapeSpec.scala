@@ -207,6 +207,36 @@ class ScaleShapeSpec extends SparkSpec {
       "l_shipdate", "l_discount"), cols.toString)
   }
 
+  test("ivfTopK coarse probe: no literal centroids, partial cell-selection at nLists=256") {
+    // synthetic 2000×8 corpus so nLists=256 is a realistic cell count
+    val base = spark.range(2000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => round(sin((col("id") + 1) * i), 6)).as("embedding"))
+    val df = Similarity.ivfTopK(base, base.filter(col("vec_id") < 3), k = 3,
+      nLists = 256, nProbe = 4)
+    // the centroid table must be a (broadcast) relation, never a
+    // plan-embedded literal array-of-arrays — at IVF-scale list counts a
+    // typedlit of all centroids is megabytes in every plan/codegen unit
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType => AT}
+    val hasCentroidLiteral = df.queryExecution.optimizedPlan.exists(p =>
+      p.expressions.exists(_.exists {
+        case l: Literal => l.dataType match {
+          case AT(AT(_, _), _) => true
+          case _ => false
+        }
+        case _ => false
+      }))
+    assert(!hasCentroidLiteral,
+      "centroids must be a DataFrame, not a plan literal")
+    val exec = df.queryExecution.executedPlan.toString
+    // bounded-heap partial phases: one in the cell-selection aggregate,
+    // one in the final top-k reduction
+    assert("partial_topkbyscore".r.findAllIn(exec).size >= 2, exec)
+    assert(df.count() == 3 * 3)
+  }
+
   test("lshTablesFor: recall sizing is sane and monotonic") {
     assert(Dedup.lshTablesFor(0.5, 4) == 63)
     assert(Dedup.lshTablesFor(0.9, 4) < Dedup.lshTablesFor(0.5, 4))
