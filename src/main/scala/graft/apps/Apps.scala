@@ -61,11 +61,19 @@ object EnsembleApp {
       maxDepths = Seq(3, 5), numFolds = 2).fit(sample))
     val gbtBest = Classifiers.bestParams(gbtCv)
     val Array(train, test) = data.randomSplit(Array(0.7, 0.3), seed = 40)
+    // final full-data fits for BOTH arms, carrying the COMPLETE winning
+    // param set from each grid (higgs:156-177: RF numTrees +
+    // subsamplingRate, GBT maxIter + maxDepth)
     val (model, fitSecs) = Timing.timed(Classifiers.randomForest(
       features, "label",
-      numTrees = best("numTrees").asInstanceOf[Int]).fit(train))
+      numTrees = best("numTrees").asInstanceOf[Int],
+      subsamplingRate = best("subsamplingRate").asInstanceOf[Double]).fit(train))
+    val (gbtModel, gbtFitSecs) = Timing.timed(Classifiers.gbt(
+      features, "label",
+      maxIter = gbtBest("maxIter").asInstanceOf[Int],
+      maxDepth = gbtBest("maxDepth").asInstanceOf[Int]).fit(train))
     val preds = model.transform(test).cache()
-    val gbtPreds = gbtCv.bestModel.transform(test)
+    val gbtPreds = gbtModel.transform(test)
     val metrics = Classifiers.classificationMetrics(preds, "label", binary = true)
     val gbtMetrics = Classifiers.classificationMetrics(gbtPreds, "label",
       binary = true).map { case (k, v) => s"gbt_$k" -> v }
@@ -77,14 +85,14 @@ object EnsembleApp {
     // E19 parity: featureImportances for both ensemble arms (higgs:47,55)
     val rfImp = Classifiers.featureImportances(model, features)
       .map { case (f, v) => f"rf,$f,$v%.6f" }
-    val gbtImp = Classifiers.featureImportances(
-        gbtCv.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel], features)
+    val gbtImp = Classifiers.featureImportances(gbtModel, features)
       .map { case (f, v) => f"gbt,$f,$v%.6f" }
     Sources.writeTextReport(s"$out/metrics.txt",
       AppSession.fmt(metrics ++ gbtMetrics) ++
         Seq(f"cv_fit_seconds = $cvSecs%.2f",
           f"gbt_cv_fit_seconds = $gbtCvSecs%.2f",
-          f"final_fit_seconds = $fitSecs%.2f") ++
+          f"final_fit_seconds = $fitSecs%.2f",
+          f"gbt_final_fit_seconds = $gbtFitSecs%.2f") ++
         (best.map { case (k, v) => s"best_rf_$k" -> v } ++
           gbtBest.filter { case (k, _) => Set("maxIter", "maxDepth")(k) }
             .map { case (k, v) => s"best_gbt_$k" -> v })
@@ -129,15 +137,31 @@ object ClaimsApp {
       val m = Regressors.logistic(cats, nums, "nz", 0.0, maxIter = 20).fit(train)
       Classifiers.classificationMetrics(m.transform(test), "nz", binary = true)
     }
-    val curve = Regressors.validationCurve(
-      rp => Regressors.poissonGlm(cats, nums, "l_quantity", rp, maxIter = 20),
-      train, test, "l_quantity", Seq(0.001, 0.01, 0.1, 1.0, 10.0))
+    // regParam validation curves for ALL FIVE model families at the
+    // reference's five points (Claims_Prediction.py:141-152: Poisson GLM +
+    // linear L1/L2 on RMSE, logistic L1/L2 on accuracy) — one CSV each
+    val regParams = Seq(0.001, 0.01, 0.1, 1.0, 10.0)
+    val families: Seq[(String, Double => org.apache.spark.ml.Pipeline, String, String)] = Seq(
+      ("poisson", rp => Regressors.poissonGlm(cats, nums, "l_quantity", rp, maxIter = 20),
+        "l_quantity", "rmse"),
+      ("linear_l1", rp => Regressors.linear(cats, nums, "logq", 1.0, rp, maxIter = 20),
+        "logq", "rmse"),
+      ("linear_l2", rp => Regressors.linear(cats, nums, "logq", 0.0, rp, maxIter = 20),
+        "logq", "rmse"),
+      ("logistic_l1", rp => Regressors.logistic(cats, nums, "nz", 1.0, rp, maxIter = 20),
+        "nz", "accuracy"),
+      ("logistic_l2", rp => Regressors.logistic(cats, nums, "nz", 0.0, rp, maxIter = 20),
+        "nz", "accuracy"))
+    families.foreach { case (name, pipeFor, label, metric) =>
+      val curve = Regressors.validationCurveMetric(pipeFor, train, test,
+        label, metric, regParams)
+      Sources.writeTextReport(s"$out/validation_curve_$name.csv",
+        s"regParam,$metric" +: curve.map { case (rp, v) => f"$rp,$v%.6f" })
+    }
     Sources.writeTextReport(s"$out/metrics.txt",
       AppSession.fmt(fits ++ Map(
         "logistic_accuracy" -> logAcc("accuracy"),
         "logistic_auc" -> logAcc("areaUnderROC"))))
-    Sources.writeTextReport(s"$out/validation_curve.csv",
-      "regParam,rmse" +: curve.map { case (rp, r) => f"$rp,$r%.6f" })
     println(s"[claims] ${fits.mkString(", ")} -> $out")
     spark.stop()
   }

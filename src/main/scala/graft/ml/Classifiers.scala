@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
 object Classifiers {
 
   def randomForest(features: Seq[String], labelCol: String,
-                   numTrees: Int = 25, seed: Long = 40L): Pipeline = {
+                   numTrees: Int = 25, subsamplingRate: Double = 1.0,
+                   seed: Long = 40L): Pipeline = {
     val rf = new RandomForestClassifier()
       .setLabelCol(labelCol).setFeaturesCol("features")
-      .setNumTrees(numTrees).setSeed(seed)
+      .setNumTrees(numTrees).setSubsamplingRate(subsamplingRate).setSeed(seed)
     new Pipeline().setStages(Array(Features.assemble(features), rf))
   }
 

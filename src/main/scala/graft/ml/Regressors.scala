@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.LogisticRegression
-import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.evaluation.{MulticlassClassificationEvaluator, RegressionEvaluator}
 import org.apache.spark.ml.regression.{GeneralizedLinearRegression, LinearRegression}
 import org.apache.spark.sql.DataFrame
 
@@ -66,10 +66,27 @@ object Regressors {
   def validationCurve(pipelineFor: Double => Pipeline, train: DataFrame,
                       test: DataFrame, labelCol: String,
                       regParams: Seq[Double]): Seq[(Double, Double)] =
+    validationCurveMetric(pipelineFor, train, test, labelCol, "rmse",
+      regParams)
+
+  /** As [[validationCurve]] with a chosen metric: a RegressionEvaluator
+    * name ("rmse"/"mae"/"mse") for regression families, or "accuracy" for
+    * classification families — the reference's curves use RMSE for the
+    * Poisson/linear fits and ACCURACY for the logistic ones
+    * (Claims_Prediction.py:148-152).
+    */
+  def validationCurveMetric(pipelineFor: Double => Pipeline, train: DataFrame,
+                            test: DataFrame, labelCol: String, metric: String,
+                            regParams: Seq[Double]): Seq[(Double, Double)] =
     regParams.map { rp =>
       val model: PipelineModel = pipelineFor(rp).fit(train)
-      val rmse = new RegressionEvaluator().setLabelCol(labelCol)
-        .setMetricName("rmse").evaluate(model.transform(test))
-      rp -> rmse
+      val preds = model.transform(test)
+      val v = metric match {
+        case "accuracy" => new MulticlassClassificationEvaluator()
+          .setLabelCol(labelCol).setMetricName("accuracy").evaluate(preds)
+        case r => new RegressionEvaluator().setLabelCol(labelCol)
+          .setMetricName(r).evaluate(preds)
+      }
+      rp -> v
     }
 }

@@ -54,4 +54,16 @@ class GoldenSpec extends SparkSpec {
   // row; HLL merge commutative), so they pin safely too
   test("golden: q36_stratified_split_counts exact rows at sf0.01")(check("q36_stratified_split_counts"))
   test("golden: q44_approx_distinct exact rows at sf0.01")(check("q44_approx_distinct"))
+  // seeded-ML pins: every fit is seeded and the emitted numbers are rounded
+  // (q30 coefficients 4 dp, q31 metrics 2 dp), so under this suite's fixed
+  // session config (local[4], 4 shuffle partitions — randomSplit sampling
+  // depends on the scan partitioning) the outputs are exact; a kernel /
+  // seed / Spark-upgrade drift can no longer hide behind the rows-only
+  // CORRECTNESS check
+  test("golden: q29_ml_rf_confusion exact rows at sf0.01")(check("q29_ml_rf_confusion"))
+  test("golden: q30_ml_glr_poisson exact rows at sf0.01")(check("q30_ml_glr_poisson"))
+  test("golden: q31_ml_logistic_metrics exact rows at sf0.01")(check("q31_ml_logistic_metrics"))
+  test("golden: q32_ml_als_recs exact rows at sf0.01")(check("q32_ml_als_recs"))
+  test("golden: q33_ml_kmeans_embed exact rows at sf0.01")(check("q33_ml_kmeans_embed"))
+  test("golden: q34_ml_cv_best_params exact rows at sf0.01")(check("q34_ml_cv_best_params"))
 }
