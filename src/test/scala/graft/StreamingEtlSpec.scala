@@ -162,6 +162,33 @@ class StreamingEtlSpec extends SparkSpec {
       gotM.getOrElse(k, 0) >= n })
   }
 
+  test("sessionizeClosed merges a late in-watermark event without regressing bounds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, offsetMin: Long) = EventStream.Event(id,
+      new java.sql.Timestamp(t0 + offsetMin * 60000L), 1L, "click", 1.0)
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeClosed(input.toDS(), gapMinutes = 30)
+      .toDF().writeStream.format("memory").queryName("late_event_test")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 0), ev(2, 10))
+      q.processAllAvailable() // watermark now t0+10min − 30min
+      input.addData(ev(3, 5)) // LATE but above watermark: must merge
+      q.processAllAvailable()
+      input.addData(ev(4, 120)) // gap > 30min closes the session in-batch
+      q.processAllAvailable()
+      val got = spark.table("late_event_test")
+        .select("user_id", "n_events", "first_ts", "last_ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      // the late event joins the open session; bounds stay [t0, t0+10min] —
+      // before the min/max merge, last_ts regressed to the late t0+5min
+      assert(got == Seq((1L, 3L, t0, t0 + 10 * 60000L)), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming dedup: dropDuplicates over a watermarked stream") {
     val deduped = EventStream.readEvents(spark, sf0001)
       .withWatermark("ts", "1 hour")
