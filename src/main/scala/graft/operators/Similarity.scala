@@ -141,11 +141,17 @@ object Similarity {
       .withColumn("nrm_q", V.norm(col("v_q")))
       .select(col("q_id"), col("v_q"), col("nrm_q"),
         explode(buckets(col("v_q"))).as("bucket"))
+    // score BEFORE deduplicating (a pair sharing b buckets is scored b
+    // times — identical sim each time, narrow codegen'd work), so the
+    // dedup shuffle carries 24-byte (q_id, n_id, sim) rows instead of both
+    // full vectors; at corpus scale shuffle bytes, not dot products, are
+    // the binding cost
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .dropDuplicates("q_id", "n_id")
       .withColumn("sim", round(
         V.dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")), 6))
+      .select("q_id", "n_id", "sim")
+      .dropDuplicates("q_id", "n_id")
     topKReduce(scored, k)
   }
 }

@@ -237,6 +237,24 @@ class ScaleShapeSpec extends SparkSpec {
     assert(df.count() == 3 * 3)
   }
 
+  test("lshTopK candidate dedup shuffles (q_id, n_id, sim), not vectors") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val df = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), k = 3)
+    // the (q_id, n_id) dedup aggregate must sit ABOVE the scoring
+    // projection: its input rows are 24-byte (q_id, n_id, sim), never the
+    // two full embedding vectors — shuffle bytes are the scale cost
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.{ArrayType => AT}
+    val dedupAggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.groupingExpressions.length == 2 => a
+    }
+    assert(dedupAggs.nonEmpty, "dedup aggregate missing from the plan")
+    dedupAggs.foreach { a =>
+      assert(a.child.output.forall(at => !at.dataType.isInstanceOf[AT]),
+        s"vector column shuffles through the dedup: ${a.child.output}")
+    }
+  }
+
   test("lshTablesFor: recall sizing is sane and monotonic") {
     assert(Dedup.lshTablesFor(0.5, 4) == 63)
     assert(Dedup.lshTablesFor(0.9, 4) < Dedup.lshTablesFor(0.5, 4))
