@@ -105,4 +105,21 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("q_id", "n_id").as[(Long, Long)].collect()
     assert(lshTop.count(brute.contains).toDouble / lshTop.length > 0.5)
   }
+
+  test("dropNearDuplicatesReleasable frees the dup-id cache on release") {
+    val docs = Tables.documents(spark, sf0001)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (res, release) = Dedup.dropNearDuplicatesReleasable(
+      docs, "doc_id", "text", threshold = 0.8)
+    assert(res.count() > 0)
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "dup-id frame should be cached while the result is live")
+    release()
+    // unpersist(blocking = false) completes asynchronously
+    val deadline = System.currentTimeMillis + 10000
+    while (spark.sparkContext.getPersistentRDDs.size > before &&
+        System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "release() must drop the cached dup-id frame")
+  }
 }

@@ -230,6 +230,39 @@ class StreamingEtlSpec extends SparkSpec {
       Seq(20L))
   }
 
+  test("SQL surface coerces or rejects mistyped inputs at analysis time") {
+    GraftFunctions.register(spark)
+    // a raw float embedding column implicit-casts to array<double> — before
+    // the inputTypes contract, ArrayData.getDouble read 8-byte garbage over
+    // 4-byte elements and produced silently wrong bucket keys
+    val viaFloat = spark.sql(
+      """SELECT graft_hyperplane_sketches(
+           cast(array(1.0, -2.0) AS array<float>), 2, 8, 5, 42L) AS ks""")
+      .head().getSeq[Long](0)
+    val viaDouble = spark.sql(
+      """SELECT graft_hyperplane_sketches(array(1.0d, -2.0d), 2, 8, 5, 42L)
+           AS ks""").head().getSeq[Long](0)
+    assert(viaFloat == viaDouble)
+    // graft_topk(float, int, k) coerces during analysis instead of a
+    // ClassCastException mid-execution
+    val t = spark.sql(
+      """SELECT graft_topk(s, i, 2) AS top FROM VALUES
+           (cast(0.9 AS float), 10), (cast(0.5 AS float), 11) AS t(s, i)""")
+      .head()
+    assert(t.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0)) ==
+      Seq(10L, 11L))
+    // non-castable input is rejected at analysis, not at runtime
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hyperplane_sketches('oops', 2, 8, 5, 42L)")
+        .head()
+    }
+    // packed-key overflow guard: planes capped so tables * 2^planes fits
+    intercept[IllegalArgumentException] {
+      graft.functions.expressions.HyperplaneSketches(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), 2, 57, 2, 42L)
+    }
+  }
+
   test("GraftExtensions injects every function via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
