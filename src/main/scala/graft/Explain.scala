@@ -36,8 +36,27 @@ object Explain {
       var flagged = 0
       names.foreach { n =>
         try {
-          val plan = SparkEntry.queries(n)(spark, sfDir)
-            .queryExecution.executedPlan.toString
+          val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
+          val plan = qe.executedPlan.toString
+          // wide rows into a dedup shuffle: a dropDuplicates-shaped
+          // Aggregate (grouping attrs + first()-carried payload) whose
+          // input still carries array columns — shuffle bytes a pre-dedup
+          // projection (score/verify first) would have dropped
+          import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+          import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First}
+          import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          val wideDedup = qe.optimizedPlan.exists {
+            case a: Aggregate if a.groupingExpressions.nonEmpty =>
+              val dedupShaped = a.aggregateExpressions.forall {
+                case _: Attribute => true
+                case Alias(ae: AggregateExpression, _) =>
+                  ae.aggregateFunction.isInstanceOf[First]
+                case _ => false
+              }
+              dedupShaped && a.child.output.exists(_.dataType
+                .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+            case _ => false
+          }
           val smells = Seq(
             "CartesianProduct" -> plan.contains("CartesianProduct"),
             "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
@@ -45,6 +64,7 @@ object Explain {
               plan.contains("Exchange SinglePartition"),
             "single-partition-arg" ->
               plan.contains("Arguments: SinglePartition"),
+            "array-cols-into-dedup-shuffle" -> wideDedup,
           ).collect { case (s, true) => s }
           if (smells.nonEmpty) {
             flagged += 1

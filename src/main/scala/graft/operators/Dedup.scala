@@ -181,11 +181,15 @@ object Dedup {
       col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sketched.select(col("ck"),
       col("id").as("id_b"), col("sh").as("sh_b"))
+    // verify BEFORE deduplicating: hamming is a narrow bit_count per
+    // candidate (identical for every chunk-pair key a pair collides on),
+    // so filtering first shrinks the dedup shuffle from the full candidate
+    // volume (~10·N²/2^26.6 rows) to only the true near-dup pairs
     a.join(b, Seq("ck")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", T.hamming64(col("sh_a"), col("sh_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Number of OR-amplified hyperplane tables needed so a pair at EXACTLY

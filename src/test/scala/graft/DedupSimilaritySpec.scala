@@ -107,19 +107,24 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("dropNearDuplicatesReleasable frees the dup-id cache on release") {
-    val docs = Tables.documents(spark, sf0001)
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // a filter no other suite uses, so CacheManager can't dedupe this
+    // call's dup-id plan onto a cache entry leaked by an earlier q45/q53
+    // run (identical plans share one entry and no new RDD id appears)
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 431)
+    // track the SPECIFIC ids this call registers — other suites' cached
+    // frames (and their in-flight async unpersists) must not affect us
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (res, release) = Dedup.dropNearDuplicatesReleasable(
       docs, "doc_id", "text", threshold = 0.8)
     assert(res.count() > 0)
-    assert(spark.sparkContext.getPersistentRDDs.size > before,
+    def fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(fresh.nonEmpty,
       "dup-id frame should be cached while the result is live")
     release()
     // unpersist(blocking = false) completes asynchronously
     val deadline = System.currentTimeMillis + 10000
-    while (spark.sparkContext.getPersistentRDDs.size > before &&
-        System.currentTimeMillis < deadline) Thread.sleep(100)
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "release() must drop the cached dup-id frame")
+    while (fresh.nonEmpty && System.currentTimeMillis < deadline)
+      Thread.sleep(100)
+    assert(fresh.isEmpty, "release() must drop the cached dup-id frame")
   }
 }
