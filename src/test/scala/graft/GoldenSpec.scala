@@ -66,4 +66,5 @@ class GoldenSpec extends SparkSpec {
   test("golden: q32_ml_als_recs exact rows at sf0.01")(check("q32_ml_als_recs"))
   test("golden: q33_ml_kmeans_embed exact rows at sf0.01")(check("q33_ml_kmeans_embed"))
   test("golden: q34_ml_cv_best_params exact rows at sf0.01")(check("q34_ml_cv_best_params"))
+  test("golden: q35_ml_cluster_tokens exact rows at sf0.01")(check("q35_ml_cluster_tokens"))
 }
