@@ -672,6 +672,24 @@ object SparkEntry {
       df
     }),
 
+    // ---- North-star: BPE-ish pre-token counting + fertility ------------
+    // Pre-tokenizer budget metric for training pipelines: BPE-style token
+    // counts next to whitespace-word counts, and their ratio (fertility).
+    // The regex is RE2-compatible so DuckDB evaluates the identical
+    // pattern — the counts hash-match, gating the tokenizer itself.
+    "q59_bpe_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("n_bpe",
+          size(TextFunctions.bpeTokens(col("text"))).cast("long"))
+        .withColumn("n_ws",
+          size(TextFunctions.tokens(col("text"))).cast("long"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("docs"),
+          sum("n_bpe").as("bpe_tokens"),
+          sum("n_ws").as("ws_tokens"),
+          (sum("n_bpe").cast("double") / sum("n_ws")).as("fertility"))
+        .orderBy("lang")),
+
     // ---- End-to-end corpus pipeline: quality filter → near-dedup -------
     // The C4-style composition (length/alpha gates, then keep-first
     // near-dup removal), oracle-checked against the full quadratic
@@ -1066,6 +1084,19 @@ object SparkEntry {
          SELECT doc_id, lang FROM q
          WHERE doc_id NOT IN (SELECT doc_id FROM dups)
          ORDER BY doc_id""",
+    // same RE2-safe pattern on both engines; '' is the SQL-escaped quote
+    "q59_bpe_tokens" ->
+      """SELECT lang, COUNT(*) AS docs,
+           CAST(SUM(len(regexp_extract_all(text,
+             '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
+             AS BIGINT) AS bpe_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+             AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+             '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
+             AS DOUBLE)
+             / SUM(len(string_split_regex(trim(text), '\s+'))) AS fertility
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q27_fingerprint" ->
       """SELECT doc_id,
            list_reduce(

@@ -20,6 +20,19 @@ object TextFunctions {
   /** Whitespace tokens, trimmed (empty-token-free on normal text). */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** BPE-style pre-tokens: the GPT-2-family pre-tokenizer shape —
+    * apostrophe suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, residual whitespace — as one ordered-alternation
+    * regex. Deliberately RE2-compatible (no lookahead, ASCII classes) so
+    * the DuckDB oracle evaluates the IDENTICAL pattern: every character
+    * lands in exactly one alternative, making counts engine-independent.
+    * `n_tokens = size(bpeTokens(text))` is the corpus "fertility"
+    * numerator used to budget tokenizer costs in training-data pipelines.
+    */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c,
+      lit("'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"), lit(0))
+
   /** w-token shingles as strings; empty array when the doc is shorter than w. */
   def tokenShingles(toks: Column, w: Int): Column =
     when(size(toks) < w, array().cast("array<string>"))

@@ -84,4 +84,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getDouble(2) > 0.7 && r.getDouble(2) < 1.0) // alpha_ratio
     assert(r.getDouble(3) == 2.0 / 6)                    // stopword_ratio
   }
+
+  test("bpeTokens: GPT-style pretokenization on mixed text") {
+    // exercises every alternative: apostrophe suffix, space+letters,
+    // space+digits, punctuation runs, residual whitespace — the fixture
+    // corpus is plain lowercase words, so the oracle gate (q59) alone
+    // never reaches these branches
+    val df = Seq("It's 42 degrees, isn't it?!  Tab\there").toDF("t")
+    val got = df.select(T.bpeTokens(col("t")).as("toks"))
+      .as[Seq[String]].head()
+    assert(got == Seq("It", "'s", " 42", " degrees", ",", " isn", "'t",
+      " it", "?!", "  ", "Tab", "\t", "here"), got.toString)
+    // every character lands in exactly one token
+    assert(got.mkString == "It's 42 degrees, isn't it?!  Tab\there")
+  }
 }
