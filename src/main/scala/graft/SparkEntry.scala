@@ -672,6 +672,29 @@ object SparkEntry {
       df
     }),
 
+    // ---- Multimodal frame-sample + resize, oracle-gated ----------------
+    // Completes the multimodal quartet (decode/extract are q55): sampled
+    // 64-byte "frames" every 2 chunks via columnar binary substring, each
+    // batch-checksummed; plus a stride-resize thumbnail checksum per
+    // media. All integer folds the DuckDB oracle reproduces exactly.
+    "q60_media_frames" -> ((s, dir) => {
+      val media = operators.Multimodal.ingest(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("bytes")),
+        "doc_id", "bytes")
+      val frames = operators.Multimodal.frameChecksums(
+        operators.Multimodal.sampleFrames(media, chunkBytes = 64, everyK = 2))
+      val thumbs = operators.Multimodal.thumbnailChecksums(media,
+        targetBytes = 256)
+      frames.groupBy("media_id").agg(
+          count(lit(1)).as("n_frames"),
+          sum("frame_checksum").as("sum_frame_checksum"))
+        .join(thumbs, Seq("media_id"))
+        .select(col("media_id"), col("n_frames"),
+          col("sum_frame_checksum"), col("thumb_checksum"))
+        .orderBy("media_id")
+    }),
+
     // ---- North-star: BPE-ish pre-token counting + fertility ------------
     // Pre-tokenizer budget metric for training pipelines: BPE-style token
     // counts next to whitespace-word counts, and their ratio (fertility).
@@ -1084,6 +1107,38 @@ object SparkEntry {
          SELECT doc_id, lang FROM q
          WHERE doc_id NOT IN (SELECT doc_id FROM dups)
          ORDER BY doc_id""",
+    // frames = every-2nd 64-byte chunk (1-based substring mirrors the
+    // 0-based binary slice); thumbnail = every stride-th byte, stride =
+    // max(1, len/256); checksums are the q55 polynomial fold
+    "q60_media_frames" ->
+      """WITH f AS (
+           SELECT doc_id AS media_id, text,
+             unnest(range(0, greatest(length(text) // 64 - 1, 0) + 1, 2))
+               AS off
+           FROM documents),
+         ck AS (
+           SELECT media_id,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform(
+                 string_split(substring(text, CAST(off * 64 + 1 AS INT), 64),
+                   ''),
+                 ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS c
+           FROM f),
+         th AS (
+           SELECT doc_id AS media_id,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform(
+                 range(1, length(text) + 1, greatest(length(text) // 256, 1)),
+                 i -> CAST(ascii(text[i]) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS thumb_checksum
+           FROM documents)
+         SELECT ck.media_id AS media_id, COUNT(*) AS n_frames,
+             CAST(SUM(ck.c) AS BIGINT) AS sum_frame_checksum,
+             th.thumb_checksum
+         FROM ck JOIN th ON ck.media_id = th.media_id
+         GROUP BY ck.media_id, th.thumb_checksum
+         ORDER BY media_id""",
     // same RE2-safe pattern on both engines; '' is the SQL-escaped quote
     "q59_bpe_tokens" ->
       """SELECT lang, COUNT(*) AS docs,

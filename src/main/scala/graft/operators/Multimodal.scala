@@ -45,6 +45,16 @@ object Multimodal {
       val rnd = new scala.util.Random(checksum(bytes))
       Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
     }
+
+    /** Stub resize: stride-sampled bytes down to ≈`targetBytes` — the
+      * deterministic stand-in for decode→scale→re-encode. Pure function of
+      * the bytes (stride = max(1, n/target)), so the DuckDB oracle
+      * reproduces it with 1-based char striding (q60).
+      */
+    def resize(bytes: Array[Byte], targetBytes: Int): Array[Byte] = {
+      val stride = math.max(1, bytes.length / targetBytes)
+      bytes.indices.by(stride).map(bytes).toArray
+    }
   }
 
   /** Wrap raw binary payloads with typed metadata — the ingest projection.
@@ -98,4 +108,45 @@ object Multimodal {
       explode(sequence(lit(0),
         greatest((col("meta.n_bytes") / chunkBytes).cast("long") - 1, lit(0)),
         lit(everyK))).as("frame_offset"))
+
+  /** Frame EXTRACTION for the sampled offsets: explode + columnar binary
+    * substring — (media_id, frame_offset, frame) with each frame a
+    * `chunkBytes` slice. No join (offsets derive from the same row), no
+    * decode, stays inside codegen; a real pipeline hands `frame` to the
+    * batched decoder exactly like [[extractFeatures]] does content.
+    */
+  def sampleFrames(media: Dataset[MediaRow], chunkBytes: Int,
+                   everyK: Int): DataFrame =
+    media.toDF().select(col("media_id"), col("content"),
+        explode(sequence(lit(0L),
+          greatest((col("meta.n_bytes") / chunkBytes).cast("long") - 1,
+            lit(0L)),
+          lit(everyK.toLong))).as("frame_offset"))
+      .select(col("media_id"), col("frame_offset"),
+        col("content").substr((col("frame_offset") * chunkBytes + 1)
+          .cast("int"), lit(chunkBytes)).as("frame"))
+
+  /** Batched per-frame stub checksum — the same one-decoder-per-partition
+    * boundary as [[extractFeatures]], over sampled frames.
+    */
+  def frameChecksums(frames: DataFrame): DataFrame = {
+    import frames.sparkSession.implicits._
+    frames.select(col("media_id"), col("frame_offset"), col("frame"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, off, frame) =>
+          (id, off, StubDecoder.checksum(frame))
+        }
+      }.toDF("media_id", "frame_offset", "frame_checksum")
+  }
+
+  /** Batched stub resize + checksum of the thumbnail per media row. */
+  def thumbnailChecksums(media: Dataset[MediaRow],
+                         targetBytes: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      (m.media_id,
+        StubDecoder.checksum(StubDecoder.resize(m.content, targetBytes)))
+    }.toDF("media_id", "thumb_checksum")
+  }
 }

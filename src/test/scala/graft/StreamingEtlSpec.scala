@@ -300,4 +300,27 @@ class StreamingEtlSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(offs.map(_._2).toSeq == Seq(0L, 3L, 6L, 9L))
   }
+
+  test("sampleFrames slices exact chunk payloads; resize strides bytes") {
+    val big = Array.tabulate(200)(_.toByte) // 3 chunks of 64 → offsets 0, 2
+    val df = Seq((1L, big), (2L, "short".getBytes)).toDF("doc_id", "bytes")
+    val media = Multimodal.ingest(df, "doc_id", "bytes")
+    val frames = Multimodal.sampleFrames(media, chunkBytes = 64, everyK = 2)
+      .collect()
+    val f1 = frames.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    assert(f1.map(_.getLong(1)).toSeq == Seq(0L, 2L))
+    assert(f1(0).getAs[Array[Byte]]("frame").toSeq ==
+      big.slice(0, 64).toSeq)
+    assert(f1(1).getAs[Array[Byte]]("frame").toSeq ==
+      big.slice(128, 192).toSeq)
+    // payload shorter than a chunk: single offset-0 frame, whole payload
+    val f2 = frames.filter(_.getLong(0) == 2L)
+    assert(f2.length == 1 &&
+      new String(f2.head.getAs[Array[Byte]]("frame")) == "short")
+    // stride resize: 10 bytes to ~4 → stride 2 → indices 0,2,4,6,8
+    assert(new String(
+      Multimodal.StubDecoder.resize("abcdefghij".getBytes, 4)) == "acegi")
+    // target larger than payload → stride 1, identity
+    assert(Multimodal.StubDecoder.resize(big, 1000).toSeq == big.toSeq)
+  }
 }
