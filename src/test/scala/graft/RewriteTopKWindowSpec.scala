@@ -38,6 +38,12 @@ class RewriteTopKWindowSpec extends SparkSpec {
       assert(rewritten.toString.toLowerCase.contains("topkrows"),
         s"rewrite did not fire:\n$rewritten")
       assert(!rewritten.exists(_.isInstanceOf[Window]))
+      // the WindowGroupLimit InferWindowGroupLimit inserted from the same
+      // rn-filter must be absorbed, not left under the aggregate (it would
+      // re-introduce a per-partition sort)
+      assert(!rewritten.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit]),
+        s"WindowGroupLimit survived:\n$rewritten")
       val got = PlanTestBridge.ofRows(spark, rewritten)
       assert(got.schema == df.schema, s"${got.schema} vs ${df.schema}")
       val a = got.orderBy("g", "rn").collect().toSeq
