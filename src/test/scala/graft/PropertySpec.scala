@@ -119,6 +119,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: bpeTokens partitions every string — concat(tokens) == input") {
+    // the pre-tokenizer's alternation must cover every character exactly
+    // once for ANY printable-ASCII input, not just the fixture corpus
+    val strGen = Gen.listOfN(80,
+      Gen.frequency(
+        6 -> Gen.alphaChar,
+        2 -> Gen.numChar,
+        1 -> Gen.oneOf(' ', ' ', '\t', '\n'),
+        1 -> Gen.oneOf('\'', '.', ',', '!', '?', '-', '"', '(', ')')))
+      .map(_.mkString)
+    val inputs = samples(strGen, 60).filter(_.nonEmpty)
+    val got = inputs.toDF("t")
+      .select(col("t"), graft.functions.TextFunctions.bpeTokens(col("t"))
+        .as("toks"))
+      .as[(String, Seq[String])].collect()
+    got.foreach { case (input, toks) =>
+      assert(toks.mkString == input,
+        s"lossy tokenization of ${input.take(40)}...")
+      assert(toks.forall(_.nonEmpty), "empty token emitted")
+    }
+  }
+
   test("law: selectByRank == sorted(rank-1) on random multisets") {
     for (vals <- samples(Gen.listOfN(400, Gen.chooseNum(0L, 25L)), 5)) {
       val df = vals.toDF("__v")
