@@ -319,37 +319,13 @@ object SparkEntry {
 
     // ---- North-star: winnowing fingerprint overlap — doc pairs sharing
     // enough MOSS fingerprints (containment detection; rows-only) --------
-    "q47_winnow_overlap" -> ((s, dir) => {
-      // k=20 chars spans ~3-4 tokens: long enough that fingerprints are
-      // discriminative even in a small-vocabulary corpus
-      val sets = Tables.documents(s, dir).select(col("doc_id"),
-        TextFunctions.winnowFingerprints(col("text"), k = 20, w = 8).as("fps"))
-        .withColumn("n_fp", size(col("fps")))
-      val allFps = sets.select(col("doc_id"), col("n_fp"),
-        explode(col("fps")).as("fp"))
-      // join only on DISCRIMINATIVE fingerprints: document frequency in
-      // [2, 10] — singletons cannot pair, promiscuous substrings are hot
-      // join keys carrying no signal (this bounds the self-join output by
-      // 10x the fingerprint count instead of df^2 on hot keys)
-      val rare = allFps.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 10).select("fp")
-      val fps = allFps.join(rare, Seq("fp"))
-      val a = fps.select(col("fp"), col("doc_id").as("id_a"),
-        col("n_fp").as("n_a"))
-      val b = fps.select(col("fp"), col("doc_id").as("id_b"),
-        col("n_fp").as("n_b"))
-      // containment: shared / smaller FULL fingerprint set (denominator is
-      // pre-filter size, so dropping common fps only undercounts — never
-      // inflates the ratio)
-      a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"),
-          first("n_a").as("n_a"), first("n_b").as("n_b"))
-        .withColumn("containment",
-          col("shared").cast("double") / least(col("n_a"), col("n_b")))
-        .filter(col("containment") >= 0.5)
+    // k=20 chars spans ~3-4 tokens: long enough that fingerprints are
+    // discriminative even in a small-vocabulary corpus.
+    "q47_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 20, w = 8)
         .select("id_a", "id_b", "shared")
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // ---- North-star: language-ID heuristic (rows-only: marker scoring
     // is engine-defined) -------------------------------------------------

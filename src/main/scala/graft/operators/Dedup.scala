@@ -192,6 +192,42 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Winnowing/MOSS containment pairs: documents sharing ≥ `threshold`
+    * containment of winnowed fingerprints (shared / smaller full set).
+    *
+    * Scale design (the q47 plan): the self-join runs only on
+    * DISCRIMINATIVE fingerprints — document frequency in [dfMin, dfMax] —
+    * because singleton fingerprints cannot pair and promiscuous substrings
+    * are hot join keys carrying no signal; this bounds the join output by
+    * dfMax × the fingerprint count instead of df² on hot keys. The
+    * containment denominator is the PRE-filter set size, so dropping
+    * common fingerprints only undercounts — never inflates the ratio.
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 20, w: Int = 8,
+                         dfMin: Int = 2, dfMax: Int = 10,
+                         threshold: Double = 0.5): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+        T.winnowFingerprints(col(textCol), k, w).as("fps"))
+      .withColumn("n_fp", size(col("fps")))
+    val allFps = sets.select(col("id"), col("n_fp"),
+      explode(col("fps")).as("fp"))
+    val rare = allFps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= dfMin && col("df") <= dfMax).select("fp")
+    val fps = allFps.join(rare, Seq("fp"))
+    val a = fps.select(col("fp"), col("id").as("id_a"),
+      col("n_fp").as("n_a"))
+    val b = fps.select(col("fp"), col("id").as("id_b"),
+      col("n_fp").as("n_b"))
+    a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"),
+        first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "shared", "containment")
+  }
+
   /** Number of OR-amplified hyperplane tables needed so a pair at EXACTLY
     * cosine `threshold` is missed with probability ≤ `maxMiss`.
     *
