@@ -695,7 +695,7 @@ object SparkEntry {
     // jaccard over the filtered corpus.
     "q53_corpus_filter" -> ((s, dir) => {
       val filtered = Tables.documents(s, dir)
-        .filter(size(split(trim(col("text")), "\\s+")) >= 30 &&
+        .filter(size(TextFunctions.tokens(col("text"))) >= 30 &&
           (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
             length(col("text"))) >= 0.8)
       Dedup.dropNearDuplicates(filtered, "doc_id", "text", threshold = 0.8)
@@ -897,7 +897,7 @@ object SparkEntry {
     // Full quadratic n-gram jaccard — checks that the LSH path loses no pair.
     "q24_dedup_jaccard" ->
       """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
            FROM documents),
          sh AS (
            SELECT doc_id,
@@ -916,7 +916,7 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
     "q45_dedup_apply" ->
       """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
            FROM documents),
          sh AS (
            SELECT doc_id,
@@ -968,12 +968,12 @@ object SparkEntry {
     "q38_quality_stats" ->
       """SELECT doc_id,
            length(text) AS n_chars_m,
-           len(string_split_regex(trim(text), '\s+')) AS n_words,
+           len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS n_words,
            CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
              / length(text) AS alpha_ratio,
-           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+           CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
                 t -> t IN ('the','and','of','to','in','is','a'))) AS DOUBLE)
-             / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
+             / len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS stopword_ratio
          FROM documents ORDER BY doc_id""",
     "q39_running_total" ->
       """SELECT o_custkey, o_orderkey,
@@ -1061,11 +1061,11 @@ object SparkEntry {
     "q53_corpus_filter" ->
       """WITH q AS (
            SELECT * FROM documents
-           WHERE len(string_split_regex(trim(text), '\s+')) >= 30
+           WHERE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) >= 30
              AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                  / length(text) >= 0.8),
          toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
            FROM q),
          sh AS (
            SELECT doc_id,
@@ -1085,7 +1085,9 @@ object SparkEntry {
          ORDER BY doc_id""",
     // frames = every-2nd 64-byte chunk (1-based substring mirrors the
     // 0-based binary slice); thumbnail = every stride-th byte, stride =
-    // max(1, len/256); checksums are the q55 polynomial fold
+    // max(1, len/256); checksums are the q55 polynomial fold. The empty
+    // string must fold to the bare seed like Spark's StubDecoder does, but
+    // string_split('', '') yields [''] (ascii 0) — hence the list_filter.
     "q60_media_frames" ->
       """WITH f AS (
            SELECT doc_id AS media_id, text,
@@ -1096,8 +1098,10 @@ object SparkEntry {
            SELECT media_id,
              list_reduce(list_prepend(CAST(7 AS BIGINT),
                list_transform(
-                 string_split(substring(text, CAST(off * 64 + 1 AS INT), 64),
-                   ''),
+                 list_filter(
+                   string_split(substring(text, CAST(off * 64 + 1 AS INT), 64),
+                     ''),
+                   ch -> ch != ''),
                  ch -> CAST(ascii(ch) AS BIGINT))),
                (acc, x) -> (acc * 31 + x) % 1000000007) AS c
            FROM f),
@@ -1119,14 +1123,14 @@ object SparkEntry {
     "q59_bpe_tokens" ->
       """SELECT lang, COUNT(*) AS docs,
            CAST(SUM(len(regexp_extract_all(text,
-             '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
+             '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+')))
              AS BIGINT) AS bpe_tokens,
-           CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+           CAST(SUM(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')))
              AS BIGINT) AS ws_tokens,
            CAST(SUM(len(regexp_extract_all(text,
-             '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
+             '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+')))
              AS DOUBLE)
-             / SUM(len(string_split_regex(trim(text), '\s+'))) AS fertility
+             / SUM(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))) AS fertility
          FROM documents GROUP BY lang ORDER BY lang""",
     "q27_fingerprint" ->
       """SELECT doc_id,

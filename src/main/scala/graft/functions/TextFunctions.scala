@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Java-regex whitespace, spelled out: `\s` means exactly this class in
+    * Java but RE2 (DuckDB) excludes U+000B, so the explicit class is the only
+    * form both engines read identically. Oracle SQL uses the same literal.
+    */
+  private[graft] val WS = " \\t\\n\\x0B\\f\\r"
+
   /** Whitespace tokens, trimmed (empty-token-free on normal text). */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  def tokens(c: Column): Column = split(trim(c), s"[$WS]+")
 
   /** BPE-style pre-tokens: the GPT-2-family pre-tokenizer shape —
     * apostrophe suffixes, space-prefixed letter runs, digit runs,
@@ -31,7 +37,7 @@ object TextFunctions {
     */
   def bpeTokens(c: Column): Column =
     regexp_extract_all(c,
-      lit("'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"), lit(0))
+      lit(s"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9$WS]+|[$WS]+"), lit(0))
 
   /** w-token shingles as strings; empty array when the doc is shorter than w. */
   def tokenShingles(toks: Column, w: Int): Column =

@@ -52,6 +52,7 @@ object Multimodal {
       * reproduces it with 1-based char striding (q60).
       */
     def resize(bytes: Array[Byte], targetBytes: Int): Array[Byte] = {
+      require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
       val stride = math.max(1, bytes.length / targetBytes)
       bytes.indices.by(stride).map(bytes).toArray
     }
@@ -140,13 +141,20 @@ object Multimodal {
       }.toDF("media_id", "frame_offset", "frame_checksum")
   }
 
-  /** Batched stub resize + checksum of the thumbnail per media row. */
+  /** Batched stub resize + checksum of the thumbnail per media row — the
+    * same one-decoder-per-partition boundary as [[extractFeatures]] and
+    * [[frameChecksums]] (a typed `.map` would pay an encoder round-trip and
+    * a codec init per ROW once the stub is swapped for a real scaler).
+    */
   def thumbnailChecksums(media: Dataset[MediaRow],
                          targetBytes: Int): DataFrame = {
     import media.sparkSession.implicits._
-    media.map { m =>
-      (m.media_id,
-        StubDecoder.checksum(StubDecoder.resize(m.content, targetBytes)))
+    media.mapPartitions { rows =>
+      // real impl: val codec = NativeCodec.open() — once per partition
+      rows.map { m =>
+        (m.media_id,
+          StubDecoder.checksum(StubDecoder.resize(m.content, targetBytes)))
+      }
     }.toDF("media_id", "thumb_checksum")
   }
 }

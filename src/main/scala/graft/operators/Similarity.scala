@@ -61,11 +61,29 @@ object Similarity {
     topKReduce(scored, k)
   }
 
+  /** Coarse-quantizer training set: the full corpus while it fits
+    * `rowBudget`, else a seeded sample targeting ≈`rowBudget` rows — so
+    * quantizer training cost is bounded and independent of corpus size BY
+    * DEFAULT (a 10⁹-vector corpus must not pay a full-corpus KMeans fit for
+    * its quantizer). Pass an explicit `trainSample` fraction to override.
+    * The one extra count() is a narrow scan, amortized over the many
+    * passes of the KMeans fit it bounds.
+    */
+  private[graft] def ivfTrainSet(c: DataFrame, trainSample: Double,
+                                 rowBudget: Long, seed: Long): DataFrame =
+    if (!trainSample.isNaN) {
+      if (trainSample < 1.0) c.sample(trainSample, seed) else c
+    } else {
+      val n = c.count()
+      if (n <= rowBudget) c else c.sample(rowBudget.toDouble / n, seed)
+    }
+
   /** IVF (inverted-file) approximate top-k: partition the corpus into
     * `nLists` KMeans cells once; at query time score only the `nProbe`
     * nearest cells' members. Corpus side: one narrow assignment pass +
     * cell-key equi-join. The coarse quantizer is trained on a bounded
-    * sample, so training cost is independent of corpus size.
+    * sample by default ([[ivfTrainSet]], `trainRowBudget` rows), so
+    * training cost is independent of corpus size.
     *
     * Coarse probe (the IVF-scale concern): centroids live in a SMALL
     * DataFrame — one row per cell — never a plan-embedded literal array, so
@@ -81,13 +99,14 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4, seed: Long = 40L,
-              trainSample: Double = 1.0,
+              trainSample: Double = Double.NaN,
+              trainRowBudget: Long = 100000L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"),
         V.toDoubleArray(col(vecCol)).as("v_n"))
       .withColumn("nrm_n", V.norm(col("v_n")))
       .withColumn("fv", array_to_vector(col("v_n")))
-    val train = if (trainSample < 1.0) c.sample(trainSample, seed) else c
+    val train = ivfTrainSet(c, trainSample, trainRowBudget, seed)
     val km = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("fv")
       .fit(train)
     val assigned = km.transform(c).withColumnRenamed("prediction", "cell")

@@ -113,13 +113,48 @@ object EventStream {
   private def micros(t: java.sql.Timestamp): Long =
     (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
 
+  private def emit(s: OpenSession): SessionSummary =
+    SessionSummary(s.user_id, s.n_events, s.total_value,
+      s.first_us / 1000, s.last_us / 1000)
+
+  /** Pure per-group fold for [[sessionizeClosed]]: the open-session state
+    * and this batch's events form one time-ordered sequence of interval
+    * units, split on the same event-time gap rule batch q49 uses. This
+    * handles every late-but-within-watermark arrival order: an event
+    * landing inside or within gap of the open session merges (min/max
+    * bounds — never regressing the already-set timeout), while an event
+    * more than a gap BEFORE the session's first event closes as its own
+    * earlier session instead of stretching the open one backwards across a
+    * boundary batch semantics would split. Returns (closed sessions to
+    * emit, the still-open tail session).
+    */
+  private[graft] def foldSessions(uid: Long, state: Option[OpenSession],
+                                  eventUs: Seq[(Long, Double)], gapUs: Long)
+      : (Seq[SessionSummary], Option[OpenSession]) = {
+    val units = (eventUs.map { case (t, v) => OpenSession(uid, 1L, v, t, t) }
+      ++ state).sortBy(u => (u.first_us, u.last_us))
+    val closed = Seq.newBuilder[SessionSummary]
+    var open: Option[OpenSession] = None
+    units.foreach { u =>
+      open = open match {
+        case Some(s) if u.first_us - s.last_us > gapUs =>
+          closed += emit(s) // gap between units: session is final
+          Some(u)
+        case Some(s) =>
+          Some(OpenSession(uid, s.n_events + u.n_events,
+            s.total_value + u.total_value,
+            math.min(s.first_us, u.first_us),
+            math.max(s.last_us, u.last_us)))
+        case None => Some(u)
+      }
+    }
+    (closed.result(), open)
+  }
+
   def sessionizeClosed(events: Dataset[Event],
                        gapMinutes: Int): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60000000L
-    def emit(s: OpenSession): SessionSummary =
-      SessionSummary(s.user_id, s.n_events, s.total_value,
-        s.first_us / 1000, s.last_us / 1000)
     events
       .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
@@ -131,34 +166,14 @@ object EventStream {
             state.remove()
             Iterator.single(emit(s))
           } else {
-            val sorted = evs.toSeq.sortBy(e => micros(e.ts))
-            val closed = Seq.newBuilder[SessionSummary]
-            var open = state.getOption
-            sorted.foreach { e =>
-              val t = micros(e.ts)
-              open = open match {
-                case Some(s) if t - s.last_us > gapUs =>
-                  closed += emit(s) // gap inside the batch: session is final
-                  Some(OpenSession(uid, 1L, e.value, t, t))
-                case Some(s) =>
-                  // merge with min/max bounds: a late-but-within-watermark
-                  // event from a later batch can carry t < s.last_us (or
-                  // even t < s.first_us); taking last_us = t would REGRESS
-                  // the session end and shrink the already-set event-time
-                  // timeout
-                  Some(OpenSession(uid, s.n_events + 1,
-                    s.total_value + e.value,
-                    math.min(s.first_us, t), math.max(s.last_us, t)))
-                case None =>
-                  Some(OpenSession(uid, 1L, e.value, t, t))
-              }
-            }
+            val (closed, open) = foldSessions(uid, state.getOption,
+              evs.toSeq.map(e => (micros(e.ts), e.value)), gapUs)
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last_us / 1000,
                 s"$gapMinutes minutes")
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
   }

@@ -237,6 +237,31 @@ class ScaleShapeSpec extends SparkSpec {
     assert(df.count() == 3 * 3)
   }
 
+  test("ivfTopK quantizer training is sampled to the row budget by default") {
+    // the coarse-quantizer KMeans fit must NOT consume the full corpus once
+    // it exceeds the row budget — at 10⁹ vectors the quantizer fit, not the
+    // probe, would otherwise be the bottleneck
+    val big = spark.range(5000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(4)),
+        i => round(sin((col("id") + 1) * i), 6)).as("v_n"))
+    val sampled = Similarity.ivfTrainSet(big, Double.NaN,
+      rowBudget = 500L, seed = 40L)
+    import org.apache.spark.sql.catalyst.plans.logical.Sample
+    assert(sampled.queryExecution.optimizedPlan.exists(_.isInstanceOf[Sample]),
+      "train set over the budget must be a Sample of the corpus")
+    val n = sampled.count()
+    assert(n < 1000, s"sampled train set should be ≈500 rows, got $n")
+    // under the budget the corpus trains as-is (no sample, no lost rows)
+    val small = Similarity.ivfTrainSet(big, Double.NaN,
+      rowBudget = 100000L, seed = 40L)
+    assert(!small.queryExecution.optimizedPlan.exists(_.isInstanceOf[Sample]))
+    assert(small.count() == 5000L)
+    // an explicit fraction still pins the old behavior exactly
+    val frac = Similarity.ivfTrainSet(big, 0.1, rowBudget = 1L, seed = 40L)
+    assert(frac.queryExecution.optimizedPlan.exists(_.isInstanceOf[Sample]))
+  }
+
   test("lshTopK candidate dedup shuffles (q_id, n_id, sim), not vectors") {
     val emb = Tables.embeddings(spark, sf0001)
     val df = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), k = 3)

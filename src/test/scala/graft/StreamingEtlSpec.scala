@@ -189,6 +189,39 @@ class StreamingEtlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foldSessions: backward-gap late event is its own session, not a merge") {
+    // the per-group fold, driven directly: MemoryStream can't deliver a
+    // strictly-backward-gap event (the watermark filter removes exactly
+    // those when delay == gap), but a caller with a longer watermark could
+    val min = 60000000L // one minute in micros
+    val gap = 30 * min
+    val open = EventStream.OpenSession(1L, 2L, 2.0, 100 * min, 110 * min)
+    // within gap of first_us: merges, extending the session backwards
+    val (c1, o1) = EventStream.foldSessions(1L, Some(open),
+      Seq((80 * min, 1.0)), gap)
+    assert(c1.isEmpty)
+    assert(o1.contains(EventStream.OpenSession(1L, 3L, 3.0, 80 * min, 110 * min)))
+    // more than a gap before first_us: closes as its own earlier session
+    val (c2, o2) = EventStream.foldSessions(1L, Some(open),
+      Seq((40 * min, 1.0)), gap)
+    assert(c2 == Seq(EventStream.SessionSummary(1L, 1L, 1.0,
+      40 * min / 1000, 40 * min / 1000)))
+    assert(o2.contains(open))
+    // two late events within gap of EACH OTHER form one earlier session —
+    // batch q49 over the same events would split identically
+    val (c3, o3) = EventStream.foldSessions(1L, Some(open),
+      Seq((40 * min, 1.0), (35 * min, 2.0)), gap)
+    assert(c3 == Seq(EventStream.SessionSummary(1L, 2L, 3.0,
+      35 * min / 1000, 40 * min / 1000)))
+    assert(o3.contains(open))
+    // a forward event past the gap closes the open session, opens a new one
+    val (c4, o4) = EventStream.foldSessions(1L, Some(open),
+      Seq((150 * min, 5.0)), gap)
+    assert(c4 == Seq(EventStream.SessionSummary(1L, 2L, 2.0,
+      100 * min / 1000, 110 * min / 1000)))
+    assert(o4.contains(EventStream.OpenSession(1L, 1L, 5.0, 150 * min, 150 * min)))
+  }
+
   test("streaming dedup: dropDuplicates over a watermarked stream") {
     val deduped = EventStream.readEvents(spark, sf0001)
       .withWatermark("ts", "1 hour")
