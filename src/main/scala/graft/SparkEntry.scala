@@ -418,10 +418,12 @@ object SparkEntry {
       val cv = ml.Classifiers.rfCrossValidated(
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), "label",
         numTrees = Seq(5, 10), subsamplingRates = Seq(0.8, 1.0),
+        featureSubsetStrategies = Seq("log2", "auto", "all"),
         numFolds = 2).fit(li)
       import s.implicits._
       ml.Classifiers.bestParams(cv).toSeq
-        .filter { case (k, _) => Set("numTrees", "subsamplingRate")(k) }
+        .filter { case (k, _) =>
+          Set("numTrees", "subsamplingRate", "featureSubsetStrategy")(k) }
         .map { case (k, v) => (k, v.toString) }
         .sortBy(_._1).toDF("param", "value")
     }),

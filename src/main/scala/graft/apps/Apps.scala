@@ -48,30 +48,37 @@ object EnsembleApp {
     val data = Tables.lineitem(spark, in)
       .withColumn("label", when(col("l_returnflag") === "N", 1.0).otherwise(0.0))
       .cache()
-    // CV on a subsample (ref: 1% CV sample, higgs:69), grid like higgs:77-87
+    // CV on a subsample (ref: 1% CV sample, higgs:69), all three grid
+    // dimensions per arm like higgs:77-87 / 119-129
     val sample = data.sample(0.5, seed = 40)
     val (cvModel, cvSecs) = Timing.timed(Classifiers.rfCrossValidated(
       features, "label", numTrees = Seq(10, 20),
-      subsamplingRates = Seq(0.75, 1.0)).fit(sample))
+      subsamplingRates = Seq(0.75, 1.0),
+      featureSubsetStrategies = Seq("log2", "auto", "all")).fit(sample))
     val best = Classifiers.bestParams(cvModel)
-    // final fit on the full data with the winning params (higgs:156-177)
     // GBT grid, the second ensemble arm (higgs:119-129)
     val (gbtCv, gbtCvSecs) = Timing.timed(Classifiers.gbtCrossValidated(
       features, "label", maxIters = Seq(5, 8),
-      maxDepths = Seq(3, 5), numFolds = 2).fit(sample))
+      maxDepths = Seq(3, 5), subsamplingRates = Seq(0.6, 0.8, 1.0),
+      numFolds = 2).fit(sample))
     val gbtBest = Classifiers.bestParams(gbtCv)
     val Array(train, test) = data.randomSplit(Array(0.7, 0.3), seed = 40)
     // final full-data fits for BOTH arms, carrying the COMPLETE winning
     // param set from each grid (higgs:156-177: RF numTrees +
-    // subsamplingRate, GBT maxIter + maxDepth)
+    // featureSubsetStrategy + subsamplingRate, GBT maxIter + maxDepth +
+    // subsamplingRate)
     val (model, fitSecs) = Timing.timed(Classifiers.randomForest(
       features, "label",
       numTrees = best("numTrees").asInstanceOf[Int],
-      subsamplingRate = best("subsamplingRate").asInstanceOf[Double]).fit(train))
+      subsamplingRate = best("subsamplingRate").asInstanceOf[Double],
+      featureSubsetStrategy =
+        best("featureSubsetStrategy").asInstanceOf[String]).fit(train))
     val (gbtModel, gbtFitSecs) = Timing.timed(Classifiers.gbt(
       features, "label",
       maxIter = gbtBest("maxIter").asInstanceOf[Int],
-      maxDepth = gbtBest("maxDepth").asInstanceOf[Int]).fit(train))
+      maxDepth = gbtBest("maxDepth").asInstanceOf[Int],
+      subsamplingRate = gbtBest("subsamplingRate").asInstanceOf[Double])
+      .fit(train))
     val preds = model.transform(test).cache()
     val gbtPreds = gbtModel.transform(test)
     val metrics = Classifiers.classificationMetrics(preds, "label", binary = true)
@@ -94,7 +101,8 @@ object EnsembleApp {
           f"final_fit_seconds = $fitSecs%.2f",
           f"gbt_final_fit_seconds = $gbtFitSecs%.2f") ++
         (best.map { case (k, v) => s"best_rf_$k" -> v } ++
-          gbtBest.filter { case (k, _) => Set("maxIter", "maxDepth")(k) }
+          gbtBest.filter { case (k, _) =>
+            Set("maxIter", "maxDepth", "subsamplingRate")(k) }
             .map { case (k, v) => s"best_gbt_$k" -> v })
           .toSeq.sortBy(_._1).map { case (k, v) => s"$k = $v" })
     Sources.writeTextReport(s"$out/confusion_matrix.csv",
@@ -183,8 +191,16 @@ object RecommendApp {
         col("o_orderdate").cast("timestamp_ltz").cast("long").as("ts"),
         (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
       .cache()
-    val evals = Recommender.temporalEval(ratings, "ts", "rid",
-      Seq(0.4, 0.6, 0.8), Recommender.als(rank = 8, maxIter = 8))
+    // two ALS configs at every temporal split, like the reference's
+    // default-vs-custom comparison (als_clustering_analysis.py:73-79:
+    // ALS() defaults rank 10 / maxIter 10 vs rank 14 / maxIter 17)
+    val configs = Seq(
+      "default" -> Recommender.als(),
+      "custom" -> Recommender.als(rank = 14, maxIter = 17))
+    val evals = configs.flatMap { case (cname, est) =>
+      Recommender.temporalEval(ratings, "ts", "rid", Seq(0.4, 0.6, 0.8), est)
+        .map { case (f, m) => (f, cname, m) }
+    }
     val model = Recommender.als(rank = 8, maxIter = 8).fit(ratings)
     val clusters = Recommender.clusterUserFactors(model, k = 8)
     val sizes = clusters.groupBy("cluster").count()
@@ -195,13 +211,14 @@ object RecommendApp {
       "item", "p_name", " ", minRatings = 2, topItems = 10, topTokens = 10)
       .collect().map(r => s"${r.get(0)},${r.get(1)}")
     Sources.writeTextReport(s"$out/als_metrics.txt",
-      evals.flatMap { case (f, m) =>
-        AppSession.fmt(m.map { case (k, v) => s"split_${f}_$k" -> v }) })
+      evals.flatMap { case (f, cname, m) =>
+        AppSession.fmt(m.map { case (k, v) =>
+          s"split_${f}_${cname}_$k" -> v }) })
     Sources.writeTextReport(s"$out/cluster_sizes.csv",
       "cluster,size" +: sizes.toSeq)
     Sources.writeTextReport(s"$out/top_tokens.csv",
       "token,count" +: tokens.toSeq)
-    println(s"[recommend] ${evals.map { case (f, m) => f"$f:rmse=${m("rmse")}%.3f" }.mkString(" ")} -> $out")
+    println(s"[recommend] ${evals.map { case (f, c, m) => f"$f/$c:rmse=${m("rmse")}%.3f" }.mkString(" ")} -> $out")
     spark.stop()
   }
 }

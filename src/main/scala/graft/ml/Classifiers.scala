@@ -21,27 +21,34 @@ object Classifiers {
 
   def randomForest(features: Seq[String], labelCol: String,
                    numTrees: Int = 25, subsamplingRate: Double = 1.0,
+                   featureSubsetStrategy: String = "auto",
                    seed: Long = 40L): Pipeline = {
     val rf = new RandomForestClassifier()
       .setLabelCol(labelCol).setFeaturesCol("features")
-      .setNumTrees(numTrees).setSubsamplingRate(subsamplingRate).setSeed(seed)
+      .setNumTrees(numTrees).setSubsamplingRate(subsamplingRate)
+      .setFeatureSubsetStrategy(featureSubsetStrategy).setSeed(seed)
     new Pipeline().setStages(Array(Features.assemble(features), rf))
   }
 
   def gbt(features: Seq[String], labelCol: String,
-          maxIter: Int = 11, maxDepth: Int = 5, seed: Long = 40L): Pipeline = {
+          maxIter: Int = 11, maxDepth: Int = 5,
+          subsamplingRate: Double = 1.0, seed: Long = 40L): Pipeline = {
     val g = new GBTClassifier()
       .setLabelCol(labelCol).setFeaturesCol("features")
-      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+      .setMaxIter(maxIter).setMaxDepth(maxDepth)
+      .setSubsamplingRate(subsamplingRate).setSeed(seed)
     new Pipeline().setStages(Array(Features.assemble(features), g))
   }
 
-  /** 3-fold CV grid search over an RF pipeline (ref grid: numTrees ×
-    * featureSubsetStrategy × subsamplingRate, higgs:77-87). `parallelism`
-    * fits grid points concurrently — the scale knob the reference lacks.
+  /** 3-fold CV grid search over an RF pipeline, all three reference grid
+    * dimensions: numTrees × featureSubsetStrategy × subsamplingRate
+    * (higgs:77-87). `parallelism` fits grid points concurrently — the
+    * scale knob the reference lacks.
     */
   def rfCrossValidated(features: Seq[String], labelCol: String,
                        numTrees: Seq[Int], subsamplingRates: Seq[Double],
+                       featureSubsetStrategies: Seq[String] =
+                         Seq("log2", "auto", "all"),
                        numFolds: Int = 3, seed: Long = 40L,
                        parallelism: Int = 4): CrossValidator = {
     val rf = new RandomForestClassifier()
@@ -49,6 +56,7 @@ object Classifiers {
     val pipe = new Pipeline().setStages(Array(Features.assemble(features), rf))
     val grid = new ParamGridBuilder()
       .addGrid(rf.numTrees, numTrees)
+      .addGrid(rf.featureSubsetStrategy, featureSubsetStrategies)
       .addGrid(rf.subsamplingRate, subsamplingRates)
       .build()
     new CrossValidator()
@@ -59,11 +67,12 @@ object Classifiers {
       .setNumFolds(numFolds).setSeed(seed).setParallelism(parallelism)
   }
 
-  /** 3-fold CV grid over a GBT pipeline (ref grid: maxIter × maxDepth ×
-    * subsamplingRate, higgs:119-129).
+  /** 3-fold CV grid over a GBT pipeline, all three reference grid
+    * dimensions: maxIter × maxDepth × subsamplingRate (higgs:119-129).
     */
   def gbtCrossValidated(features: Seq[String], labelCol: String,
                         maxIters: Seq[Int], maxDepths: Seq[Int],
+                        subsamplingRates: Seq[Double] = Seq(0.6, 0.8, 1.0),
                         numFolds: Int = 3, seed: Long = 40L,
                         parallelism: Int = 4): CrossValidator = {
     val g = new GBTClassifier()
@@ -72,6 +81,7 @@ object Classifiers {
     val grid = new ParamGridBuilder()
       .addGrid(g.maxIter, maxIters)
       .addGrid(g.maxDepth, maxDepths)
+      .addGrid(g.subsamplingRate, subsamplingRates)
       .build()
     new CrossValidator()
       .setEstimator(pipe)
