@@ -47,6 +47,18 @@ object EventStream {
           .as("win_start"),
         col("event_type"), col("cnt"), col("v_sum"))
 
+  /** Sliding event-time counts per type (15 min slide, 1 h width) — the
+    * streaming twin of SparkEntry q48_sliding_window, same output shape.
+    */
+  def slidingTypeStats(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"),
+        col("event_type"), col("cnt"))
+
   /** Sliding-window per-user activity rate (5 min slide, 1 h width). */
   def slidingUserRate(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

@@ -25,9 +25,11 @@ class GoldenSpec extends SparkSpec {
     } finally src.close()
   }
 
-  private def check(name: String): Unit = {
+  private def check(name: String): Unit =
+    checkDf(name, SparkEntry.queries(name)(spark, sf001))
+
+  private def checkDf(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
     val (cols, want) = golden(name)
-    val df = SparkEntry.queries(name)(spark, sf001)
     assert(df.columns.toSeq == cols.toSeq, s"$name column mismatch")
     val got = df.collect()
     assert(got.length == want.length,
@@ -67,4 +69,13 @@ class GoldenSpec extends SparkSpec {
   test("golden: q33_ml_kmeans_embed exact rows at sf0.01")(check("q33_ml_kmeans_embed"))
   test("golden: q34_ml_cv_best_params exact rows at sf0.01")(check("q34_ml_cv_best_params"))
   test("golden: q35_ml_cluster_tokens exact rows at sf0.01")(check("q35_ml_cluster_tokens"))
+  // STREAMING-side pins for the q18/q48/q56 twins: the stream==batch specs
+  // prove equivalence, but both sides could co-drift; these freeze the
+  // streaming output itself (same shared session config as StreamGoldenGen)
+  test("golden: streaming hourlyStats (q18 twin) exact rows at sf0.01")(
+    checkDf("stream_q18_hourly", StreamGoldenGen.hourly(spark, "spec")))
+  test("golden: streaming slidingTypeStats (q48 twin) exact rows at sf0.01")(
+    checkDf("stream_q48_sliding", StreamGoldenGen.sliding(spark, "spec")))
+  test("golden: streaming sessionizeClosed (q56 twin) exact rows at sf0.01")(
+    checkDf("stream_q56_closed", StreamGoldenGen.closedSessions(spark, "spec")))
 }

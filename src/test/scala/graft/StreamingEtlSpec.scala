@@ -109,6 +109,18 @@ class StreamingEtlSpec extends SparkSpec {
     assert(s == b, s"stream rows ${s.size} vs batch ${b.size}")
   }
 
+  test("slidingTypeStats runs as a real stream and matches the batch plan") {
+    val streamed = EventStream.runToMemory(
+      EventStream.slidingTypeStats(EventStream.readEvents(spark, sf0001)),
+      "sliding_type_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val batch = SparkEntry.queries("q48_sliding_window")(spark, sf0001)
+    val s = streamed.orderBy("win_start", "event_type")
+      .as[(String, String, Long)].collect().toSeq
+    val b = batch.as[(String, String, Long)].collect().toSeq
+    assert(s == b, s"stream rows ${s.size} vs batch ${b.size}")
+  }
+
   test("sessionize keeps one bounded state per user") {
     val events = Tables.events(spark, sf0001)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
