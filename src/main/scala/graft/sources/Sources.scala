@@ -53,6 +53,20 @@ object Sources {
                            partitions: Int): Unit =
     df.repartition(partitions).write.mode("overwrite").parquet(outPath)
 
+  /** Layout fix for single-row-group parquet: rewrite with a per-file
+    * record cap so the result is MANY files, each its own row group — and
+    * therefore many scan tasks. No repartition/shuffle: each writing task
+    * just rolls files at the cap. A parquet file whose data is one row
+    * group is an unsplittable scan unit no matter how many executors the
+    * cluster has; at 100 TB the writer's row-group/file sizing, not the
+    * reader, decides scan parallelism.
+    */
+  def rematerializeSplittable(df: DataFrame, outPath: String,
+                              maxRecordsPerFile: Long): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(outPath)
+
   /** Bucketed table write: pre-shuffles once on `key` into `buckets` files
     * per partition, so every later equi-join/aggregation on `key` between
     * co-bucketed tables runs with NO exchange — the amortize-one-shuffle

@@ -237,6 +237,28 @@ class ScaleShapeSpec extends SparkSpec {
     assert(df.count() == 3 * 3)
   }
 
+  test("rematerializeSplittable turns a single-row-group scan into a multi-task scan") {
+    // the sf fixtures are single-row-group parquet, so every scan runs as
+    // ONE task locally (documented bench caveat); prove the no-repartition
+    // design pays off the moment the layout parallelizes
+    val fixture = Tables.lineitem(spark, sf0001)
+    assert(fixture.rdd.getNumPartitions == 1,
+      "fixture premise changed: sf0.001 lineitem is no longer 1 partition")
+    val dir = "target/tmp/lineitem_multirg"
+    graft.sources.Sources.rematerializeSplittable(fixture, dir, 2000L)
+    val multi = spark.read.parquet(dir)
+    assert(multi.rdd.getNumPartitions > 1,
+      s"expected a multi-task scan, got ${multi.rdd.getNumPartitions}")
+    // same rows, same aggregates: the rewrite changes layout, not content
+    def q1(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(28,4)")).as("qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+        .collect().toSeq
+    assert(q1(multi) == q1(fixture))
+  }
+
   test("ivfTopK quantizer training is sampled to the row budget by default") {
     // the coarse-quantizer KMeans fit must NOT consume the full corpus once
     // it exceeds the row budget — at 10⁹ vectors the quantizer fit, not the
