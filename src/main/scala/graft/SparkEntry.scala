@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.TextFunctions.WS
 import graft.operators.{Dedup, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -264,8 +265,9 @@ object SparkEntry {
              (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tokens"))
         .orderBy("lang")),
 
-    // ---- North-star: MinHash-LSH near-dup (estimated jaccard; rows-only
-    // check — the oracle can't reproduce xxhash64 signatures) -------------
+    // ---- North-star: MinHash-LSH near-dup (estimated jaccard). Oracle =
+    // full-quadratic signature comparison in DuckDB (minhashOracleSql):
+    // the banding must not miss a θ=0.5 pair ------------------------------
     "q22_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
           threshold = 0.5)
@@ -318,7 +320,8 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- North-star: winnowing fingerprint overlap — doc pairs sharing
-    // enough MOSS fingerprints (containment detection; rows-only) --------
+    // enough MOSS fingerprints (containment detection; oracle re-derives
+    // the winnow fingerprint sets independently — winnowOracleSql) -------
     // k=20 chars spans ~3-4 tokens: long enough that fingerprints are
     // discriminative even in a small-vocabulary corpus.
     "q47_winnow_overlap" -> ((s, dir) =>
@@ -749,6 +752,108 @@ object SparkEntry {
            FROM scored)
          WHERE rn <= 5 ORDER BY q_id, rn"""
 
+  /** Full-quadratic MinHash oracle for q22: recomputes the FNV-1a-64
+    * shingle hashes (HUGEINT mod-2^64 folds — DuckDB BIGINT arithmetic is
+    * checked, so the wrap is spelled out), the k=128 affine signature, and
+    * the estimated Jaccard for EVERY doc pair — so a hash-green row proves
+    * the 32×4 banding lost no pair at θ=0.5, exactly like q24's quadratic
+    * exact-Jaccard gate. The affine coefficients are interpolated from
+    * HashUtil.affineCoefficients — the same stream the MinHashSig kernel
+    * draws — so engine and oracle cannot drift. The signed-vs-unsigned
+    * CASE mirrors the kernel's Java `% P` on the signed 64-bit hash.
+    */
+  private val minhashOracleSql: String = {
+    val (a, b) = graft.functions.expressions.HashUtil.affineCoefficients(128, 42L)
+    val aLit = a.mkString("[", ",", "]")
+    val bLit = b.mkString("[", ",", "]")
+    raw"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         shingle_rows AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]) || ' '))) AS s
+           FROM toks WHERE len(t) >= 3),
+         hash_rows AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                 list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS UBIGINT))),
+               (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
+                                % 18446744073709551616 AS UBIGINT)) AS h
+           FROM shingle_rows),
+         hm_rows AS (
+           SELECT DISTINCT doc_id,
+             CAST((((CASE WHEN h >= CAST(9223372036854775808 AS UBIGINT)
+                          THEN CAST(h AS HUGEINT) - 18446744073709551616
+                          ELSE CAST(h AS HUGEINT) END) % 2147483647) + 2147483647)
+                   % 2147483647 AS BIGINT) AS m
+           FROM hash_rows),
+         coef AS (
+           SELECT unnest(range(1, 129)) AS i,
+                  unnest($aLit) AS a, unnest($bLit) AS b),
+         sig_rows AS (
+           SELECT doc_id, i, MIN((a * m + b) % 2147483647) AS v
+           FROM hm_rows, coef GROUP BY doc_id, i),
+         sig AS (
+           SELECT doc_id, list(v ORDER BY i) AS s FROM sig_rows GROUP BY doc_id)
+         SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           CAST(len(list_filter(range(1, 129), i -> x.s[i] = y.s[i])) AS DOUBLE)
+             / 128 AS est_jaccard
+         FROM sig x, sig y
+         WHERE x.doc_id < y.doc_id
+           AND len(list_filter(range(1, 129), i -> x.s[i] = y.s[i])) >= 64
+         ORDER BY id_a, id_b"""
+  }
+
+  /** q47 winnowing oracle: re-derives the MOSS fingerprint sets in DuckDB —
+    * FNV-1a-64 over every 20-char gram (HUGEINT mod-2^64 fold), the
+    * `h ^= h >>> 31` finalizer, and the w=8 sliding-window minimum as a
+    * SIGNED-comparison window MIN (the kernel compares Java longs, so the
+    * unsigned hash is re-signed BEFORE the MIN — an unsigned MIN would pick
+    * different fingerprints). Tail windows shrink exactly like the kernel's
+    * `end = min(start+w, n)`. Then the same df∈[2,10] rarity bound, shared
+    * counts, and containment ≥ 0.5 gate as Dedup.winnowOverlapPairs.
+    */
+  private val winnowOracleSql: String =
+    raw"""WITH grams AS (
+           SELECT doc_id, pos, substring(text, CAST(pos AS INT), 20) AS g
+           FROM documents, unnest(range(1, length(text) - 18)) AS u(pos)),
+         hashed AS (
+           SELECT doc_id, pos,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                 list_transform(string_split(g, ''), ch -> CAST(ascii(ch) AS UBIGINT))),
+               (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
+                                % 18446744073709551616 AS UBIGINT)) AS h0
+           FROM grams),
+         finalized AS (
+           SELECT doc_id, pos,
+             CAST(CASE WHEN xor(h0, h0 >> 31) >= CAST(9223372036854775808 AS UBIGINT)
+                       THEN CAST(xor(h0, h0 >> 31) AS HUGEINT) - 18446744073709551616
+                       ELSE CAST(xor(h0, h0 >> 31) AS HUGEINT) END AS BIGINT) AS h
+           FROM hashed),
+         winmins AS (
+           SELECT DISTINCT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+           FROM finalized),
+         sets AS (
+           SELECT doc_id, COUNT(*) AS n_fp FROM winmins GROUP BY doc_id),
+         rare AS (
+           SELECT fp FROM winmins GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 10),
+         fps AS (
+           SELECT w.doc_id, w.fp, s.n_fp
+           FROM winmins w JOIN rare USING (fp) JOIN sets s USING (doc_id)),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  COUNT(*) AS shared, MIN(a.n_fp) AS n_a, MIN(b.n_fp) AS n_b
+           FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b, shared
+         FROM pairs
+         WHERE CAST(shared AS DOUBLE) / least(n_a, n_b) >= 0.5
+         ORDER BY id_a, id_b"""
+
   /** Top-3 users per event type — shared by q02 (window plan) and q58 (the
     * same query under the opt-in bounded-heap rewrite).
     */
@@ -896,10 +1001,14 @@ object SparkEntry {
          FROM (SELECT lang, len(string_split(trim(text), ' ')) AS n_tok
                FROM documents)
          GROUP BY lang ORDER BY lang""",
+    // Full quadratic signature est-jaccard — banding must lose no pair.
+    "q22_dedup_minhash" -> minhashOracleSql,
+    // Independent winnow re-derivation incl. signed window-min semantics.
+    "q47_winnow_overlap" -> winnowOracleSql,
     // Full quadratic n-gram jaccard — checks that the LSH path loses no pair.
     "q24_dedup_jaccard" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
+      raw"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
            FROM documents),
          sh AS (
            SELECT doc_id,
@@ -917,8 +1026,8 @@ object SparkEntry {
                / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
          ORDER BY id_a, id_b""",
     "q45_dedup_apply" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
+      raw"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
            FROM documents),
          sh AS (
            SELECT doc_id,
@@ -968,14 +1077,14 @@ object SparkEntry {
          SELECT user_id FROM events WHERE event_type = 'error'
          ORDER BY user_id""",
     "q38_quality_stats" ->
-      """SELECT doc_id,
+      raw"""SELECT doc_id,
            length(text) AS n_chars_m,
-           len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS n_words,
+           len(string_split_regex(trim(text), '[$WS]+')) AS n_words,
            CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
              / length(text) AS alpha_ratio,
-           CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
+           CAST(len(list_filter(string_split_regex(trim(text), '[$WS]+'),
                 t -> t IN ('the','and','of','to','in','is','a'))) AS DOUBLE)
-             / len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS stopword_ratio
+             / len(string_split_regex(trim(text), '[$WS]+')) AS stopword_ratio
          FROM documents ORDER BY doc_id""",
     "q39_running_total" ->
       """SELECT o_custkey, o_orderkey,
@@ -1061,13 +1170,13 @@ object SparkEntry {
     // identical to q26: exhaustive probing must reproduce exact top-k
     "q52_ivf_exhaustive" -> exactTopKSql,
     "q53_corpus_filter" ->
-      """WITH q AS (
+      raw"""WITH q AS (
            SELECT * FROM documents
-           WHERE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) >= 30
+           WHERE len(string_split_regex(trim(text), '[$WS]+')) >= 30
              AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                  / length(text) >= 0.8),
          toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
            FROM q),
          sh AS (
            SELECT doc_id,
@@ -1123,16 +1232,16 @@ object SparkEntry {
          ORDER BY media_id""",
     // same RE2-safe pattern on both engines; '' is the SQL-escaped quote
     "q59_bpe_tokens" ->
-      """SELECT lang, COUNT(*) AS docs,
+      raw"""SELECT lang, COUNT(*) AS docs,
            CAST(SUM(len(regexp_extract_all(text,
-             '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+')))
+             '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9$WS]+|[$WS]+')))
              AS BIGINT) AS bpe_tokens,
-           CAST(SUM(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')))
+           CAST(SUM(len(string_split_regex(trim(text), '[$WS]+')))
              AS BIGINT) AS ws_tokens,
            CAST(SUM(len(regexp_extract_all(text,
-             '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+')))
+             '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9$WS]+|[$WS]+')))
              AS DOUBLE)
-             / SUM(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))) AS fertility
+             / SUM(len(string_split_regex(trim(text), '[$WS]+'))) AS fertility
          FROM documents GROUP BY lang ORDER BY lang""",
     "q27_fingerprint" ->
       """SELECT doc_id,

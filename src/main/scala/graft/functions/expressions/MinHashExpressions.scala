@@ -20,6 +20,18 @@ object HashUtil {
   private val FNV_OFFSET = 0xcbf29ce484222325L
   private val FNV_PRIME = 0x100000001b3L
 
+  /** Seeded affine coefficient streams (a_i ∈ [1,P-1], b_i ∈ [0,P-1]):
+    * the SINGLE source for both the MinHashSig kernel and the q22 DuckDB
+    * oracle (SparkEntry interpolates these as SQL literals), so the two
+    * engines' signatures cannot drift apart.
+    */
+  def affineCoefficients(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val a = Array.fill(k)(1L + rnd.nextInt((P - 1).toInt).toLong)
+    val b = Array.fill(k)(rnd.nextInt(P.toInt).toLong)
+    (a, b)
+  }
+
   /** Distinct, sorted 64-bit hashes of the w-token shingles. */
   def shingleHashSet(toks: ArrayData, w: Int): ArrayData = {
     val n = toks.numElements()
@@ -190,12 +202,8 @@ case class ShingleHashSet(child: Expression, w: Int)
 
 case class MinHashSig(child: Expression, k: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
-  @transient private lazy val (aCoef, bCoef) = {
-    val rnd = new scala.util.Random(seed)
-    val a = Array.fill(k)(1L + rnd.nextInt((HashUtil.P - 1).toInt).toLong)
-    val b = Array.fill(k)(rnd.nextInt(HashUtil.P.toInt).toLong)
-    (a, b)
-  }
+  @transient private lazy val (aCoef, bCoef) =
+    HashUtil.affineCoefficients(k, seed)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(hashes: Any): Any =
     HashUtil.minhashSig(hashes.asInstanceOf[ArrayData], aCoef, bCoef)

@@ -96,6 +96,13 @@ object Similarity {
     * and the nProbe cell selection reuses the same bounded-heap partial
     * aggregate as the final reduction — shuffle volume is nProbe rows per
     * query per partition, never queries × nLists.
+    *
+    * Recall in the approximate regime (seeded, so deterministic per
+    * fixture): on the sf0.001 embeddings (500×64-dim, 10 label clusters)
+    * with nLists=16, recall@10 measures 0.65 at nProbe=4 and ≥0.8 at
+    * nProbe=8, monotone in nProbe — gated with ~0.05 slack by
+    * DedupSimilaritySpec ("approximate regime"). q52 separately proves the
+    * exhaustive probe (nProbe == nLists) reproduces exact top-k.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4, seed: Long = 40L,

@@ -92,6 +92,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(partial.head == (0L, 1L)) // twin shares the query's own cell
   }
 
+  test("ivfTopK recall@10 in the approximate regime (nProbe < nLists)") {
+    // The regime the operator exists for — q52 gates only the exhaustive
+    // nProbe == nLists probe. Fully seeded, so recall on this fixture is
+    // deterministic; the floors carry ~0.05 slack under the measured
+    // values (0.65 at nProbe=4, see ivfTopK scaladoc) and recall must be
+    // monotone in nProbe (probing more cells can only add candidates).
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recallAt(nProbe: Int): Double = {
+      val approx = Similarity.ivfTopK(emb, queries, k = 10,
+          nLists = 16, nProbe = nProbe)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      approx.count(exact.contains).toDouble / exact.size
+    }
+    val r4 = recallAt(4)
+    val r8 = recallAt(8)
+    assert(r4 >= 0.6, s"recall@10 at nProbe=4 was $r4, floor 0.6")
+    assert(r8 >= r4, s"recall must be monotone in nProbe: $r8 < $r4")
+    assert(r8 >= 0.8, s"recall@10 at nProbe=8 was $r8, floor 0.8")
+  }
+
   test("lshTopK returns a subset ranking consistent with brute force") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 3)
