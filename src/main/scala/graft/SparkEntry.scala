@@ -273,7 +273,8 @@ object SparkEntry {
           threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
-    // ---- North-star: SimHash near-dup (rows-only) ----------------------
+    // ---- North-star: SimHash near-dup. Oracle = full-quadratic hamming
+    // (simhashOracleSql) — exact-recall blocking must lose no pair -------
     "q23_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
           maxHamming = 3)
@@ -330,8 +331,8 @@ object SparkEntry {
         .select("id_a", "id_b", "shared")
         .orderBy("id_a", "id_b")),
 
-    // ---- North-star: language-ID heuristic (rows-only: marker scoring
-    // is engine-defined) -------------------------------------------------
+    // ---- North-star: language-ID heuristic. Oracle re-derives the
+    // marker-hit argmax with matching struct-max ties (langidOracleSql) --
     "q28_langid" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("lang").as("labeled"),
@@ -854,6 +855,77 @@ object SparkEntry {
          WHERE CAST(shared AS DOUBLE) / least(n_a, n_b) >= 0.5
          ORDER BY id_a, id_b"""
 
+  /** q23 SimHash oracle: full-quadratic hamming over independently
+    * re-derived 64-bit sketches — valid as an oracle because the engine's
+    * chunk-pair pigeonhole blocking has an EXACT recall guarantee (any
+    * pair at hamming ≤ 3 must share a chunk-pair key), so engine output
+    * must equal the quadratic computation. Per-token FNV-1a-64 +
+    * `h ^= h >>> 31` finalizer, ±1 votes per bit row-ified over a 64-row
+    * bits table (every token OCCURRENCE votes, matching the kernel), sign
+    * of the vote sum packs the bit via precomputed powers (DuckDB's `<<`
+    * is overflow-checked at bit 63, so the powers are literals).
+    */
+  private val simhashOracleSql: String = {
+    val pows = (0 until 64).map(b => (BigInt(1) << b).toString)
+      .mkString("[", ",", "]")
+    raw"""WITH tok_rows AS (
+           SELECT doc_id,
+             unnest(string_split_regex(trim(text), '[$WS]+')) AS tok
+           FROM documents),
+         hashed AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                 list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS UBIGINT))),
+               (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
+                                % 18446744073709551616 AS UBIGINT)) AS h0
+           FROM tok_rows),
+         finalized AS (
+           SELECT doc_id, xor(h0, h0 >> 31) AS h FROM hashed),
+         bits AS (
+           SELECT unnest(range(0, 64)) AS b, unnest($pows::UBIGINT[]) AS p),
+         votes AS (
+           SELECT doc_id, b, p,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM finalized, bits GROUP BY doc_id, b, p),
+         sketches AS (
+           SELECT doc_id,
+             CAST(COALESCE(SUM(CASE WHEN v > 0 THEN CAST(p AS HUGEINT) END), 0)
+               AS UBIGINT) AS sh
+           FROM votes GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         FROM sketches a, sketches b
+         WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+         ORDER BY id_a, id_b"""
+  }
+
+  /** q28 language-ID oracle: marker-hit argmax re-derived in DuckDB. The
+    * marker lists interpolate from TextFunctions.langMarkers (the single
+    * source the engine broadcasts as literals), and the tie semantics
+    * match by construction: Spark's array_max and DuckDB's list_max both
+    * compare (score, lang) structs field-by-field, so ties break toward
+    * the lexicographically larger language in both engines.
+    */
+  private val langidOracleSql: String = {
+    val arms = TextFunctions.langMarkers.toSeq.sortBy(_._1).map {
+      case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString(",")
+        s"{'score': len(list_filter(t, x -> x IN ($lst))), 'lang': '$lang'}"
+    }.mkString(", ")
+    raw"""WITH toks AS (
+           SELECT lang AS labeled,
+             string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         scored AS (
+           SELECT labeled, list_max([$arms]) AS best FROM toks)
+         SELECT labeled,
+           CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted,
+           COUNT(*) AS cnt
+         FROM scored GROUP BY labeled, predicted
+         ORDER BY labeled, predicted"""
+  }
+
   /** Top-3 users per event type — shared by q02 (window plan) and q58 (the
     * same query under the opt-in bounded-heap rewrite).
     */
@@ -1005,6 +1077,10 @@ object SparkEntry {
     "q22_dedup_minhash" -> minhashOracleSql,
     // Independent winnow re-derivation incl. signed window-min semantics.
     "q47_winnow_overlap" -> winnowOracleSql,
+    // Full quadratic hamming — pigeonhole blocking must lose no pair.
+    "q23_dedup_simhash" -> simhashOracleSql,
+    // Marker-argmax re-derivation; markers single-sourced from the engine.
+    "q28_langid" -> langidOracleSql,
     // Full quadratic n-gram jaccard — checks that the LSH path loses no pair.
     "q24_dedup_jaccard" ->
       raw"""WITH toks AS (
