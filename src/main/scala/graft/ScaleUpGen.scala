@@ -83,12 +83,23 @@ object ScaleUpGen {
           t => concat(t, lit(s"c$i")))))
     }, "documents", 16)
 
+    // Rotation index wraps at the vector dim; the second lap (factor > dim)
+    // negates as well — negation preserves norms and intra-copy geometry,
+    // and cosine −1 against the unrotated twin is never a near-dup. 2×dim
+    // distinct transforms bound the generator at factor ≤ 128 for dim 64.
     write(copies("embeddings", Seq("vec_id")) { (d, i) =>
       if (i == 0) d
-      else d.withColumn("embedding",
-        concat(
-          slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
-          slice(col("embedding"), lit(1), lit(i))))
+      else {
+        val dim = size(col("embedding"))
+        val r = i % 64
+        val rotated =
+          if (r == 0) col("embedding")
+          else concat(
+            slice(col("embedding"), lit(r + 1), dim - r),
+            slice(col("embedding"), lit(1), lit(r)))
+        val out = if ((i / 64) % 2 == 1) transform(rotated, x => -x) else rotated
+        d.withColumn("embedding", out)
+      }
     }, "embeddings", 8)
 
     spark.stop()
