@@ -55,7 +55,13 @@ object Bench {
     }
     val excluded = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(SparkEntry.benchQueries.toSet)
-    val results = selected.map(n => n -> run(n))
+    // one compact line per query AS IT COMPLETES: tail-truncation of the
+    // final summary line can never eat per-query numbers again
+    val results = selected.map { n =>
+      val t = run(n)
+      println(s"""{"q":"$n","s":$t}""")
+      n -> t
+    }
     // Model-selection workloads (CV grid, ALS+KMeans chain) stay OUT of the
     // total — their fit cost swings ±15-35% run-to-run — but their times are
     // still emitted so a CV-path regression is visible between rounds.
@@ -70,7 +76,16 @@ object Bench {
     val ms = jsonMap(msResults)
     val ex = excluded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"model_selection":$ms,"excluded":$ex,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"model_selection":$ms,"excluded":$ex,"sf":"$sfDir"}"""
+    // full JSON also goes to a FILE (driver stdout capture truncates the
+    // one giant line to a tail — BENCH_r0N.json came back `parsed: null`
+    // five rounds running); jq-diffable across rounds
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench/bench_latest.json")
+    val outFile = new java.io.File(outPath)
+    Option(outFile.getParentFile).foreach(_.mkdirs())
+    java.nio.file.Files.writeString(outFile.toPath, line + "\n")
+    println(line)
     spark.stop()
   }
 }

@@ -36,6 +36,11 @@ object ScaleUpGen {
     val Array(inDir, outDir, factorS) = args
     val factor = factorS.toInt
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    // the embedding transform has 2×dim distinct variants (rotation ×
+    // optional negation); beyond that copies would repeat and silently
+    // reintroduce cross-copy near-dups — fail fast instead
+    require(factor <= 128, s"factor must be <= 128 (2x embedding dim " +
+      s"distinct transforms), got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,6 +81,14 @@ object ScaleUpGen {
     plain("orders", Seq("o_orderkey", "o_custkey"), 16)
     plain("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 32)
 
+    // events: ts is parquet TIMESTAMP(NANOS) — read as a nanos long (the
+    // Tables.events legacy conf) and pass it through per copy; the scaled
+    // file stores plain INT64 nanos, which Tables.events / the streaming
+    // schema read identically. user_id shifts WITH the customer copies so
+    // q46's as-of user_id ⋈ o_custkey alignment is preserved.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    plain("events", Seq("event_id", "user_id"), 8)
+
     write(copies("documents", Seq("doc_id")) { (d, i) =>
       if (i == 0) d
       else d.withColumn("text",
@@ -86,7 +99,13 @@ object ScaleUpGen {
     // Rotation index wraps at the vector dim; the second lap (factor > dim)
     // negates as well — negation preserves norms and intra-copy geometry,
     // and cosine −1 against the unrotated twin is never a near-dup. 2×dim
-    // distinct transforms bound the generator at factor ≤ 128 for dim 64.
+    // distinct transforms bound the generator at factor ≤ 128 for dim 64
+    // (enforced above); the wrap constant below assumes dim 64, so verify
+    // the actual fixture dim rather than silently corrupting the output.
+    val embDim = read("embeddings")
+      .select(size(col("embedding")).as("d")).head().getInt(0)
+    require(embDim == 64,
+      s"ScaleUpGen embedding transform assumes dim 64, fixture has $embDim")
     write(copies("embeddings", Seq("vec_id")) { (d, i) =>
       if (i == 0) d
       else {

@@ -306,6 +306,34 @@ object SparkEntry {
           tables = Dedup.lshTablesFor(0.5, planes = 4))
         .orderBy("id_a", "id_b")),
 
+    // ---- North-star: embedding near-dup, PRODUCTION regime (θ=0.9) -----
+    // The configuration a real 100 TB dedup runs: 16-plane tables sized by
+    // lshTablesFor(0.9) (miss ≤ 1e-6) — selective buckets, sub-linear
+    // candidate growth (vs q25's deliberately-quadratic θ=0.5 recall
+    // proof). The fixture has no natural pairs above cosine 0.85, so the
+    // query derives deterministic near-dup twins for vec_id < 50 — each a
+    // blend of the vector toward its circular rotation, alpha stepping
+    // 0→0.35 by vec_id%8/20, spreading twin similarity across ~0.88-1.0 so
+    // the θ=0.9 threshold boundary is exercised from both sides. The
+    // oracle reproduces the twin derivation element-for-element (same IEEE
+    // double ops in the same order) and the full quadratic cosine, so a
+    // hash-green row proves the production-regime blocking lost no pair.
+    "q61_embed_neardup_prod" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).select(col("vec_id"),
+        VectorFunctions.toDoubleArray(col("embedding")).as("embedding"))
+      val twins = base.filter(col("vec_id") < 50)
+        .withColumn("a", (col("vec_id") % 8).cast("double") / 20.0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (lit(1.0) - col("a")) * x + col("a") *
+              element_at(col("embedding"), pmod(i + 1, lit(64)) + 1))
+            .as("embedding"))
+      Dedup.embeddingPairs(base.unionByName(twins), "vec_id", "embedding",
+          threshold = 0.9, useLsh = true, dim = 64, planes = 16,
+          tables = Dedup.lshTablesFor(0.9, planes = 16))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- North-star: brute-force cosine top-k ANN baseline -------------
     "q26_sim_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -443,6 +471,18 @@ object SparkEntry {
           Seq("o_orderstatus"), "outer")
         .orderBy("o_orderstatus")
     }),
+    // Deterministic content-hash split (D-layer completion): membership is
+    // a pure function of the id, so — unlike q36/q37's partition-dependent
+    // splits — the FULL train/test assignment is oracle-checkable: DuckDB
+    // re-derives the FNV-1a fold per id and must reproduce every row.
+    "q62_hash_split" -> ((s, dir) => {
+      val (tr, te) = Relational.hashSplit(
+        Tables.orders(s, dir), "o_orderkey", 0.7, 40L)
+      tr.select(col("o_orderkey"), lit("train").as("side"))
+        .unionAll(te.select(col("o_orderkey"), lit("test").as("side")))
+        .orderBy("o_orderkey")
+    }),
+
     "q37_random_split_counts" -> ((s, dir) => {
       val Array(a, b) = Tables.orders(s, dir)
         .randomSplit(Array(0.7, 0.3), seed = 40)
@@ -762,6 +802,24 @@ object SparkEntry {
     * HashUtil.affineCoefficients — the same stream the MinHashSig kernel
     * draws — so engine and oracle cannot drift. The signed-vs-unsigned
     * CASE mirrors the kernel's Java `% P` on the signed 64-bit hash.
+    *
+    * ASCII-ONLY ASSUMPTION (shared with the q23/q47 oracles): the oracle
+    * folds per CHARACTER (`string_split(s,'') → ascii(ch)`) while the
+    * engine kernels fold per UTF-8 BYTE (`getBytes`); the two agree iff
+    * every document is pure ASCII — true of the fixture corpus by
+    * construction. On a non-ASCII corpus a CORRECT engine would go falsely
+    * red here; the fix is folding over `encode(text)` blob octets, not an
+    * engine change.
+    *
+    * RECALL CAVEAT: this oracle demands exact equality with the full
+    * quadratic est_jaccard ≥ 0.5 set, but 32×4 banding has no recall
+    * GUARANTEE at est exactly 0.5 — a borderline pair whose 64/128
+    * agreeing positions dodge every band survives with probability
+    * ≈ (15/16)^32 ≈ 13%. The no-miss result is fixture-verified, not
+    * structural (contrast q24's (1-0.8⁴)^32 ≈ 4e-8 bound at j = 0.8); a
+    * future red on a new/scaled fixture is triaged as a banding-recall
+    * tradeoff, NOT a kernel bug — the engine's output is a subset of the
+    * oracle's by construction, so false-greens are impossible.
     */
   private val minhashOracleSql: String = {
     val (a, b) = graft.functions.expressions.HashUtil.affineCoefficients(128, 42L)
@@ -814,6 +872,8 @@ object SparkEntry {
     * different fingerprints). Tail windows shrink exactly like the kernel's
     * `end = min(start+w, n)`. Then the same df∈[2,10] rarity bound, shared
     * counts, and containment ≥ 0.5 gate as Dedup.winnowOverlapPairs.
+    * Character-based substring/length vs the kernel's byte-offset grams:
+    * ASCII-only assumption, see the minhashOracleSql scaladoc.
     */
   private val winnowOracleSql: String =
     raw"""WITH grams AS (
@@ -859,7 +919,8 @@ object SparkEntry {
     * re-derived 64-bit sketches — valid as an oracle because the engine's
     * chunk-pair pigeonhole blocking has an EXACT recall guarantee (any
     * pair at hamming ≤ 3 must share a chunk-pair key), so engine output
-    * must equal the quadratic computation. Per-token FNV-1a-64 +
+    * must equal the quadratic computation (per-character fold: ASCII-only
+    * assumption, see the minhashOracleSql scaladoc). Per-token FNV-1a-64 +
     * `h ^= h >>> 31` finalizer, ±1 votes per bit row-ified over a 64-row
     * bits table (every token OCCURRENCE votes, matching the kernel), sign
     * of the vote sum packs the bit via precomputed powers (DuckDB's `<<`
@@ -910,7 +971,9 @@ object SparkEntry {
   private val langidOracleSql: String = {
     val arms = TextFunctions.langMarkers.toSeq.sortBy(_._1).map {
       case (lang, ms) =>
-        val lst = ms.map(m => s"'$m'").mkString(",")
+        // SQL-escape apostrophes (plausible markers for French: l', d')
+        // so interpolated literals can never break the generated SQL
+        val lst = ms.map(m => s"'${m.replace("'", "''")}'").mkString(",")
         s"{'score': len(list_filter(t, x -> x IN ($lst))), 'lang': '$lang'}"
     }.mkString(", ")
     raw"""WITH toks AS (
@@ -925,6 +988,69 @@ object SparkEntry {
          FROM scored GROUP BY labeled, predicted
          ORDER BY labeled, predicted"""
   }
+
+  /** q61 oracle: re-derives the deterministic near-dup twins (same blend
+    * arithmetic, element-for-element — `(1-a)*v[i] + a*v[rot]` is the
+    * identical IEEE double expression in both engines, and the float→double
+    * widening of the base embedding is exact), then computes the FULL
+    * quadratic cosine over base ∪ twins — so a hash-green row proves the
+    * production-regime (θ=0.9, 16-plane, lshTablesFor-sized) LSH blocking
+    * lost no pair. Indexing note: DuckDB's 1-based `v[1 + (i % 64)]` equals
+    * Spark's 0-based `element_at(v, ((i0+1) mod 64) + 1)` under i = i0+1.
+    */
+  private val embedProdOracleSql: String =
+    """WITH b AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         tw AS (
+           SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(1, 65),
+               i -> (1 - a) * v[i] + a * v[1 + (i % 64)]) AS v
+           FROM (SELECT vec_id, v, CAST(vec_id % 8 AS DOUBLE) / 20 AS a
+                 FROM b WHERE vec_id < 50)),
+         allv AS (SELECT * FROM b UNION ALL SELECT * FROM tw),
+         n AS (
+           SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(v)+1), i -> v[i] * v[i])),
+               (acc, x) -> acc + x)) AS nrm
+           FROM allv)
+         SELECT id_a, id_b, sim FROM (
+           SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(a.v)+1), i -> a.v[i] * c.v[i])),
+               (acc, x) -> acc + x) / (a.nrm * c.nrm), 4) AS sim
+           FROM n a, n c WHERE a.vec_id < c.vec_id)
+         WHERE sim > 0.9 ORDER BY id_a, id_b"""
+
+  /** q62 oracle: re-derives the hashSplit FNV-1a-64 fold per id (HUGEINT
+    * mod-2⁶⁴ wrap exactly as the q22 oracle spells it), re-signs the hash
+    * like Java's long, and applies the same pmod-1e6 bucket cut. The input
+    * to the fold ("<id>:<seed>") is all-ASCII by construction, so the
+    * per-character fold equals the kernel's per-byte fold.
+    */
+  private val hashSplitOracleSql: String =
+    """WITH h AS (
+           SELECT o_orderkey,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                 list_transform(
+                   string_split(CAST(o_orderkey AS VARCHAR) || ':40', ''),
+                   ch -> CAST(ascii(ch) AS UBIGINT))),
+               (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
+                                % 18446744073709551616 AS UBIGINT)) AS hu
+           FROM orders),
+         s AS (
+           SELECT o_orderkey,
+             ((CASE WHEN hu >= CAST(9223372036854775808 AS UBIGINT)
+                    THEN CAST(hu AS HUGEINT) - 18446744073709551616
+                    ELSE CAST(hu AS HUGEINT) END % 1000000) + 1000000)
+               % 1000000 AS b
+           FROM h)
+         SELECT o_orderkey,
+           CASE WHEN b < 700000 THEN 'train' ELSE 'test' END AS side
+         FROM s ORDER BY o_orderkey"""
 
   /** Top-3 users per event type — shared by q02 (window plan) and q58 (the
     * same query under the opt-in bounded-heap rewrite).
@@ -1141,6 +1267,10 @@ object SparkEntry {
          WHERE sim > 0.5 ORDER BY id_a, id_b""",
     "q26_sim_topk" -> exactTopKSql,
     "q57_lsh_topk" -> exactTopKSql,
+    // Production-regime embedding near-dup vs full quadratic cosine.
+    "q61_embed_neardup_prod" -> embedProdOracleSql,
+    // Content-hash split: full membership re-derived from the FNV fold.
+    "q62_hash_split" -> hashSplitOracleSql,
     "q42_except_all" ->
       """SELECT user_id, COUNT(*) AS cnt FROM (
            SELECT user_id FROM events WHERE event_type = 'click'

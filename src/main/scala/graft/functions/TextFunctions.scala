@@ -87,6 +87,13 @@ object TextFunctions {
   /** Hamming distance between two 64-bit sketches. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** FNV-1a-64 of a string column's UTF-8 bytes — the single-sourced hash
+    * stream (expressions.HashUtil) as a scalar function; the primitive
+    * behind [[graft.operators.Relational.hashSplit]]'s partition-stable
+    * bucketing, re-derivable per character in DuckDB for ASCII input.
+    */
+  def fnv64(c: Column): Column = toCol(expressions.Fnv64(toExpr(c)))
+
   /** Polynomial rolling-hash fingerprint of the full text, mod 1e9+7.
     * Deterministic, overflow-free, and reproducible in any engine with a
     * left fold (the DuckDB oracle mirrors it with list_reduce).

@@ -32,6 +32,22 @@ object HashUtil {
     (a, b)
   }
 
+  /** FNV-1a-64 over a byte array — the same fold [[shingleHashSet]],
+    * [[simhash64]], and [[winnow]] inline, exposed for scalar hashing
+    * (content-hash splits). The q62 DuckDB oracle re-derives this fold
+    * per character (identical for ASCII input — split ids + ':' + seed
+    * are always ASCII).
+    */
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = FNV_OFFSET
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * FNV_PRIME
+      i += 1
+    }
+    h
+  }
+
   /** Distinct, sorted 64-bit hashes of the w-token shingles. */
   def shingleHashSet(toks: ArrayData, w: Int): ArrayData = {
     val n = toks.numElements()
@@ -226,6 +242,16 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def nullSafeEval(toks: Any): Any =
     HashUtil.simhash64(toks.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class Fnv64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any): Any =
+    HashUtil.fnv1a64(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

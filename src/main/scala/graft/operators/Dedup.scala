@@ -14,6 +14,59 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
   */
 object Dedup {
 
+  /** Default per-reducer bucket bound for [[boundedSelfJoinCandidates]]:
+    * any LSH bucket larger than this is grid-split so no single reducer
+    * ever handles more than ~cap² candidate pairs.
+    */
+  val defaultMaxBucket: Int = 1024
+
+  /** Skew-bounded self-join: all co-bucket member pairs (m_a < m_b) of
+    * `keyed` (one row per (bucket key, member)), with oversized buckets
+    * split into a triangular grid of group-pair cells so per-reducer work
+    * is bounded by ~cap² pairs REGARDLESS of key skew — a hot bucket
+    * (e.g. thousands of identical documents sharing every band key) is
+    * genuinely quadratic in PAIRS, but the grid distributes those pairs
+    * across ceil(n/cap)·(ceil(n/cap)+1)/2 reducers instead of funneling
+    * them through one.
+    *
+    * Grid scheme: each member gets group g = hash(member) mod ceil(n/cap)
+    * (n = bucket size via a window count — no second scan of the input
+    * lineage). Cell (i, j), i ≤ j, joins group-i members against group-j
+    * members; a member emits its row to cells (g, j≥g) on the left and
+    * (i≤g, g) on the right, so every unordered pair lands in exactly the
+    * cell of its group pair (twice, symmetrically, for the diagonal —
+    * downstream dropDuplicates absorbs it, as it already must for pairs
+    * sharing several buckets). For normal buckets (n ≤ cap) the grid is
+    * 1×1 and the plan degenerates to the plain self-join.
+    *
+    * Output is NOT deduplicated: one row per co-bucket-cell occurrence,
+    * so callers keep the cheapest order of verify vs dropDuplicates.
+    * `memberCol` may be any orderable column (id, or a struct carrying
+    * the id first plus per-member payload — struct comparison then orders
+    * by id, so least/greatest stay id-ordered).
+    */
+  private[graft] def boundedSelfJoinCandidates(
+      keyed: DataFrame, keyCol: String, memberCol: String,
+      cap: Int = defaultMaxBucket): DataFrame = {
+    require(cap >= 2, s"boundedSelfJoinCandidates: cap >= 2, got $cap")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    val grouped = keyed
+      .withColumn("__g",
+        ceil(count(lit(1)).over(w).cast("double") / cap).cast("int"))
+      .withColumn("__grp",
+        pmod(xxhash64(col(memberCol)), col("__g")).cast("int"))
+    val left = grouped.select(col(keyCol), col("__grp").as("__gi"),
+      explode(sequence(col("__grp"), col("__g") - 1)).as("__gj"),
+      col(memberCol).as("__ma"))
+    val right = grouped.select(col(keyCol),
+      explode(sequence(lit(0), col("__grp"))).as("__gi"),
+      col("__grp").as("__gj"), col(memberCol).as("__mb"))
+    left.join(right, Seq(keyCol, "__gi", "__gj"))
+      .filter(col("__ma") =!= col("__mb"))
+      .select(least(col("__ma"), col("__mb")).as("m_a"),
+        greatest(col("__ma"), col("__mb")).as("m_b"))
+  }
+
   /** Exact dedup: one hash aggregation on the dedup key, keeping the
     * smallest id per group. At 100 TB this is a single shuffle on
     * xxhash64(key) — group by the hash, not the full text, when values are
@@ -57,10 +110,8 @@ object Dedup {
       .withColumn("sig", T.minhashSignature(col("hs"), k))
     val bandKeys = sketch.select(col("id"),
       explode(T.bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
-    val pairs = bandKeys.select(col("bh"), col("id").as("id_a"))
-      .join(bandKeys.select(col("bh"), col("id").as("id_b")), Seq("bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val pairs = boundedSelfJoinCandidates(bandKeys, "bh", "id")
+      .select(col("m_a").as("id_a"), col("m_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val cands = pairs
       .join(sketch.select(col("id").as("id_a"), col("hs").as("hs_a"),
@@ -173,22 +224,22 @@ object Dedup {
       (lit(p.toLong).multiply(lit(1L << slot)).plus(chunk(i)))
         .multiply(lit(1L << slot)).plus(chunk(j))
     }: _*)
-    val sketched = df.select(col(idCol).as("id"),
-        T.tokens(col(textCol)).as("toks"))
-      .withColumn("sh", T.simhash64("toks"))
-      .select(col("id"), col("sh"), explode(keys).as("ck"))
-    val a = sketched.select(col("ck"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sketched.select(col("ck"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
+    // member struct carries the sketch through the skew-bounded self-join
+    // (struct comparison orders by id first, so pair orientation is by id);
     // verify BEFORE deduplicating: hamming is a narrow bit_count per
     // candidate (identical for every chunk-pair key a pair collides on),
     // so filtering first shrinks the dedup shuffle from the full candidate
     // volume (~10·N²/2^26.6 rows) to only the true near-dup pairs
-    a.join(b, Seq("ck")).filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", T.hamming64(col("sh_a"), col("sh_b")).cast("long"))
+    val keyed = df.select(col(idCol).as("id"),
+        T.tokens(col(textCol)).as("toks"))
+      .withColumn("sh", T.simhash64("toks"))
+      .select(struct(col("id"), col("sh")).as("m"), explode(keys).as("ck"))
+    boundedSelfJoinCandidates(keyed, "ck", "m")
+      .withColumn("hamming",
+        T.hamming64(col("m_a.sh"), col("m_b.sh")).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select(col("m_a.id").as("id_a"), col("m_b.id").as("id_b"),
+        col("hamming"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -285,13 +336,13 @@ object Dedup {
       } else {
         // bucket key packs (table, sketch) into one long: t*2^planes + bits;
         // all tables computed in one compiled kernel pass per row, and only
-        // these 16-byte (key, id) rows go through the ×tables self-join
+        // these 16-byte (key, id) rows go through the ×tables self-join —
+        // skew-bounded (identical vectors share every bucket) via the
+        // triangular grid of boundedSelfJoinCandidates
         val keyed = base.select(col("id"), explode(
           V.hyperplaneSketches(col("v"), dim, planes, tables, seed)).as("bk"))
-        keyed.select(col("bk"), col("id").as("id_a"))
-          .join(keyed.select(col("bk"), col("id").as("id_b")), Seq("bk"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b")
+        boundedSelfJoinCandidates(keyed, "bk", "id")
+          .select(col("m_a").as("id_a"), col("m_b").as("id_b"))
           .dropDuplicates("id_a", "id_b")
           .join(aSide, Seq("id_a"))
           .join(bSide, Seq("id_b"))

@@ -265,6 +265,30 @@ object Relational {
     (df.filter(isTrain), df.filter(!isTrain))
   }
 
+  /** Deterministic content-hash split — the split operator a real training
+    * pipeline uses at 100 TB: membership is a pure function of the row's id
+    * (FNV-1a-64 of "id:seed", single-sourced from
+    * [[graft.functions.expressions.HashUtil]] — the same stream the MinHash
+    * kernels and the q22/q62 DuckDB oracles fold), so it is stable under
+    * repartitioning, re-runs, executor counts, and engine versions — none
+    * of which holds for randomSplit (partition-dependent; quirk behind
+    * q37's no_oracle status) or sample-based splits. Rows sharing an id
+    * always land on the same side (leakage-free under duplicated keys).
+    * Train and test are complement filters of one scan: disjoint,
+    * exhaustive, multiset-exact, no shuffle.
+    */
+  def hashSplit(df: DataFrame, idCol: String, trainFrac: Double,
+                seed: Long): (DataFrame, DataFrame) = {
+    require(trainFrac >= 0.0 && trainFrac <= 1.0,
+      s"hashSplit: trainFrac in [0,1], got $trainFrac")
+    val bucket = pmod(
+      graft.functions.TextFunctions.fnv64(
+        concat(col(idCol).cast("string"), lit(":" + seed))),
+      lit(1000000L))
+    val isTrain = bucket < lit(math.round(trainFrac * 1000000L))
+    (df.filter(isTrain), df.filter(!isTrain))
+  }
+
   /** As-of join: for each left row, attach the single right-side value with
     * the greatest `rightTs` ≤ the row's `leftTs`, per join key — the
     * time-series enrichment operator Spark lacks natively.
