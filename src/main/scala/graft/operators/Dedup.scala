@@ -90,9 +90,10 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleWidth: Int = 3, bands: Int = 32,
-                        rowsPerBand: Int = 4): DataFrame =
+                        rowsPerBand: Int = 4,
+                        maxBucket: Int = defaultMaxBucket): DataFrame =
     minhashCandidatesWithSketch(df, idCol, textCol, shingleWidth, bands,
-      rowsPerBand)._1
+      rowsPerBand, maxBucket)._1
 
   /** As [[minhashCandidates]], also returning the per-doc sketch frame so
     * callers that run MULTIPLE actions over the candidates (e.g.
@@ -101,8 +102,8 @@ object Dedup {
     */
   private def minhashCandidatesWithSketch(
       df: DataFrame, idCol: String, textCol: String,
-      shingleWidth: Int, bands: Int,
-      rowsPerBand: Int): (DataFrame, DataFrame) = {
+      shingleWidth: Int, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = defaultMaxBucket): (DataFrame, DataFrame) = {
     val k = bands * rowsPerBand
     val sketch = df.select(
         col(idCol).as("id"),
@@ -110,7 +111,7 @@ object Dedup {
       .withColumn("sig", T.minhashSignature(col("hs"), k))
     val bandKeys = sketch.select(col("id"),
       explode(T.bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
-    val pairs = boundedSelfJoinCandidates(bandKeys, "bh", "id")
+    val pairs = boundedSelfJoinCandidates(bandKeys, "bh", "id", maxBucket)
       .select(col("m_a").as("id_a"), col("m_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val cands = pairs
@@ -139,8 +140,10 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleWidth: Int = 3,
-                   bands: Int = 32, rowsPerBand: Int = 4): DataFrame =
-    minhashCandidates(df, idCol, textCol, shingleWidth, bands, rowsPerBand)
+                   bands: Int = 32, rowsPerBand: Int = 4,
+                   maxBucket: Int = defaultMaxBucket): DataFrame =
+    minhashCandidates(df, idCol, textCol, shingleWidth, bands, rowsPerBand,
+        maxBucket)
       .withColumn("jaccard", T.jaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -156,6 +156,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: hashSplit is disjoint, exhaustive, and repartition-invariant") {
+    val df = spark.range(2000).toDF("id")
+    val (tr, te) = Relational.hashSplit(df, "id", 0.7, 40L)
+    val trIds = tr.select("id").as[Long].collect().toSet
+    val teIds = te.select("id").as[Long].collect().toSet
+    assert(trIds.intersect(teIds).isEmpty)                 // disjoint
+    assert((trIds ++ teIds) == (0L until 2000L).toSet)     // exhaustive
+    assert(math.abs(trIds.size / 2000.0 - 0.7) < 0.05)     // frac honored
+    // membership is a pure function of the id: identical under ANY
+    // physical partitioning — the property randomSplit cannot offer
+    for (k <- Seq(1, 7, 32)) {
+      val (tk, _) = Relational.hashSplit(df.repartition(k), "id", 0.7, 40L)
+      assert(tk.select("id").as[Long].collect().toSet == trIds, s"k=$k")
+    }
+    // the seed actually enters the hash: a different seed moves the cut
+    val (tr2, _) = Relational.hashSplit(df, "id", 0.7, 41L)
+    assert(tr2.select("id").as[Long].collect().toSet != trIds)
+  }
+
   test("law: temporalPrefixSplit prefix is minimal by (ts, id)") {
     for (ts <- samples(Gen.listOfN(30, Gen.chooseNum(0L, 10L)), 6)
          if ts.nonEmpty) {

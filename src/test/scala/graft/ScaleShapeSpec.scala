@@ -308,4 +308,48 @@ class ScaleShapeSpec extends SparkSpec {
     assert(Dedup.lshTablesFor(0.5, 8) > Dedup.lshTablesFor(0.5, 4))
     assert(Dedup.lshTablesFor(0.5, 4, 1e-9) > Dedup.lshTablesFor(0.5, 4, 1e-3))
   }
+
+  test("boundedSelfJoinCandidates: hot bucket grid loses no pair, bounds cells") {
+    // adversarial fixture: ONE bucket holding every member — the skew case
+    // where a plain band self-join funnels all n(n-1)/2 pairs through a
+    // single reducer. With cap=16 the grid must split it into group-pair
+    // cells whose per-cell pair volume is ~cap² while covering every pair.
+    val n = 120; val cap = 16
+    val keyed = (0 until n).map(i => ("hot", i.toLong)).toDF("bh", "id")
+    val pairs = Dedup.boundedSelfJoinCandidates(keyed, "bh", "id", cap)
+      .select("m_a", "m_b").as[(Long, Long)].collect()
+    val distinctPairs = pairs.toSet
+    assert(distinctPairs.size == n * (n - 1) / 2, "grid lost candidate pairs")
+    assert(distinctPairs.forall { case (a, b) => a < b })
+    // the bound: g = ceil(n/cap) groups via the SAME hash rule the grid
+    // uses; per-cell candidate volume ≤ maxGroup², far below all-pairs
+    val g = math.ceil(n.toDouble / cap).toInt
+    val groupSizes = keyed
+      .select(pmod(xxhash64(col("id")), lit(g)).as("grp"))
+      .groupBy("grp").count().select("count").as[Long].collect()
+    assert(groupSizes.length == g, "grid must populate every group")
+    assert(groupSizes.max <= 3L * cap, s"hash imbalance: ${groupSizes.toSeq}")
+    assert(groupSizes.max * groupSizes.max < n.toLong * (n - 1) / 2,
+      "a grid cell still carries ~all pairs")
+  }
+
+  test("dedup under a hot bucket: 60 identical docs verify exactly through the grid") {
+    // 60 identical documents share every band key (and every simhash
+    // chunk-pair key): the classic silent-quadratic-reducer fixture. With
+    // a small cap the grid path is exercised end-to-end and must still
+    // emit exactly C(60,2) pairs at jaccard/hamming 1.0/0.
+    val docs = (0 until 60).map(i => (i.toLong,
+      "the same exact document body repeated verbatim across the corpus " +
+        "with enough tokens to shingle properly and fill the minhash"))
+      .toDF("doc_id", "text")
+    val jp = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8,
+        maxBucket = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(jp.length == 60 * 59 / 2, s"expected all pairs, got ${jp.length}")
+    assert(jp.forall(_._3 == 1.0))
+    val sp = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(sp.length == 60 * 59 / 2)
+    assert(sp.forall(_._3 == 0L))
+  }
 }

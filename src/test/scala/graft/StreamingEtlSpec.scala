@@ -201,6 +201,37 @@ class StreamingEtlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeClosed state stays bounded by live users while input grows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // sf0.001 events in ts order, delivered as 5 chronological micro-batches:
+    // input grows 200 → 1000 events, but flatMapGroupsWithState keeps ONE
+    // OpenSession row per live user, so state-store rows must stay ≤ the
+    // user cardinality at every batch — the watermark-bounded-state claim,
+    // asserted instead of argued. (STREAM_STATE.md records the same curve
+    // at sf0.1: 100k events, state plateaus at the 1.5k user count.)
+    val evs = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStream.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val nUsers = evs.map(_.user_id).distinct.length
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeClosed(input.toDS(), gapMinutes = 30)
+      .toDF().writeStream.format("memory").queryName("state_bound_test")
+      .outputMode("append").start()
+    try {
+      val stateRows = evs.grouped(math.max(1, evs.length / 5)).map { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }.toSeq
+      assert(stateRows.nonEmpty && stateRows.forall(_ > 0))
+      stateRows.foreach(n =>
+        assert(n <= nUsers, s"state rows $n exceed user count $nUsers " +
+          s"(curve: $stateRows)"))
+    } finally q.stop()
+  }
+
   test("foldSessions: backward-gap late event is its own session, not a merge") {
     // the per-group fold, driven directly: MemoryStream can't deliver a
     // strictly-backward-gap event (the watermark filter removes exactly
