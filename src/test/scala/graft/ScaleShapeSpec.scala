@@ -315,7 +315,7 @@ class ScaleShapeSpec extends SparkSpec {
     // single reducer. With cap=16 the grid must split it into group-pair
     // cells whose per-cell pair volume is ~cap² while covering every pair.
     val n = 120; val cap = 16
-    val keyed = (0 until n).map(i => ("hot", i.toLong)).toDF("bh", "id")
+    val keyed = (0 until n).map(i => (7777L, i.toLong)).toDF("bh", "id")
     val pairs = Dedup.boundedSelfJoinCandidates(keyed, "bh", "id", cap)
       .select("m_a", "m_b").as[(Long, Long)].collect()
     val distinctPairs = pairs.toSet
