@@ -148,12 +148,18 @@ object Dedup {
   private def minhashCandidatesWithSketch(
       df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int, bands: Int, rowsPerBand: Int,
-      maxBucket: Int = defaultMaxBucket): (DataFrame, DataFrame) = {
+      maxBucket: Int = defaultMaxBucket,
+      persistSketch: Boolean = false): (DataFrame, DataFrame) = {
     val k = bands * rowsPerBand
     val sketch = df.select(
         col(idCol).as("id"),
         T.shingleHashSet(col(textCol), shingleWidth).as("hs"))
       .withColumn("sig", T.minhashSignature(col("hs"), k))
+    // persist BEFORE candidate construction: boundedSelfJoinCandidates'
+    // eager hot-bucket count is then the action that WARMS the cache the
+    // later consumers (band join sides, join-backs, dup-set count) reuse
+    if (persistSketch)
+      sketch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = sketch.select(col("id"),
       explode(T.bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
     val pairs = boundedSelfJoinCandidates(bandKeys, "bh", "id", maxBucket)
@@ -226,8 +232,7 @@ object Dedup {
       threshold: Double, shingleWidth: Int = 3,
       bands: Int = 32, rowsPerBand: Int = 4): (DataFrame, () => Unit) = {
     val (cands, sketch) = minhashCandidatesWithSketch(df, idCol, textCol,
-      shingleWidth, bands, rowsPerBand)
-    sketch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      shingleWidth, bands, rowsPerBand, persistSketch = true)
     try {
       val dupIds = cands
         .withColumn("jaccard", T.jaccard(col("hs_a"), col("hs_b")))
