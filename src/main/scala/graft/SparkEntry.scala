@@ -460,15 +460,20 @@ object SparkEntry {
         .sortBy(_._1).toDF("param", "value")
     }),
 
-    // ---- Splits (SURVEY §2.9 D1/D2; deterministic hash split is engine-
-    // defined → rows-only, pinned exactly by RelationalSpec) --------------
+    // ---- Splits (SURVEY §2.9 D1/D2). q36's bucket hash is the single-
+    // sourced FNV-1a stream, so its per-stratum counts are fully oracled
+    // (stratifiedSplitOracleSql); only q37 (randomSplit parity) remains
+    // partition-dependent rows-only. ---------------------------------------
     "q36_stratified_split_counts" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val (tr, te) = Relational.stratifiedSplit(o, "o_orderstatus", 0.7, 40,
         Seq("o_orderkey"))
-      tr.groupBy("o_orderstatus").agg(count(lit(1)).as("train_cnt"))
-        .join(te.groupBy("o_orderstatus").agg(count(lit(1)).as("test_cnt")),
+      tr.groupBy("o_orderstatus").agg(count(lit(1)).as("tc"))
+        .join(te.groupBy("o_orderstatus").agg(count(lit(1)).as("ec")),
           Seq("o_orderstatus"), "outer")
+        .select(col("o_orderstatus"),
+          coalesce(col("tc"), lit(0L)).as("train_cnt"),
+          coalesce(col("ec"), lit(0L)).as("test_cnt"))
         .orderBy("o_orderstatus")
     }),
     // Deterministic content-hash split (D-layer completion): membership is
@@ -1024,33 +1029,52 @@ object SparkEntry {
            FROM n a, n c WHERE a.vec_id < c.vec_id)
          WHERE sim > 0.9 ORDER BY id_a, id_b"""
 
-  /** q62 oracle: re-derives the hashSplit FNV-1a-64 fold per id (HUGEINT
-    * mod-2⁶⁴ wrap exactly as the q22 oracle spells it), re-signs the hash
-    * like Java's long, and applies the same pmod-1e6 bucket cut. The input
-    * to the fold ("<id>:<seed>") is all-ASCII by construction, so the
-    * per-character fold equals the kernel's per-byte fold.
+  /** Shared by the q62/q36 oracles: DuckDB CTEs computing the hashSplit/
+    * stratifiedSplit bucket — the FNV-1a-64 fold of "<key>:<seed>" (HUGEINT
+    * mod-2⁶⁴ wrap exactly as the q22 oracle spells it), re-signed like
+    * Java's long, then pmod 1e6. The fold input is all-ASCII by
+    * construction, so the per-character fold equals the kernel's per-byte
+    * fold. Yields CTE `s` = the source table plus bucket column `b`.
     */
-  private val hashSplitOracleSql: String =
-    """WITH h AS (
-           SELECT o_orderkey,
+  private def fnvBucketCtes(table: String, keyCol: String, seed: Long): String =
+    s"""WITH h AS (
+           SELECT *,
              list_reduce(
                list_prepend(CAST(14695981039346656037 AS UBIGINT),
                  list_transform(
-                   string_split(CAST(o_orderkey AS VARCHAR) || ':40', ''),
+                   string_split(CAST($keyCol AS VARCHAR) || ':$seed', ''),
                    ch -> CAST(ascii(ch) AS UBIGINT))),
                (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
                                 % 18446744073709551616 AS UBIGINT)) AS hu
-           FROM orders),
+           FROM $table),
          s AS (
-           SELECT o_orderkey,
+           SELECT *,
              ((CASE WHEN hu >= CAST(9223372036854775808 AS UBIGINT)
                     THEN CAST(hu AS HUGEINT) - 18446744073709551616
                     ELSE CAST(hu AS HUGEINT) END % 1000000) + 1000000)
                % 1000000 AS b
-           FROM h)
+           FROM h)"""
+
+  /** q62 oracle: re-derive the bucket per id and reproduce the FULL
+    * train/test assignment. */
+  private val hashSplitOracleSql: String =
+    fnvBucketCtes("orders", "o_orderkey", 40) + """
          SELECT o_orderkey,
            CASE WHEN b < 700000 THEN 'train' ELSE 'test' END AS side
          FROM s ORDER BY o_orderkey"""
+
+  /** q36 oracle: stratifiedSplit rides the same single-sourced FNV stream
+    * (Relational.stratifiedSplit), so per-stratum train/test counts are a
+    * pure function of (o_orderkey, seed) DuckDB re-derives independently —
+    * upgraded round 6 from rows-only/golden to a full oracle. */
+  private val stratifiedSplitOracleSql: String =
+    fnvBucketCtes("orders", "o_orderkey", 40) + """
+         SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN b < 700000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS train_cnt,
+           CAST(SUM(CASE WHEN b >= 700000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS test_cnt
+         FROM s GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   /** Top-3 users per event type — shared by q02 (window plan) and q58 (the
     * same query under the opt-in bounded-heap rewrite).
@@ -1271,6 +1295,7 @@ object SparkEntry {
     "q61_embed_neardup_prod" -> embedProdOracleSql,
     // Content-hash split: full membership re-derived from the FNV fold.
     "q62_hash_split" -> hashSplitOracleSql,
+    "q36_stratified_split_counts" -> stratifiedSplitOracleSql,
     "q42_except_all" ->
       """SELECT user_id, COUNT(*) AS cnt FROM (
            SELECT user_id FROM events WHERE event_type = 'click'

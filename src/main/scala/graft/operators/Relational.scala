@@ -254,8 +254,15 @@ object Relational {
                       seed: Long, idCols: Seq[String],
                       fractions: Map[String, Double] = Map.empty)
       : (DataFrame, DataFrame) = {
+    // Same single-sourced FNV-1a stream as hashSplit (HashUtil.fnv64): the
+    // bucket is a pure function of (ids, seed), so membership is partition-
+    // stable AND re-derivable by the DuckDB oracle — q36 is fully
+    // oracle-checkable, not merely rows-only.
     val bucket = pmod(
-      xxhash64((idCols.map(col) :+ lit(seed)): _*), lit(1000000L))
+      graft.functions.TextFunctions.fnv64(
+        concat_ws(":", idCols.map(c => col(c).cast("string"))
+          :+ lit(seed.toString): _*)),
+      lit(1000000L))
     val cut: Column = fractions.foldLeft(lit((trainFrac * 1000000L).toLong)) {
       case (acc, (label, f)) =>
         when(col(labelCol).cast("string") === label,
