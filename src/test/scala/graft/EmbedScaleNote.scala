@@ -17,7 +17,6 @@ import graft.operators.Dedup
   */
 object EmbedScaleNote {
   def main(args: Array[String]): Unit = {
-    val Array(x1Dir, x10Dir) = args
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-embed-scale-note")
@@ -27,21 +26,37 @@ object EmbedScaleNote {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(dir: String): Double = {
+    def run(dir: String, planes: Int): Double = {
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       Dedup.embeddingPairs(Tables.embeddings(spark, dir), "vec_id",
           "embedding", threshold = 0.9, useLsh = true, dim = 64,
-          planes = 16, tables = Dedup.lshTablesFor(0.9, planes = 16))
+          planes = planes, tables = Dedup.lshTablesFor(0.9, planes = planes))
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
-    run(x1Dir) // warm-up
-    val t1 = (1 to 3).map(_ => run(x1Dir)).min
-    val t10 = (1 to 3).map(_ => run(x10Dir)).min
-    println(f"[embed-scale] theta=0.9 16-plane LSH: x1=$t1%.3fs x10=$t10%.3fs factor=${t10 / t1}%.2fx")
+    args match {
+      // Plane-sweep mode: time θ=0.9 near-dup on ONE fixture across LSH
+      // geometries. The scale knob for fixed-geometry sign-LSH: random
+      // collisions grow ~ n²·tables/2^planes, so a 100× corpus wants more
+      // planes (lshTablesFor re-sizes tables to hold the 1e-6 miss bound).
+      case Array("--planes", dir, planeList) =>
+        planeList.split(",").map(_.trim.toInt).foreach { p =>
+          val t = run(dir, p)
+          println(f"[embed-planes] theta=0.9 planes=$p%d " +
+            f"tables=${Dedup.lshTablesFor(0.9, planes = p)}%d " +
+            f"dir=$dir time=$t%.3fs")
+        }
+      case Array(x1Dir, x10Dir) =>
+        run(x1Dir, 16) // warm-up
+        val t1 = (1 to 3).map(_ => run(x1Dir, 16)).min
+        val t10 = (1 to 3).map(_ => run(x10Dir, 16)).min
+        println(f"[embed-scale] theta=0.9 16-plane LSH: x1=$t1%.3fs x10=$t10%.3fs factor=${t10 / t1}%.2fx")
+      case _ => sys.error(
+        "usage: EmbedScaleNote <x1Dir> <x10Dir> | --planes <dir> 16,20,24")
+    }
     spark.stop()
   }
 }
