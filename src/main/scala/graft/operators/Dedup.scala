@@ -354,6 +354,36 @@ object Dedup {
     math.ceil(math.log(maxMiss) / math.log1p(-pTable)).toInt.max(1)
   }
 
+  /** Corpus-geared plane count for [[embeddingPairs]]: arg-min over a
+    * shuffle-volume cost model of the fixed-geometry trade-off the
+    * BENCH_SCALE plane sweep measures.
+    *
+    * A `planes`-bit / `lshTablesFor`-table geometry shuffles
+    * n·tables(planes) sketch rows plus ~ n²·tables(planes)/2^planes
+    * random-collision candidate rows (uniform-bucket model). More planes
+    * shrink the collision term but grow the sketch term (tables must grow
+    * to hold `maxMiss` recall) — the optimum therefore rises ~log₂(n):
+    * measured 16 planes at 20 k vectors and 20 planes at 2 M on the x100
+    * fixture (494 s → 80 s, BENCH_SCALE.md "Plane sweep").
+    *
+    * cost(p) = T(p) · (n·p + 7·n²/2^p): the first term is sketch bits
+    * computed+shuffled (each of T tables hashes p bits per row), the
+    * second the expected random-collision candidates; the 7 is the
+    * candidate-to-bit cost ratio fitted from the x100 sweep (494/80/183 s
+    * at p=16/20/24). Its arg-min lands within the sweep's measured flat
+    * region (±2 planes) at both corpus sizes. The count `n` is the
+    * caller's — a cheap `df.count()` or a catalog row estimate; the choice
+    * only steers cost, never correctness (recall is re-sized per planes).
+    */
+  def planesFor(n: Long, threshold: Double, maxMiss: Double = 1e-6,
+                minPlanes: Int = 8, maxPlanes: Int = 28): Int = {
+    require(n > 0, s"planesFor: n must be positive, got $n")
+    (minPlanes to maxPlanes).minBy { p =>
+      val t = lshTablesFor(threshold, p, maxMiss).toDouble
+      t * (n.toDouble * p + 7.0 * n.toDouble * n.toDouble / math.pow(2.0, p))
+    }
+  }
+
   /** Embedding near-dup pairs: cosine > threshold (rounded to 4 dp, exact
     * verification on every candidate). Small corpora may take the exact
     * pairwise path (`useLsh=false` — quadratic, test/oracle use only);

@@ -15,6 +15,22 @@ class DedupSimilaritySpec extends SparkSpec {
       .toDF("doc_id", "text")
   }
 
+  test("planesFor gears LSH geometry with corpus size (BENCH_SCALE sweep)") {
+    // pinned to the measured flat regions of the x1/x100 plane sweeps:
+    // 16 planes optimal at ~20k vectors, 20 at ~2M (494s -> 80.2s)
+    val p20k = Dedup.planesFor(20000L, 0.9)
+    val p2m = Dedup.planesFor(2000000L, 0.9)
+    assert(p20k >= 13 && p20k <= 17, s"20k vecs: got $p20k planes")
+    assert(p2m >= 19 && p2m <= 23, s"2M vecs: got $p2m planes")
+    assert(p2m > p20k, "optimum must rise with corpus size")
+    // monotone non-decreasing across six decades of corpus size
+    val decades = (3 to 9).map(d => Dedup.planesFor(math.pow(10, d).toLong, 0.9))
+    assert(decades.zip(decades.tail).forall { case (a, b) => a <= b },
+      s"non-monotone gearing: $decades")
+    // gearing never loosens recall: tables are re-sized per planes
+    assert(Dedup.lshTablesFor(0.9, p2m) > Dedup.lshTablesFor(0.9, p20k))
+  }
+
   test("exact dedup keeps min id and counts copies") {
     val got = Dedup.exact(corpus, "text", "doc_id")
       .select("keep_id", "copies").as[(Long, Long)].collect().sortBy(_._1)
