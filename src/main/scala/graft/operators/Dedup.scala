@@ -37,18 +37,19 @@ object Dedup {
     * (twice, symmetrically, for the diagonal — downstream dropDuplicates
     * absorbs it, as it already must for pairs sharing several buckets).
     *
-    * Hot-bucket detection is an EAGER map-side-combined aggregate at plan
-    * construction (the pattern temporalPrefixSplit's boundary and
-    * dropNearDuplicates' dup-set already use): its result is bounded by
-    * rows/cap entries and only non-empty for genuinely oversized buckets.
-    * When it is empty — every real corpus fixture — the returned plan IS
-    * the plain self-join, zero overhead; when small, group counts are
-    * injected as a literal lookup (g affects only load distribution, not
-    * output, so a plan re-executed on changed data stays CORRECT and at
-    * worst re-skews); a hot set too large for a literal falls back to a
-    * broadcast left-join of the same aggregate — if even that overflows,
-    * the corpus is mostly-duplicate pathology better served by an
-    * exact-dedup pre-pass.
+    * Bucket sizes come from a window count INSIDE the plan
+    * (`count(*) over (partition by key)`) — fully lazy, no plan-time
+    * action. The window's exchange hash-partitions by the same key both
+    * join sides need, so Spark's ReuseExchange computes the upstream
+    * (sketch) subplan ONCE and both sides read the shuffled copy — at
+    * no-skew this is the plain self-join's shuffle volume with the
+    * sketch kernels evaluated once instead of per side, and on changed
+    * data the counts recompute with the data (no stale literal; an
+    * aggregate+join variant was measured slower end-to-end). A hot
+    * bucket's window group buffers linearly (WindowExec spills to
+    * disk); the quadratic pair volume — the actual danger — is what the
+    * grid join (keyed on bucket AND cell, so it redistributes) spreads
+    * across ceil(n/cap)·(ceil(n/cap)+1)/2 reducers instead of one.
     *
     * Output is NOT deduplicated: one row per co-bucket-cell occurrence,
     * so callers keep the cheapest order of verify vs dropDuplicates.
@@ -59,57 +60,34 @@ object Dedup {
     */
   private[graft] def boundedSelfJoinCandidates(
       keyed: DataFrame, keyCol: String, memberCol: String,
-      cap: Int = defaultMaxBucket, hotLiteralLimit: Int = 65536): DataFrame = {
+      cap: Int = defaultMaxBucket): DataFrame = {
     require(cap >= 2, s"boundedSelfJoinCandidates: cap >= 2, got $cap")
     require(keyed.schema(keyCol).dataType ==
       org.apache.spark.sql.types.LongType,
       s"boundedSelfJoinCandidates: $keyCol must be a 64-bit LSH key")
-    val hotAgg = keyed.groupBy(keyCol).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > cap)
-    val hotRows = hotAgg.limit(hotLiteralLimit + 1).collect()
-    if (hotRows.isEmpty) {
-      // no oversized bucket: exactly the plain ordered self-join
-      keyed.select(col(keyCol), col(memberCol).as("__ma"))
-        .join(keyed.select(col(keyCol), col(memberCol).as("__mb")),
-          Seq(keyCol))
-        .filter(col("__ma") < col("__mb"))
-        .select(col("__ma").as("m_a"), col("__mb").as("m_b"))
-    } else {
-      val gCol: Column =
-        if (hotRows.length <= hotLiteralLimit) {
-          val hotMap: Map[Long, Int] = hotRows.map(r =>
-            r.getLong(0) ->
-              math.ceil(r.getLong(1).toDouble / cap).toInt).toMap
-          coalesce(element_at(typedlit(hotMap), col(keyCol)), lit(1))
-        } else {
-          col("__ghot") // bound via the broadcast join below
-        }
-      val base =
-        if (hotRows.length <= hotLiteralLimit) keyed
-        else keyed.join(broadcast(hotAgg.select(col(keyCol),
-            ceil(col("__n").cast("double") / cap).cast("int").as("__g0"))),
-          Seq(keyCol), "left")
-          .withColumn("__ghot", coalesce(col("__g0"), lit(1)))
-      val grouped = base
-        .withColumn("__g", gCol)
-        .withColumn("__grp",
-          pmod(xxhash64(col(memberCol)), col("__g")).cast("int"))
-      val left = grouped.select(col(keyCol), col("__grp").as("__gi"),
-        explode(sequence(col("__grp"), col("__g") - 1)).as("__gj"),
-        col(memberCol).as("__ma"))
-      val right = grouped.select(col(keyCol),
-        explode(sequence(lit(0), col("__grp"))).as("__gi"),
-        col("__grp").as("__gj"), col(memberCol).as("__mb"))
-      // diagonal cells (gi == gj) hold both orientations of every pair —
-      // keep only the ordered one, so a 1×1 cell emits exactly the volume
-      // of a plain `ma < mb` self-join; off-diagonal cells hold each pair
-      // once in arbitrary orientation, re-ordered via least/greatest
-      left.join(right, Seq(keyCol, "__gi", "__gj"))
-        .filter((col("__gi") =!= col("__gj") && col("__ma") =!= col("__mb")) ||
-          col("__ma") < col("__mb"))
-        .select(least(col("__ma"), col("__mb")).as("m_a"),
-          greatest(col("__ma"), col("__mb")).as("m_b"))
-    }
+    val grouped = keyed
+      .withColumn("__g",
+        ceil(count(lit(1))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(keyCol))
+            .cast("double") / cap).cast("int"))
+      .withColumn("__grp",
+        pmod(xxhash64(col(memberCol)), col("__g")).cast("int"))
+    val left = grouped.select(col(keyCol), col("__grp").as("__gi"),
+      explode(sequence(col("__grp"), col("__g") - 1)).as("__gj"),
+      col(memberCol).as("__ma"))
+    val right = grouped.select(col(keyCol),
+      explode(sequence(lit(0), col("__grp"))).as("__gi"),
+      col("__grp").as("__gj"), col(memberCol).as("__mb"))
+    // diagonal cells (gi == gj) hold both orientations of every pair —
+    // keep only the ordered one, so a 1×1 cell (the no-skew case, g = 1)
+    // emits exactly the volume of a plain `ma < mb` self-join;
+    // off-diagonal cells hold each pair once in arbitrary orientation,
+    // re-ordered via least/greatest
+    left.join(right, Seq(keyCol, "__gi", "__gj"))
+      .filter((col("__gi") =!= col("__gj") && col("__ma") =!= col("__mb")) ||
+        col("__ma") < col("__mb"))
+      .select(least(col("__ma"), col("__mb")).as("m_a"),
+        greatest(col("__ma"), col("__mb")).as("m_b"))
   }
 
   /** Exact dedup: one hash aggregation on the dedup key, keeping the
@@ -155,9 +133,9 @@ object Dedup {
         col(idCol).as("id"),
         T.shingleHashSet(col(textCol), shingleWidth).as("hs"))
       .withColumn("sig", T.minhashSignature(col("hs"), k))
-    // persist BEFORE candidate construction: boundedSelfJoinCandidates'
-    // eager hot-bucket count is then the action that WARMS the cache the
-    // later consumers (band join sides, join-backs, dup-set count) reuse
+    // persist BEFORE candidate construction: the caller's first action
+    // over the candidates populates the cache, which the sketch subplan's
+    // remaining consumers (band join sides, join-backs) then reuse
     if (persistSketch)
       sketch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = sketch.select(col("id"),
