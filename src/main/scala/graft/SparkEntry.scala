@@ -488,6 +488,25 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- North-star: Gopher-style repetition quality signals. Per-doc
+    // duplicated word-2/3-gram fractions (narrow per-row array math) and
+    // the top-token fraction (explode → two bounded aggs keyed by
+    // (doc_id, tok) then doc_id — shuffle volume is token counts, never
+    // pairwise). Oracle re-derives all three in DuckDB ------------------
+    "q63_repetition_signals" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = TextFunctions.tokens(col("text"))
+      val perRow = docs.select(col("doc_id"),
+        TextFunctions.dupGramFrac(toks, 2).as("dup_2gram_frac"),
+        TextFunctions.dupGramFrac(toks, 3).as("dup_3gram_frac"))
+      val top = docs.select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((max("c").cast("double") / sum("c")).as("top_token_frac"))
+      perRow.join(top, Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "q37_random_split_counts" -> ((s, dir) => {
       val Array(a, b) = Tables.orders(s, dir)
         .randomSplit(Array(0.7, 0.3), seed = 40)
@@ -1223,6 +1242,39 @@ object SparkEntry {
          FROM (SELECT lang, len(string_split(trim(text), ' ')) AS n_tok
                FROM documents)
          GROUP BY lang ORDER BY lang""",
+    // Repetition signals re-derived: grams via 1-indexed range+concat
+    // (DuckDB) vs sequence+slice (engine) — same ' '-joined strings, so
+    // dup fractions agree exactly; top-token via the same two-level agg.
+    "q63_repetition_signals" ->
+      raw"""WITH base AS (
+             SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+             FROM documents),
+           grams AS (
+             SELECT doc_id,
+               list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1]) AS g2,
+               list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+             FROM base),
+           rep AS (
+             SELECT doc_id,
+               CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+                 CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+               END AS dup_2gram_frac,
+               CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+                 CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+               END AS dup_3gram_frac
+             FROM grams),
+           cnt AS (
+             SELECT doc_id, tok, COUNT(*) AS c
+             FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+             GROUP BY doc_id, tok),
+           top AS (
+             SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+             FROM cnt GROUP BY doc_id)
+         SELECT r.doc_id, r.dup_2gram_frac, r.dup_3gram_frac,
+                t.top_token_frac
+         FROM rep r JOIN top t USING (doc_id) ORDER BY doc_id""",
     // Full quadratic signature est-jaccard — banding must lose no pair.
     "q22_dedup_minhash" -> minhashOracleSql,
     // Independent winnow re-derivation incl. signed window-min semantics.

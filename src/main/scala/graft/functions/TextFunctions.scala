@@ -45,6 +45,20 @@ object TextFunctions {
       .otherwise(transform(sequence(lit(1), size(toks) - (w - 1)),
         i => concat_ws(" ", slice(toks, i, lit(w)))))
 
+  /** Gopher-style repetition signal (Rae et al. 2021, appendix A1.1
+    * analogue): the duplicated fraction of word n-grams — (grams −
+    * distinct grams) / grams, 0.0 for docs shorter than n tokens. High
+    * values mark boilerplate/spam documents a training-data pipeline
+    * filters out. Pure per-row array math — narrow, scan-local, no
+    * shuffle; a single division keeps the double bit-identical to the
+    * DuckDB oracle's.
+    */
+  def dupGramFrac(toks: Column, n: Int): Column = {
+    val g = tokenShingles(toks, n)
+    when(size(g) === 0, lit(0.0))
+      .otherwise((size(g) - size(array_distinct(g))).cast("double") / size(g))
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
 
   /** Distinct 64-bit hashes of the w-token shingles — the document's

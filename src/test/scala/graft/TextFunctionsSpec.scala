@@ -15,6 +15,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1).isEmpty)
   }
 
+  test("dupGramFrac: hand-computed repetition fractions and short-doc edge") {
+    // "a b a b a": 2-grams = [a b, b a, a b, b a] → 2 distinct of 4 → 0.5;
+    // 3-grams = [a b a, b a b, a b a] → 2 distinct of 3 → 1/3.
+    // "x y": one 2-gram (0.0 dup), no 3-grams → 0.0 by definition.
+    val df = Seq("a b a b a", "x y", "solo").toDF("t")
+    val got = df.select(
+        T.dupGramFrac(T.tokens(col("t")), 2).as("d2"),
+        T.dupGramFrac(T.tokens(col("t")), 3).as("d3"))
+      .as[(Double, Double)].collect()
+    assert(got(0) == ((0.5, 1.0 / 3)))
+    assert(got(1) == ((0.0, 0.0)))
+    assert(got(2) == ((0.0, 0.0)))
+  }
+
   test("minhash estimated jaccard approximates exact jaccard") {
     val a = (1 to 60).map(i => s"tok$i").mkString(" ")
     val b = (1 to 48).map(i => s"tok$i").mkString(" ") + " x y z " +
