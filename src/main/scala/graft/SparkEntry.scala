@@ -497,8 +497,8 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val toks = TextFunctions.tokens(col("text"))
       val perRow = docs.select(col("doc_id"),
-        TextFunctions.dupGramFrac(toks, 2).as("dup_2gram_frac"),
-        TextFunctions.dupGramFrac(toks, 3).as("dup_3gram_frac"))
+        TextFunctions.dupGramFrac(col("text"), 2).as("dup_2gram_frac"),
+        TextFunctions.dupGramFrac(col("text"), 3).as("dup_3gram_frac"))
       val top = docs.select(col("doc_id"), explode(toks).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")

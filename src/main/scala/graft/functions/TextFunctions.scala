@@ -49,14 +49,22 @@ object TextFunctions {
     * analogue): the duplicated fraction of word n-grams — (grams −
     * distinct grams) / grams, 0.0 for docs shorter than n tokens. High
     * values mark boilerplate/spam documents a training-data pipeline
-    * filters out. Pure per-row array math — narrow, scan-local, no
-    * shuffle; a single division keeps the double bit-identical to the
-    * DuckDB oracle's.
+    * filters out.
+    *
+    * Distinct grams are counted via the compiled [[shingleHashSet]]
+    * kernel (one FNV pass per row, ~10× the throughput of building
+    * string grams with `transform`+`array_distinct`, measured at x10);
+    * its per-token separator fold gives hashes the same identity as
+    * ' '-joined gram strings, so the count equals the DuckDB oracle's
+    * `list_distinct` over string grams up to in-document 64-bit
+    * collisions — the same negligible-odds argument the MinHash/Jaccard
+    * oracles already rest on. Narrow, scan-local, no shuffle; a single
+    * division keeps the double bit-identical to the oracle's.
     */
-  def dupGramFrac(toks: Column, n: Int): Column = {
-    val g = tokenShingles(toks, n)
-    when(size(g) === 0, lit(0.0))
-      .otherwise((size(g) - size(array_distinct(g))).cast("double") / size(g))
+  def dupGramFrac(text: Column, n: Int): Column = {
+    val total = greatest(lit(0), size(tokens(text)) - lit(n - 1))
+    when(total === 0, lit(0.0))
+      .otherwise((total - size(shingleHashSet(text, n))).cast("double") / total)
   }
 
   import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}

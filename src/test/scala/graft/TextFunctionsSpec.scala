@@ -21,8 +21,8 @@ class TextFunctionsSpec extends SparkSpec {
     // "x y": one 2-gram (0.0 dup), no 3-grams → 0.0 by definition.
     val df = Seq("a b a b a", "x y", "solo").toDF("t")
     val got = df.select(
-        T.dupGramFrac(T.tokens(col("t")), 2).as("d2"),
-        T.dupGramFrac(T.tokens(col("t")), 3).as("d3"))
+        T.dupGramFrac(col("t"), 2).as("d2"),
+        T.dupGramFrac(col("t"), 3).as("d3"))
       .as[(Double, Double)].collect()
     assert(got(0) == ((0.5, 1.0 / 3)))
     assert(got(1) == ((0.0, 0.0)))
