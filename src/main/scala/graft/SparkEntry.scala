@@ -293,6 +293,26 @@ object SparkEntry {
           threshold = 0.8)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // ---- North-star: dedup CLUSTERS — connected components over the
+    // near-dup pair graph (RefinedWeb/SlimPajama-style curation unit).
+    // Pair-based keep-first (q45) and cluster-canonical differ exactly on
+    // transitive chains (A~B, B~C, no A~C); componentIds resolves them by
+    // min-label propagation + pointer jumping (O(log diameter) rounds of
+    // bounded shuffle joins). The oracle re-derives the same pairs
+    // quadratically in DuckDB and closes them with a RECURSIVE reachability
+    // CTE — the engine's iterative labels must equal the true transitive
+    // closure's per-component minima, doc for doc -----------------------
+    "q64_dedup_components" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      val comp = Dedup.componentIds(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("csize"))
+      comp.join(sizes, Seq("component"))
+        .select("doc_id", "component", "csize")
+        .orderBy("doc_id")
+    }),
+
     // ---- North-star: embedding-cosine near-dup -------------------------
     // Gated on the LSH plan (the scale path): OR-amplified hyperplane
     // blocking, recall sized by Dedup.lshTablesFor so a pair at θ=0.5 is
@@ -1303,6 +1323,44 @@ object SparkEntry {
            AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
          ORDER BY id_a, id_b""",
+    // Transitive closure of the q24 pair graph via a RECURSIVE reachability
+    // CTE: component = MIN reachable doc_id (singletons = own id). The
+    // engine's O(log d)-round iterative labels must reproduce the true
+    // closure exactly — this checks transitivity cases (A~B~C, no A~C)
+    // that the pairwise oracles structurally cannot.
+    "q64_dedup_components" ->
+      raw"""WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM toks),
+         prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM prs
+           UNION
+           SELECT id_b AS u, id_a AS v FROM prs),
+         reach AS (
+           SELECT doc_id AS src, doc_id AS dst FROM documents
+           UNION
+           SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         comp AS (
+           SELECT src AS doc_id, MIN(dst) AS component
+           FROM reach GROUP BY src),
+         sizes AS (
+           SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
+         SELECT c.doc_id, c.component, z.csize
+         FROM comp c JOIN sizes z USING (component)
+         ORDER BY c.doc_id""",
     "q45_dedup_apply" ->
       raw"""WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t

@@ -310,6 +310,81 @@ object Dedup {
       .select("id_a", "id_b", "shared", "containment")
   }
 
+  /** Connected components over a near-dup pair graph: labels every row of
+    * `df` with the MINIMUM id reachable from it through `pairs` (columns
+    * `id_a`/`id_b`); rows in no pair keep their own id. This is the
+    * operator that turns pairwise dedup output into CLUSTERS — pair-based
+    * keep-first (dropNearDuplicates) removes any doc dominated by a
+    * smaller near-dup, but corpus curation (RefinedWeb/SlimPajama-style)
+    * wants one canonical doc per transitive duplicate CLUSTER, and
+    * A~B, B~C without A~C is exactly the case where the two differ.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping
+    * (the two-step round of MapReduce-CC algorithms à la Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" — re-expressed as
+    * DataFrame joins). Each round: (1) every vertex takes the min of its
+    * label and its neighbors' labels — one shuffle join + agg on the
+    * bounded edge list; (2) labels chase one pointer hop (l(v) ← l(l(v))),
+    * collapsing label chains so convergence is O(log diameter) rounds
+    * rather than O(diameter). Near-dup graphs have tiny diameters (high
+    * thresholds make clusters quasi-cliques), so rounds ≈ 2-4 in practice.
+    *
+    * Scale design: per-round cost is one equi-join on the edge list + one
+    * self-join on the (vertex, label) frame — both shuffle-bounded by
+    * |E| and |V|, nothing quadratic, no driver-side data. The ONE driver
+    * scalar per round is the convergence check (a count of changed
+    * labels — the same boundary-scalar pattern as the split operators).
+    * Each round's label frame is `localCheckpoint`ed: the pointer-jump
+    * self-join makes the round-over-round LOGICAL plan double per
+    * iteration (2^k nodes by round k — analysis itself explodes long
+    * before execution), so truncating lineage each round is
+    * correctness-of-scale, not a cache tweak; superseded rounds'
+    * checkpoint blocks are freed by the ContextCleaner as references
+    * drop. A multi-executor deployment swaps in reliable
+    * `checkpoint(dir)` for fault tolerance — same plan shape. `maxIter`
+    * bounds the loop defensively; the require on exit makes a
+    * non-converged run loud, never silently wrong.
+    */
+  def componentIds(df: DataFrame, idCol: String, pairs: DataFrame,
+                   maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    var comp = df.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    try {
+      while (!converged && it < maxIter) {
+        // (1) neighbor-min: l'(v) = min(l(v), min_{u ~ v} l(u))
+        val nbrMin = edges
+          .join(comp.select(col("id").as("u"), col("comp").as("cu")), Seq("u"))
+          .groupBy(col("v").as("id")).agg(min("cu").as("nc"))
+        val prop = comp.join(nbrMin, Seq("id"), "left_outer")
+          .select(col("id"), col("comp").as("prev"),
+            least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+        // (2) pointer jump: l''(v) = l'(l'(v)) — labels are always vertex
+        // ids, so the lookup join always hits
+        val next = prop
+          .join(prop.select(col("comp").as("cc"), col("id").as("comp")),
+            Seq("comp"))
+          .select(col("id"), col("prev"),
+            least(col("comp"), col("cc")).as("comp"))
+          .localCheckpoint() // truncate lineage — see scaladoc
+        val changed = next.filter(col("comp") < col("prev")).count()
+        comp = next.select("id", "comp")
+        converged = changed == 0L
+        it += 1
+      }
+      require(converged,
+        s"componentIds: not converged after $maxIter rounds — diameter " +
+          "pathology; raise maxIter")
+      comp
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** Number of OR-amplified hyperplane tables needed so a pair at EXACTLY
     * cosine `threshold` is missed with probability ≤ `maxMiss`.
     *

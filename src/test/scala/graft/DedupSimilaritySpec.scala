@@ -145,6 +145,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lshTop.count(brute.contains).toDouble / lshTop.length > 0.5)
   }
 
+  test("componentIds closes transitive chains pairwise keep-first cannot") {
+    import spark.implicits._
+    // chain 1-2-3 (no 1~3 edge), clique {10,11}, singleton 99: the chain is
+    // exactly the case where cluster-canonical differs from pair-dominated
+    val verts = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.componentIds(verts, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("componentIds resolves a long path in O(log diameter) rounds") {
+    import spark.implicits._
+    // path 0-1-2-...-40: plain min-propagation needs 40 rounds; with
+    // pointer jumping the label horizon doubles per round, so the default
+    // maxIter=20 only suffices if the jump step actually works
+    val n = 41L
+    val verts = (0L until n).toDF("id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.componentIds(verts, "id", pairs)
+      .as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 0L))
+  }
+
   test("dropNearDuplicatesReleasable frees the dup-id cache on release") {
     // a filter no other suite uses, so CacheManager can't dedupe this
     // call's dup-id plan onto a cache entry leaked by an earlier q45/q53
