@@ -527,6 +527,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: Gopher-style quality FILTER GATE (Rae et al. 2021
+    // §A1.1 rules with fixture-calibrated thresholds): word count, mean
+    // word length, alphabetic-word fraction, distinct-stopword presence,
+    // and the conjunction `keep`. Complements q38 (raw quality measures)
+    // and q63 (repetition signals) with the actual verdict a corpus
+    // pipeline filters on. Pure narrow projection — no shuffle until the
+    // final sort; every signal re-derived independently in DuckDB -------
+    "q65_quality_filter" -> ((s, dir) => {
+      val t = col("t")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          size(t).cast("long").as("wc"),
+          round(aggregate(t, lit(0L), (acc, x) => acc + length(x))
+            .cast("double") / size(t), 4).as("mean_wlen"),
+          round(size(filter(t, x => x.rlike("[A-Za-z]")))
+            .cast("double") / size(t), 4).as("alpha_frac"),
+          size(array_intersect(
+            array_distinct(transform(t, x => lower(x))),
+            typedlit(TextFunctions.gopherStops))).cast("long").as("stop_cnt"))
+        .withColumn("keep",
+          col("wc").between(50, 100000) &&
+            col("mean_wlen").between(3.0, 10.0) &&
+            col("alpha_frac") >= 0.8 && col("stop_cnt") >= 2)
+        .orderBy("doc_id")
+    }),
+
     "q37_random_split_counts" -> ((s, dir) => {
       val Array(a, b) = Tables.orders(s, dir)
         .randomSplit(Array(0.7, 0.3), seed = 40)
@@ -1303,6 +1330,31 @@ object SparkEntry {
     "q23_dedup_simhash" -> simhashOracleSql,
     // Marker-argmax re-derivation; markers single-sourced from the engine.
     "q28_langid" -> langidOracleSql,
+    // Every filter signal re-derived in DuckDB; stop list single-sourced
+    // from TextFunctions.gopherStops (apostrophes escaped like q28's).
+    "q65_quality_filter" -> {
+      val stops = TextFunctions.gopherStops
+        .map(s0 => s"'${s0.replace("'", "''")}'").mkString(",")
+      raw"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS wc,
+             round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+               / len(t), 4) AS mean_wlen,
+             round(CAST(len(list_filter(t,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / len(t), 4) AS alpha_frac,
+             CAST(len(list_filter([$stops],
+                 s -> list_contains(list_transform(t, x -> lower(x)), s)))
+               AS BIGINT) AS stop_cnt
+           FROM toks)
+         SELECT doc_id, wc, mean_wlen, alpha_frac, stop_cnt,
+           (wc BETWEEN 50 AND 100000) AND (mean_wlen BETWEEN 3.0 AND 10.0)
+             AND alpha_frac >= 0.8 AND stop_cnt >= 2 AS keep
+         FROM m ORDER BY doc_id"""
+    },
     // Full quadratic n-gram jaccard — checks that the LSH path loses no pair.
     "q24_dedup_jaccard" ->
       raw"""WITH toks AS (

@@ -158,6 +158,14 @@ object TextFunctions {
     when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
   }
 
+  /** Stopword set for the Gopher-style "contains ≥ 2 distinct stopwords"
+    * filter rule (Rae et al. 2021 use a 8-word English function-word set;
+    * this is the subset with nonzero support in the fixture vocabulary so
+    * the rule discriminates). Single source for the engine rule AND the
+    * q65 DuckDB oracle — interpolated into the SQL like langMarkers.
+    */
+  val gopherStops: Seq[String] = Seq("the", "a", "and", "of", "to", "with")
+
   /** Quality-scoring measures: chars, words, mean word length, alpha ratio,
     * stopword ratio — the length/punct/stopword heuristics of C4-style
     * corpus filtering, as one narrow projection.
