@@ -527,6 +527,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: benchmark DECONTAMINATION — the GPT-3-style n-gram
+    // overlap check (Brown et al. 2020 §C): flag training documents
+    // sharing any token 8-gram with the held-out eval slice (doc_id ≡ 7
+    // mod 10 stands in for the benchmark set). Scale shape: grams are
+    // FNV-64 hashed (8-byte join keys, not 50-char strings); the eval
+    // side — small by construction, benchmarks are ~1e5 docs while the
+    // train corpus is the 100 TB side — broadcasts, so the probe is a
+    // map-side hash lookup with ZERO shuffle on the big side; the only
+    // shuffles are the two bounded per-doc count aggs. The oracle joins
+    // raw gram STRINGS — hash-join parity rests on 64-bit
+    // collision-freedom, the same argument the q24 jaccard oracle rests
+    // on (hashed shingle sets vs string sets) ---------------------------
+    "q66_decontamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val grams = docs.select(col("doc_id"),
+          explode(array_distinct(TextFunctions.tokenShingles(
+            TextFunctions.tokens(col("text")), 8))).as("g"))
+        .select(col("doc_id"), TextFunctions.fnv64(col("g")).as("gh"))
+      val isEval = pmod(col("doc_id"), lit(10)) === 7
+      val evalGrams = grams.filter(isEval).select("gh").distinct()
+      val train = grams.filter(!isEval)
+      val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      train.join(broadcast(evalGrams), Seq("gh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        .join(totals, Seq("doc_id"))
+        .select(col("doc_id"), col("n_overlap"), col("n_grams"),
+          round(col("n_overlap").cast("double") / col("n_grams"), 4)
+            .as("overlap_frac"))
+        .orderBy("doc_id")
+    }),
+
     // ---- North-star: Gopher-style quality FILTER GATE (Rae et al. 2021
     // §A1.1 rules with fixture-calibrated thresholds): word count, mean
     // word length, alphabetic-word fraction, distinct-stopword presence,
@@ -1330,6 +1361,27 @@ object SparkEntry {
     "q23_dedup_simhash" -> simhashOracleSql,
     // Marker-argmax re-derivation; markers single-sourced from the engine.
     "q28_langid" -> langidOracleSql,
+    // Raw-string gram join (the engine joins FNV-64 hashes; parity =
+    // 64-bit collision-freedom, the q24 argument).
+    "q66_decontamination" ->
+      raw"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(t) - 6),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                              t[i+4], t[i+5], t[i+6], t[i+7])))) AS g
+           FROM toks WHERE len(t) >= 8),
+         ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7),
+         tr AS (SELECT * FROM grams WHERE doc_id % 10 != 7),
+         tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id),
+         hit AS (SELECT doc_id, COUNT(*) AS n_overlap
+                 FROM tr JOIN ev USING (g) GROUP BY doc_id)
+         SELECT h.doc_id, h.n_overlap, t2.n_grams,
+           round(CAST(h.n_overlap AS DOUBLE) / t2.n_grams, 4) AS overlap_frac
+         FROM hit h JOIN tot t2 USING (doc_id)
+         ORDER BY h.doc_id""",
     // Every filter signal re-derived in DuckDB; stop list single-sourced
     // from TextFunctions.gopherStops (apostrophes escaped like q28's).
     "q65_quality_filter" -> {
