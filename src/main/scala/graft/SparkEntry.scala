@@ -527,6 +527,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: deterministic domain MIXING — Pile/LLaMA-style
+    // per-source sampling rates applied via the hashSplit FNV stream
+    // (pure function of (doc_id, seed): partition-independent,
+    // re-run-stable — the properties corpus mixing needs and sample()
+    // lacks). Rates single-sourced into the oracle from mixRates. The
+    // codegen'd when-chain keeps the 100 TB scan shuffle-free; only the
+    // per-source count agg shuffles (bounded by |domains|) --------------
+    "q67_domain_mixing" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = Relational.mixtureSample(docs, "doc_id", "source",
+          mixRates, mixDefaultRate, seed = 41L)
+        .groupBy("source").agg(count(lit(1)).as("kept"))
+      docs.groupBy("source").agg(count(lit(1)).as("total"))
+        .join(kept, Seq("source"), "left_outer")
+        .select(col("source"), col("total"),
+          coalesce(col("kept"), lit(0L)).as("kept"))
+        .orderBy("source")
+    }),
+
     // ---- North-star: benchmark DECONTAMINATION — the GPT-3-style n-gram
     // overlap check (Brown et al. 2020 §C): flag training documents
     // sharing any token 8-gram with the held-out eval slice (doc_id ≡ 7
@@ -1126,6 +1145,31 @@ object SparkEntry {
            FROM n a, n c WHERE a.vec_id < c.vec_id)
          WHERE sim > 0.9 ORDER BY id_a, id_b"""
 
+  /** q67 mixture weights: deliberately spread (full-keep, half, heavy
+    * downsample, near-drop) so the rate when-chain and the oracle's CASE
+    * both exercise every arm plus the default. Single source for the
+    * engine query AND the q67 oracle SQL.
+    */
+  private val mixRates: Map[String, Double] =
+    Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.2, "src3" -> 0.05)
+  private val mixDefaultRate: Double = 0.75
+
+  /** q67 oracle: re-derives the per-source kept counts from the same FNV
+    * bucket stream as q62; the CASE arms interpolate from [[mixRates]]
+    * (sorted, quotes escaped) so the two sides cannot drift.
+    */
+  private def mixingOracleSql: String = {
+    val arms = mixRates.toSeq.sortBy(_._1).map { case (dom, r) =>
+      s"WHEN '${dom.replace("'", "''")}' THEN ${math.round(r * 1000000L)}"
+    }.mkString(" ")
+    fnvBucketCtes("documents", "doc_id", 41) + s"""
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN b < (CASE source $arms
+                    ELSE ${math.round(mixDefaultRate * 1000000L)} END)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS kept
+         FROM s GROUP BY source ORDER BY source"""
+  }
+
   /** Shared by the q62/q36 oracles: DuckDB CTEs computing the hashSplit/
     * stratifiedSplit bucket — the FNV-1a-64 fold of "<key>:<seed>" (HUGEINT
     * mod-2⁶⁴ wrap exactly as the q22 oracle spells it), re-signed like
@@ -1509,6 +1553,7 @@ object SparkEntry {
     "q61_embed_neardup_prod" -> embedProdOracleSql,
     // Content-hash split: full membership re-derived from the FNV fold.
     "q62_hash_split" -> hashSplitOracleSql,
+    "q67_domain_mixing" -> mixingOracleSql,
     "q36_stratified_split_counts" -> stratifiedSplitOracleSql,
     "q42_except_all" ->
       """SELECT user_id, COUNT(*) AS cnt FROM (

@@ -296,6 +296,34 @@ object Relational {
     (df.filter(isTrain), df.filter(!isTrain))
   }
 
+  /** Deterministic domain-mixing sampler — the operator behind corpus
+    * mixture weights (The Pile / LLaMA-style source up/down-sampling): keep
+    * a row iff its FNV bucket (the [[hashSplit]] stream — pure function of
+    * (id, seed)) falls under its domain's rate. Rates ≤ 1 downsample;
+    * membership is partition-independent, re-run-stable, and leakage-safe
+    * under duplicated ids, none of which `sample()` gives. The rate lookup
+    * is a literal when-chain (domains are a handful of constants) — fully
+    * codegen'd, no join, no shuffle; unknown domains fall back to
+    * `defaultRate`.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+                    rates: Map[String, Double], defaultRate: Double,
+                    seed: Long): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"mixtureSample: rate in [0,1], got $r"))
+    val bucket = pmod(
+      graft.functions.TextFunctions.fnv64(
+        concat(col(idCol).cast("string"), lit(":" + seed))),
+      lit(1000000L))
+    val cut = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(math.round(defaultRate * 1000000L))) {
+        case (acc, (dom, r)) =>
+          when(col(domainCol) === dom, lit(math.round(r * 1000000L)))
+            .otherwise(acc)
+      }
+    df.filter(bucket < cut)
+  }
+
   /** As-of join: for each left row, attach the single right-side value with
     * the greatest `rightTs` ≤ the row's `leftTs`, per join key — the
     * time-series enrichment operator Spark lacks natively.
