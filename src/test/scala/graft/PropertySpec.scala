@@ -175,6 +175,30 @@ class PropertySpec extends SparkSpec {
     assert(tr2.select("id").as[Long].collect().toSet != trIds)
   }
 
+  test("law: mixtureSample honors per-domain rates, repartition-invariant") {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    val df = spark.range(3000).toDF("id")
+      .withColumn("dom", concat(lit("d"), pmod(col("id"), lit(3))))
+    val rates = Map("d0" -> 1.0, "d1" -> 0.0, "d2" -> 0.5)
+    val kept = Relational.mixtureSample(df, "id", "dom", rates, 0.5, 41L)
+      .select("id").as[Long].collect().toSet
+    assert(kept.count(_ % 3 == 0) == 1000)                 // rate 1.0: all
+    assert(kept.count(_ % 3 == 1) == 0)                    // rate 0.0: none
+    val half = kept.count(_ % 3 == 2)
+    assert(math.abs(half / 1000.0 - 0.5) < 0.08)           // rate honored
+    // kept set is a pure function of (id, seed): physical layout inert
+    for (k <- Seq(1, 7, 32)) {
+      val again = Relational.mixtureSample(df.repartition(k), "id", "dom",
+        rates, 0.5, 41L).select("id").as[Long].collect().toSet
+      assert(again == kept, s"k=$k")
+    }
+    // an unknown domain falls back to defaultRate's bucket cut — which
+    // rides the SAME stream as hashSplit, so d2 at 0.5 == default 0.5
+    val dflt = Relational.mixtureSample(df, "id", "dom", Map.empty, 0.5, 41L)
+      .select("id").as[Long].collect().toSet
+    assert(dflt.filter(_ % 3 == 2) == kept.filter(_ % 3 == 2))
+  }
+
   test("law: temporalPrefixSplit prefix is minimal by (ts, id)") {
     for (ts <- samples(Gen.listOfN(30, Gen.chooseNum(0L, 10L)), 6)
          if ts.nonEmpty) {
