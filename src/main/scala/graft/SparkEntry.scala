@@ -527,6 +527,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: SEQUENCE PACKING span assignment — the
+    // concatenate-and-cut packing LLM pretraining uses. Docs shard to 8
+    // deterministic FNV buckets and pack within shard in doc_id order;
+    // `off` is the running token offset (window sum PARTITIONED BY
+    // bucket — the scale-correct form: a partition-less running sum
+    // funnels the corpus through one reducer), pack_first/pack_last are
+    // the ctx=512 windows holding the doc's first/last token, n_cuts how
+    // many pack boundaries split the doc. Pure function of (doc_id,
+    // n_tok, seed) → fully oracle-checkable ----------------------------
+    "q68_sequence_packing" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      Relational.packedSpans(docs, "doc_id", "n_tok",
+          buckets = 8, ctx = 512, seed = 17L)
+        .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+          col("n_tok"), col("off"), col("pack_first"), col("pack_last"),
+          (col("pack_last") - col("pack_first")).as("n_cuts"))
+        .orderBy("doc_id")
+    }),
+
     // ---- North-star: deterministic domain MIXING — Pile/LLaMA-style
     // per-source sampling rates applied via the hashSplit FNV stream
     // (pure function of (doc_id, seed): partition-independent,
@@ -1170,6 +1190,31 @@ object SparkEntry {
          FROM s GROUP BY source ORDER BY source"""
   }
 
+  /** q68 oracle: re-derives the packing spans — FNV bucket (the q62
+    * stream, mod 8), within-bucket running token offset as the same
+    * 1-PRECEDING window sum, and the ctx-window ids via integer division.
+    */
+  private def packingOracleSql: String =
+    fnvBucketCtes("documents", "doc_id", 17) + raw""",
+         p AS (
+           SELECT doc_id, CAST(b % 8 AS BIGINT) AS bucket,
+             CAST(len(string_split_regex(trim(text), '[$WS]+')) AS BIGINT)
+               AS n_tok
+           FROM s),
+         o AS (
+           SELECT doc_id, bucket, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY bucket
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+           FROM p)
+         SELECT doc_id, bucket, n_tok, off,
+           bucket * 4294967296 + (off // 512) AS pack_first,
+           bucket * 4294967296 + ((off + greatest(n_tok - 1, 0)) // 512)
+             AS pack_last,
+           ((off + greatest(n_tok - 1, 0)) // 512) - (off // 512) AS n_cuts
+         FROM o ORDER BY doc_id"""
+
   /** Shared by the q62/q36 oracles: DuckDB CTEs computing the hashSplit/
     * stratifiedSplit bucket — the FNV-1a-64 fold of "<key>:<seed>" (HUGEINT
     * mod-2⁶⁴ wrap exactly as the q22 oracle spells it), re-signed like
@@ -1554,6 +1599,7 @@ object SparkEntry {
     // Content-hash split: full membership re-derived from the FNV fold.
     "q62_hash_split" -> hashSplitOracleSql,
     "q67_domain_mixing" -> mixingOracleSql,
+    "q68_sequence_packing" -> packingOracleSql,
     "q36_stratified_split_counts" -> stratifiedSplitOracleSql,
     "q42_except_all" ->
       """SELECT user_id, COUNT(*) AS cnt FROM (

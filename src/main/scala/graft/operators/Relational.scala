@@ -324,6 +324,42 @@ object Relational {
     df.filter(bucket < cut)
   }
 
+  /** Sequence-packing span assignment — the document-concatenation packing
+    * LLM pretraining uses (docs concatenated in order, cut into fixed
+    * `ctx`-token windows, docs crossing cut points split across packs).
+    * Rows are assigned to `buckets` deterministic shards by the hashSplit
+    * FNV stream, and packed WITHIN their shard in `idCol` order: the
+    * running weight offset comes from a window sum PARTITIONED BY shard —
+    * this is the scale-correct form of the global running sum (a
+    * partition-less window funnels 100 TB through one reducer; B shards
+    * keep every window partition bounded at corpus/B and embarrassingly
+    * parallel, which is exactly how production packers shard). Output adds
+    * `bucket`, `off` (tokens before this row in its shard stream),
+    * `pack_first`/`pack_last` (ctx-window ids containing the row's first/
+    * last token, bucket-qualified so pack ids are globally unique). All
+    * pure functions of (ids, weights, seed): partition-independent and
+    * fully oracle-checkable, like hashSplit/mixtureSample.
+    */
+  def packedSpans(df: DataFrame, idCol: String, weightCol: String,
+                  buckets: Int, ctx: Int, seed: Long): DataFrame = {
+    require(buckets >= 1, s"packedSpans: buckets >= 1, got $buckets")
+    require(ctx >= 1, s"packedSpans: ctx >= 1, got $ctx")
+    val bucket = pmod(
+      graft.functions.TextFunctions.fnv64(
+        concat(col(idCol).cast("string"), lit(":" + seed))),
+      lit(1000000L)) % buckets
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("bucket", bucket)
+      .withColumn("off",
+        coalesce(sum(col(weightCol)).over(w), lit(0L)).cast("long"))
+      .withColumn("pack_first",
+        col("bucket") * lit(1L << 32) + floor(col("off") / ctx))
+      .withColumn("pack_last",
+        col("bucket") * lit(1L << 32) +
+          floor((col("off") + greatest(col(weightCol) - 1, lit(0L))) / ctx))
+  }
+
   /** As-of join: for each left row, attach the single right-side value with
     * the greatest `rightTs` ≤ the row's `leftTs`, per join key — the
     * time-series enrichment operator Spark lacks natively.

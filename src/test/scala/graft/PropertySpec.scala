@@ -199,6 +199,36 @@ class PropertySpec extends SparkSpec {
     assert(dflt.filter(_ % 3 == 2) == kept.filter(_ % 3 == 2))
   }
 
+  test("law: packedSpans offsets are exact within-bucket running sums") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val df = spark.range(500).toDF("id")
+      .withColumn("w", pmod(col("id") * 37 + 11, lit(90L)) + 10)
+    val out = Relational.packedSpans(df, "id", "w",
+        buckets = 4, ctx = 100, seed = 17L)
+      .select("id", "w", "bucket", "off", "pack_first", "pack_last")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // per bucket, in id order: off is the exact prefix sum, packs are the
+    // ctx-window ids of the first/last token, pack ids never decrease
+    out.groupBy(_._3).foreach { case (bkt, rows) =>
+      var run = 0L
+      var lastPack = -1L
+      rows.sortBy(_._1).foreach { case (id, w, _, off, pf, pl) =>
+        assert(off == run, s"bucket $bkt id $id")
+        assert(pf == bkt * (1L << 32) + off / 100)
+        assert(pl == bkt * (1L << 32) + (off + w - 1) / 100)
+        assert(pf >= lastPack)
+        lastPack = pl
+        run += w
+      }
+    }
+    // physical layout inert: same spans under any repartitioning
+    val again = Relational.packedSpans(df.repartition(7), "id", "w",
+        buckets = 4, ctx = 100, seed = 17L)
+      .select("id", "w", "bucket", "off", "pack_first", "pack_last")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).sameElements(out.sortBy(_._1)))
+  }
+
   test("law: temporalPrefixSplit prefix is minimal by (ts, id)") {
     for (ts <- samples(Gen.listOfN(30, Gen.chooseNum(0L, 10L)), 6)
          if ts.nonEmpty) {
