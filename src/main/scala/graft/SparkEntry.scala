@@ -527,6 +527,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: BM25 ranked retrieval (Robertson/Spärck Jones;
+    // k1=1.2, b=0.75) for a fixed term set over the corpus — the search
+    // primitive of a data-curation stack. Scale shape: tf is one bounded
+    // groupBy on (doc, term-in-query) rows only (the isin filter prunes
+    // the explode before any shuffle); the 1-row corpus stats and the
+    // |terms|-row df frame broadcast, so the scoring join adds no
+    // shuffle. Per-term scores round to 6 dp then sum as DECIMAL —
+    // order-independent, so the final hash cannot depend on partial-agg
+    // order. Terms single-sourced into the oracle from bm25Terms -------
+    "q69_bm25_search" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val withToks = docs.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("t"))
+      val dl = withToks.select(col("doc_id"),
+        size(col("t")).cast("long").as("dl"))
+      val tf = withToks.select(col("doc_id"), explode(col("t")).as("tok"))
+        .filter(col("tok").isin(bm25Terms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+      val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats)).join(broadcast(dfq), Seq("tok"))
+        .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+        .withColumn("ts", round(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+            (col("tf") * 2.2) /
+            (col("tf") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
+          6))
+        .groupBy("doc_id")
+        .agg(sum(col("ts").cast(DecimalType(18, 6))).cast("double")
+            .as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // ---- North-star: SEQUENCE PACKING span assignment — the
     // concatenate-and-cut packing LLM pretraining uses. Docs shard to 8
     // deterministic FNV buckets and pack within shard in doc_id order;
@@ -1165,6 +1202,49 @@ object SparkEntry {
            FROM n a, n c WHERE a.vec_id < c.vec_id)
          WHERE sim > 0.9 ORDER BY id_a, id_b"""
 
+  /** q69 query terms — fixture-vocabulary words with distinct document
+    * frequencies so the idf term differentiates. Single source for the
+    * engine's isin filter AND the oracle's IN list.
+    */
+  private val bm25Terms: Seq[String] = Seq("spark", "stream", "merge")
+
+  /** q69 oracle: BM25 re-derived in DuckDB with the SAME double-op order
+    * and literals (2.2 = k1+1 and 0.25 = 1-b are literals on BOTH sides —
+    * recomputing them could differ in the last ulp), per-term rounding to
+    * 6 dp, and the same DECIMAL sum so addition order cannot matter.
+    */
+  private def bm25OracleSql: String = {
+    val terms = bm25Terms.map(t => s"'${t.replace("'", "''")}'")
+      .mkString(",")
+    raw"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         tf AS (
+           SELECT doc_id, tok, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+           WHERE tok IN ($terms) GROUP BY doc_id, tok),
+         stats AS (
+           SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl
+           FROM dl),
+         dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         scored AS (
+           SELECT f.doc_id,
+             round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1) *
+               (f.tf * 2.2) /
+               (f.tf + 1.2 * (0.25 + 0.75 * l.dl /
+                 (CAST(s.tot_dl AS DOUBLE) / s.n_docs))), 6) AS ts
+           FROM tf f
+           JOIN dl l USING (doc_id)
+           CROSS JOIN stats s
+           JOIN dfq d ON f.tok = d.tok)
+         SELECT doc_id,
+           CAST(SUM(CAST(ts AS DECIMAL(18,6))) AS DOUBLE) AS score,
+           COUNT(*) AS n_terms
+         FROM scored GROUP BY doc_id
+         ORDER BY score DESC, doc_id LIMIT 20"""
+  }
+
   /** q67 mixture weights: deliberately spread (full-keep, half, heavy
     * downsample, near-drop) so the rate when-chain and the oracle's CASE
     * both exercise every arm plus the default. Single source for the
@@ -1600,6 +1680,7 @@ object SparkEntry {
     "q62_hash_split" -> hashSplitOracleSql,
     "q67_domain_mixing" -> mixingOracleSql,
     "q68_sequence_packing" -> packingOracleSql,
+    "q69_bm25_search" -> bm25OracleSql,
     "q36_stratified_split_counts" -> stratifiedSplitOracleSql,
     "q42_except_all" ->
       """SELECT user_id, COUNT(*) AS cnt FROM (
