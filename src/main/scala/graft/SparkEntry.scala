@@ -527,6 +527,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: unigram LM surprisal scoring — the CCNet-style
+    // model-based quality signal: train a unigram LM on the corpus
+    // itself (token relative frequencies; +1-smoothed over the observed
+    // vocab) and score each doc by mean token surprisal −log p(tok).
+    // Scale shape: the LM is ONE bounded groupBy (vocab-sized, tiny vs
+    // corpus) broadcast back to the token stream; per-doc mean comes
+    // from a 6-dp-rounded per-token surprisal summed as DECIMAL, so the
+    // hash cannot depend on aggregation order. High scores = improbable
+    // token streams (gibberish); low = repetitive boilerplate ----------
+    "q70_unigram_surprisal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val stats = toks.agg(count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("vocab"))
+      val lm = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      toks.join(broadcast(lm), Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .withColumn("surprisal", round(
+          -log((col("cnt") + 1.0) / (col("n_tokens") + col("vocab"))), 6))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(sum(col("surprisal").cast(DecimalType(18, 6)))
+              .cast("double") / count(lit(1)), 4)
+            .as("mean_surprisal"))
+        .orderBy("doc_id")
+    }),
+
     // ---- North-star: BM25 ranked retrieval (Robertson/Spärck Jones;
     // k1=1.2, b=0.75) for a fixed term set over the corpus — the search
     // primitive of a data-curation stack. Scale shape: tf is one bounded
@@ -1245,6 +1273,29 @@ object SparkEntry {
          ORDER BY score DESC, doc_id LIMIT 20"""
   }
 
+  /** q70 oracle: unigram LM re-derived in DuckDB — same +1 smoothing over
+    * the observed vocab, same double-op order, 6-dp per-token rounding and
+    * DECIMAL sum so aggregation order cannot enter the hash.
+    */
+  private val surprisalOracleSql: String =
+    raw"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         tr AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         stats AS (
+           SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS vocab
+           FROM tr),
+         lm AS (SELECT tok, COUNT(*) AS cnt FROM tr GROUP BY tok),
+         sc AS (
+           SELECT r.doc_id,
+             round(-ln((l.cnt + 1.0) / (s.n_tokens + s.vocab)), 6)
+               AS surprisal
+           FROM tr r JOIN lm l USING (tok) CROSS JOIN stats s)
+         SELECT doc_id, COUNT(*) AS n_tok,
+           round(CAST(SUM(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_surprisal
+         FROM sc GROUP BY doc_id ORDER BY doc_id"""
+
   /** q67 mixture weights: deliberately spread (full-keep, half, heavy
     * downsample, near-drop) so the rate when-chain and the oracle's CASE
     * both exercise every arm plus the default. Single source for the
@@ -1681,6 +1732,7 @@ object SparkEntry {
     "q67_domain_mixing" -> mixingOracleSql,
     "q68_sequence_packing" -> packingOracleSql,
     "q69_bm25_search" -> bm25OracleSql,
+    "q70_unigram_surprisal" -> surprisalOracleSql,
     "q36_stratified_split_counts" -> stratifiedSplitOracleSql,
     "q42_except_all" ->
       """SELECT user_id, COUNT(*) AS cnt FROM (
