@@ -333,6 +333,30 @@ class ScaleShapeSpec extends SparkSpec {
       "a grid cell still carries ~all pairs")
   }
 
+  test("corpus-query plan shapes: broadcast probes, sharded windows, no cartesian") {
+    // q66: the eval gram set must broadcast (the corpus side of a 100 TB
+    // decontamination probe cannot shuffle); q68: the running sum must be
+    // a window PARTITIONED BY bucket (a partition-less window funnels the
+    // corpus through one reducer); q69/q70: the LM/df/stats lookups must
+    // broadcast. None of the four may plan a CartesianProduct (the only
+    // allowed cross joins are 1-row broadcast stats frames).
+    val q66 = SparkEntry.queries("q66_decontamination")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(q66.contains("BroadcastHashJoin"), "q66 eval side must broadcast")
+    assert(!q66.contains("CartesianProduct"))
+    val q68 = SparkEntry.queries("q68_sequence_packing")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(q68.contains("windowspecdefinition(bucket"),
+      "q68 running sum must be sharded by bucket")
+    assert(!q68.contains("CartesianProduct"))
+    for (name <- Seq("q69_bm25_search", "q70_unigram_surprisal")) {
+      val p = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$name lookups must broadcast")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
   test("dedup under a hot bucket: 60 identical docs verify exactly through the grid") {
     // 60 identical documents share every band key (and every simhash
     // chunk-pair key): the classic silent-quadratic-reducer fixture. With
