@@ -662,6 +662,89 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: cross-document DUPLICATE PASSAGE detection (Lee et
+    // al. 2022 "Deduplicating Training Data Makes LMs Better", at token-
+    // 8-gram span granularity): per doc, the fraction of its distinct
+    // 8-grams shared with at least one OTHER document. Complements q66
+    // (train-vs-eval) with the within-corpus self-overlap a passage-level
+    // dedup pass removes. Scale shape: grams travel as FNV-64 hashes
+    // (8-byte keys); the gram-frequency agg and the semi-join both
+    // partition on the gram hash — nothing pairwise, nothing collected.
+    // The oracle joins raw gram STRINGS (64-bit collision-freedom
+    // argument, as q66/q24) ---------------------------------------------
+    "q71_dup_passages" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val grams = docs.select(col("doc_id"),
+          explode(array_distinct(TextFunctions.tokenShingles(
+            TextFunctions.tokens(col("text")), 8))).as("g"))
+        .select(col("doc_id"), TextFunctions.fnv64(col("g")).as("gh"))
+      val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      // grams are distinct per doc, so count == distinct-doc frequency
+      val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("gh")
+      val hits = grams.join(dupGrams, Seq("gh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      totals.join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"), col("n_grams"),
+          round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_grams"), 4).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- North-star: PII REDACTION — scrub emails / IPv4 / phone-shaped
+    // tokens before training (the C4/Dolma-style scrub pass). The fixture
+    // corpus carries no PII, so both engines append the SAME deterministic
+    // contact tail (a pure function of doc_id — the q61 twin-construction
+    // trick) and the oracle must reproduce counts AND the exact redacted
+    // string. Patterns single-sourced from TextFunctions.piiPatterns;
+    // narrow projection, no shuffle until the final sort ----------------
+    "q72_pii_redaction" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" cc admin@test.org"))
+          .otherwise(lit("")),
+        lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0."), pmod(col("doc_id") * 7, lit(256)).cast("string"),
+        lit(" call 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      val counts = TextFunctions.piiPatterns.map { case (kind, pat) =>
+        regexp_count(col("aug"), lit(pat)).cast("long").as(s"n_$kind")
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id") +: counts :+
+          TextFunctions.redactPii(col("aug")).as("redacted"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // ---- North-star: embedding SCALAR QUANTIZATION — per-dimension
+    // min/max int8 quantization, the compression pass a 100 TB vector
+    // corpus runs before ANN indexing (4× smaller than float32). Scale
+    // shape: the range fit is ONE bounded agg (posexplode → dim-count
+    // rows — the q70 LM shape) collapsed to a single broadcast row; the
+    // quantize itself is per-row array math against that broadcast, so
+    // the corpus-side plan adds NO shuffle. All-integer outputs (sum /
+    // min / max of the int8 codes) keep the hash exact; the float→double
+    // widening and the one floor(x*255+0.5) expression are IEEE-identical
+    // in DuckDB --------------------------------------------------------
+    "q73_embed_quantize" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val ranges = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+      val rangeArr = ranges.agg(sort_array(
+        collect_list(struct(col("pos"), col("lo"), col("hi")))).as("r"))
+      emb.crossJoin(broadcast(rangeArr))
+        .withColumn("qs",
+          VectorFunctions.quantizeInt8(col("embedding"), col("r")))
+        .select(col("vec_id"), size(col("qs")).cast("long").as("dim"),
+          aggregate(col("qs"), lit(0L), (a, q) => a + q).as("q_sum"),
+          array_min(col("qs")).as("q_min"),
+          array_max(col("qs")).as("q_max"))
+        .orderBy("vec_id")
+    }),
+
     // ---- North-star: Gopher-style quality FILTER GATE (Rae et al. 2021
     // §A1.1 rules with fixture-calibrated thresholds): word count, mean
     // word length, alphabetic-word fraction, distinct-stopword presence,
@@ -1273,6 +1356,38 @@ object SparkEntry {
          ORDER BY score DESC, doc_id LIMIT 20"""
   }
 
+  /** q72 oracle: the SAME deterministic contact tail appended (pure
+    * function of doc_id, `%` == pmod on the non-negative ids), then counts
+    * and the sequential redaction replayed with the patterns interpolated
+    * from TextFunctions.piiPatterns — single-sourced, so engine and oracle
+    * regexes cannot drift. The patterns are RE2-safe by construction (see
+    * the piiPatterns scaladoc); 'g' makes DuckDB replace-all like Java.
+    */
+  private def piiOracleSql: String = {
+    val counts = TextFunctions.piiPatterns.map { case (kind, pat) =>
+      s"CAST(len(regexp_extract_all(a, '$pat')) AS BIGINT) AS n_$kind"
+    }.mkString(",\n           ")
+    val redacted = TextFunctions.piiPatterns.foldLeft("a") {
+      case (acc, (kind, pat)) =>
+        s"regexp_replace($acc, '$pat', '<${kind.toUpperCase}>', 'g')"
+    }
+    raw"""WITH aug AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com'
+               || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@test.org'
+                       ELSE '' END
+               || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+               || CAST(doc_id * 7 % 256 AS VARCHAR)
+               || ' call 555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS a
+           FROM documents)
+         SELECT doc_id,
+           $counts,
+           $redacted AS redacted
+         FROM aug ORDER BY doc_id"""
+  }
+
   /** q70 oracle: unigram LM re-derived in DuckDB — same +1 smoothing over
     * the observed vocab, same double-op order, 6-dp per-token rounding and
     * DECIMAL sum so aggregation order cannot enter the hash.
@@ -1602,6 +1717,52 @@ object SparkEntry {
            round(CAST(h.n_overlap AS DOUBLE) / t2.n_grams, 4) AS overlap_frac
          FROM hit h JOIN tot t2 USING (doc_id)
          ORDER BY h.doc_id""",
+    // Raw-string self-join re-derivation of the hashed-gram pipeline; docs
+    // with zero shared grams must still appear (LEFT JOIN + coalesce,
+    // matching the engine's left_outer).
+    "q71_dup_passages" ->
+      raw"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(t) - 6),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                              t[i+4], t[i+5], t[i+6], t[i+7])))) AS g
+           FROM toks WHERE len(t) >= 8),
+         dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+         tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+         hit AS (SELECT doc_id, COUNT(*) AS n_dup
+                 FROM grams JOIN dup USING (g) GROUP BY doc_id)
+         SELECT t2.doc_id, CAST(coalesce(h.n_dup, 0) AS BIGINT) AS n_dup,
+           t2.n_grams,
+           round(CAST(coalesce(h.n_dup, 0) AS DOUBLE) / t2.n_grams, 4)
+             AS dup_frac
+         FROM tot t2 LEFT JOIN hit h USING (doc_id)
+         ORDER BY t2.doc_id""",
+    "q72_pii_redaction" -> piiOracleSql,
+    // Same float→double widening, same single floor expression, all-integer
+    // outputs; SUM casts back from DuckDB's HUGEINT to BIGINT.
+    "q73_embed_quantize" ->
+      """WITH comps AS (
+           SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos
+           FROM embeddings),
+         r AS (SELECT pos, min(x) AS lo, max(x) AS hi
+               FROM comps GROUP BY pos),
+         q AS (
+           SELECT vec_id,
+             CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor((CAST(x AS DOUBLE) - CAST(lo AS DOUBLE)) /
+                         (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * 255.0
+                         + 0.5) AS BIGINT) - 128
+             END AS qv
+           FROM comps JOIN r USING (pos))
+         SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS dim,
+           CAST(SUM(qv) AS BIGINT) AS q_sum,
+           CAST(MIN(qv) AS BIGINT) AS q_min,
+           CAST(MAX(qv) AS BIGINT) AS q_max
+         FROM q GROUP BY vec_id ORDER BY vec_id""",
     // Every filter signal re-derived in DuckDB; stop list single-sourced
     // from TextFunctions.gopherStops (apostrophes escaped like q28's).
     "q65_quality_filter" -> {

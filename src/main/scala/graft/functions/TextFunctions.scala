@@ -158,6 +158,29 @@ object TextFunctions {
     when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
   }
 
+  /** PII patterns for scrub-before-training redaction, deliberately
+    * RE2-compatible (ASCII classes, no lookaround, no backreferences) so
+    * the engine (Java regex) and the q72 DuckDB oracle (RE2) read the
+    * IDENTICAL pattern — the bpeTokens trick applied to PII. `\b` is safe:
+    * both engines define word chars as [A-Za-z0-9_]. Single source for
+    * [[redactPii]], the q72 counts, AND the oracle SQL.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone" -> "\\b[0-9]{3}-[0-9]{4}\\b")
+
+  /** Redact all PII matches with `<KIND>` placeholders, applied in
+    * [[piiPatterns]] order (email first: once redacted, `<EMAIL>` contains
+    * no digits, so the ipv4/phone passes can never re-match inside it —
+    * the same sequential semantics the oracle replays). Pure narrow
+    * projection; chained codegen'd regexp_replace, no shuffle.
+    */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (kind, pat)) =>
+      regexp_replace(acc, pat, s"<${kind.toUpperCase}>")
+    }
+
   /** Stopword set for the Gopher-style "contains ≥ 2 distinct stopwords"
     * filter rule (Rae et al. 2021 use a 8-word English function-word set;
     * this is the subset with nonzero support in the fixture vocabulary so

@@ -50,6 +50,24 @@ object VectorFunctions {
       (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** Per-dimension scalar int8 quantization against a fitted ranges array
+    * (`array<struct<pos,lo,hi>>`, pos-sorted, lo/hi float): code =
+    * floor((x-lo)/(hi-lo)*255 + 0.5) - 128 ∈ [-128, 127], with degenerate
+    * (lo == hi) dimensions pinned to 0. Endpoints land exactly: x == lo →
+    * -128, x == hi → 127 (PropertySpec law). The float→double widening is
+    * exact and the single floor expression is IEEE-identical in DuckDB, so
+    * the q73 oracle reproduces every code. Per-row array math against a
+    * broadcast ranges row — no shuffle on the vector side.
+    */
+  def quantizeInt8(v: Column, ranges: Column): Column =
+    zip_with(v, ranges, (x, r) =>
+      when(r.getField("hi") === r.getField("lo"), lit(0L))
+        .otherwise(floor(
+          (x.cast("double") - r.getField("lo").cast("double")) /
+            (r.getField("hi").cast("double") -
+              r.getField("lo").cast("double")) * 255.0 + 0.5)
+          .cast("long") - 128))
+
   /** All `tables` OR-amplification sketches at once, as PACKED bucket keys
     * `t * 2^planes + bits` — one compiled kernel pass per row
     * (expressions.HyperplaneSketches) instead of `tables` interpreted HOF

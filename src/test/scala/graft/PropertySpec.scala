@@ -229,6 +229,34 @@ class PropertySpec extends SparkSpec {
     assert(again.sortBy(_._1).sameElements(out.sortBy(_._1)))
   }
 
+  test("law: quantizeInt8 codes are in-range, endpoint-exact, monotone") {
+    import org.apache.spark.sql.functions.{col, typedlit}
+    // a hand-built ranges row: dim0 spans [-2,2], dim1 degenerate, dim2 [0,10]
+    val ranges = Seq((0, -2.0f, 2.0f), (1, 5.0f, 5.0f), (2, 0.0f, 10.0f))
+    val vecs = Seq(
+      (1L, Seq(-2.0f, 5.0f, 0.0f)),   // all lows → -128, 0 (degenerate), -128
+      (2L, Seq(2.0f, 5.0f, 10.0f)),   // all highs → 127, 0, 127
+      (3L, Seq(0.0f, 5.0f, 5.0f)))    // midpoints → floor(127.5+.5)-128 = 0
+    val got = vecs.toDF("id", "v")
+      .select(col("id"),
+        functions.VectorFunctions.quantizeInt8(col("v"),
+          typedlit(ranges).cast(
+            "array<struct<pos:int,lo:float,hi:float>>")).as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == Seq(-128L, 0L, -128L), got(1L).toString)
+    assert(got(2L) == Seq(127L, 0L, 127L), got(2L).toString)
+    assert(got(3L) == Seq(0L, 0L, 0L), got(3L).toString)
+    // monotone in x, always within [-128, 127]
+    val sweep = (0 to 100).map(i => (i.toLong, Seq(-2.0f + i * 0.04f)))
+      .toDF("id", "v")
+      .select(col("id"), functions.VectorFunctions.quantizeInt8(col("v"),
+        typedlit(Seq((0, -2.0f, 2.0f))).cast(
+          "array<struct<pos:int,lo:float,hi:float>>")).as("q"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).map(_._2.head)
+    assert(sweep.zip(sweep.tail).forall { case (a, b) => a <= b })
+    assert(sweep.forall(q => q >= -128 && q <= 127))
+  }
+
   test("law: temporalPrefixSplit prefix is minimal by (ts, id)") {
     for (ts <- samples(Gen.listOfN(30, Gen.chooseNum(0L, 10L)), 6)
          if ts.nonEmpty) {

@@ -112,4 +112,22 @@ class TextFunctionsSpec extends SparkSpec {
     // every character lands in exactly one token
     assert(got.mkString == "It's 42 degrees, isn't it?!  Tab\there")
   }
+
+  test("redactPii scrubs planted PII and leaves clean text alone") {
+    // the fixture corpus is PII-free (q72 plants a deterministic tail),
+    // so realistic shapes are only reachable from a spec
+    val df = Seq(
+      "mail me at jane.doe+spam@sub.example.co.uk today",
+      "server 192.168.001.42 answered",
+      "call 555-0199 or 555-0200 now",
+      "no pii here, just words and 12345 numbers",
+      "mixed: bob@x.io at 10.0.0.1 dial 123-4567").toDF("text")
+    val got = df.select(T.redactPii(col("text"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "mail me at <EMAIL> today",
+      "server <IPV4> answered",
+      "call <PHONE> or <PHONE> now",
+      "no pii here, just words and 12345 numbers",
+      "mixed: <EMAIL> at <IPV4> dial <PHONE>"), got.toString)
+  }
 }
