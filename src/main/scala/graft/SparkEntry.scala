@@ -508,6 +508,21 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- North-star: deterministic CORPUS SHUFFLE — contiguous global
+    // pseudo-random positions (the shuffle-then-shard step before
+    // pre-training), as the rank in (bucket, h, id) order on the
+    // hashSplit FNV stream. The scale-correct zipWithIndex: one bucket-
+    // partitioned sort + a |buckets|-row prefix sum broadcast back — no
+    // global-window funnel, no partition-dependent RDD index. Pure
+    // function of (doc_id, seed) → the FULL permutation is
+    // oracle-checkable --------------------------------------------------
+    "q74_corpus_shuffle" -> ((s, dir) => {
+      Relational.shuffleIndex(Tables.documents(s, dir).select("doc_id"),
+          "doc_id", buckets = 32, seed = 23L)
+        .select(col("doc_id"), col("bucket"), col("pos"))
+        .orderBy("pos")
+    }),
+
     // ---- North-star: Gopher-style repetition quality signals. Per-doc
     // duplicated word-2/3-gram fractions (narrow per-row array math) and
     // the top-token fraction (explode → two bounded aggs keyed by
@@ -1461,14 +1476,15 @@ object SparkEntry {
            ((off + greatest(n_tok - 1, 0)) // 512) - (off // 512) AS n_cuts
          FROM o ORDER BY doc_id"""
 
-  /** Shared by the q62/q36 oracles: DuckDB CTEs computing the hashSplit/
-    * stratifiedSplit bucket — the FNV-1a-64 fold of "<key>:<seed>" (HUGEINT
-    * mod-2⁶⁴ wrap exactly as the q22 oracle spells it), re-signed like
-    * Java's long, then pmod 1e6. The fold input is all-ASCII by
+  /** DuckDB CTEs computing the hashSplit FNV stream: the FNV-1a-64 fold of
+    * "<key>:<seed>" (HUGEINT mod-2⁶⁴ wrap exactly as the q22 oracle spells
+    * it), re-signed like Java's long. The fold input is all-ASCII by
     * construction, so the per-character fold equals the kernel's per-byte
-    * fold. Yields CTE `s` = the source table plus bucket column `b`.
+    * fold. Yields CTE `sg` = the source table plus signed hash `hs` —
+    * the q74 shuffle oracle orders by it directly; [[fnvBucketCtes]] adds
+    * the pmod-1e6 bucket the split/mixing oracles cut on.
     */
-  private def fnvBucketCtes(table: String, keyCol: String, seed: Long): String =
+  private def fnvSignedCtes(table: String, keyCol: String, seed: Long): String =
     s"""WITH h AS (
            SELECT *,
              list_reduce(
@@ -1479,13 +1495,32 @@ object SparkEntry {
                (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
                                 % 18446744073709551616 AS UBIGINT)) AS hu
            FROM $table),
-         s AS (
+         sg AS (
            SELECT *,
-             ((CASE WHEN hu >= CAST(9223372036854775808 AS UBIGINT)
-                    THEN CAST(hu AS HUGEINT) - 18446744073709551616
-                    ELSE CAST(hu AS HUGEINT) END % 1000000) + 1000000)
-               % 1000000 AS b
+             CAST(CASE WHEN hu >= CAST(9223372036854775808 AS UBIGINT)
+                       THEN CAST(hu AS HUGEINT) - 18446744073709551616
+                       ELSE CAST(hu AS HUGEINT) END AS BIGINT) AS hs
            FROM h)"""
+
+  private def fnvBucketCtes(table: String, keyCol: String, seed: Long): String =
+    fnvSignedCtes(table, keyCol, seed) + """,
+         s AS (
+           SELECT *, ((hs % 1000000) + 1000000) % 1000000 AS b
+           FROM sg)"""
+
+  /** q74 oracle: re-derive the signed FNV hash per id and replay the
+    * total (bucket, hs, id) order with ROW_NUMBER — the full permutation,
+    * not just counts, must match. The engine's pmod on a signed long
+    * equals the ((hs % n) + n) % n fold here.
+    */
+  private val corpusShuffleOracleSql: String =
+    fnvSignedCtes("documents", "doc_id", 23) + """
+         SELECT doc_id,
+           ((hs % 32) + 32) % 32 AS bucket,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY ((hs % 32) + 32) % 32, hs, doc_id) - 1 AS BIGINT)
+             AS pos
+         FROM sg ORDER BY pos"""
 
   /** q62 oracle: re-derive the bucket per id and reproduce the FULL
     * train/test assignment. */
@@ -1890,6 +1925,7 @@ object SparkEntry {
     "q61_embed_neardup_prod" -> embedProdOracleSql,
     // Content-hash split: full membership re-derived from the FNV fold.
     "q62_hash_split" -> hashSplitOracleSql,
+    "q74_corpus_shuffle" -> corpusShuffleOracleSql,
     "q67_domain_mixing" -> mixingOracleSql,
     "q68_sequence_packing" -> packingOracleSql,
     "q69_bm25_search" -> bm25OracleSql,

@@ -360,6 +360,44 @@ object Relational {
           floor((col("off") + greatest(col(weightCol) - 1, lit(0L))) / ctx))
   }
 
+  /** Deterministic corpus shuffle with contiguous global positions — the
+    * pre-training "shuffle the corpus, then shard by position" step, built
+    * without an RDD zipWithIndex (whose result is partition-dependent) and
+    * without a partition-less row_number (which funnels the corpus through
+    * one reducer). The permutation is the rank in the total order
+    * (bucket, h, id) where h is the hashSplit FNV stream and bucket =
+    * pmod(h, buckets): a pure function of (id, seed) — re-run-stable,
+    * partition-independent, and fully oracle-checkable.
+    *
+    * Scale shape: ONE shuffle partitions by bucket and sorts (h, id)
+    * within each bucket (corpus/buckets rows per window partition —
+    * `buckets` is the parallelism knob, sized ~ executor count at 100 TB);
+    * cross-bucket offsets come from an exclusive prefix sum over the
+    * |buckets|-row size frame — the only partition-less window in the
+    * plan, bounded at `buckets` rows, then broadcast back. Output adds
+    * `bucket` and `pos` (0-based, a bijection onto 0..n-1 — PropertySpec
+    * law).
+    */
+  def shuffleIndex(df: DataFrame, idCol: String, buckets: Int,
+                   seed: Long): DataFrame = {
+    require(buckets >= 1, s"shuffleIndex: buckets >= 1, got $buckets")
+    val h = graft.functions.TextFunctions.fnv64(
+      concat(col(idCol).cast("string"), lit(":" + seed)))
+    val withKeys = df.withColumn("__h", h)
+      .withColumn("bucket", pmod(col("__h"), lit(buckets.toLong)))
+    val wRank = Window.partitionBy("bucket").orderBy(col("__h"), col(idCol))
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withKeys.groupBy("bucket").agg(count(lit(1)).as("__bn"))
+      .withColumn("__boff", coalesce(sum("__bn").over(wOff), lit(0L)))
+      .select(col("bucket"), col("__boff"))
+    withKeys
+      .withColumn("__rn", row_number().over(wRank).cast("long"))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("pos", col("__boff") + col("__rn") - 1)
+      .drop("__h", "__rn", "__boff")
+  }
+
   /** As-of join: for each left row, attach the single right-side value with
     * the greatest `rightTs` ≤ the row's `leftTs`, per join key — the
     * time-series enrichment operator Spark lacks natively.

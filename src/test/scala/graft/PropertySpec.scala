@@ -229,6 +229,30 @@ class PropertySpec extends SparkSpec {
     assert(again.sortBy(_._1).sameElements(out.sortBy(_._1)))
   }
 
+  test("law: shuffleIndex is a repartition-invariant bijection onto 0..n-1") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1000).toDF("id")
+    val out = Relational.shuffleIndex(df, "id", buckets = 8, seed = 23L)
+      .select("id", "bucket", "pos")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    // bijection onto 0..n-1
+    assert(out.map(_._3).toSeq == (0L until 1000L))
+    // bucket-major: positions within a bucket are contiguous
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq)
+    // actually permuted (identity survives with probability ~0)
+    assert(out.map(_._1).toSeq != (0L until 1000L))
+    // pure function of (id, seed): physical layout inert
+    for (k <- Seq(1, 7, 32)) {
+      val again = Relational.shuffleIndex(df.repartition(k), "id", 8, 23L)
+        .select("id", "pos").as[(Long, Long)].collect().toMap
+      assert(again == out.map(t => t._1 -> t._3).toMap, s"k=$k")
+    }
+    // a different seed yields a different permutation
+    val reseeded = Relational.shuffleIndex(df, "id", 8, 24L)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(reseeded != out.map(t => t._1 -> t._3).toMap)
+  }
+
   test("law: quantizeInt8 codes are in-range, endpoint-exact, monotone") {
     import org.apache.spark.sql.functions.{col, typedlit}
     // a hand-built ranges row: dim0 spans [-2,2], dim1 degenerate, dim2 [0,10]
