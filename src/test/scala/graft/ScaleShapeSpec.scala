@@ -357,6 +357,32 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-6 corpus-query plan shapes: q71/q73/q74 stay shuffle-bounded") {
+    // q71: dup-passage detection must be hash equi-joins on the gram key —
+    // never a cartesian/nested-loop pairing of documents
+    val q71 = SparkEntry.queries("q71_dup_passages")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!q71.contains("CartesianProduct"))
+    assert(q71.contains("LeftSemi"), "q71 dup-gram probe must be a semi-join")
+    // q73: the fitted ranges collapse to ONE broadcast row; the vector
+    // side must see a broadcast, not an exchange of the corpus
+    val q73 = SparkEntry.queries("q73_embed_quantize")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(q73.contains("BroadcastExchange") ||
+      q73.contains("BroadcastNestedLoopJoin"),
+      "q73 ranges row must broadcast")
+    assert(!q73.contains("CartesianProduct"))
+    // q74: the rank window must be sharded by bucket (the corpus-side
+    // sort), and the bucket offsets must come back via broadcast
+    val q74 = SparkEntry.queries("q74_corpus_shuffle")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(q74.contains("windowspecdefinition(bucket"),
+      "q74 rank must be sharded by bucket")
+    assert(q74.contains("BroadcastHashJoin"),
+      "q74 bucket offsets must broadcast")
+    assert(!q74.contains("CartesianProduct"))
+  }
+
   test("dedup under a hot bucket: 60 identical docs verify exactly through the grid") {
     // 60 identical documents share every band key (and every simhash
     // chunk-pair key): the classic silent-quadratic-reducer fixture. With
