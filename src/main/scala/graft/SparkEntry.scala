@@ -523,6 +523,17 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    // ---- North-star: deterministic FIXED-SIZE sample — exactly k rows,
+    // partition-independent (hash-priority bottom-k on the FNV stream;
+    // sample() is rate-based and partition-dependent, limit() arbitrary).
+    // Plan is a bounded partial top-k, never a global sort. The oracle
+    // re-derives every selected id ----------------------------------------
+    "q75_priority_sample" -> ((s, dir) => {
+      Relational.prioritySample(Tables.documents(s, dir)
+          .select("doc_id", "source"), "doc_id", k = 100, seed = 29L)
+        .orderBy("doc_id")
+    }),
+
     // ---- North-star: Gopher-style repetition quality signals. Per-doc
     // duplicated word-2/3-gram fractions (narrow per-row array math) and
     // the top-token fraction (explode → two bounded aggs keyed by
@@ -1522,6 +1533,15 @@ object SparkEntry {
              AS pos
          FROM sg ORDER BY pos"""
 
+  /** q75 oracle: bottom-k by the re-derived signed FNV priority (ties by
+    * id), then the outer ORDER BY restores the engine's doc_id order. */
+  private val prioritySampleOracleSql: String =
+    fnvSignedCtes("documents", "doc_id", 29) + """
+         SELECT doc_id, source FROM (
+           SELECT doc_id, source FROM sg
+           ORDER BY hs, doc_id LIMIT 100)
+         ORDER BY doc_id"""
+
   /** q62 oracle: re-derive the bucket per id and reproduce the FULL
     * train/test assignment. */
   private val hashSplitOracleSql: String =
@@ -1926,6 +1946,7 @@ object SparkEntry {
     // Content-hash split: full membership re-derived from the FNV fold.
     "q62_hash_split" -> hashSplitOracleSql,
     "q74_corpus_shuffle" -> corpusShuffleOracleSql,
+    "q75_priority_sample" -> prioritySampleOracleSql,
     "q67_domain_mixing" -> mixingOracleSql,
     "q68_sequence_packing" -> packingOracleSql,
     "q69_bm25_search" -> bm25OracleSql,

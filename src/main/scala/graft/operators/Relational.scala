@@ -360,6 +360,28 @@ object Relational {
           floor((col("off") + greatest(col(weightCol) - 1, lit(0L))) / ctx))
   }
 
+  /** Deterministic fixed-size sample — "exactly k rows from 100 TB",
+    * partition-independent: the k rows with the smallest hashSplit FNV
+    * priorities (ties broken by id). Unlike `sample()` (rate-based,
+    * partition-dependent, only approximately sized) or `limit` (arbitrary
+    * rows), the selected SET is a pure function of (ids, seed) — stable
+    * under repartitioning, re-runs, and engine versions — and the plan is
+    * a bounded partial top-k (TakeOrdered: k rows per partition shuffle to
+    * one k-row merge), never a full global sort. Adding rows to the corpus
+    * only ever swaps rows in/out by priority (bottom-k consistency — the
+    * property consistent-sampling pipelines rely on).
+    */
+  def prioritySample(df: DataFrame, idCol: String, k: Int,
+                     seed: Long): DataFrame = {
+    require(k >= 0, s"prioritySample: k >= 0, got $k")
+    val h = graft.functions.TextFunctions.fnv64(
+      concat(col(idCol).cast("string"), lit(":" + seed)))
+    df.withColumn("__p", h)
+      .orderBy(col("__p"), col(idCol))
+      .limit(k)
+      .drop("__p")
+  }
+
   /** Deterministic corpus shuffle with contiguous global positions — the
     * pre-training "shuffle the corpus, then shard by position" step, built
     * without an RDD zipWithIndex (whose result is partition-dependent) and

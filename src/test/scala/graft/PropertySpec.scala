@@ -253,6 +253,32 @@ class PropertySpec extends SparkSpec {
     assert(reseeded != out.map(t => t._1 -> t._3).toMap)
   }
 
+  test("law: prioritySample is exact-k, repartition-invariant, bottom-k consistent") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1000).toDF("id")
+    val s100 = Relational.prioritySample(df, "id", 100, 29L)
+      .select("id").as[Long].collect().toSet
+    assert(s100.size == 100)
+    // prefix property: a smaller sample is contained in a larger one
+    val s40 = Relational.prioritySample(df, "id", 40, 29L)
+      .select("id").as[Long].collect().toSet
+    assert(s40.subsetOf(s100))
+    // physical layout inert
+    for (k <- Seq(1, 7, 32)) {
+      val again = Relational.prioritySample(df.repartition(k), "id", 100, 29L)
+        .select("id").as[Long].collect().toSet
+      assert(again == s100, s"k=$k")
+    }
+    // bottom-k consistency: growing the corpus only swaps rows in/out by
+    // priority — survivors from the smaller corpus stay selected together
+    val grown = Relational.prioritySample(
+      spark.range(2000).toDF("id"), "id", 100, 29L)
+      .select("id").as[Long].collect().toSet
+    assert(grown.intersect(0L.until(1000L).toSet).subsetOf(s100))
+    // k >= n returns everything
+    assert(Relational.prioritySample(df, "id", 5000, 29L).count() == 1000)
+  }
+
   test("law: quantizeInt8 codes are in-range, endpoint-exact, monotone") {
     import org.apache.spark.sql.functions.{col, typedlit}
     // a hand-built ranges row: dim0 spans [-2,2], dim1 degenerate, dim2 [0,10]

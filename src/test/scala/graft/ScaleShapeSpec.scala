@@ -381,6 +381,12 @@ class ScaleShapeSpec extends SparkSpec {
     assert(q74.contains("BroadcastHashJoin"),
       "q74 bucket offsets must broadcast")
     assert(!q74.contains("CartesianProduct"))
+    // q75: the fixed-size sample must be a bounded partial top-k, never a
+    // full global sort of the corpus
+    val q75 = SparkEntry.queries("q75_priority_sample")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(q75.contains("TakeOrdered"),
+      "q75 must select via bounded partial top-k")
   }
 
   test("dedup under a hot bucket: 60 identical docs verify exactly through the grid") {
