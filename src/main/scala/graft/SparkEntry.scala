@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.functions.TextFunctions.WS
 import graft.operators.{Dedup, Relational, Similarity}
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -532,6 +533,24 @@ object SparkEntry {
       Relational.prioritySample(Tables.documents(s, dir)
           .select("doc_id", "source"), "doc_id", k = 100, seed = 29L)
         .orderBy("doc_id")
+    }),
+
+    // ---- Stream-stream interval join, batch-oracled (SURVEY §2.11
+    // additive): per click, how many errors the same user hit in the
+    // preceding 10 minutes — EventStream.recentPairs, the SAME code
+    // StreamingEtlSpec runs as a real watermarked stream. Scale shape:
+    // one shuffle of each side on user_id; per-user candidate volume is
+    // bounded by rate × window (the interval predicate), and in
+    // streaming the same predicate bounds the join STATE ----------------
+    "q76_recent_error_counts" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      EventStream.recentPairs(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "error"),
+          windowMinutes = 10, joinType = "left_outer")
+        .groupBy("event_id")
+        .agg(count(col("r_event")).as("n_recent_errors"))
+        .orderBy("event_id")
     }),
 
     // ---- North-star: Gopher-style repetition quality signals. Per-doc
@@ -1947,6 +1966,17 @@ object SparkEntry {
     "q62_hash_split" -> hashSplitOracleSql,
     "q74_corpus_shuffle" -> corpusShuffleOracleSql,
     "q75_priority_sample" -> prioritySampleOracleSql,
+    // Interval self-join replayed directly; timestamp parity holds because
+    // the fixture has no sub-microsecond timestamps (the engine's ns→µs
+    // truncation is lossless) and both engines compare event time exactly.
+    "q76_recent_error_counts" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         er AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+         SELECT c.event_id, COUNT(er.user_id) AS n_recent_errors
+         FROM c LEFT JOIN er ON c.user_id = er.user_id
+           AND er.ts <= c.ts AND er.ts > c.ts - INTERVAL 10 MINUTE
+         GROUP BY c.event_id ORDER BY c.event_id""",
     "q67_domain_mixing" -> mixingOracleSql,
     "q68_sequence_packing" -> packingOracleSql,
     "q69_bm25_search" -> bm25OracleSql,

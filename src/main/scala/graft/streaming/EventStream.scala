@@ -59,6 +59,32 @@ object EventStream {
           .as("win_start"),
         col("event_type"), col("cnt"))
 
+  /** Watermarked stream-stream interval join — pair each left event with
+    * the right-side events of the SAME user whose timestamp falls in
+    * (left.ts − windowMinutes, left.ts]. Both sides carry watermarks and
+    * the join predicate bounds event time in BOTH directions, which is
+    * exactly what Structured Streaming needs to evict each side's join
+    * state as the watermark advances: state ~ rate × (window + lateness),
+    * independent of stream length. Inner matches emit eagerly (append-
+    * mode-correct); `left_outer` additionally emits unmatched left rows
+    * once the watermark passes them. The SAME code runs in batch
+    * (watermarks are no-ops there), which is how q76 oracle-checks this
+    * join in DuckDB while StreamingEtlSpec runs it as a real stream.
+    */
+  def recentPairs(left: DataFrame, right: DataFrame, windowMinutes: Int,
+                  joinType: String = "inner",
+                  watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.select(col("event_id").as("r_event"),
+        col("user_id").as("r_user"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") <= col("ts") &&
+        col("r_ts") > col("ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
+  }
+
   /** Sliding-window per-user activity rate (5 min slide, 1 h width). */
   def slidingUserRate(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

@@ -121,6 +121,30 @@ class StreamingEtlSpec extends SparkSpec {
     assert(s == b, s"stream rows ${s.size} vs batch ${b.size}")
   }
 
+  test("recentPairs runs as a real stream-stream join and matches batch") {
+    // inner matches emit eagerly in append mode, so a finite fixture
+    // yields the complete inner-join result (outer's null rows would wait
+    // on the watermark — same finite-fixture caveat as hourlyStats)
+    val src = EventStream.readEvents(spark, sf0001)
+    val streamed = EventStream.runToMemory(
+      EventStream.recentPairs(
+        src.filter(col("event_type") === "click"),
+        src.where(col("event_type") === "error"),
+        windowMinutes = 10),
+      "recent_pairs_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("event_id", "r_event").as[(Long, Long)].collect().toSeq.sorted
+    val e = Tables.events(spark, sf0001)
+    val batch = EventStream.recentPairs(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "error"),
+        windowMinutes = 10)
+      .select("event_id", "r_event").as[(Long, Long)].collect().toSeq.sorted
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream pairs ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("sessionize keeps one bounded state per user") {
     val events = Tables.events(spark, sf0001)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
