@@ -10,9 +10,14 @@ import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+import os
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # raw fixtures are single files; ScaleUpGen output is a directory of
+    # part files under the same <table>.parquet name
+    p = f"{sfdir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
