@@ -34,6 +34,29 @@ object Explain {
 
     if (audit) {
       var flagged = 0
+      var unexplained = 0
+      // Adjudicated smells — each shape reviewed and documented as benign:
+      //  - q03/q17: global-aggregate final merge (one row through one task);
+      //  - q26/q52/q69/q70/q73: crossJoin(broadcast(<=1-row stats frame)) —
+      //    BroadcastNestedLoopJoin of a scalar, and the SinglePartition
+      //    exchanges are those frames' own 1-row aggregations;
+      //  - q32: Spark ML recommendForAllItems' internal blocked cross —
+      //    MLlib's own plan, not ours;
+      //  - q74: the |buckets|-row offset frame's prefix-sum window
+      //    (documented in Relational.shuffleIndex).
+      val adjudicated: Map[String, Set[String]] = Map(
+        "q03_status_distribution" -> Set("SinglePartition-exchange"),
+        "q17_global_stats" -> Set("SinglePartition-exchange"),
+        "q26_sim_topk" -> Set("BroadcastNestedLoopJoin"),
+        "q32_ml_als_recs" -> Set("CartesianProduct"),
+        "q52_ivf_exhaustive" -> Set("BroadcastNestedLoopJoin"),
+        "q69_bm25_search" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        "q70_unigram_surprisal" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        "q73_embed_quantize" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        "q74_corpus_shuffle" -> Set("SinglePartition-exchange"))
       names.foreach { n =>
         try {
           val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
@@ -66,17 +89,23 @@ object Explain {
               plan.contains("Arguments: SinglePartition"),
             "array-cols-into-dedup-shuffle" -> wideDedup,
           ).collect { case (s, true) => s }
+          val fresh = smells.filterNot(adjudicated.getOrElse(n, Set.empty))
           if (smells.nonEmpty) {
             flagged += 1
-            println(s"FLAG $n: ${smells.mkString(", ")}")
+            val tag = if (fresh.isEmpty) "FLAG(adjudicated)" else "FLAG"
+            println(s"$tag $n: ${smells.mkString(", ")}")
           }
+          if (fresh.nonEmpty) unexplained += 1
         } catch {
-          case e: Throwable => println(s"FLAG $n: audit failed: $e")
+          case e: Throwable =>
+            unexplained += 1
+            println(s"FLAG $n: audit failed: $e")
         }
       }
-      println(s"audit: ${names.size} queries scanned, $flagged flagged " +
-        "(adjudicate each — global-agg finals and bounded scalar windows " +
-        "legitimately single-partition)")
+      println(s"audit: ${names.size} queries scanned, $flagged flagged, " +
+        s"$unexplained UNEXPLAINED (adjudicated shapes are documented at " +
+        "the `adjudicated` map; a nonzero unexplained count is a " +
+        "regression to triage)")
     } else {
       names.foreach { n =>
         println(s"\n========== $n ==========")
