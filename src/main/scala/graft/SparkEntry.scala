@@ -535,6 +535,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: overlapping DOCUMENT CHUNKING — the RAG/pretraining
+    // chunker: 200-char windows every 150 chars (50-char overlap), the
+    // final chunk truncating at the text end, short docs yielding one
+    // chunk. Per-chunk polynomial fingerprints (the q27 fold on the
+    // substring) prove the CONTENT of every chunk, not just its offsets.
+    // Pure per-row array math — no shuffle until the final sort ----------
+    "q77_doc_chunks" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextFunctions.chunks(col("text"),
+            chunkSize, chunkStride)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          col("c.start").as("start"),
+          length(col("c.chunk")).cast("long").as("chunk_len"),
+          TextFunctions.fingerprint(col("c.chunk")).as("fp"))
+        .orderBy("doc_id", "chunk_id")),
+
     // ---- Stream-stream interval join, batch-oracled (SURVEY §2.11
     // additive): per click, how many errors the same user hit in the
     // preceding 10 minutes — EventStream.recentPairs, the SAME code
@@ -1552,6 +1569,41 @@ object SparkEntry {
              AS pos
          FROM sg ORDER BY pos"""
 
+  /** q77 chunk geometry — single source for TextFunctions.chunks' call
+    * AND the oracle's arithmetic, so the two cannot drift. */
+  private val chunkSize = 200
+  private val chunkStride = 150
+
+  /** q77 oracle: the identical chunk-count ceiling, offsets, substr
+    * truncation, and per-chunk polynomial fold (the q27 fingerprint)
+    * replayed in DuckDB with the geometry interpolated from the same
+    * constants the engine uses. */
+  private def docChunksOracleSql: String = {
+    val overlap = chunkSize - chunkStride
+    raw"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         nc AS (
+           SELECT doc_id, text,
+             greatest(1, CAST(floor((n - $overlap + ${chunkStride - 1})
+               / $chunkStride.0) AS BIGINT)) AS k
+           FROM d),
+         c AS (
+           SELECT doc_id, unnest(range(0, k)) AS chunk_id, text
+           FROM nc),
+         ch AS (
+           SELECT doc_id, chunk_id, chunk_id * $chunkStride + 1 AS start,
+             substr(text, CAST(chunk_id * $chunkStride + 1 AS INTEGER),
+               $chunkSize) AS chunk
+           FROM c)
+         SELECT doc_id, chunk_id, start,
+           CAST(length(chunk) AS BIGINT) AS chunk_len,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(chunk, ''),
+                 ch2 -> CAST(ascii(ch2) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         FROM ch ORDER BY doc_id, chunk_id"""
+  }
+
   /** q75 oracle: bottom-k by the re-derived signed FNV priority (ties by
     * id), then the outer ORDER BY restores the engine's doc_id order. */
   private val prioritySampleOracleSql: String =
@@ -1966,6 +2018,7 @@ object SparkEntry {
     "q62_hash_split" -> hashSplitOracleSql,
     "q74_corpus_shuffle" -> corpusShuffleOracleSql,
     "q75_priority_sample" -> prioritySampleOracleSql,
+    "q77_doc_chunks" -> docChunksOracleSql,
     // Interval self-join replayed directly; timestamp parity holds because
     // the fixture has no sub-microsecond timestamps (the engine's ns→µs
     // truncation is lossless) and both engines compare event time exactly.

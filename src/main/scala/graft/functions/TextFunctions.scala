@@ -116,6 +116,27 @@ object TextFunctions {
     */
   def fnv64(c: Column): Column = toCol(expressions.Fnv64(toExpr(c)))
 
+  /** Overlapping character chunks — the RAG/pretraining chunker: windows
+    * of `size` chars every `stride` chars (stride ≤ size ⇒ consecutive
+    * chunks overlap by size − stride), always at least one chunk per doc.
+    * n_chunks = max(1, ceil((len − (size − stride)) / stride)); chunk i
+    * covers the 1-based substring [i·stride + 1, i·stride + size], the
+    * final chunk truncating at the text end. Returns
+    * array<struct<chunk_id,start,chunk>> — pure per-row array math, no
+    * shuffle; q77's DuckDB oracle replays the identical arithmetic.
+    */
+  def chunks(text: Column, size: Int, stride: Int): Column = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"chunks: need 1 <= stride <= size, got size=$size stride=$stride")
+    val n = length(text)
+    val nChunks = greatest(lit(1L),
+      floor((n - lit(size - stride) + lit(stride - 1)) /
+        lit(stride.toDouble)).cast("long"))
+    transform(sequence(lit(0L), nChunks - 1), i =>
+      struct(i.as("chunk_id"), (i * stride + 1).as("start"),
+        text.substr((i * stride + 1).cast("int"), lit(size)).as("chunk")))
+  }
+
   /** Polynomial rolling-hash fingerprint of the full text, mod 1e9+7.
     * Deterministic, overflow-free, and reproducible in any engine with a
     * left fold (the DuckDB oracle mirrors it with list_reduce).

@@ -113,6 +113,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.mkString == "It's 42 degrees, isn't it?!  Tab\there")
   }
 
+  test("chunks: overlap geometry, truncation, and lossless reconstruction") {
+    val text = ('a' to 'z').mkString * 20 // 520 chars
+    val short = "tiny"
+    val rows = Seq((1L, text), (2L, short)).toDF("id", "text")
+      .select(col("id"), explode(T.chunks(col("text"), 200, 150)).as("c"))
+      .select(col("id"), col("c.chunk_id"), col("c.start"), col("c.chunk"))
+      .as[(Long, Long, Long, String)].collect()
+    val long = rows.filter(_._1 == 1L).sortBy(_._2).map(_._4).toSeq
+    // ceil((520-50)/150) = 4 chunks; starts 1,151,301,451; last truncated
+    assert(long.size == 4)
+    assert(rows.filter(_._1 == 1L).map(_._3).sorted.toSeq ==
+      Seq(1L, 151L, 301L, 451L))
+    assert(long.init.forall(_.length == 200) && long.last.length == 70)
+    // consecutive chunks overlap by exactly 50 chars
+    long.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.takeRight(50) == b.take(50))
+    }
+    // dropping each overlap reconstructs the document exactly
+    assert(long.head + long.tail.map(_.drop(50)).mkString == text)
+    // a short doc yields one whole-text chunk
+    assert(rows.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0L, 1L, "tiny")))
+  }
+
   test("redactPii scrubs planted PII and leaves clean text alone") {
     // the fixture corpus is PII-free (q72 plants a deterministic tail),
     // so realistic shapes are only reachable from a spec
