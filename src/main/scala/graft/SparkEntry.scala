@@ -535,6 +535,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: JSON metadata extraction — the semi-structured
+    // side-channel every corpus carries (events.props is a JSON string).
+    // get_json_object is Spark's codegen'd path-extraction primitive — a
+    // narrow scan-side projection, no UDF, no shuffle until the bounded
+    // per-type agg; nulls from unparsable rows are counted out by
+    // count(col). DuckDB re-derives with json_extract_string ------------
+    "q78_json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_parsed"),
+          sum("k").as("k_sum"),
+          min("k").as("k_min"), max("k").as("k_max"))
+        .orderBy("event_type")),
+
     // ---- North-star: overlapping DOCUMENT CHUNKING — the RAG/pretraining
     // chunker: 200-char windows every 150 chars (50-char overlap), the
     // final chunk truncating at the text end, short docs yielding one
@@ -2019,6 +2035,15 @@ object SparkEntry {
     "q74_corpus_shuffle" -> corpusShuffleOracleSql,
     "q75_priority_sample" -> prioritySampleOracleSql,
     "q77_doc_chunks" -> docChunksOracleSql,
+    "q78_json_props" ->
+      """WITH p AS (
+           SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         SELECT event_type, COUNT(k) AS n_parsed,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           MIN(k) AS k_min, MAX(k) AS k_max
+         FROM p GROUP BY event_type ORDER BY event_type""",
     // Interval self-join replayed directly; timestamp parity holds because
     // the fixture has no sub-microsecond timestamps (the engine's ns→µs
     // truncation is lossless) and both engines compare event time exactly.
