@@ -58,15 +58,25 @@ object VectorFunctions {
     * exact and the single floor expression is IEEE-identical in DuckDB, so
     * the q73 oracle reproduces every code. Per-row array math against a
     * broadcast ranges row — no shuffle on the vector side.
+    *
+    * PRECONDITION: |v| == |ranges| for every row — ranges is a per-
+    * dimension fit, so a length mismatch means the caller quantizes
+    * against the wrong model. `zip_with` would silently null-pad the
+    * shorter side; the guard turns that into a per-row error instead of
+    * null codes.
     */
   def quantizeInt8(v: Column, ranges: Column): Column =
-    zip_with(v, ranges, (x, r) =>
-      when(r.getField("hi") === r.getField("lo"), lit(0L))
-        .otherwise(floor(
-          (x.cast("double") - r.getField("lo").cast("double")) /
-            (r.getField("hi").cast("double") -
-              r.getField("lo").cast("double")) * 255.0 + 0.5)
-          .cast("long") - 128))
+    when(size(v) =!= size(ranges),
+      raise_error(concat(
+        lit("quantizeInt8: embedding dim "), size(v).cast("string"),
+        lit(" != ranges dim "), size(ranges).cast("string"))))
+      .otherwise(zip_with(v, ranges, (x, r) =>
+        when(r.getField("hi") === r.getField("lo"), lit(0L))
+          .otherwise(floor(
+            (x.cast("double") - r.getField("lo").cast("double")) /
+              (r.getField("hi").cast("double") -
+                r.getField("lo").cast("double")) * 255.0 + 0.5)
+            .cast("long") - 128)))
 
   /** All `tables` OR-amplification sketches at once, as PACKED bucket keys
     * `t * 2^planes + bits` — one compiled kernel pass per row

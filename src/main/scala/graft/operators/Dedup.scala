@@ -37,19 +37,21 @@ object Dedup {
     * (twice, symmetrically, for the diagonal — downstream dropDuplicates
     * absorbs it, as it already must for pairs sharing several buckets).
     *
-    * Bucket sizes come from a window count INSIDE the plan
-    * (`count(*) over (partition by key)`) — fully lazy, no plan-time
-    * action. The window's exchange hash-partitions by the same key both
-    * join sides need, so Spark's ReuseExchange computes the upstream
-    * (sketch) subplan ONCE and both sides read the shuffled copy — at
-    * no-skew this is the plain self-join's shuffle volume with the
-    * sketch kernels evaluated once instead of per side, and on changed
-    * data the counts recompute with the data (no stale literal; an
-    * aggregate+join variant was measured slower end-to-end). A hot
-    * bucket's window group buffers linearly (WindowExec spills to
-    * disk); the quadratic pair volume — the actual danger — is what the
-    * grid join (keyed on bucket AND cell, so it redistributes) spreads
-    * across ceil(n/cap)·(ceil(n/cap)+1)/2 reducers instead of one.
+    * Pay-as-you-go (round 7): a cheap PRE-AGGREGATE over the 16-byte
+    * (key, member) rows — groupBy(key).count → max, map-side-combined to
+    * one driver scalar, the same boundary-scalar pattern as the split
+    * operators — decides up front whether ANY bucket exceeds the cap.
+    * Well-behaved data (every real fixture; most real corpora under
+    * healthy LSH geometry) then takes the PLAIN triangular self-join:
+    * no window, no sort, no grid columns, and the only cost of the skew
+    * insurance is that one extra narrow pass. Only when a hot bucket is
+    * detected does the grid plan build, with bucket sizes from a window
+    * count INSIDE the plan (`count(*) over (partition by key)`) so the
+    * grid geometry recomputes with the data. A hot bucket's window
+    * group buffers linearly (WindowExec spills to disk); the quadratic
+    * pair volume — the actual danger — is what the grid join (keyed on
+    * bucket AND cell, so it redistributes) spreads across
+    * ceil(n/cap)·(ceil(n/cap)+1)/2 reducers instead of one.
     *
     * Output is NOT deduplicated: one row per co-bucket-cell occurrence,
     * so callers keep the cheapest order of verify vs dropDuplicates.
@@ -65,6 +67,26 @@ object Dedup {
     require(keyed.schema(keyCol).dataType ==
       org.apache.spark.sql.types.LongType,
       s"boundedSelfJoinCandidates: $keyCol must be a 64-bit LSH key")
+    // one cheap action: max bucket size (narrow pass + one-row shuffle)
+    val maxBucketSize = Option(
+        keyed.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+          .agg(max("__n")).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (maxBucketSize <= cap) {
+      // no oversized bucket: plain triangular self-join, no grid overhead
+      keyed.select(col(keyCol), col(memberCol).as("__ma"))
+        .join(keyed.select(col(keyCol), col(memberCol).as("__mb")),
+          Seq(keyCol))
+        .filter(col("__ma") < col("__mb"))
+        .select(col("__ma").as("m_a"), col("__mb").as("m_b"))
+    } else gridSelfJoinCandidates(keyed, keyCol, memberCol, cap)
+  }
+
+  /** The skew path of [[boundedSelfJoinCandidates]]: triangular grid of
+    * group-pair cells, per-reducer work bounded by ~cap² pairs. */
+  private def gridSelfJoinCandidates(
+      keyed: DataFrame, keyCol: String, memberCol: String,
+      cap: Int): DataFrame = {
     val grouped = keyed
       .withColumn("__g",
         ceil(count(lit(1))

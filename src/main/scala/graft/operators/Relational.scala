@@ -284,6 +284,19 @@ object Relational {
     * Train and test are complement filters of one scan: disjoint,
     * exhaustive, multiset-exact, no shuffle.
     */
+  /** Guard for operators that add fixed working/output column names via
+    * withColumn (which silently REPLACES an existing same-named column):
+    * fail loudly if the input already carries one of the names, instead
+    * of silently destroying caller data (round-6 ADVICE).
+    */
+  private def requireFresh(df: DataFrame, op: String,
+                           names: Seq[String]): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$op: input already has column(s) ${clash.mkString(", ")} — " +
+        "rename them first; the operator writes these names")
+  }
+
   def hashSplit(df: DataFrame, idCol: String, trainFrac: Double,
                 seed: Long): (DataFrame, DataFrame) = {
     require(trainFrac >= 0.0 && trainFrac <= 1.0,
@@ -344,6 +357,8 @@ object Relational {
                   buckets: Int, ctx: Int, seed: Long): DataFrame = {
     require(buckets >= 1, s"packedSpans: buckets >= 1, got $buckets")
     require(ctx >= 1, s"packedSpans: ctx >= 1, got $ctx")
+    requireFresh(df, "packedSpans",
+      Seq("bucket", "off", "pack_first", "pack_last"))
     val bucket = pmod(
       graft.functions.TextFunctions.fnv64(
         concat(col(idCol).cast("string"), lit(":" + seed))),
@@ -374,6 +389,7 @@ object Relational {
   def prioritySample(df: DataFrame, idCol: String, k: Int,
                      seed: Long): DataFrame = {
     require(k >= 0, s"prioritySample: k >= 0, got $k")
+    requireFresh(df, "prioritySample", Seq("__p"))
     val h = graft.functions.TextFunctions.fnv64(
       concat(col(idCol).cast("string"), lit(":" + seed)))
     df.withColumn("__p", h)
@@ -403,6 +419,8 @@ object Relational {
   def shuffleIndex(df: DataFrame, idCol: String, buckets: Int,
                    seed: Long): DataFrame = {
     require(buckets >= 1, s"shuffleIndex: buckets >= 1, got $buckets")
+    requireFresh(df, "shuffleIndex",
+      Seq("__h", "__rn", "__boff", "__bn", "bucket", "pos"))
     val h = graft.functions.TextFunctions.fnv64(
       concat(col(idCol).cast("string"), lit(":" + seed)))
     val withKeys = df.withColumn("__h", h)
