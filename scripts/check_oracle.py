@@ -17,6 +17,17 @@ for t in ["region","nation","customer","supplier","part","orders",
     # part files under the same <table>.parquet name
     p = f"{sfdir}/{t}.parquet"
     src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    if t == "events":
+        # ScaleUpGen fixtures store ts as plain INT64 nanos (the raw
+        # fixtures are TIMESTAMP(NANOS)); normalize to a microsecond
+        # timestamp exactly like graft.Tables.events (ns→µs truncation)
+        # so timestamp-typed oracle SQL (q76's interval join) types on
+        # scaled fixtures too.
+        ty = con.execute(f"SELECT typeof(ts) FROM '{src}' LIMIT 1").fetchone()[0]
+        if ty == "BIGINT":
+            con.execute(f"CREATE VIEW {t} AS SELECT * REPLACE "
+                        f"(make_timestamp(ts // 1000) AS ts) FROM '{src}'")
+            continue
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))

@@ -355,6 +355,34 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Corpus-GEARED variant of q61 (round-6 verdict task 2): identical
+    // semantics and oracle, but `planes` comes from Dedup.planesFor(n) —
+    // the shuffle-volume arg-min the BENCH_SCALE plane sweep measured
+    // (494 s → 80 s at x100) — instead of the pinned 16-plane geometry
+    // q61 keeps for cross-scale comparability. The corpus count is one
+    // cheap boundary-scalar action; recall is re-sized per planes
+    // (lshTablesFor), so the pair set is the same and the q61 oracle
+    // gates this row unchanged. At sf0.1 (~20 k vectors) planesFor lands
+    // on the same 16 planes — the row exists so the SCALE bench shows the
+    // geared factor in artifact JSON, not a test-side note.
+    "q61b_embed_neardup_geared" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).select(col("vec_id"),
+        VectorFunctions.toDoubleArray(col("embedding")).as("embedding"))
+      val twins = base.filter(col("vec_id") < 50)
+        .withColumn("a", (col("vec_id") % 8).cast("double") / 20.0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (lit(1.0) - col("a")) * x + col("a") *
+              element_at(col("embedding"), pmod(i + 1, lit(64)) + 1))
+            .as("embedding"))
+      val corpus = base.unionByName(twins)
+      val planes = Dedup.planesFor(corpus.count(), threshold = 0.9)
+      Dedup.embeddingPairs(corpus, "vec_id", "embedding",
+          threshold = 0.9, useLsh = true, dim = 64, planes = planes,
+          tables = Dedup.lshTablesFor(0.9, planes))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- North-star: brute-force cosine top-k ANN baseline -------------
     "q26_sim_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1160,6 +1188,46 @@ object SparkEntry {
            FROM scored)
          WHERE rn <= 5 ORDER BY q_id, rn"""
 
+  /** UTF-8 octet list of a VARCHAR SQL expression — the byte-faithful
+    * bridge between the engine kernels (which hash `getBytes` octets) and
+    * DuckDB (whose string functions are codepoint-based): each codepoint
+    * is expanded to its 1-4 UTF-8 bytes arithmetically, so the oracle
+    * folds the IDENTICAL byte stream on ANY corpus, not just ASCII
+    * (round-6 VERDICT top ask; validated against a Python byte-level
+    * reference on CJK/accented/emoji strings). Empty strings expand to
+    * zero octets, matching `"".getBytes` (DuckDB's string_split would
+    * otherwise yield [''] → a spurious 0 byte).
+    */
+  private def utf8OctetsSql(e: String): String =
+    raw"""(CASE WHEN $e = '' THEN CAST([] AS UBIGINT[]) ELSE
+       flatten(list_transform(string_split($e, ''), u8c ->
+         CASE WHEN ascii(u8c) < 128 THEN [CAST(ascii(u8c) AS UBIGINT)]
+              WHEN ascii(u8c) < 2048 THEN [
+                CAST(192 + ascii(u8c) // 64 AS UBIGINT),
+                CAST(128 + ascii(u8c) % 64 AS UBIGINT)]
+              WHEN ascii(u8c) < 65536 THEN [
+                CAST(224 + ascii(u8c) // 4096 AS UBIGINT),
+                CAST(128 + (ascii(u8c) // 64) % 64 AS UBIGINT),
+                CAST(128 + ascii(u8c) % 64 AS UBIGINT)]
+              ELSE [
+                CAST(240 + ascii(u8c) // 262144 AS UBIGINT),
+                CAST(128 + (ascii(u8c) // 4096) % 64 AS UBIGINT),
+                CAST(128 + (ascii(u8c) // 64) % 64 AS UBIGINT),
+                CAST(128 + ascii(u8c) % 64 AS UBIGINT)]
+         END)) END)"""
+
+  /** FNV-1a-64 over the UTF-8 octets of a VARCHAR expression (unsigned
+    * result; HUGEINT mod-2^64 wrap because DuckDB BIGINT arithmetic is
+    * overflow-checked) — the oracle-side twin of the engine's byte-level
+    * FNV kernels, byte-faithful on non-ASCII input via [[utf8OctetsSql]].
+    */
+  private def fnvOctetsSql(e: String): String =
+    s"""list_reduce(
+         list_prepend(CAST(14695981039346656037 AS UBIGINT),
+           ${utf8OctetsSql(e)}),
+         (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
+                          % 18446744073709551616 AS UBIGINT))"""
+
   /** Full-quadratic MinHash oracle for q22: recomputes the FNV-1a-64
     * shingle hashes (HUGEINT mod-2^64 folds — DuckDB BIGINT arithmetic is
     * checked, so the wrap is spelled out), the k=128 affine signature, and
@@ -1170,13 +1238,11 @@ object SparkEntry {
     * draws — so engine and oracle cannot drift. The signed-vs-unsigned
     * CASE mirrors the kernel's Java `% P` on the signed 64-bit hash.
     *
-    * ASCII-ONLY ASSUMPTION (shared with the q23/q47 oracles): the oracle
-    * folds per CHARACTER (`string_split(s,'') → ascii(ch)`) while the
-    * engine kernels fold per UTF-8 BYTE (`getBytes`); the two agree iff
-    * every document is pure ASCII — true of the fixture corpus by
-    * construction. On a non-ASCII corpus a CORRECT engine would go falsely
-    * red here; the fix is folding over `encode(text)` blob octets, not an
-    * engine change.
+    * BYTE-FAITHFUL (round 7, was ASCII-only): the shingle fold runs over
+    * [[utf8OctetsSql]] octets — the same byte stream the ShingleHashSet
+    * kernel hashes — so the oracle is exact on CJK/accented/emoji text,
+    * not just ASCII (verified green on the planted mixed corpus,
+    * CORRECTNESS_MIXED artifact).
     *
     * RECALL CAVEAT: this oracle demands exact equality with the full
     * quadratic est_jaccard ≥ 0.5 set, but 32×4 banding has no recall
@@ -1200,12 +1266,7 @@ object SparkEntry {
                i -> concat_ws(' ', t[i], t[i+1], t[i+2]) || ' '))) AS s
            FROM toks WHERE len(t) >= 3),
          hash_rows AS (
-           SELECT doc_id,
-             list_reduce(
-               list_prepend(CAST(14695981039346656037 AS UBIGINT),
-                 list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS UBIGINT))),
-               (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
-                                % 18446744073709551616 AS UBIGINT)) AS h
+           SELECT doc_id, ${fnvOctetsSql("s")} AS h
            FROM shingle_rows),
          hm_rows AS (
            SELECT DISTINCT doc_id,
@@ -1239,18 +1300,22 @@ object SparkEntry {
     * different fingerprints). Tail windows shrink exactly like the kernel's
     * `end = min(start+w, n)`. Then the same df∈[2,10] rarity bound, shared
     * counts, and containment ≥ 0.5 gate as Dedup.winnowOverlapPairs.
-    * Character-based substring/length vs the kernel's byte-offset grams:
-    * ASCII-only assumption, see the minhashOracleSql scaladoc.
+    * BYTE-FAITHFUL (round 7, was ASCII-only): grams are 20-BYTE windows
+    * at every BYTE offset of the [[utf8OctetsSql]] expansion — exactly
+    * the kernel's byte-offset gram geometry, exact on non-ASCII text
+    * (a multi-byte character simply spans several gram offsets, as it
+    * does in the kernel).
     */
   private val winnowOracleSql: String =
-    raw"""WITH grams AS (
-           SELECT doc_id, pos, substring(text, CAST(pos AS INT), 20) AS g
-           FROM documents, unnest(range(1, length(text) - 18)) AS u(pos)),
+    raw"""WITH bytes AS (
+           SELECT doc_id, ${utf8OctetsSql("text")} AS bs FROM documents),
+         grams AS (
+           SELECT doc_id, pos, bs[CAST(pos AS INT):CAST(pos + 19 AS INT)] AS g
+           FROM bytes, unnest(range(1, len(bs) - 18)) AS u(pos)),
          hashed AS (
            SELECT doc_id, pos,
              list_reduce(
-               list_prepend(CAST(14695981039346656037 AS UBIGINT),
-                 list_transform(string_split(g, ''), ch -> CAST(ascii(ch) AS UBIGINT))),
+               list_prepend(CAST(14695981039346656037 AS UBIGINT), g),
                (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
                                 % 18446744073709551616 AS UBIGINT)) AS h0
            FROM grams),
@@ -1286,8 +1351,8 @@ object SparkEntry {
     * re-derived 64-bit sketches — valid as an oracle because the engine's
     * chunk-pair pigeonhole blocking has an EXACT recall guarantee (any
     * pair at hamming ≤ 3 must share a chunk-pair key), so engine output
-    * must equal the quadratic computation (per-character fold: ASCII-only
-    * assumption, see the minhashOracleSql scaladoc). Per-token FNV-1a-64 +
+    * must equal the quadratic computation (byte-faithful per-token fold
+    * via [[fnvOctetsSql]], round 7 — exact on non-ASCII tokens). Per-token FNV-1a-64 +
     * `h ^= h >>> 31` finalizer, ±1 votes per bit row-ified over a 64-row
     * bits table (every token OCCURRENCE votes, matching the kernel), sign
     * of the vote sum packs the bit via precomputed powers (DuckDB's `<<`
@@ -1301,12 +1366,7 @@ object SparkEntry {
              unnest(string_split_regex(trim(text), '[$WS]+')) AS tok
            FROM documents),
          hashed AS (
-           SELECT doc_id,
-             list_reduce(
-               list_prepend(CAST(14695981039346656037 AS UBIGINT),
-                 list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS UBIGINT))),
-               (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
-                                % 18446744073709551616 AS UBIGINT)) AS h0
+           SELECT doc_id, ${fnvOctetsSql("tok")} AS h0
            FROM tok_rows),
          finalized AS (
            SELECT doc_id, xor(h0, h0 >> 31) AS h FROM hashed),
@@ -1541,22 +1601,17 @@ object SparkEntry {
 
   /** DuckDB CTEs computing the hashSplit FNV stream: the FNV-1a-64 fold of
     * "<key>:<seed>" (HUGEINT mod-2⁶⁴ wrap exactly as the q22 oracle spells
-    * it), re-signed like Java's long. The fold input is all-ASCII by
-    * construction, so the per-character fold equals the kernel's per-byte
-    * fold. Yields CTE `sg` = the source table plus signed hash `hs` —
-    * the q74 shuffle oracle orders by it directly; [[fnvBucketCtes]] adds
-    * the pmod-1e6 bucket the split/mixing oracles cut on.
+    * it), re-signed like Java's long. Byte-faithful via [[fnvOctetsSql]]
+    * (round 7): exact for ANY key string, though every fixture key is
+    * all-ASCII anyway. Yields CTE `sg` = the source table plus signed
+    * hash `hs` — the q74 shuffle oracle orders by it directly;
+    * [[fnvBucketCtes]] adds the pmod-1e6 bucket the split/mixing oracles
+    * cut on.
     */
   private def fnvSignedCtes(table: String, keyCol: String, seed: Long): String =
     s"""WITH h AS (
            SELECT *,
-             list_reduce(
-               list_prepend(CAST(14695981039346656037 AS UBIGINT),
-                 list_transform(
-                   string_split(CAST($keyCol AS VARCHAR) || ':$seed', ''),
-                   ch -> CAST(ascii(ch) AS UBIGINT))),
-               (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
-                                % 18446744073709551616 AS UBIGINT)) AS hu
+             ${fnvOctetsSql(s"CAST($keyCol AS VARCHAR) || ':$seed'")} AS hu
            FROM $table),
          sg AS (
            SELECT *,
@@ -2030,6 +2085,9 @@ object SparkEntry {
     "q57_lsh_topk" -> exactTopKSql,
     // Production-regime embedding near-dup vs full quadratic cosine.
     "q61_embed_neardup_prod" -> embedProdOracleSql,
+    // geared variant: same pair-set semantics, same oracle — planes only
+    // steers cost, recall is re-sized by lshTablesFor per geometry
+    "q61b_embed_neardup_geared" -> embedProdOracleSql,
     // Content-hash split: full membership re-derived from the FNV fold.
     "q62_hash_split" -> hashSplitOracleSql,
     "q74_corpus_shuffle" -> corpusShuffleOracleSql,
@@ -2140,18 +2198,21 @@ object SparkEntry {
          SELECT g.user_id AS user_id, g.n_events, g.first_ts, g.last_ts
          FROM g JOIN m ON g.user_id = m.user_id AND g.sess != m.last_sess
          ORDER BY g.user_id, g.first_ts""",
-    "q55_media_features" ->
-      """SELECT doc_id AS media_id, 'unknown' AS media_type,
-           CAST(length(text) AS BIGINT) AS n_bytes,
+    // byte-faithful (round 7): the engine folds the UNSIGNED UTF-8 bytes
+    // of text.cast(binary), so the oracle folds the same octet stream —
+    // n_bytes/checksum/brightness all octet-based, exact on non-ASCII
+    "q55_media_features" -> s"""
+         WITH b AS (SELECT doc_id, ${utf8OctetsSql("text")} AS bs
+                    FROM documents)
+         SELECT doc_id AS media_id, 'unknown' AS media_type,
+           CAST(len(bs) AS BIGINT) AS n_bytes,
            list_reduce(
              list_prepend(CAST(7 AS BIGINT),
-               list_transform(string_split(text, ''),
-                 ch -> CAST(ascii(ch) AS BIGINT))),
+               list_transform(bs, x -> CAST(x AS BIGINT))),
              (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
-           round(CAST(list_sum(list_transform(string_split(text, ''),
-               ch -> CAST(ascii(ch) AS BIGINT))) AS DOUBLE)
-             / length(text) / 256, 6) AS brightness
-         FROM documents ORDER BY media_id""",
+           round(CAST(list_sum(list_transform(bs, x -> CAST(x AS BIGINT)))
+               AS DOUBLE) / len(bs) / 256, 6) AS brightness
+         FROM b ORDER BY media_id""",
     "q54_approx_quantiles" ->
       """SELECT o_orderpriority,
            quantile_disc(o_totalprice, 0.25) AS p25,
@@ -2189,36 +2250,35 @@ object SparkEntry {
          SELECT doc_id, lang FROM q
          WHERE doc_id NOT IN (SELECT doc_id FROM dups)
          ORDER BY doc_id""",
-    // frames = every-2nd 64-byte chunk (1-based substring mirrors the
-    // 0-based binary slice); thumbnail = every stride-th byte, stride =
-    // max(1, len/256); checksums are the q55 polynomial fold. The empty
-    // string must fold to the bare seed like Spark's StubDecoder does, but
-    // string_split('', '') yields [''] (ascii 0) — hence the list_filter.
-    "q60_media_frames" ->
-      """WITH f AS (
-           SELECT doc_id AS media_id, text,
-             unnest(range(0, greatest(length(text) // 64 - 1, 0) + 1, 2))
-               AS off
-           FROM documents),
+    // byte-faithful (round 7): frames = every-2nd 64-BYTE chunk of the
+    // UTF-8 octet list (1-based inclusive list slice mirrors the binary
+    // substr); thumbnail = every stride-th byte, stride = max(1,
+    // n_bytes/256); checksums are the q55 polynomial fold. An off-end
+    // slice is empty and folds to the bare seed 7, exactly like
+    // StubDecoder on an empty payload.
+    "q60_media_frames" -> s"""
+         WITH b AS (SELECT doc_id AS media_id, ${utf8OctetsSql("text")} AS bs
+                    FROM documents),
+         f AS (
+           SELECT media_id, bs,
+             unnest(range(0, greatest(len(bs) // 64 - 1, 0) + 1, 2)) AS off
+           FROM b),
          ck AS (
            SELECT media_id,
              list_reduce(list_prepend(CAST(7 AS BIGINT),
                list_transform(
-                 list_filter(
-                   string_split(substring(text, CAST(off * 64 + 1 AS INT), 64),
-                     ''),
-                   ch -> ch != ''),
-                 ch -> CAST(ascii(ch) AS BIGINT))),
+                 bs[CAST(off * 64 + 1 AS INT):CAST(off * 64 + 64 AS INT)],
+                 x -> CAST(x AS BIGINT))),
                (acc, x) -> (acc * 31 + x) % 1000000007) AS c
            FROM f),
          th AS (
-           SELECT doc_id AS media_id,
+           SELECT media_id,
              list_reduce(list_prepend(CAST(7 AS BIGINT),
                list_transform(
-                 range(1, length(text) + 1, greatest(length(text) // 256, 1)),
-                 i -> CAST(ascii(text[i]) AS BIGINT))),
+                 range(1, len(bs) + 1, greatest(len(bs) // 256, 1)),
+                 i -> CAST(bs[CAST(i AS INT)] AS BIGINT))),
                (acc, x) -> (acc * 31 + x) % 1000000007) AS thumb_checksum
-           FROM documents)
+           FROM b)
          SELECT ck.media_id AS media_id, COUNT(*) AS n_frames,
              CAST(SUM(ck.c) AS BIGINT) AS sum_frame_checksum,
              th.thumb_checksum

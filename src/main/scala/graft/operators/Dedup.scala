@@ -429,6 +429,37 @@ object Dedup {
     math.ceil(math.log(maxMiss) / math.log1p(-pTable)).toInt.max(1)
   }
 
+  /** Number of MinHash BANDS needed so a pair at EXACTLY estimated
+    * Jaccard `threshold` is missed with probability ≤ `maxMiss` — the
+    * [[lshTablesFor]] sibling for banded MinHash (round-6 verdict task 6:
+    * the 32×4 default's no-miss property at θ=0.5 is fixture-verified
+    * only; this makes the recall ENGINEERED).
+    *
+    * A pair agreeing on fraction j of signature positions matches one
+    * r-row band with probability j^r and is missed by all b bands with
+    * (1 - j^r)^b; solving for b at j = threshold gives the bound. Pairs
+    * above the threshold are caught with higher probability, so this
+    * bounds the miss rate of every EMITTED pair, exactly like
+    * lshTablesFor. The bands/rows trade-off mirrors planes/tables: more
+    * rows per band → more selective buckets (fewer random candidates, ~
+    * n²·b/|hash-space|^r under a uniform model) but more bands for the
+    * same recall; at low thresholds (θ ≤ 0.5) recall forces small r — at
+    * r = 4, θ = 0.5 the bound needs ⌈ln(1e-6)/ln(1−0.5⁴)⌉ = 214 bands,
+    * so a 0.5-threshold caller should gear r down (r = 2 → 48 bands),
+    * accepting coarser buckets; at dedup-realistic θ ≥ 0.8, r = 4 needs
+    * only ⌈ln(1e-6)/ln(1−0.8⁴)⌉ = 27 bands — LESS than the 32-band
+    * default, which is why the default is safe exactly there
+    * (DedupSimilaritySpec pins both regimes).
+    */
+  def bandsFor(threshold: Double, rowsPerBand: Int,
+               maxMiss: Double = 1e-6): Int = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(rowsPerBand >= 1, s"rowsPerBand >= 1, got $rowsPerBand")
+    val pBand = math.pow(threshold, rowsPerBand)
+    require(pBand > 0, "rowsPerBand too high for this threshold")
+    math.ceil(math.log(maxMiss) / math.log1p(-pBand)).toInt.max(1)
+  }
+
   /** Corpus-geared plane count for [[embeddingPairs]]: arg-min over a
     * shuffle-volume cost model of the fixed-geometry trade-off the
     * BENCH_SCALE plane sweep measures.

@@ -31,6 +31,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.lshTablesFor(0.9, p2m) > Dedup.lshTablesFor(0.9, p20k))
   }
 
+  test("bandsFor: engineered banding recall bound (lshTablesFor sibling)") {
+    // the formula IS the spec: b bands of r rows miss a threshold-j pair
+    // with (1-j^r)^b — assert the returned b satisfies the bound and is
+    // minimal (b-1 bands would violate it)
+    def miss(j: Double, r: Int, b: Int): Double =
+      math.pow(1.0 - math.pow(j, r), b)
+    for (θ <- Seq(0.5, 0.8, 0.9); r <- Seq(1, 2, 4, 8)) {
+      val b = Dedup.bandsFor(θ, r)
+      assert(miss(θ, r, b) <= 1e-6, s"θ=$θ r=$r b=$b misses ${miss(θ, r, b)}")
+      assert(b == 1 || miss(θ, r, b - 1) > 1e-6,
+        s"θ=$θ r=$r: $b bands not minimal")
+    }
+    // the two regimes the scaladoc names: the 32x4 default is structurally
+    // safe at θ >= 0.8 (27 <= 32 bands) but NOT at θ = 0.5 (214 bands) —
+    // q22's fixture-verified no-miss at θ=0.5 stays a fixture fact, and
+    // bandsFor is the engineered path for callers who need the guarantee
+    assert(Dedup.bandsFor(0.8, 4) <= 32)
+    assert(Dedup.bandsFor(0.5, 4) > 32)
+    // gearing r down restores a practical band count at low thresholds
+    assert(Dedup.bandsFor(0.5, 2) <= 64)
+    // sanity on a planted borderline-θ pair: geometry from bandsFor finds
+    // a jaccard-0.8 pair (27 bands needed; run with exactly that many)
+    val b08 = Dedup.bandsFor(0.8, 4)
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.8,
+        bands = b08, rowsPerBand = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), s"engineered geometry lost the pair")
+  }
+
   test("exact dedup keeps min id and counts copies") {
     val got = Dedup.exact(corpus, "text", "doc_id")
       .select("keep_id", "copies").as[(Long, Long)].collect().sortBy(_._1)

@@ -137,6 +137,49 @@ class TextFunctionsSpec extends SparkSpec {
       Seq((2L, 0L, 1L, "tiny")))
   }
 
+  test("hash kernels fold UTF-8 OCTETS on non-ASCII input (byte-faithful)") {
+    // The round-6 verdict's untested axis: every FNV kernel hashes
+    // `getBytes` octets, but the fixture corpus was pure ASCII. Pin the
+    // byte-level semantics directly against an in-test byte fold for 2-,
+    // 3- and 4-byte UTF-8 sequences; the DuckDB octet oracles
+    // (SparkEntry.utf8OctetsSql) reproduce this same stream.
+    def fnv1a64(bytes: Array[Byte]): Long = {
+      var h = -3750763034362895579L // 14695981039346656037 as signed
+      bytes.foreach { b => h = (h ^ (b & 0xffL)) * 1099511628211L }
+      h
+    }
+    val texts = Seq("héllo", "中文", "emoji😀", "straße", "ώ")
+    val got = texts.toDF("t").select(T.fnv64(col("t"))).as[Long].collect()
+    assert(got.toSeq == texts.map(t => fnv1a64(t.getBytes("UTF-8"))),
+      s"fnv64 must hash UTF-8 octets; got ${got.toSeq}")
+
+    // shingle hashes: gram string = tokens joined by ' ' with trailing ' ',
+    // hashed over its UTF-8 bytes (matches the q22 octet oracle)
+    val zh = "数据 表格 查询 聚合"
+    val hs = Seq(zh).toDF("text")
+      .select(T.shingleHashSet(col("text"), 3)).as[Seq[Long]].head().toSet
+    val expected = Seq("数据 表格 查询 ", "表格 查询 聚合 ")
+      .map(g => fnv1a64(g.getBytes("UTF-8"))).toSet
+    assert(hs == expected, s"shingleHashSet on CJK: $hs vs $expected")
+
+    // winnowing grams are 20-BYTE windows at BYTE offsets: 12 distinct
+    // 2-byte chars = 24 bytes → 5 gram positions; re-derive the w=4
+    // shrinking-tail window minima from the byte stream
+    val acc = "éàüöîçñäèòûë"
+    val bytes = acc.getBytes("UTF-8")
+    val grams = (0 to bytes.length - 20).map { p =>
+      val h0 = fnv1a64(bytes.slice(p, p + 20))
+      h0 ^ (h0 >>> 31)
+    }
+    val wins = grams.indices.map { i =>
+      grams.slice(i, math.min(i + 4, grams.length)).min
+    }.distinct.sorted
+    val gotW = Seq(acc).toDF("text")
+      .select(T.winnowFingerprints(col("text"), 20, 4))
+      .as[Seq[Long]].head().sorted
+    assert(gotW == wins, s"winnow on 2-byte chars: $gotW vs $wins")
+  }
+
   test("redactPii scrubs planted PII and leaves clean text alone") {
     // the fixture corpus is PII-free (q72 plants a deterministic tail),
     // so realistic shapes are only reachable from a spec
