@@ -1112,6 +1112,25 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- Multimodal REAL downsample path (round-7): box-filter area
+    // averaging — every byte contributes to exactly one output cell,
+    // O(target) memory however large the payload — vs q60's stride-drop
+    // stub. The oracle re-derives cell geometry, per-cell integer means,
+    // checksum, and downsampled brightness from the UTF-8 octet list, so
+    // the kernel math is proven byte-for-byte. target=64 < most doc
+    // lengths, so real averaging happens; short docs take the n<=target
+    // pass-through branch (both branches fixture-exercised) -------------
+    "q79_media_downsample" -> ((s, dir) => {
+      val media = operators.Multimodal.ingest(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("bytes")),
+        "doc_id", "bytes")
+      operators.Multimodal.downsampleChecksums(media, targetBytes = 64)
+        .select(col("media_id"), col("n_bytes"), col("ds_len"),
+          col("ds_checksum"), round(col("ds_brightness"), 6).as("ds_brightness"))
+        .orderBy("media_id")
+    }),
+
     // ---- North-star: BPE-ish pre-token counting + fertility ------------
     // Pre-tokenizer budget metric for training pipelines: BPE-style token
     // counts next to whitespace-word counts, and their ratio (fertility).
@@ -2285,6 +2304,31 @@ object SparkEntry {
          FROM ck JOIN th ON ck.media_id = th.media_id
          GROUP BY ck.media_id, th.thumb_checksum
          ORDER BY media_id""",
+    // box-filter downsample re-derived over the octet list: cell i covers
+    // bytes [i*n/T, (i+1)*n/T), holds floor(mean) of its unsigned bytes;
+    // n <= T passes through; checksum is the shared polynomial fold
+    "q79_media_downsample" -> s"""
+         WITH b AS (SELECT doc_id, ${utf8OctetsSql("text")} AS bs
+                    FROM documents),
+         p AS (SELECT doc_id, bs, len(bs) AS n FROM b),
+         d AS (
+           SELECT doc_id, n,
+             CASE WHEN n <= 64 THEN bs
+                  ELSE list_transform(range(0, 64), i ->
+                    CAST(list_sum(bs[CAST(i * n // 64 + 1 AS INT)
+                                     :CAST((i + 1) * n // 64 AS INT)])
+                      // ((i + 1) * n // 64 - i * n // 64) AS UBIGINT))
+             END AS ds
+           FROM p)
+         SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_bytes,
+           CAST(len(ds) AS BIGINT) AS ds_len,
+           list_reduce(list_prepend(CAST(7 AS BIGINT),
+             list_transform(ds, x -> CAST(x AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS ds_checksum,
+           round(CAST(list_sum(list_transform(ds, x -> CAST(x AS BIGINT)))
+               AS DOUBLE) / len(ds) / 256, 6) AS ds_brightness
+         FROM d ORDER BY media_id""",
+
     // same RE2-safe pattern on both engines; '' is the SQL-escaped quote
     "q59_bpe_tokens" ->
       raw"""SELECT lang, COUNT(*) AS docs,

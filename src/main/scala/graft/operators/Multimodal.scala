@@ -49,12 +49,42 @@ object Multimodal {
     /** Stub resize: stride-sampled bytes down to ≈`targetBytes` — the
       * deterministic stand-in for decode→scale→re-encode. Pure function of
       * the bytes (stride = max(1, n/target)), so the DuckDB oracle
-      * reproduces it with 1-based char striding (q60).
+      * reproduces it with 1-based char striding (q60). [[boxDownsample]]
+      * is the REAL resampling path — this stride-drop variant stays for
+      * q60's pinned oracle surface.
       */
     def resize(bytes: Array[Byte], targetBytes: Int): Array[Byte] = {
       require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
       val stride = math.max(1, bytes.length / targetBytes)
       bytes.indices.by(stride).map(bytes).toArray
+    }
+
+    /** REAL bounded-memory downsample (round-6 verdict task 8): an
+      * area-averaging box filter — output cell i covers the byte range
+      * [⌊i·n/T⌋, ⌊(i+1)·n/T⌋) and holds ⌊mean⌋ of its UNSIGNED bytes,
+      * which is exactly what a box-kernel image thumbnailer computes per
+      * channel row (no codec in this container, so the "image" is the
+      * 1-D byte signal — the kernel math, cell geometry, and bounded
+      * memory are the real parts). Unlike [[resize]]'s stride-drop (which
+      * DISCARDS n − n/stride bytes), every input byte contributes to
+      * exactly one output cell. One sequential pass, O(target) extra
+      * memory regardless of payload size — a 1 GiB video frame buffer
+      * needs the same 256-byte accumulator as a 1 KiB one. Integer-exact
+      * (sums of unsigned bytes, floor division), so the q79 DuckDB oracle
+      * reproduces every output byte from the UTF-8 octet list.
+      */
+    def boxDownsample(bytes: Array[Byte], target: Int): Array[Byte] = {
+      require(target > 0, s"target must be positive, got $target")
+      val n = bytes.length
+      if (n <= target) bytes
+      else Array.tabulate(target) { i =>
+        val lo = (i.toLong * n / target).toInt
+        val hi = ((i + 1).toLong * n / target).toInt
+        var s = 0L
+        var j = lo
+        while (j < hi) { s += bytes(j) & 0xff; j += 1 }
+        (s / (hi - lo)).toByte
+      }
     }
   }
 
@@ -156,5 +186,26 @@ object Multimodal {
           StubDecoder.checksum(StubDecoder.resize(m.content, targetBytes)))
       }
     }.toDF("media_id", "thumb_checksum")
+  }
+
+  /** Box-filter downsample per media row (the REAL thumbnail path — see
+    * [[StubDecoder.boxDownsample]]): emits the downsampled length, its
+    * polynomial checksum, and the downsampled brightness, at the same
+    * one-scaler-per-partition batch boundary as every other decode stage.
+    * Q79 gates all three against a DuckDB re-derivation over the octet
+    * list, so the cell geometry and the per-cell integer mean are proven
+    * byte-for-byte, not just shape-checked.
+    */
+  def downsampleChecksums(media: Dataset[MediaRow],
+                          targetBytes: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real impl: val scaler = NativeScaler.open() — once per partition
+      rows.map { m =>
+        val ds = StubDecoder.boxDownsample(m.content, targetBytes)
+        (m.media_id, m.meta.n_bytes, ds.length.toLong,
+          StubDecoder.checksum(ds), StubDecoder.brightness(ds))
+      }
+    }.toDF("media_id", "n_bytes", "ds_len", "ds_checksum", "ds_brightness")
   }
 }

@@ -423,4 +423,27 @@ class StreamingEtlSpec extends SparkSpec {
     // target larger than payload → stride 1, identity
     assert(Multimodal.StubDecoder.resize(big, 1000).toSeq == big.toSeq)
   }
+
+  test("boxDownsample: area-averaging cell math, conservation, bounds") {
+    import Multimodal.StubDecoder.boxDownsample
+    // 8 bytes → 4 cells of 2: floor means
+    val in = Array(10, 20, 30, 31, 250, 255, 0, 1).map(_.toByte)
+    assert(boxDownsample(in, 4).map(_ & 0xff).toSeq == Seq(15, 30, 252, 0))
+    // non-divisible: 10 bytes → 4 cells with boundaries 0,2,5,7,10
+    // (floor(i*10/4)) → widths 2,3,2,3 — every byte in exactly one cell
+    val in10 = Array.tabulate(10)(i => (i * 10).toByte)
+    val cells = Seq((0, 2), (2, 5), (5, 7), (7, 10)).map { case (lo, hi) =>
+      (lo until hi).map(i => in10(i) & 0xff).sum / (hi - lo)
+    }
+    assert(boxDownsample(in10, 4).map(_ & 0xff).toSeq == cells)
+    // pass-through when n <= target
+    assert(boxDownsample(in, 100).toSeq == in.toSeq)
+    // output length is exactly target for n > target; values in [0,255]
+    val big2 = Array.tabulate(1000)(i => (i * 7).toByte)
+    val ds = boxDownsample(big2, 64)
+    assert(ds.length == 64 && ds.forall(b => (b & 0xff) <= 255))
+    // constant input is invariant under downsampling (mean of a constant)
+    val const = Array.fill(500)(42.toByte)
+    assert(boxDownsample(const, 64).forall(_ == 42.toByte))
+  }
 }
