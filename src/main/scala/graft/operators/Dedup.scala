@@ -37,21 +37,26 @@ object Dedup {
     * (twice, symmetrically, for the diagonal — downstream dropDuplicates
     * absorbs it, as it already must for pairs sharing several buckets).
     *
-    * Pay-as-you-go (round 7): a cheap PRE-AGGREGATE over the 16-byte
-    * (key, member) rows — groupBy(key).count → max, map-side-combined to
-    * one driver scalar, the same boundary-scalar pattern as the split
-    * operators — decides up front whether ANY bucket exceeds the cap.
-    * Well-behaved data (every real fixture; most real corpora under
-    * healthy LSH geometry) then takes the PLAIN triangular self-join:
-    * no window, no sort, no grid columns, and the only cost of the skew
-    * insurance is that one extra narrow pass. Only when a hot bucket is
-    * detected does the grid plan build, with bucket sizes from a window
-    * count INSIDE the plan (`count(*) over (partition by key)`) so the
-    * grid geometry recomputes with the data. A hot bucket's window
-    * group buffers linearly (WindowExec spills to disk); the quadratic
-    * pair volume — the actual danger — is what the grid join (keyed on
-    * bucket AND cell, so it redistributes) spreads across
-    * ceil(n/cap)·(ceil(n/cap)+1)/2 reducers instead of one.
+    * Pay-as-you-go (round 7, fully lazy): ONE explicit repartition on the
+    * key is the only exchange of the (16-byte) keyed rows, and Spark's
+    * ReuseExchange feeds it to three consumers — a bucket-size aggregate
+    * filtered to the OVER-CAP keys only, and both grid join sides — so
+    * the upstream sketch kernels evaluate ONCE however the data looks.
+    * The over-cap frame (≤ n/cap rows by construction — at the default
+    * cap, ≤0.1% of input; extreme-scale callers raise cap accordingly)
+    * broadcasts back as the grid geometry lookup: well-behaved buckets
+    * miss the lookup, take __g = 1, and their explode emits exactly the
+    * one diagonal cell — the plain self-join's volume with NO window
+    * sort and no per-row overhead beyond a broadcast-hash probe. Only
+    * rows of genuinely hot keys fan out into grid cells. (A round-7
+    * eager-precount variant — action + plain join on no-skew data — was
+    * measured WORSE on kernel-heavy paths: the extra action pays a full
+    * sketch pass that exchange reuse amortizes; this lazy form keeps the
+    * single-kernel-pass property of the round-6 window plan while
+    * dropping its sort.) The quadratic pair volume of a hot bucket —
+    * the actual danger — redistributes through the grid join, keyed on
+    * bucket AND cell, across ceil(n/cap)·(ceil(n/cap)+1)/2 reducers
+    * instead of one.
     *
     * Output is NOT deduplicated: one row per co-bucket-cell occurrence,
     * so callers keep the cheapest order of verify vs dropDuplicates.
@@ -67,31 +72,18 @@ object Dedup {
     require(keyed.schema(keyCol).dataType ==
       org.apache.spark.sql.types.LongType,
       s"boundedSelfJoinCandidates: $keyCol must be a 64-bit LSH key")
-    // one cheap action: max bucket size (narrow pass + one-row shuffle)
-    val maxBucketSize = Option(
-        keyed.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
-          .agg(max("__n")).first().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    if (maxBucketSize <= cap) {
-      // no oversized bucket: plain triangular self-join, no grid overhead
-      keyed.select(col(keyCol), col(memberCol).as("__ma"))
-        .join(keyed.select(col(keyCol), col(memberCol).as("__mb")),
-          Seq(keyCol))
-        .filter(col("__ma") < col("__mb"))
-        .select(col("__ma").as("m_a"), col("__mb").as("m_b"))
-    } else gridSelfJoinCandidates(keyed, keyCol, memberCol, cap)
-  }
-
-  /** The skew path of [[boundedSelfJoinCandidates]]: triangular grid of
-    * group-pair cells, per-reducer work bounded by ~cap² pairs. */
-  private def gridSelfJoinCandidates(
-      keyed: DataFrame, keyCol: String, memberCol: String,
-      cap: Int): DataFrame = {
-    val grouped = keyed
-      .withColumn("__g",
-        ceil(count(lit(1))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy(keyCol))
-            .cast("double") / cap).cast("int"))
+    // the single exchange of the keyed rows; ReuseExchange hands the
+    // shuffled (kernel-evaluated-once) copy to the aggregate and both
+    // join sides below
+    val r = keyed.repartition(col(keyCol))
+    // grid geometry exists ONLY for over-cap keys; everyone else takes
+    // __g = 1 via the missed broadcast lookup
+    val hot = r.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+      .select(col(keyCol),
+        ceil(col("__n").cast("double") / cap).cast("int").as("__g"))
+    val grouped = r.join(broadcast(hot), Seq(keyCol), "left_outer")
+      .withColumn("__g", coalesce(col("__g"), lit(1)))
       .withColumn("__grp",
         pmod(xxhash64(col(memberCol)), col("__g")).cast("int"))
     val left = grouped.select(col(keyCol), col("__grp").as("__gi"),
