@@ -274,6 +274,24 @@ object SparkEntry {
           threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // ENGINEERED-recall twin of q22 (round 7): geometry from
+    // Dedup.bandsFor(0.5, r=2) — 49 bands of 2 rows, so a pair at
+    // estimated Jaccard exactly 0.5 is missed with (1-0.5²)^49 ≤ 1e-6,
+    // a STRUCTURAL bound where q22's 32×4 no-miss at θ=0.5 is
+    // fixture-verified only (a borderline pair dodges its banding with
+    // ≈13% probability). Same full-quadratic oracle shape, re-derived at
+    // k = 2·bandsFor = 98 signature positions — a hash-green row proves
+    // the engineered banding lost no pair, closing the round-6 RECALL
+    // CAVEAT with a gated query instead of a scaladoc disclaimer. ------
+    "q80_dedup_minhash_geared" -> ((s, dir) => {
+      val rows = 2
+      val bands = Dedup.bandsFor(0.5, rows) // 49: (1-0.25)^49 <= 1e-6
+      Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          threshold = 0.5, shingleWidth = 3, bands = bands,
+          rowsPerBand = rows)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- North-star: SimHash near-dup. Oracle = full-quadratic hamming
     // (simhashOracleSql) — exact-recall blocking must lose no pair -------
     "q23_dedup_simhash" -> ((s, dir) =>
@@ -1273,8 +1291,18 @@ object SparkEntry {
     * tradeoff, NOT a kernel bug — the engine's output is a subset of the
     * oracle's by construction, so false-greens are impossible.
     */
-  private val minhashOracleSql: String = {
-    val (a, b) = graft.functions.expressions.HashUtil.affineCoefficients(128, 42L)
+  private val minhashOracleSql: String = minhashOracleSqlFor(128)
+
+  /** The q22/q80 oracle body at `k` signature positions: the oracle
+    * interpolates `HashUtil.affineCoefficients(k, 42)` — the literal
+    * call the MinHashSig kernel makes at the same k — so engine and
+    * oracle coefficients are identical by construction at EVERY
+    * geometry (q80: bandsFor(0.5, 2) → 49×2 = 98 positions). The pair
+    * gate is agreements ≥ k/2 ⇔ est_jaccard ≥ 0.5 exactly (k is even).
+    */
+  private def minhashOracleSqlFor(k: Int): String = {
+    require(k % 2 == 0, s"oracle threshold k/2 must be exact, got k=$k")
+    val (a, b) = graft.functions.expressions.HashUtil.affineCoefficients(k, 42L)
     val aLit = a.mkString("[", ",", "]")
     val bLit = b.mkString("[", ",", "]")
     raw"""WITH toks AS (
@@ -1295,7 +1323,7 @@ object SparkEntry {
                    % 2147483647 AS BIGINT) AS m
            FROM hash_rows),
          coef AS (
-           SELECT unnest(range(1, 129)) AS i,
+           SELECT unnest(range(1, ${k + 1})) AS i,
                   unnest($aLit) AS a, unnest($bLit) AS b),
          sig_rows AS (
            SELECT doc_id, i, MIN((a * m + b) % 2147483647) AS v
@@ -1303,11 +1331,11 @@ object SparkEntry {
          sig AS (
            SELECT doc_id, list(v ORDER BY i) AS s FROM sig_rows GROUP BY doc_id)
          SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-           CAST(len(list_filter(range(1, 129), i -> x.s[i] = y.s[i])) AS DOUBLE)
-             / 128 AS est_jaccard
+           CAST(len(list_filter(range(1, ${k + 1}), i -> x.s[i] = y.s[i])) AS DOUBLE)
+             / $k AS est_jaccard
          FROM sig x, sig y
          WHERE x.doc_id < y.doc_id
-           AND len(list_filter(range(1, 129), i -> x.s[i] = y.s[i])) >= 64
+           AND len(list_filter(range(1, ${k + 1}), i -> x.s[i] = y.s[i])) >= ${k / 2}
          ORDER BY id_a, id_b"""
   }
 
@@ -1906,6 +1934,11 @@ object SparkEntry {
          FROM rep r JOIN top t USING (doc_id) ORDER BY doc_id""",
     // Full quadratic signature est-jaccard — banding must lose no pair.
     "q22_dedup_minhash" -> minhashOracleSql,
+    // engineered-recall geometry, same quadratic oracle at the kernel's
+    // own k = 2·bandsFor(0.5, 2) — never hardcoded, so a bandsFor change
+    // cannot silently desynchronize engine and oracle
+    "q80_dedup_minhash_geared" ->
+      minhashOracleSqlFor(2 * graft.operators.Dedup.bandsFor(0.5, 2)),
     // Independent winnow re-derivation incl. signed window-min semantics.
     "q47_winnow_overlap" -> winnowOracleSql,
     // Full quadratic hamming — pigeonhole blocking must lose no pair.
