@@ -36,6 +36,36 @@ object SparkEntry {
     queries.keys.toSeq.sorted
       .filterNot(Set("q34_ml_cv_best_params", "q35_ml_cluster_tokens"))
 
+  /** The q61/q61b near-dup corpus: embeddings as double arrays plus the
+    * deterministic θ-boundary twins for vec_id < 50 (blend of each vector
+    * toward its circular rotation, alpha = vec_id%8/20 — the oracle
+    * reproduces the same IEEE ops in the same order).
+    *
+    * NOT persisted here: [[Dedup.embeddingPairs]] consumes its input
+    * three times (sketch side + both vector join-backs), and this corpus
+    * is DERIVED (union + per-element transform + float→double widening),
+    * so whether to materialize it is a measured trade-off, not a rule.
+    * q61b persists — its planesFor `count()` already pays the
+    * materialization pass, so the cache is free and cut its x100 time
+    * 310→259 s. q61 does NOT — with no count to piggyback on, the extra
+    * cache-build pass plus GC pressure measured SLOWER at x100 (744 s
+    * persisted vs 476 s recomputing at the same suite position, and vs
+    * 621 s clean-isolated; BENCH_SCALE.md round-7 isolation),
+    * and q61 stays the round-over-round comparability row besides.
+    */
+  private def neardupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"),
+      VectorFunctions.toDoubleArray(col("embedding")).as("embedding"))
+    val twins = base.filter(col("vec_id") < 50)
+      .withColumn("a", (col("vec_id") % 8).cast("double") / 20.0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (lit(1.0) - col("a")) * x + col("a") *
+            element_at(col("embedding"), pmod(i + 1, lit(64)) + 1))
+          .as("embedding"))
+    base.unionByName(twins)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Aggregations (SURVEY §2.4) ------------------------------------
@@ -357,43 +387,31 @@ object SparkEntry {
     // oracle reproduces the twin derivation element-for-element (same IEEE
     // double ops in the same order) and the full quadratic cosine, so a
     // hash-green row proves the production-regime blocking lost no pair.
-    "q61_embed_neardup_prod" -> ((s, dir) => {
-      val base = Tables.embeddings(s, dir).select(col("vec_id"),
-        VectorFunctions.toDoubleArray(col("embedding")).as("embedding"))
-      val twins = base.filter(col("vec_id") < 50)
-        .withColumn("a", (col("vec_id") % 8).cast("double") / 20.0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            (lit(1.0) - col("a")) * x + col("a") *
-              element_at(col("embedding"), pmod(i + 1, lit(64)) + 1))
-            .as("embedding"))
-      Dedup.embeddingPairs(base.unionByName(twins), "vec_id", "embedding",
+    "q61_embed_neardup_prod" -> ((s, dir) =>
+      Dedup.embeddingPairs(neardupCorpus(s, dir), "vec_id", "embedding",
           threshold = 0.9, useLsh = true, dim = 64, planes = 16,
           tables = Dedup.lshTablesFor(0.9, planes = 16))
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // Corpus-GEARED variant of q61 (round-6 verdict task 2): identical
     // semantics and oracle, but `planes` comes from Dedup.planesFor(n) —
     // the shuffle-volume arg-min the BENCH_SCALE plane sweep measured
-    // (494 s → 80 s at x100) — instead of the pinned 16-plane geometry
+    // (494 s → 101 s at x100) — instead of the pinned 16-plane geometry
     // q61 keeps for cross-scale comparability. The corpus count is one
-    // cheap boundary-scalar action; recall is re-sized per planes
+    // cheap boundary-scalar action (and doubles as the materializer of
+    // the persisted corpus); recall is re-sized per planes
     // (lshTablesFor), so the pair set is the same and the q61 oracle
     // gates this row unchanged. At sf0.1 (~20 k vectors) planesFor lands
     // on the same 16 planes — the row exists so the SCALE bench shows the
     // geared factor in artifact JSON, not a test-side note.
     "q61b_embed_neardup_geared" -> ((s, dir) => {
-      val base = Tables.embeddings(s, dir).select(col("vec_id"),
-        VectorFunctions.toDoubleArray(col("embedding")).as("embedding"))
-      val twins = base.filter(col("vec_id") < 50)
-        .withColumn("a", (col("vec_id") % 8).cast("double") / 20.0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            (lit(1.0) - col("a")) * x + col("a") *
-              element_at(col("embedding"), pmod(i + 1, lit(64)) + 1))
-            .as("embedding"))
-      val corpus = base.unionByName(twins)
+      // persist BEFORE the gearing count: the count is the boundary-scalar
+      // action planesFor needs anyway, so it doubles as the materializer —
+      // the three consumers inside embeddingPairs then read the derived
+      // corpus from cache instead of recomputing union+transform per pass
+      // (310→259 s at x100; see neardupCorpus scaladoc for why q61 differs)
+      val corpus = neardupCorpus(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val planes = Dedup.planesFor(corpus.count(), threshold = 0.9)
       Dedup.embeddingPairs(corpus, "vec_id", "embedding",
           threshold = 0.9, useLsh = true, dim = 64, planes = planes,
