@@ -362,6 +362,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: dedup canonical KEEP-BEST — per near-dup component,
+    // keep the best copy rather than the first (what a curation pipeline
+    // actually ships: among near-identical crawls, keep the longest
+    // capture; ranking = UTF-8 octet length desc, doc_id asc tiebreak —
+    // byte-based so the mixed-corpus gate exercises it on multi-byte
+    // text). One hash-agg over the q64 component labels — max_by on a
+    // (blen, -doc_id) struct, NOT a per-component window: partial
+    // aggregation runs map-side, so the component shuffle carries one row
+    // per component, the shape that survives a corpus where most
+    // components are singletons. Oracle = q64's RECURSIVE closure + a
+    // ranked window re-deriving the same argmax in DuckDB (strlen = byte
+    // length there). ------------------------------------------------------
+    "q81_dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      val comp = Dedup.componentIds(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+      docs.select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("blen"))
+        .join(comp, Seq("doc_id"))
+        .groupBy("component")
+        .agg(expr("max_by(doc_id, struct(blen, -doc_id))").as("keep_id"),
+             count(lit(1)).as("csize"),
+             max("blen").as("keep_octets"))
+        .orderBy("component")
+    }),
+
     // ---- North-star: embedding-cosine near-dup -------------------------
     // Gated on the LSH plan (the scale path): OR-amplified hyperplane
     // blocking, recall sized by Dedup.lshTablesFor so a pair at θ=0.5 is
@@ -2113,6 +2140,50 @@ object SparkEntry {
          SELECT c.doc_id, c.component, z.csize
          FROM comp c JOIN sizes z USING (component)
          ORDER BY c.doc_id""",
+    // Same RECURSIVE closure as q64, then the keep-best argmax re-derived
+    // as a ranked window (strlen = DuckDB byte length, matching the
+    // engine's octet_length ranking; doc_id tiebreak).
+    "q81_dedup_keep_best" ->
+      raw"""WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM toks),
+         prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM prs
+           UNION
+           SELECT id_b AS u, id_a AS v FROM prs),
+         reach AS (
+           SELECT doc_id AS src, doc_id AS dst FROM documents
+           UNION
+           SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         comp AS (
+           SELECT src AS doc_id, MIN(dst) AS component
+           FROM reach GROUP BY src),
+         scored AS (
+           SELECT c.component, c.doc_id,
+                  CAST(strlen(d.text) AS BIGINT) AS blen
+           FROM comp c JOIN documents d USING (doc_id)),
+         ranked AS (
+           SELECT component, doc_id, blen,
+                  row_number() OVER (PARTITION BY component
+                    ORDER BY blen DESC, doc_id ASC) AS rn,
+                  COUNT(*) OVER (PARTITION BY component) AS csize
+           FROM scored)
+         SELECT component, doc_id AS keep_id, CAST(csize AS BIGINT) AS csize,
+                blen AS keep_octets
+         FROM ranked WHERE rn = 1 ORDER BY component""",
     "q45_dedup_apply" ->
       raw"""WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
