@@ -37,6 +37,7 @@ object GraftFunctions {
       HyperplaneSketches(es.head, intArg(es, 1), intArg(es, 2),
         intArg(es, 3), longArg(es, 4))),
     "graft_topk" -> (es => TopKByScore(es.head, es(1), intArg(es, 2))),
+    "graft_mg" -> (es => MisraGriesCandidates(es.head, intArg(es, 1))),
   )
 
   /** Imperative registration into the current session. Idempotent. */

@@ -389,6 +389,36 @@ object SparkEntry {
         .orderBy("component")
     }),
 
+    // ---- North-star: exact φ-heavy hitters via a Misra-Gries sketch ----
+    // The two-pass sketch-then-verify shape: pass 1 is ONE aggregate job
+    // computing N and a k=2048-counter MG candidate summary (shuffle ≤
+    // partitions × k entries, vs one row per distinct token per partition
+    // for a plain GROUP BY — the difference between 64k rows and a
+    // web-scale vocabulary); pass 2 exact-counts ONLY candidate tokens via
+    // a broadcast semi-join. Output is EXACT for every N by arithmetic:
+    // decrements require distinct > k, so N ≥ 2049, and for N ≥ 1954
+    // max(1, N div 1000) > N/2049 ≥ the MG undercount — no qualifying
+    // token can be missed. Oracle = the plain exact GROUP BY in DuckDB.
+    "q82_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      // one 1-row pass for both the candidate summary and N; persisting it
+      // keeps the two downstream branches (threshold + candidates) from
+      // re-scanning the corpus
+      val stats = toks.agg(
+          count(lit(1)).as("n"),
+          graft.functions.AggFunctions.frequentCandidates(col("tok"), 2048)
+            .as("cand"))
+        .persist()
+      val cand = stats.select(explode(col("cand")).as("tok"))
+      toks.join(broadcast(cand), Seq("tok"), "left_semi")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(stats.select(col("n"))))
+        .filter(col("cnt") >= expr("greatest(1L, n div 1000)"))
+        .select(col("tok"), col("cnt"))
+        .orderBy(desc("cnt"), asc("tok"))
+    }),
+
     // ---- North-star: embedding-cosine near-dup -------------------------
     // Gated on the LSH plan (the scale path): OR-amplified hyperplane
     // blocking, recall sized by Dedup.lshTablesFor so a pair at θ=0.5 is
@@ -2184,6 +2214,19 @@ object SparkEntry {
          SELECT component, doc_id AS keep_id, CAST(csize AS BIGINT) AS csize,
                 blen AS keep_octets
          FROM ranked WHERE rn = 1 ORDER BY component""",
+    // The sketch is an implementation detail with a proven no-miss bound at
+    // this (k, φ) geometry, so the oracle is simply the exact heavy-hitter
+    // query: tokens with count ≥ max(1, N div 1000).
+    "q82_heavy_hitters" ->
+      raw"""WITH toks AS (
+           SELECT unnest(string_split_regex(trim(text), '[$WS]+')) AS tok
+           FROM documents),
+         tot AS (SELECT COUNT(*) AS n FROM toks),
+         cnt AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+         SELECT c.tok, CAST(c.cnt AS BIGINT) AS cnt
+         FROM cnt c, tot t
+         WHERE c.cnt >= greatest(1, t.n // 1000)
+         ORDER BY cnt DESC, tok ASC""",
     "q45_dedup_apply" ->
       raw"""WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge
 
+import graft.functions.expressions.MisraGriesCandidates
 import graft.functions.expressions.TopKByScore
 
 /** Custom aggregate functions with genuine partial (map-side) phases —
@@ -21,5 +22,16 @@ object AggFunctions {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(
       TopKByScore(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+
+  /** Misra–Gries frequent-item candidates as a sorted array<string>:
+    * a deterministic SUPERSET of every item with frequency > N/(k+1),
+    * with ≤ partitions × k entries ever crossing the shuffle (vs one row
+    * per distinct item per partition for a plain GROUP BY). Pair with an
+    * exact-count verify join to emit exact heavy hitters in two passes.
+    */
+  def frequentCandidates(item: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGriesCandidates(ColumnBridge.expression(item), k)
         .toAggregateExpression())
 }
