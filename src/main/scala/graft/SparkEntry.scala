@@ -419,6 +419,31 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("tok"))
     }),
 
+    // ---- North-star: Unicode NFC canonicalization (ingest-time) --------
+    // Canonically-equivalent byte sequences (composed `á` vs `a`+U+0301)
+    // defeat every byte-keyed operator downstream — exact dedup, MinHash
+    // shingles, content-hash splits. This is the ingest normalizer as a
+    // native codegen'd expression (Spark has no built-in; a UDF would
+    // break WholeStageCodegen). The fixture is ASCII (= already NFC), so
+    // the query PLANTS decomposed sequences both engines derive
+    // identically — every 'a' becomes 'a'+combining-acute — then proves
+    // real composition happened: norm_chars < decomp_chars by exactly the
+    // number of planted pairs, and the prefix carries the composed bytes
+    // through the driver's value hash. The mixed-corpus gate re-runs this
+    // on CJK/emoji text. Pure narrow map over the scan; no shuffle.
+    "q83_nfc_normalize" -> ((s, dir) => {
+      val decomp = regexp_replace(col("text"), "a", "a\u0301")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(decomp).cast("long").as("decomp_chars"),
+          TextFunctions.nfcNormalize(decomp).as("norm"))
+        .select(col("doc_id"), col("decomp_chars"),
+          length(col("norm")).cast("long").as("norm_chars"),
+          octet_length(col("norm")).cast("long").as("norm_octets"),
+          substring(col("norm"), 1, 40).as("prefix"))
+        .orderBy("doc_id")
+    }),
+
     // ---- North-star: embedding-cosine near-dup -------------------------
     // Gated on the LSH plan (the scale path): OR-amplified hyperplane
     // blocking, recall sized by Dedup.lshTablesFor so a pair at θ=0.5 is
@@ -2227,6 +2252,24 @@ object SparkEntry {
          FROM cnt c, tot t
          WHERE c.cnt >= greatest(1, t.n // 1000)
          ORDER BY cnt DESC, tok ASC""",
+    // Same planted decomposition (chr(769) = U+0301 combining acute),
+    // then DuckDB's own nfc_normalize — both engines implement Unicode
+    // canonical composition, which the standard freezes for assigned code
+    // points, so lengths AND the composed prefix bytes must agree.
+    "q83_nfc_normalize" ->
+      raw"""WITH d AS (
+           SELECT doc_id,
+                  regexp_replace(text, 'a', 'a' || chr(769), 'g') AS dec
+           FROM documents),
+         n AS (
+           SELECT doc_id, length(dec) AS decomp_chars,
+                  nfc_normalize(dec) AS norm
+           FROM d)
+         SELECT doc_id, CAST(decomp_chars AS BIGINT) AS decomp_chars,
+                CAST(length(norm) AS BIGINT) AS norm_chars,
+                CAST(strlen(norm) AS BIGINT) AS norm_octets,
+                substr(norm, 1, 40) AS prefix
+         FROM n ORDER BY doc_id""",
     "q45_dedup_apply" ->
       raw"""WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t

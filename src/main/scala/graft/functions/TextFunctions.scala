@@ -116,6 +116,14 @@ object TextFunctions {
     */
   def fnv64(c: Column): Column = toCol(expressions.Fnv64(toExpr(c)))
 
+  /** Unicode NFC canonical normalization (expressions.NfcNormalize) — the
+    * ingest-time canonicalizer that makes byte-keyed operators (exact
+    * dedup, shingle hashes, content-hash splits) see canonically-equivalent
+    * text as equal bytes. Codegen'd; already-NFC input is returned
+    * zero-copy. Oracle twin: DuckDB's `nfc_normalize`.
+    */
+  def nfcNormalize(c: Column): Column = toCol(expressions.NfcNormalize(toExpr(c)))
+
   /** Overlapping character chunks — the RAG/pretraining chunker: windows
     * of `size` chars every `stride` chars (stride ≤ size ⇒ consecutive
     * chunks overlap by size − stride), always at least one chunk per doc.

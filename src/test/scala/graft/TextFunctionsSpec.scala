@@ -197,4 +197,35 @@ class TextFunctionsSpec extends SparkSpec {
       "no pii here, just words and 12345 numbers",
       "mixed: <EMAIL> at <IPV4> dial <PHONE>"), got.toString)
   }
+
+  test("nfcNormalize composes planted sequences; NFC text passes unchanged") {
+    // combining acute composes into U+00E1; decomposed Hangul jamo compose
+    // to the syllable; emoji and CJK are already NFC (escapes keep the
+    // decomposed inputs unambiguous in source)
+    val df = Seq(
+      "ca\u0301fe",                 // c a U+0301 f e -> caU+00E1... cafe composed
+      "\u1100\u1161",              // jamo G + A -> U+AC00
+      "plain ascii stays",
+      "\u6c49\u5b57 and \ud83d\ude00 kept").toDF("text")
+    val got = df.select(graft.functions.TextFunctions.nfcNormalize(col("text")))
+      .as[String].collect().toSeq
+    assert(got == Seq("c\u00e1fe", "\uac00", "plain ascii stays",
+      "\u6c49\u5b57 and \ud83d\ude00 kept"),
+      got.map(_.codePoints().toArray.toSeq))
+  }
+
+  test("nfcNormalize: interpreted eval matches codegen and is zero-copy on NFC input") {
+    import graft.functions.expressions.NfcNormalize
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("already normalized")
+    // quick-check fast path hands back the same object, no reallocation
+    assert(NfcNormalize.nfc(ascii) eq ascii)
+    val decomp = UTF8String.fromString("á")
+    assert(NfcNormalize.nfc(decomp).toString == "\u00e1")
+    // null propagates (nullSafeEval wrapper)
+    val df = Seq[Option[String]](Some("á"), None).toDF("text")
+    val got = df.select(graft.functions.TextFunctions.nfcNormalize(col("text")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq("\u00e1", null))
+  }
 }
