@@ -444,6 +444,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: LEAKAGE-SAFE grouped split ------------------------
+    // The classic eval-contamination bug: q62-style per-document hash
+    // splits put near-duplicate twins on OPPOSITE sides of train/test, so
+    // the held-out set is silently memorized. The fix a curation pipeline
+    // ships: hash the CANONICAL COMPONENT label (q64's connected-component
+    // id over the ≥0.8 Jaccard pair graph), so every near-dup cluster
+    // moves as a unit — by construction no edge can straddle the boundary.
+    // Cost over q62 is exactly the component labeling (already a suite
+    // operator); the split itself stays a narrow map on the fnvBucket
+    // stream, partition-independent and re-derivable in DuckDB (closure +
+    // octet-FNV on the component id). 90/10 at seed 71.
+    "q86_leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      Dedup.componentIds(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .select(col("doc_id"), col("component"),
+          when(Relational.fnvBucket(col("component"), 71L) < 900000L, "train")
+            .otherwise("test").as("side"))
+        .orderBy("doc_id")
+    }),
+
     // ---- North-star: embedding-cosine near-dup -------------------------
     // Gated on the LSH plan (the scale path): OR-amplified hyperplane
     // blocking, recall sized by Dedup.lshTablesFor so a pair at θ=0.5 is
@@ -1755,17 +1777,25 @@ object SparkEntry {
     * [[fnvBucketCtes]] adds the pmod-1e6 bucket the split/mixing oracles
     * cut on.
     */
-  private def fnvSignedCtes(table: String, keyCol: String, seed: Long): String =
-    s"""WITH h AS (
+  /** The h/sg CTE pair (unsigned octet-FNV, then the signed-BIGINT fold)
+    * over an arbitrary upstream CTE/table — composable mid-chain (q86
+    * hashes the q64 `comp` CTE); [[fnvSignedCtes]] is the WITH-prefixed
+    * whole-table form.
+    */
+  private def fnvSignedFrom(source: String, keyCol: String, seed: Long): String =
+    s"""h AS (
            SELECT *,
              ${fnvOctetsSql(s"CAST($keyCol AS VARCHAR) || ':$seed'")} AS hu
-           FROM $table),
+           FROM $source),
          sg AS (
            SELECT *,
              CAST(CASE WHEN hu >= CAST(9223372036854775808 AS UBIGINT)
                        THEN CAST(hu AS HUGEINT) - 18446744073709551616
                        ELSE CAST(hu AS HUGEINT) END AS BIGINT) AS hs
            FROM h)"""
+
+  private def fnvSignedCtes(table: String, keyCol: String, seed: Long): String =
+    "WITH " + fnvSignedFrom(table, keyCol, seed)
 
   private def fnvBucketCtes(table: String, keyCol: String, seed: Long): String =
     fnvSignedCtes(table, keyCol, seed) + """,
@@ -1833,6 +1863,39 @@ object SparkEntry {
 
   /** q62 oracle: re-derive the bucket per id and reproduce the FULL
     * train/test assignment. */
+  /** Shared oracle prefix: the q64 3-gram-Jaccard near-dup closure —
+    * RECURSIVE reachability over the >=0.8 pair edges, components labeled
+    * by min doc_id. q64/q81/q86 all build on this one definition so the
+    * three oracles cannot drift apart.
+    */
+  private val componentClosureCtes: String = raw"""WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM toks),
+         prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM prs
+           UNION
+           SELECT id_b AS u, id_a AS v FROM prs),
+         reach AS (
+           SELECT doc_id AS src, doc_id AS dst FROM documents
+           UNION
+           SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         comp AS (
+           SELECT src AS doc_id, MIN(dst) AS component
+           FROM reach GROUP BY src)"""
+
   private val hashSplitOracleSql: String =
     fnvBucketCtes("orders", "o_orderkey", 40) + """
          SELECT o_orderkey,
@@ -2163,69 +2226,17 @@ object SparkEntry {
     // closure exactly — this checks transitivity cases (A~B~C, no A~C)
     // that the pairwise oracles structurally cannot.
     "q64_dedup_components" ->
-      raw"""WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
-                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
-                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
-             END AS s
-           FROM toks),
-         prs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a, sh b
-           WHERE a.doc_id < b.doc_id
-             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-         edges AS (
-           SELECT id_a AS u, id_b AS v FROM prs
-           UNION
-           SELECT id_b AS u, id_a AS v FROM prs),
-         reach AS (
-           SELECT doc_id AS src, doc_id AS dst FROM documents
-           UNION
-           SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
-         comp AS (
-           SELECT src AS doc_id, MIN(dst) AS component
-           FROM reach GROUP BY src),
+      (componentClosureCtes + raw""",
          sizes AS (
            SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
          SELECT c.doc_id, c.component, z.csize
          FROM comp c JOIN sizes z USING (component)
-         ORDER BY c.doc_id""",
+         ORDER BY c.doc_id"""),
     // Same RECURSIVE closure as q64, then the keep-best argmax re-derived
     // as a ranked window (strlen = DuckDB byte length, matching the
     // engine's octet_length ranking; doc_id tiebreak).
     "q81_dedup_keep_best" ->
-      raw"""WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
-                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
-                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
-             END AS s
-           FROM toks),
-         prs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a, sh b
-           WHERE a.doc_id < b.doc_id
-             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-         edges AS (
-           SELECT id_a AS u, id_b AS v FROM prs
-           UNION
-           SELECT id_b AS u, id_a AS v FROM prs),
-         reach AS (
-           SELECT doc_id AS src, doc_id AS dst FROM documents
-           UNION
-           SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
-         comp AS (
-           SELECT src AS doc_id, MIN(dst) AS component
-           FROM reach GROUP BY src),
+      (componentClosureCtes + raw""",
          scored AS (
            SELECT c.component, c.doc_id,
                   CAST(strlen(d.text) AS BIGINT) AS blen
@@ -2238,7 +2249,19 @@ object SparkEntry {
            FROM scored)
          SELECT component, doc_id AS keep_id, CAST(csize AS BIGINT) AS csize,
                 blen AS keep_octets
-         FROM ranked WHERE rn = 1 ORDER BY component""",
+         FROM ranked WHERE rn = 1 ORDER BY component"""),
+    // Same closure, then the q62 bucket fold applied to the COMPONENT id:
+    // octet-FNV of "<component>:71" -> signed fold -> bucket < 900000.
+    // Proves group-atomicity independently: every doc in a component gets
+    // the identical side because the hash input is the component, not the
+    // doc.
+    "q86_leakage_safe_split" ->
+      (componentClosureCtes + ",\n         " +
+        fnvSignedFrom("comp", "component", 71) + raw"""
+         SELECT doc_id, component,
+           CASE WHEN ((hs % 1000000) + 1000000) % 1000000 < 900000
+                THEN 'train' ELSE 'test' END AS side
+         FROM sg ORDER BY doc_id"""),
     // The sketch is an implementation detail with a proven no-miss bound at
     // this (k, φ) geometry, so the oracle is simply the exact heavy-hitter
     // query: tokens with count ≥ max(1, N div 1000).

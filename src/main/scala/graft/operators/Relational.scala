@@ -297,15 +297,23 @@ object Relational {
         "rename them first; the operator writes these names")
   }
 
+  /** The single FNV bucket stream every deterministic splitter/sampler
+    * rides: FNV-1a-64 over `"<key>:<seed>"` UTF-8 octets, folded into
+    * [0, 1e6) — a pure function of (key, seed) that DuckDB re-derives
+    * octet-by-octet (SparkEntry.fnvBucketCtes), so split membership is
+    * partition-independent, re-run-stable, and oracle-checkable.
+    */
+  def fnvBucket(key: Column, seed: Long): Column = pmod(
+    graft.functions.TextFunctions.fnv64(
+      concat(key.cast("string"), lit(":" + seed))),
+    lit(1000000L))
+
   def hashSplit(df: DataFrame, idCol: String, trainFrac: Double,
                 seed: Long): (DataFrame, DataFrame) = {
     require(trainFrac >= 0.0 && trainFrac <= 1.0,
       s"hashSplit: trainFrac in [0,1], got $trainFrac")
-    val bucket = pmod(
-      graft.functions.TextFunctions.fnv64(
-        concat(col(idCol).cast("string"), lit(":" + seed))),
-      lit(1000000L))
-    val isTrain = bucket < lit(math.round(trainFrac * 1000000L))
+    val isTrain =
+      fnvBucket(col(idCol), seed) < lit(math.round(trainFrac * 1000000L))
     (df.filter(isTrain), df.filter(!isTrain))
   }
 
@@ -324,10 +332,7 @@ object Relational {
                     seed: Long): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0.0 && r <= 1.0, s"mixtureSample: rate in [0,1], got $r"))
-    val bucket = pmod(
-      graft.functions.TextFunctions.fnv64(
-        concat(col(idCol).cast("string"), lit(":" + seed))),
-      lit(1000000L))
+    val bucket = fnvBucket(col(idCol), seed)
     val cut = rates.toSeq.sortBy(_._1)
       .foldLeft(lit(math.round(defaultRate * 1000000L))) {
         case (acc, (dom, r)) =>

@@ -104,6 +104,39 @@ class RelationalSpec extends SparkSpec {
     assert(joined.count() == Tables.orders(spark, sf0001).count())
   }
 
+  test("component-keyed split is leakage-safe where doc-keyed split is not") {
+    import graft.operators.Dedup
+    // five near-dup pairs (docs 2k/2k+1 share >0.8 of their 3-grams) plus
+    // unique singletons — the corpus shape where per-doc hash splits leak
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (0L to 9L).map { i =>
+      val twin = if (i % 2 == 0) base else base + " extra" + (i / 2)
+      (i, twin)
+    } ++ (10L to 19L).map(i => (i, (1 to 40).map(j => s"u${i}_$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", threshold = 0.8)
+    val comp = Dedup.componentIds(df, "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+    def sides(keyCol: String, seed: Long): Map[Long, String] =
+      comp.select(col("doc_id"),
+          when(Relational.fnvBucket(col(keyCol), seed) < 900000L, "train")
+            .otherwise("test").as("side"))
+        .as[(Long, String)].collect().toMap
+    val pairIds = (0L to 9L).grouped(2).map(g => (g.head, g.last)).toSeq
+    var docKeyedLeaks = 0
+    for (seed <- 1L to 20L) {
+      val byComp = sides("component", seed)
+      // component-keyed: NO pair may ever straddle the split, any seed
+      pairIds.foreach { case (a, b) =>
+        assert(byComp(a) == byComp(b), s"seed=$seed leaked pair ($a,$b)")
+      }
+      val byDoc = sides("doc_id", seed)
+      docKeyedLeaks += pairIds.count { case (a, b) => byDoc(a) != byDoc(b) }
+    }
+    // doc-keyed hashing splits some twin apart for some seed — the bug
+    assert(docKeyedLeaks > 0, "expected doc-keyed split to leak somewhere")
+  }
+
   test("decSum is exact and partition-order independent") {
     val vals = Seq.fill(1000)(0.1)
     val a = vals.toDF("x").repartition(1)
