@@ -59,9 +59,14 @@ object BenchStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val stagedDir = Paths.get("target/bench_stream_in")
-    if (Files.exists(stagedDir))
-      Files.walk(stagedDir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+    // clear BOTH the staged input and the checkpoint roots: staged files
+    // keep identical names/mtimes across runs, so a stale checkpoint would
+    // resume past them, process zero batches, and emit an all-zero artifact
+    Seq(stagedDir, Paths.get("target/bench_stream_ckpt")).foreach { d =>
+      if (Files.exists(d))
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+    }
     Files.createDirectories(stagedDir)
     val probs = (1 until batches).map(_.toDouble / batches).toArray
     val bounds = raw.stat.approxQuantile("ts", probs, 0.0001)

@@ -81,10 +81,18 @@ object MixedCorpusGen {
     spark.sparkContext.setLogLevel("WARN")
 
     Files.createDirectories(Paths.get(outDir))
-    // byte-exact copies preserve physical parquet types (events.ts NANOS)
+    // byte-exact copies preserve physical parquet types (events.ts NANOS).
+    // Files.copy on a DIRECTORY-shaped table (the ScaleUpGen layout: part
+    // files under <table>.parquet/) would copy only the empty directory
+    // entry and silently produce empty tables — fail fast instead: this
+    // generator is defined over the single-file driver fixtures.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "embeddings").foreach { t =>
-      Files.copy(Paths.get(s"$inDir/$t.parquet"),
+      val srcPath = Paths.get(s"$inDir/$t.parquet")
+      require(!Files.isDirectory(srcPath),
+        s"$srcPath is a directory-shaped parquet table; MixedCorpusGen " +
+        "requires the single-file driver fixtures (e.g. /root/testdata/sf*)")
+      Files.copy(srcPath,
         Paths.get(s"$outDir/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
     }
 

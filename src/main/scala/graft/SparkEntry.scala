@@ -353,9 +353,7 @@ object SparkEntry {
     // closure's per-component minima, doc for doc -----------------------
     "q64_dedup_components" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
-      val comp = Dedup.componentIds(docs, "doc_id", pairs)
-        .select(col("id").as("doc_id"), col("comp").as("component"))
+      val comp = Dedup.componentLabels(docs, "doc_id", "text", threshold = 0.8)
       val sizes = comp.groupBy("component").agg(count(lit(1)).as("csize"))
       comp.join(sizes, Seq("component"))
         .select("doc_id", "component", "csize")
@@ -376,9 +374,7 @@ object SparkEntry {
     // length there). ------------------------------------------------------
     "q81_dedup_keep_best" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
-      val comp = Dedup.componentIds(docs, "doc_id", pairs)
-        .select(col("id").as("doc_id"), col("comp").as("component"))
+      val comp = Dedup.componentLabels(docs, "doc_id", "text", threshold = 0.8)
       docs.select(col("doc_id"),
           octet_length(col("text")).cast("long").as("blen"))
         .join(comp, Seq("doc_id"))
@@ -400,21 +396,25 @@ object SparkEntry {
     // max(1, N div 1000) > N/2049 ≥ the MG undercount — no qualifying
     // token can be missed. Oracle = the plain exact GROUP BY in DuckDB.
     "q82_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
       val toks = Tables.documents(s, dir)
         .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
-      // one 1-row pass for both the candidate summary and N; persisting it
-      // keeps the two downstream branches (threshold + candidates) from
-      // re-scanning the corpus
-      val stats = toks.agg(
+      // pass 1 is ONE aggregate job whose result is DRIVER-SIZED by
+      // construction (a count and ≤ k strings), so it is collected — not
+      // persisted (a lazily-built persist can never be unpersisted from
+      // inside a query builder and would leak cache across an 85-query
+      // suite run). At 100 TB this is the same shape: the MG summary is
+      // the whole point — it fits on the driver no matter the corpus.
+      val row = toks.agg(
           count(lit(1)).as("n"),
           graft.functions.AggFunctions.frequentCandidates(col("tok"), 2048)
             .as("cand"))
-        .persist()
-      val cand = stats.select(explode(col("cand")).as("tok"))
-      toks.join(broadcast(cand), Seq("tok"), "left_semi")
+        .head()
+      val n = row.getLong(0)
+      val cand = row.getSeq[String](1)
+      toks.join(broadcast(cand.toDF("tok")), Seq("tok"), "left_semi")
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(stats.select(col("n"))))
-        .filter(col("cnt") >= expr("greatest(1L, n div 1000)"))
+        .filter(col("cnt") >= lit(math.max(1L, n / 1000L)))
         .select(col("tok"), col("cnt"))
         .orderBy(desc("cnt"), asc("tok"))
     }),
@@ -457,13 +457,65 @@ object SparkEntry {
     // octet-FNV on the component id). 90/10 at seed 71.
     "q86_leakage_safe_split" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
-      Dedup.componentIds(docs, "doc_id", pairs)
-        .select(col("id").as("doc_id"), col("comp").as("component"))
+      Dedup.componentLabels(docs, "doc_id", "text", threshold = 0.8)
         .select(col("doc_id"), col("component"),
           when(Relational.fnvBucket(col("component"), 71L) < 900000L, "train")
             .otherwise("test").as("side"))
         .orderBy("doc_id")
+    }),
+
+    // ---- North-star: Z-ORDER (Morton) layout key -----------------------
+    // The write-side layout primitive for 100 TB tables range-filtered on
+    // TWO columns: sort by the bit-interleaved key and every parquet row
+    // group's z-range covers a small aligned rectangle in (x, y) space, so
+    // min/max stats prune files for 2-D predicates where a plain sort only
+    // prunes its leading column (Delta/Iceberg OPTIMIZE ZORDER; measured
+    // here by ZOrderScanNote). The fixture keys are small (≤ 2^11 at
+    // sf0.01), so the query first SCATTERS them across the full 31-bit
+    // domain with Knuth multiplicative hashes — exercising every step of
+    // the spread schedule under the oracle, not just the low bits — then
+    // emits the row-level z and its t=23 tile (z >> 46 = morton of the
+    // top-8-bit tile coords: the locality law LayoutSpec proves for all t).
+    // Pure narrow bitwise arithmetic — codegen'd built-ins, no shuffle, no
+    // UDF; the DuckDB oracle re-derives the identical fold from the SAME
+    // spreadSteps constants (interpolated, so the engines cannot drift).
+    "q85_zorder_key" -> ((s, dir) => {
+      import graft.functions.LayoutFunctions
+      val li = Tables.lineitem(s, dir)
+      li.select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          pmod(col("l_orderkey") * lit(2654435761L), lit(2147483648L)).as("x"),
+          pmod(col("l_partkey") * lit(2246822519L), lit(2147483648L)).as("y"))
+        .withColumn("z", LayoutFunctions.morton(col("x"), col("y")))
+        .withColumn("tile", shiftright(col("z"), 46))
+        .orderBy("z", "l_orderkey", "l_linenumber")
+    }),
+
+    // ---- North-star: fused curation pipeline on SHARED component labels.
+    // What q64/q81/q86 compute separately, a production corpus run does
+    // ONCE: one shingle-LSH + label-propagation pass (componentLabels —
+    // already materialized via its closing localCheckpoint) fans out to
+    // every component consumer. Here both decisions a curation pipeline
+    // ships — the canonical keep-best copy AND the leakage-safe split
+    // side — come off one label frame in one result: one hash-agg (one
+    // row per component on the shuffle) + a narrow FNV map on the
+    // component key. ComponentShareNote measures the shared stage against
+    // the 3× per-consumer recompute; the oracle fuses the q81 and q86
+    // CTE chains over the same RECURSIVE closure.
+    "q87_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comp = Dedup.componentLabels(docs, "doc_id", "text", threshold = 0.8)
+      docs.select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("blen"))
+        .join(comp, Seq("doc_id"))
+        .groupBy("component")
+        .agg(expr("max_by(doc_id, struct(blen, -doc_id))").as("keep_id"),
+             count(lit(1)).as("csize"),
+             max("blen").as("keep_octets"))
+        .withColumn("side",
+          when(Relational.fnvBucket(col("component"), 71L) < 900000L, "train")
+            .otherwise("test"))
+        .orderBy("component")
     }),
 
     // ---- North-star: embedding-cosine near-dup -------------------------
@@ -513,7 +565,11 @@ object SparkEntry {
       // action planesFor needs anyway, so it doubles as the materializer —
       // the three consumers inside embeddingPairs then read the derived
       // corpus from cache instead of recomputing union+transform per pass
-      // (310→259 s at x100; see neardupCorpus scaladoc for why q61 differs)
+      // (310→259 s at x100; see neardupCorpus scaladoc for why q61 differs).
+      // Cache lifecycle: a lazily-built query can't unpersist after its own
+      // action, so the suite runners own it — Bench clears the cache between
+      // queries (Bench.scala clearCache) and Verify's single session holds
+      // at most this one corpus-sized cache (MEMORY_AND_DISK, spills clean).
       val corpus = neardupCorpus(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val planes = Dedup.planesFor(corpus.count(), threshold = 0.9)
@@ -1896,6 +1952,37 @@ object SparkEntry {
            SELECT src AS doc_id, MIN(dst) AS component
            FROM reach GROUP BY src)"""
 
+  /** q85 oracle: the Morton fold as a CTE chain — one CTE per
+    * [[graft.functions.LayoutFunctions.spreadSteps]] entry, constants
+    * INTERPOLATED from that single source so the two engines' z-values
+    * cannot drift. Each step is the same overflow-free rewrite the Column
+    * fold uses: `((v & (m>>>s)) << s) | (v & m)`, masked before shifted so
+    * nothing crosses bit 62 (DuckDB BIGINT stays in-lane, like Spark's).
+    */
+  private def zorderOracleSql: String = {
+    val steps = graft.functions.LayoutFunctions.spreadSteps
+    val chain = steps.zipWithIndex.map { case ((sh, m), i) =>
+      s"""z${i + 1} AS (
+           SELECT l_orderkey, l_linenumber, x, y,
+             (((zx & ${m >>> sh}) << $sh) | (zx & $m)) AS zx,
+             (((zy & ${m >>> sh}) << $sh) | (zy & $m)) AS zy
+           FROM z$i)"""
+    }.mkString(",\n         ")
+    s"""WITH z0 AS (
+           SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             (l_orderkey * 2654435761) % 2147483648 AS x,
+             (l_partkey * 2246822519) % 2147483648 AS y,
+             (l_orderkey * 2654435761) % 2147483648 AS zx,
+             (l_partkey * 2246822519) % 2147483648 AS zy
+           FROM lineitem),
+         $chain
+         SELECT l_orderkey, l_linenumber, x, y,
+           (zx | (zy << 1)) AS z,
+           (zx | (zy << 1)) >> 46 AS tile
+         FROM z${steps.size}
+         ORDER BY z, l_orderkey, l_linenumber"""
+  }
+
   private val hashSplitOracleSql: String =
     fnvBucketCtes("orders", "o_orderkey", 40) + """
          SELECT o_orderkey,
@@ -2262,6 +2349,30 @@ object SparkEntry {
            CASE WHEN ((hs % 1000000) + 1000000) % 1000000 < 900000
                 THEN 'train' ELSE 'test' END AS side
          FROM sg ORDER BY doc_id"""),
+    "q85_zorder_key" -> zorderOracleSql,
+    // q81's keep-best chain and q86's component-keyed FNV fold fused over
+    // ONE closure — the oracle of the shared-label pipeline.
+    "q87_curation_pipeline" ->
+      (componentClosureCtes + raw""",
+         scored AS (
+           SELECT c.component, c.doc_id,
+                  CAST(strlen(d.text) AS BIGINT) AS blen
+           FROM comp c JOIN documents d USING (doc_id)),
+         ranked AS (
+           SELECT component, doc_id, blen,
+                  row_number() OVER (PARTITION BY component
+                    ORDER BY blen DESC, doc_id ASC) AS rn,
+                  COUNT(*) OVER (PARTITION BY component) AS csize
+           FROM scored),
+         best AS (
+           SELECT component, doc_id AS keep_id, CAST(csize AS BIGINT) AS csize,
+                  blen AS keep_octets
+           FROM ranked WHERE rn = 1),
+         """ + fnvSignedFrom("best", "component", 71) + raw"""
+         SELECT component, keep_id, csize, keep_octets,
+           CASE WHEN ((hs % 1000000) + 1000000) % 1000000 < 900000
+                THEN 'train' ELSE 'test' END AS side
+         FROM sg ORDER BY component"""),
     // The sketch is an implementation detail with a proven no-miss bound at
     // this (k, φ) geometry, so the oracle is simply the exact heavy-hitter
     // query: tokens with count ≥ max(1, N div 1000).
@@ -2460,8 +2571,9 @@ object SparkEntry {
              list_prepend(CAST(7 AS BIGINT),
                list_transform(bs, x -> CAST(x AS BIGINT))),
              (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
-           round(CAST(list_sum(list_transform(bs, x -> CAST(x AS BIGINT)))
-               AS DOUBLE) / len(bs) / 256, 6) AS brightness
+           CASE WHEN len(bs) = 0 THEN 0.0 ELSE
+             round(CAST(list_sum(list_transform(bs, x -> CAST(x AS BIGINT)))
+                 AS DOUBLE) / len(bs) / 256, 6) END AS brightness
          FROM b ORDER BY media_id""",
     "q54_approx_quantiles" ->
       """SELECT o_orderpriority,
@@ -2556,8 +2668,9 @@ object SparkEntry {
            list_reduce(list_prepend(CAST(7 AS BIGINT),
              list_transform(ds, x -> CAST(x AS BIGINT))),
              (acc, x) -> (acc * 31 + x) % 1000000007) AS ds_checksum,
-           round(CAST(list_sum(list_transform(ds, x -> CAST(x AS BIGINT)))
-               AS DOUBLE) / len(ds) / 256, 6) AS ds_brightness
+           CASE WHEN len(ds) = 0 THEN 0.0 ELSE
+             round(CAST(list_sum(list_transform(ds, x -> CAST(x AS BIGINT)))
+                 AS DOUBLE) / len(ds) / 256, 6) END AS ds_brightness
          FROM d ORDER BY media_id""",
 
     // same RE2-safe pattern on both engines; '' is the SQL-escaped quote

@@ -399,6 +399,32 @@ object Dedup {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** The MATERIALIZE-ONCE component-label stage: shingle-LSH candidate
+    * pairs (≥ `threshold` exact n-gram Jaccard) → connected-component
+    * labels, as one (idCol, component) frame.
+    *
+    * This is the 100 TB shape for every component consumer — keep-best
+    * canonicalization, leakage-safe splits, cluster-size stats: the
+    * label-propagation loop inside [[componentIds]] ends on a
+    * `localCheckpoint`, so the returned frame is ALREADY materialized
+    * (lineage truncated, blocks in the block manager) the moment this
+    * returns — N downstream consumers built from the one returned frame
+    * re-read those blocks instead of re-running the shingle-LSH +
+    * label-propagation passes. Call it once per corpus and fan out
+    * (ComponentShareNote measures the shared stage against per-consumer
+    * recompute); a multi-executor deployment swaps the localCheckpoint
+    * for reliable `checkpoint(dir)` — same contract.
+    */
+  def componentLabels(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleWidth: Int = 3,
+                      bands: Int = 32, rowsPerBand: Int = 4,
+                      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, threshold, shingleWidth,
+      bands, rowsPerBand, maxBucket)
+    componentIds(df, idCol, pairs)
+      .select(col("id").as(idCol), col("comp").as("component"))
+  }
+
   /** Number of OR-amplified hyperplane tables needed so a pair at EXACTLY
     * cosine `threshold` is missed with probability ≤ `maxMiss`.
     *
@@ -436,8 +462,8 @@ object Dedup {
     * rows per band → more selective buckets (fewer random candidates, ~
     * n²·b/|hash-space|^r under a uniform model) but more bands for the
     * same recall; at low thresholds (θ ≤ 0.5) recall forces small r — at
-    * r = 4, θ = 0.5 the bound needs ⌈ln(1e-6)/ln(1−0.5⁴)⌉ = 214 bands,
-    * so a 0.5-threshold caller should gear r down (r = 2 → 48 bands),
+    * r = 4, θ = 0.5 the bound needs ⌈ln(1e-6)/ln(1−0.5⁴)⌉ = 215 bands,
+    * so a 0.5-threshold caller should gear r down (r = 2 → 49 bands),
     * accepting coarser buckets; at dedup-realistic θ ≥ 0.8, r = 4 needs
     * only ⌈ln(1e-6)/ln(1−0.8⁴)⌉ = 27 bands — LESS than the 32-band
     * default, which is why the default is safe exactly there
