@@ -444,6 +444,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: NORMALIZED-KEY exact dedup (q83 closing the loop).
+    // The ingest normalizer wired into the dedup path it was built for
+    // (Dedup.exact(nfc = true); the minhash family takes the same
+    // `normalize` flag). The fixture is ASCII, so the query PLANTS the
+    // failure: a composed twin (every 'a' \u2192 U+00E1 '\u00e1') and a decomposed
+    // twin (every 'a' \u2192 'a'+U+0301) of each document \u2014 canonically equal,
+    // byte-different. Un-normalized exact dedup keeps them apart; the
+    // NFC key collapses each twin pair to one group (copies = 2 for every
+    // 'a'-bearing doc), keep-first lands on the composed id. The oracle
+    // re-derives the same corpus and key with DuckDB's nfc_normalize \u2014
+    // Unicode freezes canonical composition for assigned code points, so
+    // the grouping must agree exactly.
+    "q83b_dedup_normalized" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val composed = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "a", "\u00e1").as("text"))
+      val decomposed = docs.select((col("doc_id") + 2000000L).as("doc_id"),
+        regexp_replace(col("text"), "a", "a\u0301").as("text"))
+      val corpus = docs.unionByName(composed).unionByName(decomposed)
+      Dedup.exact(corpus, "text", "doc_id", nfc = true)
+        .select(col("keep_id"), col("copies"),
+          octet_length(col("text")).cast("long").as("key_octets"))
+        .orderBy("keep_id")
+    }),
+
     // ---- North-star: LEAKAGE-SAFE grouped split ------------------------
     // The classic eval-contamination bug: q62-style per-document hash
     // splits put near-duplicate twins on OPPOSITE sides of train/test, so
@@ -2404,6 +2429,24 @@ object SparkEntry {
                 CAST(strlen(norm) AS BIGINT) AS norm_octets,
                 substr(norm, 1, 40) AS prefix
          FROM n ORDER BY doc_id""",
+    // Same planted composed/decomposed twins (chr(225) = U+00E1,
+    // chr(769) = U+0301), same NFC key: the grouping — WHICH spellings
+    // collapse, which keep_id wins, the byte length of the canonical key —
+    // must agree exactly with the engine's normalized-key dedup.
+    "q83b_dedup_normalized" ->
+      raw"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+                  regexp_replace(text, 'a', chr(225), 'g') FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000,
+                  regexp_replace(text, 'a', 'a' || chr(769), 'g')
+           FROM documents),
+         n AS (SELECT doc_id, nfc_normalize(text) AS k FROM corpus)
+         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS copies,
+                CAST(strlen(k) AS BIGINT) AS key_octets
+         FROM n GROUP BY k ORDER BY keep_id""",
     "q45_dedup_apply" ->
       raw"""WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t

@@ -108,10 +108,20 @@ object Dedup {
     * smallest id per group. At 100 TB this is a single shuffle on
     * xxhash64(key) — group by the hash, not the full text, when values are
     * large (here we keep the text for exactness on the small fixtures).
+    *
+    * `nfc = true` canonicalizes the key (Unicode NFC, the codegen'd q83
+    * expression) BEFORE hashing/grouping, so composed and decomposed
+    * spellings of the same text — which differ byte-wise and would
+    * otherwise dedup-miss — land in one group (q83b gates this end to
+    * end).
     */
-  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
-    df.groupBy(keyCol)
+  def exact(df: DataFrame, keyCol: String, idCol: String,
+            nfc: Boolean = false): DataFrame = {
+    val keyed =
+      if (nfc) df.withColumn(keyCol, T.nfcNormalize(col(keyCol))) else df
+    keyed.groupBy(keyCol)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+  }
 
   /** MinHash-LSH candidate pairs: per-doc shingle-hash set + k-long
     * signature, exploded into `bands` band keys, self-joined on the key.
@@ -128,9 +138,10 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleWidth: Int = 3, bands: Int = 32,
                         rowsPerBand: Int = 4,
-                        maxBucket: Int = defaultMaxBucket): DataFrame =
+                        maxBucket: Int = defaultMaxBucket,
+                        normalize: Boolean = false): DataFrame =
     minhashCandidatesWithSketch(df, idCol, textCol, shingleWidth, bands,
-      rowsPerBand, maxBucket)._1
+      rowsPerBand, maxBucket, normalize = normalize)._1
 
   /** As [[minhashCandidates]], also returning the per-doc sketch frame so
     * callers that run MULTIPLE actions over the candidates (e.g.
@@ -141,11 +152,18 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int, bands: Int, rowsPerBand: Int,
       maxBucket: Int = defaultMaxBucket,
-      persistSketch: Boolean = false): (DataFrame, DataFrame) = {
+      persistSketch: Boolean = false,
+      normalize: Boolean = false): (DataFrame, DataFrame) = {
     val k = bands * rowsPerBand
+    // normalize INSIDE the narrow sketch projection: NFC is the ingest
+    // canonicalization (q83's codegen'd expression), so composed and
+    // decomposed spellings shingle identically — still scan-local, still
+    // inside WholeStageCodegen, nothing extra on the shuffle
+    val textExpr =
+      if (normalize) T.nfcNormalize(col(textCol)) else col(textCol)
     val sketch = df.select(
         col(idCol).as("id"),
-        T.shingleHashSet(col(textCol), shingleWidth).as("hs"))
+        T.shingleHashSet(textExpr, shingleWidth).as("hs"))
       .withColumn("sig", T.minhashSignature(col("hs"), k))
     // persist BEFORE candidate construction: the caller's first action
     // over the candidates populates the cache, which the sketch subplan's
@@ -165,11 +183,17 @@ object Dedup {
     (cands, sketch)
   }
 
-  /** MinHash near-dup pairs with signature-estimated Jaccard ≥ threshold. */
+  /** MinHash near-dup pairs with signature-estimated Jaccard ≥ threshold.
+    * `normalize = true` NFC-canonicalizes the text before shingling, so
+    * composed-vs-decomposed twins collide (DedupSimilaritySpec pins both
+    * directions).
+    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleWidth: Int = 3,
-                   bands: Int = 32, rowsPerBand: Int = 4): DataFrame =
-    minhashCandidates(df, idCol, textCol, shingleWidth, bands, rowsPerBand)
+                   bands: Int = 32, rowsPerBand: Int = 4,
+                   normalize: Boolean = false): DataFrame =
+    minhashCandidates(df, idCol, textCol, shingleWidth, bands, rowsPerBand,
+        normalize = normalize)
       .withColumn("est_jaccard",
         T.estimatedJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
@@ -184,9 +208,10 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleWidth: Int = 3,
                    bands: Int = 32, rowsPerBand: Int = 4,
-                   maxBucket: Int = defaultMaxBucket): DataFrame =
+                   maxBucket: Int = defaultMaxBucket,
+                   normalize: Boolean = false): DataFrame =
     minhashCandidates(df, idCol, textCol, shingleWidth, bands, rowsPerBand,
-        maxBucket)
+        maxBucket, normalize = normalize)
       .withColumn("jaccard", T.jaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -204,9 +229,10 @@ object Dedup {
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double, shingleWidth: Int = 3,
-                         bands: Int = 32, rowsPerBand: Int = 4): DataFrame =
+                         bands: Int = 32, rowsPerBand: Int = 4,
+                         normalize: Boolean = false): DataFrame =
     dropNearDuplicatesReleasable(df, idCol, textCol, threshold, shingleWidth,
-      bands, rowsPerBand)._1
+      bands, rowsPerBand, normalize)._1
 
   /** As [[dropNearDuplicates]], also returning a release hook that frees
     * the cached dup-id frame. Call it AFTER the returned DataFrame has been
@@ -222,9 +248,11 @@ object Dedup {
   def dropNearDuplicatesReleasable(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleWidth: Int = 3,
-      bands: Int = 32, rowsPerBand: Int = 4): (DataFrame, () => Unit) = {
+      bands: Int = 32, rowsPerBand: Int = 4,
+      normalize: Boolean = false): (DataFrame, () => Unit) = {
     val (cands, sketch) = minhashCandidatesWithSketch(df, idCol, textCol,
-      shingleWidth, bands, rowsPerBand, persistSketch = true)
+      shingleWidth, bands, rowsPerBand, persistSketch = true,
+      normalize = normalize)
     try {
       val dupIds = cands
         .withColumn("jaccard", T.jaccard(col("hs_a"), col("hs_b")))
@@ -418,9 +446,10 @@ object Dedup {
   def componentLabels(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, shingleWidth: Int = 3,
                       bands: Int = 32, rowsPerBand: Int = 4,
-                      maxBucket: Int = defaultMaxBucket): DataFrame = {
+                      maxBucket: Int = defaultMaxBucket,
+                      normalize: Boolean = false): DataFrame = {
     val pairs = jaccardPairs(df, idCol, textCol, threshold, shingleWidth,
-      bands, rowsPerBand, maxBucket)
+      bands, rowsPerBand, maxBucket, normalize = normalize)
     componentIds(df, idCol, pairs)
       .select(col("id").as(idCol), col("comp").as("component"))
   }

@@ -15,6 +15,32 @@ class DedupSimilaritySpec extends SparkSpec {
       .toDF("doc_id", "text")
   }
 
+  test("normalize flag: composed/decomposed twins collide iff NFC is on") {
+    // same text, two canonically-equal byte spellings: every token carries
+    // U+00E1 composed in doc 1, 'a'+U+0301 decomposed in doc 2
+    val base = (1 to 60).map(i => s"vál$i").mkString(" ")
+    val decomposed = base.replace("á", "á")
+    assert(base != decomposed && base.length < decomposed.length)
+    val df = Seq((1L, base), (2L, decomposed),
+      (3L, (1 to 60).map(i => s"zz$i").mkString(" "))).toDF("doc_id", "text")
+    // un-normalized: every shingle differs byte-wise -> the twin is MISSED
+    assert(Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.8)
+      .filter(col("id_a") === 1 && col("id_b") === 2).count() == 0L)
+    // normalized: identical shingle sets -> estimated jaccard exactly 1
+    val hit = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.8,
+        normalize = true)
+      .filter(col("id_a") === 1 && col("id_b") === 2).collect()
+    assert(hit.length == 1 && hit.head.getDouble(2) == 1.0)
+    // exact dedup, same story: 3 byte-distinct groups raw, twins collapse
+    // under the NFC key with keep-first on the composed id
+    assert(Dedup.exact(df, "text", "doc_id").count() == 3L)
+    val ex = Dedup.exact(df, "text", "doc_id", nfc = true)
+      .orderBy("keep_id").collect()
+    assert(ex.length == 2)
+    assert(ex.head.getAs[Long]("keep_id") == 1L &&
+      ex.head.getAs[Long]("copies") == 2L)
+  }
+
   test("planesFor gears LSH geometry with corpus size (BENCH_SCALE sweep)") {
     // pinned to the measured flat regions of the x1/x100 plane sweeps:
     // 16 planes optimal at ~20k vectors, 20 at ~2M (494s -> 80.2s)
