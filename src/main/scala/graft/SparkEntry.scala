@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -506,11 +506,18 @@ object SparkEntry {
     // spreadSteps constants (interpolated, so the engines cannot drift).
     "q85_zorder_key" -> ((s, dir) => {
       import graft.functions.LayoutFunctions
+      // scatter = Knuth multiplicative hash mod 2^31, with the KEY reduced
+      // mod 2^31 BEFORE the multiply: congruence keeps the result identical
+      // while (2^31-1) * a ≈ 5.7e18 stays inside a signed long — ANSI-safe
+      // at any fixture scale (x10's shifted orderkeys overflowed the naive
+      // key * a form; caught by the scale bench, fixed by reduction)
+      def scatter(c: Column, a: Long): Column =
+        pmod(pmod(c, lit(2147483648L)) * lit(a), lit(2147483648L))
       val li = Tables.lineitem(s, dir)
       li.select(col("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"),
-          pmod(col("l_orderkey") * lit(2654435761L), lit(2147483648L)).as("x"),
-          pmod(col("l_partkey") * lit(2246822519L), lit(2147483648L)).as("y"))
+          scatter(col("l_orderkey"), 2654435761L).as("x"),
+          scatter(col("l_partkey"), 2246822519L).as("y"))
         .withColumn("z", LayoutFunctions.morton(col("x"), col("y")))
         .withColumn("tile", shiftright(col("z"), 46))
         .orderBy("z", "l_orderkey", "l_linenumber")
@@ -1993,13 +2000,13 @@ object SparkEntry {
              (((zy & ${m >>> sh}) << $sh) | (zy & $m)) AS zy
            FROM z$i)"""
     }.mkString(",\n         ")
-    s"""WITH z0 AS (
+    s"""WITH sc AS (
            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-             (l_orderkey * 2654435761) % 2147483648 AS x,
-             (l_partkey * 2246822519) % 2147483648 AS y,
-             (l_orderkey * 2654435761) % 2147483648 AS zx,
-             (l_partkey * 2246822519) % 2147483648 AS zy
+             ((l_orderkey % 2147483648) * 2654435761) % 2147483648 AS x,
+             ((l_partkey % 2147483648) * 2246822519) % 2147483648 AS y
            FROM lineitem),
+         z0 AS (SELECT l_orderkey, l_linenumber, x, y, x AS zx, y AS zy
+                FROM sc),
          $chain
          SELECT l_orderkey, l_linenumber, x, y,
            (zx | (zy << 1)) AS z,
