@@ -67,6 +67,29 @@ object Sources {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(outPath)
 
+  /** Z-ordered layout write: range-partition + sort by the 2-D Morton key
+    * of (`xCol`, `yCol`) — both must be non-negative and < 2^31 (scatter
+    * wider domains first; see q85) — so every output file's z-range covers
+    * a small aligned rectangle in (x, y) space and parquet min/max stats
+    * prune files for predicates on EITHER or BOTH columns (the
+    * Delta/Iceberg OPTIMIZE ZORDER write path; ZOrderScanNote measures
+    * 4.8-5.7× fewer rows read than a single-column sort on 2-D boxes).
+    * One range shuffle, `files` output files, each file one sorted run;
+    * the transient __z key is dropped from the written schema. At 100 TB
+    * `files` follows the table's target file size (~128-1024 MiB), and
+    * the pruning ratio IMPROVES with file count — the read side repays
+    * the one-time sort.
+    */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+                    outPath: String, files: Int): Unit = {
+    val keyed = df.withColumn("__z",
+      graft.functions.LayoutFunctions.morton(col(xCol), col(yCol)))
+    keyed.repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outPath)
+  }
+
   /** Bucketed table write: pre-shuffles once on `key` into `buckets` files
     * per partition, so every later equi-join/aggregation on `key` between
     * co-bucketed tables runs with NO exchange — the amortize-one-shuffle

@@ -70,6 +70,31 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrdered: output files cover disjoint z-ranges") {
+    val out = "target/tmp/layout_spec_z"
+    graft.sources.Sources.writeZOrdered(samples.toDF("x", "y"), "x", "y",
+      out, files = 8)
+    val back = spark.read.parquet(out)
+      .withColumn("f", input_file_name())
+      .withColumn("z", LayoutFunctions.morton(col("x"), col("y")))
+    assert(back.count() == samples.size, "roundtrip lost rows")
+    assert(back.columns.toSet == Set("x", "y", "f", "z"),
+      "__z leaked into the written schema")
+    // each file holds one contiguous slice of the z curve: sorted by lo,
+    // every file's hi must not pass the next file's lo (ties allowed) —
+    // this is the property that makes per-file x/y min-max stats cover
+    // aligned rectangles, i.e. the pruning contract ZOrderScanNote times
+    val ranges = back.groupBy("f")
+      .agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple files")
+    ranges.sliding(2).foreach {
+      case Array((lo1, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping z-ranges: [$lo1,$hi1] vs lo $lo2")
+      case _ =>
+    }
+  }
+
   test("z is strictly monotone in each coordinate (disjoint bit lanes)") {
     edge.foreach { fixed =>
       val zs = edge.sorted.map(v => mortonRef(v, fixed))

@@ -41,18 +41,18 @@ object ZOrderScanNote {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def scatter(c: org.apache.spark.sql.Column, a: Long) =
+      pmod(pmod(c, lit(2147483648L)) * lit(a), lit(2147483648L))
     val keyed = Tables.lineitem(spark, src).select(
-        pmod(col("l_orderkey") * lit(2654435761L), lit(2147483648L)).as("x"),
-        pmod(col("l_partkey") * lit(2246822519L), lit(2147483648L)).as("y"),
+        scatter(col("l_orderkey"), 2654435761L).as("x"),
+        scatter(col("l_partkey"), 2246822519L).as("y"),
         col("l_extendedprice"))
-      .withColumn("z", LayoutFunctions.morton(col("x"), col("y")))
 
     val linearDir = "target/tmp/zorder_note/linear"
     val zorderDir = "target/tmp/zorder_note/zorder"
     keyed.repartitionByRange(files, col("x")).sortWithinPartitions("x")
       .write.mode("overwrite").parquet(linearDir)
-    keyed.repartitionByRange(files, col("z")).sortWithinPartitions("z")
-      .write.mode("overwrite").parquet(zorderDir)
+    graft.sources.Sources.writeZOrdered(keyed, "x", "y", zorderDir, files)
 
     // box predicates: 1/8 of each dimension => 1/64 of the area. Three
     // disjoint boxes so neither layout gets a lucky corner.
