@@ -489,6 +489,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: FUZZY decontamination (bipartite near-dup) --------
+    // q66 catches verbatim benchmark leakage (exact 8-gram overlap); a
+    // PARAPHRASED eval document shares no exact 8-gram but sits at
+    // shingle-Jaccard ≥ 0.8 — this is the near-dup analogue every
+    // curation pipeline runs beside the exact pass. Corpus = the q66
+    // corpus slice (doc_id % 10 <> 7); eval set = PARAPHRASES of the
+    // corpus's % 10 = 3 docs (one-token tail appended, id+3e6), so every
+    // flagged doc has its paraphrase IN the corpus: jaccard (n-2)/(n-1)
+    // for an n-token doc exercises the 0.8 threshold from both sides
+    // (docs under 6 tokens fall below), on top of whatever natural
+    // near-dups straddle the slices. Plan shape (crossJaccardPairs): eval
+    // bands+shingles BROADCAST, corpus scanned once, verify-at-band-match
+    // map-side — the only shuffle is the 24-byte pair distinct, then the
+    // per-doc agg. Oracle = the full quadratic corpus × eval Jaccard.
+    "q84_fuzzy_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val evalSet = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" zzevaltail")).as("text"))
+      Dedup.crossJaccardPairs(corpus, evalSet, "doc_id", "text",
+          threshold = 0.8)
+        .groupBy(col("id_a").as("doc_id"))
+        .agg(count(lit(1)).as("n_eval_matches"),
+             max("jaccard").as("max_jaccard"))
+        .orderBy("doc_id")
+    }),
+
     // ---- North-star: Z-ORDER (Morton) layout key -----------------------
     // The write-side layout primitive for 100 TB tables range-filtered on
     // TWO columns: sort by the bit-interleaved key and every parquet row
@@ -2382,6 +2410,41 @@ object SparkEntry {
                 THEN 'train' ELSE 'test' END AS side
          FROM sg ORDER BY doc_id"""),
     "q85_zorder_key" -> zorderOracleSql,
+    // Full quadratic corpus × eval shingle-Jaccard — proves the broadcast
+    // band blocking lost no pair at θ=0.8 (miss bound 4e-8 structural).
+    "q84_fuzzy_decontam" ->
+      raw"""WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+         ev AS (
+           SELECT doc_id + 3000000 AS doc_id, text || ' zzevaltail' AS text
+           FROM documents WHERE doc_id % 10 = 3),
+         shc AS (
+           SELECT doc_id, t,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '[$WS]+') AS t
+                 FROM corpus)),
+         she AS (
+           SELECT doc_id, t,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '[$WS]+') AS t
+                 FROM ev)),
+         pairs AS (
+           SELECT c.doc_id AS id_a, e.doc_id AS id_b,
+             CAST(len(list_intersect(c.s, e.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(c.s, e.s))) AS j
+           FROM shc c, she e)
+         SELECT id_a AS doc_id, COUNT(*) AS n_eval_matches,
+                MAX(j) AS max_jaccard
+         FROM pairs WHERE j >= 0.8
+         GROUP BY id_a ORDER BY doc_id""",
     // q81's keep-best chain and q86's component-keyed FNV fold fused over
     // ONE closure — the oracle of the shared-label pipeline.
     "q87_curation_pipeline" ->

@@ -265,6 +265,55 @@ object Dedup {
     } finally sketch.unpersist(blocking = false)
   }
 
+  /** BIPARTITE MinHash near-dup pairs: corpus × eval, for FUZZY
+    * decontamination — the near-dup analogue of exact n-gram
+    * decontamination (q66): a benchmark document paraphrased or lightly
+    * edited into the training corpus shares no exact 8-gram but sits at
+    * shingle-Jaccard ≥ θ, and this finds it.
+    *
+    * Shuffle discipline at 100 TB, which differs from the self-join
+    * paths: the eval side is a FIXED benchmark set (small by construction
+    * — the q66 premise), so its band keys AND shingle sets broadcast;
+    * the corpus side is scanned once, its band keys probe the broadcast
+    * map-side, and the exact-Jaccard verify runs AT the band match,
+    * BEFORE pair dedup — so the only shuffle in the whole plan is the
+    * final distinct over (id_a, id_b, jaccard) 24-byte rows. The corpus
+    * never shuffles, and no array column crosses an exchange (the
+    * Explain audit's wide-dedup smell). Trade: a true pair matching m of
+    * the 32 bands computes its verify m times (E[m] ≈ 32·θ^4 ≈ 13 at
+    * θ=0.8) — map-side, embarrassingly parallel, the price of zero
+    * corpus shuffle. Recall: a θ-pair is missed by all bands with
+    * (1−θ^r)^b ≈ 4e-8 at the 32×4 default ([[bandsFor]] sizes other
+    * regimes). A hot band key degrades to |corpus_b| × |eval_b| map-side
+    * work bounded by the broadcast side's bucket size — no reducer ever
+    * sees it.
+    */
+  def crossJaccardPairs(corpus: DataFrame, eval: DataFrame,
+                        idCol: String, textCol: String, threshold: Double,
+                        shingleWidth: Int = 3, bands: Int = 32,
+                        rowsPerBand: Int = 4,
+                        normalize: Boolean = false): DataFrame = {
+    val k = bands * rowsPerBand
+    def sketch(df: DataFrame) = {
+      val textExpr =
+        if (normalize) T.nfcNormalize(col(textCol)) else col(textCol)
+      df.select(col(idCol).as("id"),
+          T.shingleHashSet(textExpr, shingleWidth).as("hs"))
+        .withColumn("sig", T.minhashSignature(col("hs"), k))
+    }
+    val evalBands = sketch(eval).select(
+      col("id").as("id_b"), col("hs").as("hs_b"),
+      explode(T.bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
+    val corpusBands = sketch(corpus).select(
+      col("id").as("id_a"), col("hs").as("hs_a"),
+      explode(T.bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
+    corpusBands.join(broadcast(evalBands), Seq("bh"))
+      .withColumn("jaccard", T.jaccard(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** SimHash near-dup pairs: 64-bit sketch, blocked on CHUNK-PAIR keys,
     * verified with bit_count. Output: (id_a, id_b, hamming).
     *

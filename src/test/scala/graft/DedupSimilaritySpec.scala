@@ -15,6 +15,39 @@ class DedupSimilaritySpec extends SparkSpec {
       .toDF("doc_id", "text")
   }
 
+  test("crossJaccardPairs: bipartite blocking equals the quadratic truth") {
+    // corpus: 3 docs; eval: a paraphrase of doc 1 (one token appended — a
+    // fuzzy-decontam hit exact 8-grams would miss), an unrelated doc, and
+    // a verbatim copy of doc 4 (jaccard exactly 1)
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val far = (200 to 280).map(i => s"q$i").mkString(" ")
+    val corpusDocs = Seq((1L, base), (3L, far), (4L, base + " end"))
+    val evalDocs = Seq((100L, base + " zz"),
+      (101L, (500 to 560).map(i => s"e$i").mkString(" ")),
+      (102L, base + " end"))
+    val got = Dedup.crossJaccardPairs(corpusDocs.toDF("doc_id", "text"),
+        evalDocs.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.8)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // quadratic truth over the distinct 3-shingle sets
+    def sh(s: String) =
+      s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val expect = for {
+      (ca, ta) <- corpusDocs
+      (cb, tb) <- evalDocs
+      j = sh(ta).intersect(sh(tb)).size.toDouble /
+        sh(ta).union(sh(tb)).size
+      if j >= 0.8
+    } yield (ca, cb, j)
+    assert(got.toSet == expect.toSet,
+      s"blocking diverged from quadratic truth: ${got.toSet} vs " +
+        s"${expect.toSet}")
+    // the verbatim copy scores exactly 1.0; the paraphrase is in (0.8, 1)
+    assert(got.exists { case (a, b, j) => a == 4L && b == 102L && j == 1.0 })
+    assert(got.exists { case (a, b, j) =>
+      a == 1L && b == 100L && j > 0.8 && j < 1.0 })
+  }
+
   test("normalize flag: composed/decomposed twins collide iff NFC is on") {
     // same text, two canonically-equal byte spellings: every token carries
     // U+00E1 composed in doc 1, 'a'+U+0301 decomposed in doc 2
