@@ -271,6 +271,12 @@ object Dedup {
     * edited into the training corpus shares no exact 8-gram but sits at
     * shingle-Jaccard ≥ θ, and this finds it.
     *
+    * The same bipartite shape is INCREMENTAL-INGEST dedup: call with
+    * (existing-corpus, new-shard) to flag new documents near-duplicating
+    * the standing corpus without re-running the corpus self-join — at
+    * 100 TB the difference between an O(shard) nightly pass and an
+    * O(corpus) one (swap the broadcast side if the shard is the big one).
+    *
     * Shuffle discipline at 100 TB, which differs from the self-join
     * paths: the eval side is a FIXED benchmark set (small by construction
     * — the q66 premise), so its band keys AND shingle sets broadcast;
