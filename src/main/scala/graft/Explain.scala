@@ -60,7 +60,11 @@ object Explain {
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         "q73_embed_quantize" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
-        "q74_corpus_shuffle" -> Set("SinglePartition-exchange"))
+        "q74_corpus_shuffle" -> Set("SinglePartition-exchange"),
+        // q88: crossCosineMatches' broadcast of the FIXED eval side (the
+        // q26 bruteForceTopK shape) — exact bipartite cosine with zero
+        // corpus shuffle; the cross is bounded by the benchmark set size.
+        "q88_semantic_decontam" -> Set("BroadcastNestedLoopJoin"))
       names.foreach { n =>
         try {
           val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution

@@ -517,6 +517,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: SEMANTIC decontamination (embedding cosine) -------
+    // Completes the decontamination trio: q66 catches verbatim n-gram
+    // leakage, q84 catches light paraphrase at shingle-Jaccard ≥ 0.8, and
+    // this catches full REWRITES — token-disjoint text whose embedding
+    // still sits at cosine ≥ 0.9. Corpus = embeddings with vec_id%10 ≠ 7;
+    // eval = derived twins of the %10 = 3 vectors (q61's blend toward the
+    // circular rotation, alpha = vec_id%8/20, id+3e6) so twin similarity
+    // spreads ~0.88-1.0 and the θ = 0.9 boundary is exercised from both
+    // sides. Plan (crossCosineMatches): eval broadcast with its vectors,
+    // corpus scanned once — |eval| codegen'd dot products per corpus row,
+    // zero corpus shuffle, exact by construction. The oracle reproduces
+    // the twin blend element-for-element (same IEEE ops in the same
+    // order) and the full quadratic corpus × eval cosine.
+    "q88_semantic_decontam" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).select(col("vec_id"),
+        VectorFunctions.toDoubleArray(col("embedding")).as("embedding"))
+      val corpus = base.filter(col("vec_id") % 10 =!= 7)
+      val evalSet = base.filter(col("vec_id") % 10 === 3)
+        .withColumn("a", (col("vec_id") % 8).cast("double") / 20.0)
+        .select((col("vec_id") + 3000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (lit(1.0) - col("a")) * x + col("a") *
+              element_at(col("embedding"), pmod(i + 1, lit(64)) + 1))
+            .as("embedding"))
+      Similarity.crossCosineMatches(corpus, evalSet, threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- North-star: Z-ORDER (Morton) layout key -----------------------
     // The write-side layout primitive for 100 TB tables range-filtered on
     // TWO columns: sort by the bit-interleaved key and every parquet row
@@ -2410,6 +2438,39 @@ object SparkEntry {
                 THEN 'train' ELSE 'test' END AS side
          FROM sg ORDER BY doc_id"""),
     "q85_zorder_key" -> zorderOracleSql,
+    // Full quadratic corpus × eval cosine with the twin blend reproduced
+    // element-for-element (the q61 derivation on the %10=3 slice).
+    "q88_semantic_decontam" ->
+      """WITH b AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         corpus AS (SELECT vec_id, v FROM b WHERE vec_id % 10 <> 7),
+         ev AS (
+           SELECT vec_id + 3000000 AS vec_id,
+             list_transform(range(1, 65),
+               i -> (1 - a) * v[i] + a * v[1 + (i % 64)]) AS v
+           FROM (SELECT vec_id, v, CAST(vec_id % 8 AS DOUBLE) / 20 AS a
+                 FROM b WHERE vec_id % 10 = 3)),
+         nc AS (
+           SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(v)+1), i -> v[i] * v[i])),
+               (acc, x) -> acc + x)) AS nrm
+           FROM corpus),
+         ne AS (
+           SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(v)+1), i -> v[i] * v[i])),
+               (acc, x) -> acc + x)) AS nrm
+           FROM ev)
+         SELECT id_a, id_b, sim FROM (
+           SELECT a.vec_id AS id_a, e.vec_id AS id_b,
+             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(a.v)+1), i -> a.v[i] * e.v[i])),
+               (acc, x) -> acc + x) / (a.nrm * e.nrm), 6) AS sim
+           FROM nc a, ne e)
+         WHERE sim >= 0.9 ORDER BY id_a, id_b""",
     // Full quadratic corpus × eval shingle-Jaccard — proves the broadcast
     // band blocking lost no pair at θ=0.8 (miss bound 4e-8 structural).
     "q84_fuzzy_decontam" ->

@@ -61,6 +61,36 @@ object Similarity {
     topKReduce(scored, k)
   }
 
+  /** Bipartite exact cosine matches at a threshold: SEMANTIC
+    * decontamination — the embedding-space member of the decontamination
+    * trio (exact n-grams q66, fuzzy shingles q84/crossJaccardPairs, and
+    * this): a benchmark document REWRITTEN into the corpus can evade both
+    * token-level passes while its embedding still sits at cosine ≥ θ.
+    * Same bipartite scale shape as [[bruteForceTopK]]: the eval side is a
+    * fixed benchmark set, broadcast whole (vectors included); the corpus
+    * is scanned once and NEVER shuffles — per-row work is |eval| dot
+    * products inside one codegen'd projection, and only rows ≥ θ survive
+    * to the (tiny) result. Exact by construction — no LSH recall question
+    * on the decontamination path. Also the incremental-ingest shape:
+    * (corpus, new-shard) flags semantic near-dups of standing data.
+    * Similarity rounds to 6 dp like bruteForceTopK (determinism rule).
+    */
+  def crossCosineMatches(corpus: DataFrame, eval: DataFrame,
+                         threshold: Double, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id_a"),
+        V.toDoubleArray(col(vecCol)).as("v_a"))
+      .withColumn("nrm_a", V.norm(col("v_a")))
+    val e = eval.select(col(idCol).as("id_b"),
+        V.toDoubleArray(col(vecCol)).as("v_b"))
+      .withColumn("nrm_b", V.norm(col("v_b")))
+    c.crossJoin(broadcast(e))
+      .withColumn("sim", round(
+        V.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Coarse-quantizer training set: the full corpus while it fits
     * `rowBudget`, else a seeded sample targeting ≈`rowBudget` rows — so
     * quantizer training cost is bounded and independent of corpus size BY

@@ -48,6 +48,41 @@ class DedupSimilaritySpec extends SparkSpec {
       a == 1L && b == 100L && j > 0.8 && j < 1.0 })
   }
 
+  test("crossCosineMatches: bipartite exact cosine equals quadratic truth") {
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(88)
+    def vec() = Seq.fill(8)(rng.nextDouble())
+    val corpusRows = (1L to 30L).map(i => (i, vec()))
+    // eval: positive scalings of 5 corpus vectors (cosine EXACTLY 1 —
+    // scale-invariance is the property a rewrite detector leans on) plus
+    // an unrelated vector
+    val evalRows = corpusRows.take(5).map { case (i, v) =>
+      (i + 100L, v.map(_ * 2.5)) } :+ (200L, vec())
+    val got = Similarity.crossCosineMatches(
+        corpusRows.toDF("vec_id", "embedding"),
+        evalRows.toDF("vec_id", "embedding"), threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expect = (for {
+      (ca, va) <- corpusRows
+      (cb, vb) <- evalRows
+      s = math.rint(cos(va, vb) * 1e6) / 1e6
+      if s >= 0.95
+    } yield (ca, cb, s)).toSet
+    // the 5 scaled twins must be present at sim exactly 1.0
+    (1L to 5L).foreach { i =>
+      assert(got.exists { case (a, b, s) => a == i && b == i + 100 && s == 1.0 },
+        s"scaled twin $i missing or not at cosine 1.0")
+    }
+    assert(got.map { case (a, b, _) => (a, b) } ==
+      expect.map { case (a, b, _) => (a, b) },
+      s"pair sets diverge: ${got.map(t => (t._1, t._2))} vs " +
+        s"${expect.map(t => (t._1, t._2))}")
+  }
+
   test("normalize flag: composed/decomposed twins collide iff NFC is on") {
     // same text, two canonically-equal byte spellings: every token carries
     // U+00E1 composed in doc 1, 'a'+U+0301 decomposed in doc 2
