@@ -46,6 +46,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.exists { case (a, b, j) => a == 4L && b == 102L && j == 1.0 })
     assert(got.exists { case (a, b, j) =>
       a == 1L && b == 100L && j > 0.8 && j < 1.0 })
+    // the normalize flag reaches the bipartite path too: an eval doc in
+    // DECOMPOSED spelling matches its composed corpus twin only under NFC
+    val composedO = "tók"            // t ó k, composed U+00F3
+    val decomposedO = "tók"         // t o +combining acute
+    assert(composedO != decomposedO)
+    val cDoc = Seq((9L, base.replace("tok", composedO)))
+      .toDF("doc_id", "text")
+    val eDoc = Seq((900L, base.replace("tok", decomposedO)))
+      .toDF("doc_id", "text")
+    assert(Dedup.crossJaccardPairs(cDoc, eDoc, "doc_id", "text", 0.8)
+      .count() == 0L)
+    val normed = Dedup.crossJaccardPairs(cDoc, eDoc, "doc_id", "text", 0.8,
+      normalize = true).collect()
+    assert(normed.length == 1 && normed.head.getDouble(2) == 1.0)
   }
 
   test("crossCosineMatches: bipartite exact cosine equals quadratic truth") {
