@@ -64,10 +64,21 @@ object Explain {
         // q88: crossCosineMatches' broadcast of the FIXED eval side (the
         // q26 bruteForceTopK shape) — exact bipartite cosine with zero
         // corpus shuffle; the cross is bounded by the benchmark set size.
-        "q88_semantic_decontam" -> Set("BroadcastNestedLoopJoin"))
-      names.foreach { n =>
+        "q88_semantic_decontam" -> Set("BroadcastNestedLoopJoin"),
+        // q82 pass 1 (construction-time collect, exposed via
+        // SparkEntry.auditPlans): a GLOBAL aggregate — its final merge of
+        // the per-partition MG summaries is one row through one task, the
+        // q03/q17 shape.
+        "q82_heavy_hitters#pass1" -> Set("SinglePartition-exchange"))
+      // construction-time plans (driver-collected passes) audit alongside
+      // the returned frames — restricted to the selected queries' passes
+      val auditTargets = names.map(n =>
+          n -> SparkEntry.queries(n)) ++
+        SparkEntry.auditPlans.toSeq.sortBy(_._1).filter { case (k, _) =>
+          names.contains(k.takeWhile(_ != '#')) }
+      auditTargets.foreach { case (n, build) =>
         try {
-          val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
+          val qe = build(spark, sfDir).queryExecution
           val plan = qe.executedPlan.toString
           // wide rows into a dedup shuffle: a dropDuplicates-shaped
           // Aggregate (grouping attrs + first()-carried payload) whose
@@ -110,7 +121,9 @@ object Explain {
             println(s"FLAG $n: audit failed: $e")
         }
       }
-      println(s"audit: ${names.size} queries scanned, $flagged flagged, " +
+      println(s"audit: ${auditTargets.size} plans scanned " +
+        s"(${names.size} queries + construction-time passes), " +
+        s"$flagged flagged, " +
         s"$unexplained UNEXPLAINED (adjudicated shapes are documented at " +
         "the `adjudicated` map; a nonzero unexplained count is a " +
         "regression to triage)")

@@ -66,6 +66,31 @@ object SparkEntry {
     base.unionByName(twins)
   }
 
+  /** q82's pass-1 frame: the ONE aggregate job computing N and the
+    * k=2048-counter Misra-Gries candidate summary. The query builder
+    * EXECUTES this (driver collect of a driver-sized-by-construction
+    * result), so the frame q82 returns never carries this subplan —
+    * factored out and exposed through [[auditPlans]] so the plan stays
+    * visible to Explain --audit's smell scan.
+    */
+  private def q82Pass1(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+    toks.agg(
+      count(lit(1)).as("n"),
+      graft.functions.AggFunctions.frequentCandidates(col("tok"), 2048)
+        .as("cand"))
+  }
+
+  /** Plans a query builder executes DURING construction (driver-collected
+    * boundary scalars) that its returned frame does not carry. Explain
+    * --audit scans these alongside [[queries]] so a scale regression in a
+    * hidden pass cannot slip past the smell scan. Keys are
+    * `<queryName>#<passName>`.
+    */
+  def auditPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_heavy_hitters#pass1" -> ((s, dir) => q82Pass1(s, dir)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Aggregations (SURVEY §2.4) ------------------------------------
@@ -405,11 +430,11 @@ object SparkEntry {
       // inside a query builder and would leak cache across an 85-query
       // suite run). At 100 TB this is the same shape: the MG summary is
       // the whole point — it fits on the driver no matter the corpus.
-      val row = toks.agg(
-          count(lit(1)).as("n"),
-          graft.functions.AggFunctions.frequentCandidates(col("tok"), 2048)
-            .as("cand"))
-        .head()
+      // The collect means the RETURNED frame never carries this subplan,
+      // so the pass-1 plan is exposed separately via [[auditPlans]] —
+      // without that, Explain --audit would only ever see pass 2 and a
+      // pass-1 regression would be invisible to the smell scan.
+      val row = q82Pass1(s, dir).head()
       val n = row.getLong(0)
       val cand = row.getSeq[String](1)
       toks.join(broadcast(cand.toDF("tok")), Seq("tok"), "left_semi")
@@ -2498,10 +2523,15 @@ object SparkEntry {
                    string_split_regex(trim(text), '[$WS]+') AS t
                  FROM ev)),
          pairs AS (
+           -- empty-set guard: two sub-3-token docs give 0/0 = NaN, which
+           -- DuckDB orders ABOVE all values (j >= 0.8 would keep it) while
+           -- Spark's division yields NULL and drops it — match Spark's
+           -- NULL-drop semantics by excluding empty shingle sets up front
            SELECT c.doc_id AS id_a, e.doc_id AS id_b,
              CAST(len(list_intersect(c.s, e.s)) AS DOUBLE)
                / len(list_distinct(list_concat(c.s, e.s))) AS j
-           FROM shc c, she e)
+           FROM shc c, she e
+           WHERE len(c.s) > 0 AND len(e.s) > 0)
          SELECT id_a AS doc_id, COUNT(*) AS n_eval_matches,
                 MAX(j) AS max_jaccard
          FROM pairs WHERE j >= 0.8

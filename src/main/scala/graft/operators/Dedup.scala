@@ -293,12 +293,36 @@ object Dedup {
     * regimes). A hot band key degrades to |corpus_b| × |eval_b| map-side
     * work bounded by the broadcast side's bucket size — no reducer ever
     * sees it.
+    *
+    * GUARDED broadcast (round 9): the broadcast plan assumes the eval
+    * side is a small fixed benchmark set, but nothing in the signature
+    * enforced that — a corpus-sized eval frame used to die as an opaque
+    * broadcast/driver OOM. `evalPlan = "auto"` (default) now runs ONE
+    * small eval-side aggregate (count + total shingle count — a narrow
+    * scan of the side that is supposed to be tiny) and estimates the
+    * broadcast payload as bands × (48·rows + 8·shingles) bytes (per band
+    * row: two 8-byte ids + band key + array headers, plus the 8-byte
+    * shingle hashes); past `maxBroadcastEvalBytes` it re-routes to a
+    * SHUFFLE band-join — both band frames exchange on `bh`, verify still
+    * runs at the band match. The measured A/B
+    * (bench/cross_decontam_ab_r8.json) locates the regime boundary near a
+    * 10 % eval fraction: at 1 % the broadcast plan wins (0.90 vs 1.28 s
+    * at x10), at 10 % on the x100 fixture the shuffle-side plan wins
+    * (4.76 vs 6.20 s) — and its estimated eval payload sits right at the
+    * 256 MiB default budget, so the route flips where the measurement
+    * says it should. `evalPlan = "broadcast" | "shuffle"` pins the plan
+    * (no estimate job); "broadcast" keeps the historical behavior for
+    * callers that KNOW the eval side is bounded.
     */
   def crossJaccardPairs(corpus: DataFrame, eval: DataFrame,
                         idCol: String, textCol: String, threshold: Double,
                         shingleWidth: Int = 3, bands: Int = 32,
                         rowsPerBand: Int = 4,
-                        normalize: Boolean = false): DataFrame = {
+                        normalize: Boolean = false,
+                        evalPlan: String = "auto",
+                        maxBroadcastEvalBytes: Long = 256L << 20): DataFrame = {
+    require(Set("auto", "broadcast", "shuffle")(evalPlan),
+      s"crossJaccardPairs: evalPlan must be auto|broadcast|shuffle, got $evalPlan")
     val k = bands * rowsPerBand
     def sketch(df: DataFrame) = {
       val textExpr =
@@ -307,13 +331,28 @@ object Dedup {
           T.shingleHashSet(textExpr, shingleWidth).as("hs"))
         .withColumn("sig", T.minhashSignature(col("hs"), k))
     }
-    val evalBands = sketch(eval).select(
+    val evalSketch = sketch(eval)
+    val useBroadcast = evalPlan match {
+      case "broadcast" => true
+      case "shuffle"   => false
+      case _ =>
+        val row = evalSketch
+          .agg(count(lit(1)).as("n"), sum(size(col("hs"))).as("sh")).head()
+        val n = row.getLong(0)
+        val sh = if (row.isNullAt(1)) 0L else row.getLong(1)
+        val est = bands.toLong * (48L * n + 8L * sh)
+        est <= maxBroadcastEvalBytes
+    }
+    val evalBands = evalSketch.select(
       col("id").as("id_b"), col("hs").as("hs_b"),
       explode(T.bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
     val corpusBands = sketch(corpus).select(
       col("id").as("id_a"), col("hs").as("hs_a"),
       explode(T.bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
-    corpusBands.join(broadcast(evalBands), Seq("bh"))
+    val atBand =
+      if (useBroadcast) corpusBands.join(broadcast(evalBands), Seq("bh"))
+      else corpusBands.join(evalBands, Seq("bh"))
+    atBand
       .withColumn("jaccard", T.jaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

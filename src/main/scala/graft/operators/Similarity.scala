@@ -74,16 +74,53 @@ object Similarity {
     * on the decontamination path. Also the incremental-ingest shape:
     * (corpus, new-shard) flags semantic near-dups of standing data.
     * Similarity rounds to 6 dp like bruteForceTopK (determinism rule).
+    * Zero-norm vectors (cosine undefined) are dropped on BOTH sides
+    * before scoring: without the filter 0/0 = NaN, and Spark's NaN
+    * comparison semantics (NaN greatest) would pass `sim >= threshold`
+    * and emit phantom matches with sim = NaN.
+    *
+    * GUARDED broadcast (round 9): the plan is only sane when the eval
+    * side broadcasts — there is no equi-key to shuffle on for EXACT
+    * bipartite cosine, so a corpus-sized eval frame has no good plan
+    * here, and before this guard it died as an opaque broadcast/driver
+    * OOM. `checkEvalSize = true` (default) runs one small eval-side
+    * aggregate (count + total vector elements — a narrow scan of the
+    * side that is supposed to be a fixed benchmark set) and REFUSES with
+    * a named error when the estimated payload (48 bytes/row + 8
+    * bytes/element) exceeds `maxBroadcastEvalBytes`: swap the sides
+    * (broadcast the smaller frame — the output is symmetric modulo
+    * column names) or give up exactness and use the LSH path
+    * (Dedup.embeddingPairs at θ, or lshTopK) for large×large semantic
+    * matching. Callers that know the eval side is bounded can pass
+    * `checkEvalSize = false` to skip the estimate job.
     */
   def crossCosineMatches(corpus: DataFrame, eval: DataFrame,
                          threshold: Double, idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding",
+                         checkEvalSize: Boolean = true,
+                         maxBroadcastEvalBytes: Long = 256L << 20): DataFrame = {
     val c = corpus.select(col(idCol).as("id_a"),
         V.toDoubleArray(col(vecCol)).as("v_a"))
       .withColumn("nrm_a", V.norm(col("v_a")))
+      .filter(col("nrm_a") > 0)
     val e = eval.select(col(idCol).as("id_b"),
         V.toDoubleArray(col(vecCol)).as("v_b"))
       .withColumn("nrm_b", V.norm(col("v_b")))
+      .filter(col("nrm_b") > 0)
+    if (checkEvalSize) {
+      val row = e.agg(count(lit(1)).as("n"),
+        sum(size(col("v_b"))).as("el")).head()
+      val n = row.getLong(0)
+      val el = if (row.isNullAt(1)) 0L else row.getLong(1)
+      val est = 48L * n + 8L * el
+      require(est <= maxBroadcastEvalBytes,
+        s"crossCosineMatches: eval side estimates $est broadcast bytes " +
+          s"($n rows), over the $maxBroadcastEvalBytes budget — this " +
+          "operator broadcasts the eval side whole (exact bipartite " +
+          "cosine has no shuffle key). Swap the sides so the smaller " +
+          "frame is `eval`, or use the LSH path (Dedup.embeddingPairs / " +
+          "Similarity.lshTopK) for large×large matching.")
+    }
     c.crossJoin(broadcast(e))
       .withColumn("sim", round(
         V.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))

@@ -13,7 +13,7 @@ import graft.operators.{Dedup, Relational}
   * when built from a single componentLabels frame, versus one pass EACH
   * when every query recomputes its own labels (what running q64+q81+q86
   * through Verify does). `sbt "Test/runMain graft.ComponentShareNote"`
-  * writes bench/component_share_r8.json.
+  * writes bench/component_share_r9.json.
   *
   * The sharing needs no persist call: componentLabels ends on the
   * label-propagation loop's localCheckpoint, so consumers re-read the
@@ -66,29 +66,49 @@ object ComponentShareNote {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Every componentLabels call leaves its label-propagation
+    // localCheckpoint blocks in the block manager for the session's
+    // lifetime; without an explicit release the arm measured LAST runs
+    // under the accumulated memory pressure of every prior pass (a
+    // conservative bias at this fixture, an eviction/OOM skew at larger
+    // ones). Dropping all persistent RDDs + cached plans between reps
+    // puts each rep on the same clean block manager.
+    def releaseCheckpoints(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
+
     // JIT/codegen warm-up: one full labels pass + consumer, discarded
     materialize(components(
       Dedup.componentLabels(docs, "doc_id", "text", threshold = 0.8)))
+    releaseCheckpoints()
 
     val reps = 3
-    val separate = Seq.fill(reps)(timed {
-      consumers.foreach { c =>
-        materialize(c(
-          Dedup.componentLabels(docs, "doc_id", "text", threshold = 0.8)))
+    val separate = Seq.fill(reps) {
+      val t = timed {
+        consumers.foreach { c =>
+          materialize(c(
+            Dedup.componentLabels(docs, "doc_id", "text", threshold = 0.8)))
+        }
       }
-    }).min
-    val shared = Seq.fill(reps)(timed {
-      val labels = Dedup.componentLabels(docs, "doc_id", "text",
-        threshold = 0.8)
-      consumers.foreach(c => materialize(c(labels)))
-    }).min
+      releaseCheckpoints(); t
+    }.min
+    val shared = Seq.fill(reps) {
+      val t = timed {
+        val labels = Dedup.componentLabels(docs, "doc_id", "text",
+          threshold = 0.8)
+        consumers.foreach(c => materialize(c(labels)))
+      }
+      releaseCheckpoints(); t
+    }.min
 
     val json = f"""{"sf_dir":"$dir","consumers":3,"reps":$reps,""" +
       f""""separate_sec":$separate%.3f,"shared_sec":$shared%.3f,""" +
       f""""speedup":${separate / shared}%.2f}"""
     println(s"[component-share] $json")
     Files.createDirectories(Paths.get("bench"))
-    Files.writeString(Paths.get("bench/component_share_r8.json"), json + "\n")
+    Files.writeString(Paths.get("bench/component_share_r9.json"), json + "\n")
     spark.stop()
   }
 }

@@ -328,4 +328,84 @@ class DedupSimilaritySpec extends SparkSpec {
       Thread.sleep(100)
     assert(fresh.isEmpty, "release() must drop the cached dup-id frame")
   }
+
+  test("crossJaccardPairs: over-budget eval side reroutes to the shuffle " +
+      "band-join with identical output") {
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val far = (200 to 280).map(i => s"q$i").mkString(" ")
+    val corpusDocs = Seq((1L, base), (3L, far), (4L, base + " end"))
+      .toDF("doc_id", "text")
+    val evalDocs = Seq((100L, base + " zz"),
+      (101L, (500 to 560).map(i => s"e$i").mkString(" ")),
+      (102L, base + " end")).toDF("doc_id", "text")
+    // kill Spark's OWN size-based broadcasting (static and adaptive) so
+    // the only possible broadcast is the operator's explicit hint — the
+    // route choice becomes observable in the physical plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def run(df: org.apache.spark.sql.DataFrame) = {
+        val rows = df.orderBy("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        (rows, df.queryExecution.sparkPlan.toString)
+      }
+      // tiny eval under the default budget: auto takes the broadcast plan
+      val (bcRows, bcPlan) = run(Dedup.crossJaccardPairs(
+        corpusDocs, evalDocs, "doc_id", "text", threshold = 0.8))
+      assert(bcPlan.contains("BroadcastHashJoin"),
+        s"auto under budget must broadcast the eval bands:\n$bcPlan")
+      // a 1-byte budget: auto REROUTES to the shuffle band-join
+      val (shRows, shPlan) = run(Dedup.crossJaccardPairs(
+        corpusDocs, evalDocs, "doc_id", "text", threshold = 0.8,
+        maxBroadcastEvalBytes = 1L))
+      assert(!shPlan.contains("BroadcastHashJoin") &&
+          !shPlan.contains("BroadcastExchange"),
+        s"auto over budget must not broadcast:\n$shPlan")
+      assert(shRows == bcRows,
+        "the shuffle route must return byte-identical pairs")
+      // explicit pins skip the estimate job and obey the caller
+      val (pinRows, pinPlan) = run(Dedup.crossJaccardPairs(
+        corpusDocs, evalDocs, "doc_id", "text", threshold = 0.8,
+        evalPlan = "shuffle"))
+      assert(!pinPlan.contains("BroadcastHashJoin") && pinRows == bcRows)
+      intercept[IllegalArgumentException] {
+        Dedup.crossJaccardPairs(corpusDocs, evalDocs, "doc_id", "text",
+          threshold = 0.8, evalPlan = "bogus")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("crossCosineMatches: over-budget eval side refuses with a named " +
+      "error; zero-norm vectors never emit NaN matches") {
+    val rng = new scala.util.Random(89)
+    def vec() = Seq.fill(8)(rng.nextDouble())
+    val corpusRows = (1L to 20L).map(i => (i, vec())) :+
+      (99L, Seq.fill(8)(0.0)) // zero-norm corpus row
+    val evalRows = Seq((101L, corpusRows.head._2.map(_ * 2.0)),
+      (199L, Seq.fill(8)(0.0))) // zero-norm eval row
+    val c = corpusRows.toDF("vec_id", "embedding")
+    val e = evalRows.toDF("vec_id", "embedding")
+    // guard: the estimate exceeds a 1-byte budget -> named refusal, not
+    // an opaque broadcast OOM
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.crossCosineMatches(c, e, threshold = 0.9,
+        maxBroadcastEvalBytes = 1L)
+    }
+    assert(ex.getMessage.contains("Swap the sides"),
+      s"refusal must tell the caller the way out: ${ex.getMessage}")
+    // checkEvalSize = false skips the estimate job entirely and runs
+    val got = Similarity.crossCosineMatches(c, e, threshold = 0.9,
+      checkEvalSize = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the scaled twin survives at cosine exactly 1; NO pair involving a
+    // zero-norm vector appears (0/0 = NaN would pass >= under Spark's
+    // NaN-greatest ordering if it weren't filtered)
+    assert(got.exists { case (a, b, s) => a == 1L && b == 101L && s == 1.0 })
+    assert(got.forall { case (a, b, s) => a != 99L && b != 199L && !s.isNaN },
+      s"zero-norm vectors must be dropped, got ${got.toSeq}")
+  }
 }
