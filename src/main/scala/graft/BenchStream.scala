@@ -56,8 +56,10 @@ object BenchStream {
     import spark.implicits._
 
     // ---- stage: split events into `batches` time-ordered files ----------
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // Tables.events normalizes ts to microsecond TimestampType whichever
+    // fixture generation (nanos-long vs micros-NTZ) is on disk, so the
+    // staged slices always store a plain TIMESTAMP column.
+    val raw = Tables.events(spark, sfDir)
     val stagedDir = Paths.get("target/bench_stream_in")
     // clear BOTH the staged input and the checkpoint roots: staged files
     // keep identical names/mtimes across runs, so a stale checkpoint would
@@ -69,7 +71,10 @@ object BenchStream {
     }
     Files.createDirectories(stagedDir)
     val probs = (1 until batches).map(_.toDouble / batches).toArray
-    val bounds = raw.stat.approxQuantile("ts", probs, 0.0001)
+    // approxQuantile needs a numeric column; epoch-seconds double is plenty
+    // of resolution for slicing a fixture into time-ordered batches
+    val bounds = raw.withColumn("ts_d", col("ts").cast("double"))
+      .stat.approxQuantile("ts_d", probs, 0.0001)
     val lo = Double.NegativeInfinity +: bounds
     val hi = bounds :+ Double.PositiveInfinity
     (0 until batches).foreach { i =>
@@ -88,10 +93,10 @@ object BenchStream {
     }
 
     def readStaged(): DataFrame =
-      spark.readStream.schema(graft.streaming.EventStream.schema)
+      spark.readStream
+        .schema(graft.streaming.EventStream.schemaFor("TIMESTAMP"))
         .option("maxFilesPerTrigger", "1")
         .parquet(stagedDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
     // ---- the four workloads, Append mode (final rows only) --------------
     import graft.streaming.EventStream

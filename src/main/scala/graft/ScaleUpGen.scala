@@ -81,11 +81,12 @@ object ScaleUpGen {
     plain("orders", Seq("o_orderkey", "o_custkey"), 16)
     plain("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 32)
 
-    // events: ts is parquet TIMESTAMP(NANOS) — read as a nanos long (the
-    // Tables.events legacy conf) and pass it through per copy; the scaled
-    // file stores plain INT64 nanos, which Tables.events / the streaming
-    // schema read identically. user_id shifts WITH the customer copies so
-    // q46's as-of user_id ⋈ o_custkey alignment is preserved.
+    // events: ts passes through verbatim per copy, whatever the fixture
+    // generation stores (nanos → read as INT64 under the legacy conf and
+    // re-written as INT64; micros-NTZ → re-written as NTZ) — Tables.events
+    // and EventStream.readEvents branch on the scanned type either way.
+    // user_id shifts WITH the customer copies so q46's as-of
+    // user_id ⋈ o_custkey alignment is preserved.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     plain("events", Seq("event_id", "user_id"), 8)
 

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet fixtures (see TESTDATA.md /
   * FIXTURES.md §B). All engine queries read these; the DuckDB oracle reads
@@ -23,15 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as a nanos long (legacy conf) and truncate to a
-    * microsecond TimestampType — the same ns→µs truncation DuckDB applies,
-    * so event-time semantics match the oracle exactly.
+  /** `events.ts` has varied across fixture generations: TIMESTAMP(NANOS)
+    * (which Spark 4 reads as a nanos LONG under the legacy conf) and
+    * TIMESTAMP(MICROS) without timezone (which Spark reads as
+    * TIMESTAMP_NTZ). Branch on the scanned type so both generations load
+    * to the same microsecond TimestampType the queries and the DuckDB
+    * oracle expect:
+    *   - LongType (nanos): truncate ns→µs — the truncation DuckDB applies.
+    *   - TIMESTAMP_NTZ (micros): cast to TimestampType; the session TZ is
+    *     pinned to UTC everywhere, so the wall-clock values are unchanged
+    *     and match DuckDB's naive-timestamp read exactly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // already a microsecond instant timestamp
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

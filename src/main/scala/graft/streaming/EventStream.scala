@@ -15,22 +15,41 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** The events schema, declared (a streaming source cannot infer). */
-  val schema: String =
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+  /** The events schema, declared (a streaming source cannot infer) — with
+    * `ts` typed per fixture generation, see [[readEvents]].
+    */
+  def schemaFor(tsDdl: String): String =
+    s"event_id BIGINT, ts $tsDdl, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING"
 
-  /** Open the events fixture as a stream. The fixture stores ts as
-    * TIMESTAMP(NANOS) which Spark reads as long under the legacy conf —
-    * identical truncation to Tables.events. The file-stream source wants a
-    * directory, so we glob the single events.parquet inside `dir`.
+  /** Open the events fixture as a stream. `ts` has varied across fixture
+    * generations — TIMESTAMP(NANOS) (long under the legacy conf) vs
+    * TIMESTAMP(MICROS) NTZ — and a stream source needs its schema declared
+    * up front, so probe the footer once with a zero-row batch read (footer
+    * metadata only, no data scan) and declare the matching type, then
+    * normalize to microsecond TimestampType exactly as Tables.events does.
+    * The file-stream source wants a directory, so we glob the single
+    * events.parquet inside `dir`.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(schema)
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val tsDdl = tsType match {
+      case org.apache.spark.sql.types.LongType         => "BIGINT"
+      case org.apache.spark.sql.types.TimestampNTZType => "TIMESTAMP_NTZ"
+      case _                                           => "TIMESTAMP"
+    }
+    val raw = spark.readStream.schema(schemaFor(tsDdl))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsDdl match {
+      case "BIGINT" =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "TIMESTAMP_NTZ" =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling event-time aggregate with a watermark: counts + exact decimal
