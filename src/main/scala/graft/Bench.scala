@@ -17,11 +17,21 @@ import org.apache.spark.sql.SparkSession
   * isolation experiments. The JSON carries `excluded`: benchQueries leaves
   * out the model-selection workloads (CV grid, ALS+KMeans chain) by
   * design — the total is NOT all-50 coverage.
+  *
+  * SPARK_GRAFT_BENCH_REPEAT=N (default 1) runs the whole suite N times in
+  * suite order and reports per-query MEDIAN (in `queries`, and summed into
+  * `value`) plus per-query MIN (`queries_min`) — the round-8/9 verdicts'
+  * median-of-3 ask, so a one-off GC/JIT stall can't masquerade as a
+  * regression. A query that throws is LOUD: its per-query line and the
+  * summary's `errors` map carry the exception class + first message line,
+  * and `failed` counts queries with no successful pass — a broken query
+  * can never pass as a fast one (-1.0 excluded from totals either way).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,17 +41,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+    def run(name: String): (Double, Option[String]) = {
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, None)
+      } catch { case e: Throwable =>
+        val msg = s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").linesIterator
+            .find(_.nonEmpty).getOrElse("")
+        System.err.println(s"[bench] $name failed: $msg")
+        (-1.0, Some(msg))
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // warm-up: small full-pipeline pass (scan+shuffle+codegen), untimed
@@ -55,28 +72,52 @@ object Bench {
     }
     val excluded = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(SparkEntry.benchQueries.toSet)
-    // one compact line per query AS IT COMPLETES: tail-truncation of the
-    // final summary line can never eat per-query numbers again
-    val results = selected.map { n =>
-      val t = run(n)
-      println(s"""{"q":"$n","s":$t}""")
-      n -> t
-    }
     // Model-selection workloads (CV grid, ALS+KMeans chain) stay OUT of the
     // total — their fit cost swings ±15-35% run-to-run — but their times are
     // still emitted so a CV-path regression is visible between rounds.
     // Skipped when SPARK_GRAFT_BENCH_QUERIES restricts the run (isolation
     // experiments shouldn't pay the grid-fit cost).
-    val msResults =
+    val msNames =
       if (sys.env.contains("SPARK_GRAFT_BENCH_QUERIES")) Seq.empty
-      else excluded.filter(SparkEntry.queries.contains).map(n => n -> run(n))
+      else excluded.filter(SparkEntry.queries.contains)
+
+    // one compact line per query AS IT COMPLETES: tail-truncation of the
+    // final summary line can never eat per-query numbers again
+    def pass(p: Int, names: Seq[String]): Seq[(String, (Double, Option[String]))] =
+      names.map { n =>
+        val r @ (t, err) = run(n)
+        val errJson = err.map(e => s""","err":"${esc(e)}"""").getOrElse("")
+        println(s"""{"q":"$n","pass":$p,"s":$t$errJson}""")
+        n -> r
+      }
+    val passes = (1 to repeat).map(p => pass(p, selected) ++ pass(p, msNames))
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    case class Agg(med: Double, min: Double, err: Option[String])
+    def agg(name: String): Agg = {
+      val rs = passes.flatMap(_.collect { case (`name`, r) => r })
+      val ok = rs.map(_._1).filter(_ >= 0)
+      val err = rs.flatMap(_._2).headOption
+      if (ok.isEmpty) Agg(-1.0, -1.0, err) else Agg(median(ok), ok.min, err)
+    }
+    val results = selected.map(n => n -> agg(n))
+    val msResults = msNames.map(n => n -> agg(n))
+
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jsonMap(results)
-    val ms = jsonMap(msResults)
+    val all = results ++ msResults
+    val qs = jsonMap(results.map { case (k, a) => k -> a.med })
+    val qmin = jsonMap(results.map { case (k, a) => k -> a.min })
+    val ms = jsonMap(msResults.map { case (k, a) => k -> a.med })
     val ex = excluded.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"model_selection":$ms,"excluded":$ex,"sf":"$sfDir"}"""
+    val errs = all.collect { case (k, Agg(_, _, Some(e))) =>
+      "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
+    val failed = all.count(_._2.med < 0)
+    val total = results.map(_._2.med).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"failed":$failed,"errors":$errs,"queries":$qs,"queries_min":$qmin,"model_selection":$ms,"excluded":$ex,"sf":"$sfDir"}"""
     // full JSON also goes to a FILE (driver stdout capture truncates the
     // one giant line to a tail — BENCH_r0N.json came back `parsed: null`
     // five rounds running); jq-diffable across rounds
