@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.functions.TextFunctions.WS
 import graft.operators.{Dedup, Relational, Similarity}
+import graft.sources.Sources
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -629,6 +630,65 @@ object SparkEntry {
           when(Relational.fnvBucket(col("component"), 71L) < 900000L, "train")
             .otherwise("test"))
         .orderBy("component")
+    }),
+
+    // ---- North-star: INCREMENTAL-INGEST dedup (corpus ⋈ new shard) -----
+    // The nightly-admission pass a standing 100 TB corpus runs: flag the
+    // NEW shard's near-duplicates of the existing corpus and admit the
+    // rest — without re-running the corpus self-join (the
+    // crossJaccardPairs scaladoc's incremental-ingest contract,
+    // Dedup.scala). Shard = paraphrases of the corpus's %10=5 docs (one
+    // appended token, id+5e6 — Jaccard (n-2)/(n-1) exercises θ=0.8 from
+    // both sides by length) unioned with genuinely-new docs (the %10=7
+    // slice the corpus excludes, id+7e6). Plan shape: the SHARD side
+    // broadcasts (bands + shingle sets), the corpus is scanned once with
+    // verify-at-band-match map-side — per-ingest cost tracks |shard|
+    // work against a single corpus scan, never the self-join's band
+    // blow-up; the final left-anti admits against the 8-byte flagged-id
+    // set. Oracle = full quadratic corpus × shard Jaccard + NOT IN.
+    "q89_incremental_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val shard = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" zzingest")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+      val flagged = Dedup.crossJaccardPairs(corpus, shard, "doc_id", "text",
+          threshold = 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      shard.join(flagged, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("blen"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- North-star: Z-ORDER read-through gate -------------------------
+    // q85 proves the Morton KEY; this gates the full write→read layout
+    // loop: rewrite lineitem z-ordered on (l_partkey, l_suppkey) via
+    // Sources.writeZOrdered, then answer a 2-D box aggregate FROM THE
+    // WRITTEN COPY — the oracle runs the same predicate over the original
+    // fixture, so a green row proves the layout rewrite lost/duplicated
+    // nothing while ZOrderScanNote separately measures the min/max
+    // pruning the layout buys. The file count is derived from the
+    // fixture's byte size against a target file size (the ~128-1024 MiB
+    // rule at 100 TB, scaled to 4 MiB here so every SF exercises the
+    // multi-file range shuffle), never hard-coded.
+    "q90_zorder_scan" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      val out = s"target/q90_zorder/${new java.io.File(dir).getName}"
+      Sources.writeZOrdered(li, "l_partkey", "l_suppkey", out,
+        files = Sources.filesForTargetSize(s"$dir/lineitem.parquet",
+          targetBytes = 4L << 20))
+      s.read.parquet(out)
+        .filter(col("l_partkey").between(20, 120) &&
+          col("l_suppkey").between(3, 7))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(DecimalType(28, 4)))
+            .cast("double").as("qty"))
+        .orderBy("l_suppkey")
     }),
 
     // ---- North-star: embedding-cosine near-dup -------------------------
@@ -2463,6 +2523,56 @@ object SparkEntry {
                 THEN 'train' ELSE 'test' END AS side
          FROM sg ORDER BY doc_id"""),
     "q85_zorder_key" -> zorderOracleSql,
+    // Full quadratic corpus × shard Jaccard, then NOT IN — proves the
+    // broadcast band blocking + left-anti admitted exactly the non-dup
+    // shard (miss bound 4e-8 structural, same as q84).
+    "q89_incremental_ingest" ->
+      raw"""WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+         shard AS (
+           SELECT doc_id + 5000000 AS doc_id, text || ' zzingest' AS text
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id + 7000000 AS doc_id, text
+           FROM documents WHERE doc_id % 10 = 7),
+         shc AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '[$WS]+') AS t
+                 FROM corpus)),
+         shs AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '[$WS]+') AS t
+                 FROM shard)),
+         flagged AS (
+           SELECT DISTINCT e.doc_id
+           FROM shc c, shs e
+           WHERE len(c.s) > 0 AND len(e.s) > 0
+             AND CAST(len(list_intersect(c.s, e.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(c.s, e.s))) >= 0.8)
+         SELECT doc_id, CAST(strlen(text) AS BIGINT) AS blen
+         FROM shard
+         WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+         ORDER BY doc_id""",
+    // The read-through gate's oracle runs the box aggregate over the
+    // ORIGINAL fixture — agreement proves the z-order rewrite is a pure
+    // relayout (no row lost, duplicated, or mutated).
+    "q90_zorder_scan" ->
+      """SELECT l_suppkey, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS qty
+         FROM lineitem
+         WHERE l_partkey BETWEEN 20 AND 120
+           AND l_suppkey BETWEEN 3 AND 7
+         GROUP BY l_suppkey ORDER BY l_suppkey""",
     // Full quadratic corpus × eval cosine with the twin blend reproduced
     // element-for-element (the q61 derivation on the %10=3 slice).
     "q88_semantic_decontam" ->

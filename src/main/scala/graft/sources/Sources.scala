@@ -67,6 +67,23 @@ object Sources {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(outPath)
 
+  /** File count for a layout rewrite, derived from the INPUT's byte size
+    * against a target output file size — the sizing rule every table-
+    * maintenance writer (OPTIMIZE/compaction) applies: at 100 TB the
+    * target is ~128-1024 MiB so each file is one splittable, stats-pruned
+    * scan unit; a hard-coded count would under-split at scale and
+    * over-split fixtures. Accepts a single file or a directory tree
+    * (ScaleUpGen writes multi-file tables).
+    */
+  def filesForTargetSize(inPath: String, targetBytes: Long): Int = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(sizeOf).sum)
+        .getOrElse(0L)
+      else f.length()
+    val bytes = sizeOf(new java.io.File(inPath))
+    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+  }
+
   /** Z-ordered layout write: range-partition + sort by the 2-D Morton key
     * of (`xCol`, `yCol`) — both must be non-negative and < 2^31 (scatter
     * wider domains first; see q85) — so every output file's z-range covers
