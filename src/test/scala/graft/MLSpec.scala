@@ -134,6 +134,81 @@ class MLSpec extends SparkSpec {
     assert(toks.count() > 0 && toks.count() <= 5)
   }
 
+  // ---- Tolerance-banded invariants (round-8/9 verdict task): the goldens
+  // pin exact outputs for ONE seed; these assert the properties that must
+  // hold under ANY reasonable seed/partitioning, so a Spark upgrade or
+  // parallelism change that silently degrades a model fails loudly while
+  // mere seed drift does not. The fixture's columns are mutually
+  // independent (|corr| < 0.02 everywhere — measured), so the invariants
+  // DERIVE their targets from the features: the models then have real
+  // signal to recover, and failing to recover it is a model bug, not data
+  // noise.
+
+  /** label: which side of the unit-price boundary (a RATIO of two
+    * features — RF must compose axis splits to carve it, ~50/50 classes
+    * at the fixture's ~2060 median unit price); y: a linear response on
+    * (quantity, discount) with the independent extendedprice column
+    * scaled into same-magnitude additive noise.
+    */
+  private lazy val learnable = Tables.lineitem(spark, sf0001)
+    .withColumn("label",
+      when(col("l_extendedprice") > col("l_quantity") * 2000.0, 1.0)
+        .otherwise(0.0))
+    .withColumn("y", col("l_quantity") * 3.0 + col("l_discount") * 100.0 +
+      col("l_extendedprice") * 0.001)
+    .cache()
+
+  test("invariant: probability AUC >= hard AUC > 0.5 across seeds") {
+    for (seed <- Seq(7L, 40L, 1234L)) {
+      val Array(tr, te) = learnable.randomSplit(Array(0.7, 0.3), seed)
+      val model = Classifiers.randomForest(
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), "label",
+        numTrees = 10).fit(tr)
+      val m = Classifiers.classificationMetrics(
+        model.transform(te), "label", binary = true)
+      // ranking by probability dominates the one-point hard-label ROC;
+      // both must beat chance on the learnable boundary
+      assert(m("areaUnderROC") >= m("areaUnderROC_hard") - 1e-9,
+        s"seed $seed: prob AUC ${m("areaUnderROC")} < hard AUC ${m("areaUnderROC_hard")}")
+      assert(m("areaUnderROC_hard") > 0.6,
+        s"seed $seed: hard AUC ${m("areaUnderROC_hard")} barely above chance")
+    }
+  }
+
+  test("invariant: lasso validation curve rmse is monotone in regParam") {
+    for (seed <- Seq(40L, 99L)) {
+      val Array(tr, te) = learnable.randomSplit(Array(0.7, 0.3), seed)
+      val rps = Seq(0.01, 1.0, 100.0)
+      val curve = Regressors.validationCurve(
+        rp => Regressors.linear(Seq("l_returnflag"),
+          Seq("l_quantity", "l_discount"),
+          "y", elasticNet = 1.0, regParam = rp, maxIter = 10),
+        tr, te, "y", rps)
+      val rmse = curve.map(_._2)
+      // L1 shrinkage can only remove fit on a real linear response:
+      // held-out rmse must not improve as regParam grows (0.1% relative
+      // band absorbs solver tolerance), and the heavy end must have
+      // genuinely collapsed toward intercept-only (strictly worse)
+      assert(rmse.sliding(2).forall { case Seq(a, b) => b >= a * 0.999 },
+        s"seed $seed: rmse not monotone along $rps: $rmse")
+      assert(rmse.last > rmse.head * 1.1,
+        s"seed $seed: regParam=100 did not degrade fit: $rmse")
+    }
+  }
+
+  test("invariant: ALS held-out rmse improves with more training history") {
+    // temporal split is deterministic in ts; vary the ALS seed instead
+    for (seed <- Seq(1L, 17L)) {
+      val results = Recommender.temporalEval(ratings, "ts", "rid",
+        Seq(0.4, 0.8), Recommender.als(rank = 5, maxIter = 5, seed = seed))
+      val rmse = results.toMap.map { case (f, m) => f -> m("rmse") }
+      // doubling the training history must not make the forecast WORSE
+      // than 10% beyond the short-history model (band absorbs fit noise)
+      assert(rmse(0.8) < rmse(0.4) * 1.1,
+        s"seed $seed: rmse(80%)=${rmse(0.8)} vs rmse(40%)=${rmse(0.4)}")
+    }
+  }
+
   test("stratifiedSplit + RF end-to-end (claims shape)") {
     val (tr, te) = Relational.stratifiedSplit(lineitem, "l_returnflag", 0.7,
       40, Seq("l_orderkey", "l_linenumber"))
