@@ -145,6 +145,80 @@ class StreamingEtlSpec extends SparkSpec {
       s"stream pairs ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("recentPairs LEFT OUTER emits watermark-evicted unmatched lefts as a stream") {
+    // The append-mode outer-join semantic the inner test's comment dodges:
+    // an unmatched left row may only emit once the watermark passes
+    // left.ts + window (no future right can match it). Stage the fixture
+    // as three time-ordered files replayed one per trigger so the
+    // watermark genuinely ADVANCES between micro-batches and evicts —
+    // a single-batch read would withhold every outer row forever.
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val stageDir = Files.createTempDirectory("louter_stage")
+    val ev = Tables.events(spark, sf0001)
+    val bounds = ev.withColumn("d", col("ts").cast("double"))
+      .stat.approxQuantile("d", Array(1.0 / 3, 2.0 / 3), 0.0001)
+    val slices = Seq(
+      col("ts").cast("double") < bounds(0),
+      col("ts").cast("double") >= bounds(0) &&
+        col("ts").cast("double") < bounds(1),
+      col("ts").cast("double") >= bounds(1))
+    slices.zipWithIndex.foreach { case (pred, i) =>
+      val tmp = Files.createTempDirectory(s"louter_tmp_$i")
+      ev.filter(pred).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dest = stageDir.resolve(f"s$i%02d.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000L + i * 1000L))
+    }
+    val wm = "5 minutes"
+    def staged() = spark.readStream
+      .schema(EventStream.schemaFor("TIMESTAMP"))
+      .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+    val streamed = EventStream.runToMemory(
+      EventStream.recentPairs(
+        staged().filter(col("event_type") === "click"),
+        staged().filter(col("event_type") === "error"),
+        windowMinutes = 10, joinType = "left_outer", watermark = wm),
+      "recent_pairs_louter_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select(col("event_id"), col("r_event"))
+      .as[(Long, Option[Long])].collect().toSeq
+    val batch = EventStream.recentPairs(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "error"),
+        windowMinutes = 10, joinType = "left_outer", watermark = wm)
+      .select(col("event_id"), col("r_event"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Option[Long], Long)].collect().toSeq
+
+    // inner matches emit eagerly and completely
+    val sInner = streamed.collect { case (l, Some(r)) => (l, r) }.sorted
+    val bInner = batch.collect { case (l, Some(r), _) => (l, r) }.sorted
+    assert(sInner == bInner,
+      s"inner rows: stream ${sInner.size} vs batch ${bInner.size}")
+
+    // the watermark as of the LAST completed trigger derives from the
+    // first two slices' ACTUAL max event time (not the quantile cut —
+    // events are ~43 min apart at sf0.001, so the cut can overshoot the
+    // real max and manufacture flaky must-emit rows); every unmatched
+    // left whose (ts + window) lies below it must have been evicted-and-
+    // emitted, and nothing may emit that batch doesn't justify
+    val maxTwoUs = ev.filter(col("ts").cast("double") < bounds(1))
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmUs = maxTwoUs - 5L * 60 * 1000000
+    val mustEmit = batch.collect {
+      case (l, None, us) if us + 10L * 60 * 1000000 < wmUs => l }.toSet
+    val sOuter = streamed.collect { case (l, None) => l }.toSet
+    val bOuter = batch.collect { case (l, None, _) => l }.toSet
+    assert(mustEmit.nonEmpty, "fixture produced no evictable unmatched lefts")
+    assert(mustEmit.subsetOf(sOuter),
+      s"${(mustEmit -- sOuter).size} watermark-passed unmatched lefts never emitted")
+    assert(sOuter.subsetOf(bOuter),
+      s"stream emitted ${(sOuter -- bOuter).size} outer rows batch disowns")
+  }
+
   test("sessionize keeps one bounded state per user") {
     val events = Tables.events(spark, sf0001)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
