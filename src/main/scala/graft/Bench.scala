@@ -61,9 +61,14 @@ object Bench {
       }
     }
 
-    // warm-up: small full-pipeline pass (scan+shuffle+codegen), untimed
-    SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    // warm-up: small full-pipeline pass (scan+shuffle+codegen), untimed.
+    // Failure is non-fatal: a broken warm-up query must surface as ITS
+    // timed row's error, not kill the whole artifact before the loop.
+    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
+    }
 
     val selected = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
       case Some(list) => SparkEntry.benchQueries.filter(

@@ -691,6 +691,40 @@ object SparkEntry {
         .orderBy("l_suppkey")
     }),
 
+    // ---- North-star: TEMPERATURE-balanced domain mixing (α = 0.5) ------
+    // q67 mixes at FIXED per-domain rates; production multilingual /
+    // multi-domain pretraining derives the rates FROM the corpus with
+    // temperature sampling (p_s ∝ n_s^α, α < 1 — XLM-R / mT5 style):
+    // keep_rate_s = √(n_min / n_s) at α = 0.5, so effective sizes become
+    // √(n_min · n_s) — the geometric interpolation between proportional
+    // and uniform. The fixture's lang column is naturally skewed (en is
+    // 2-3× the others), so every arm gets a distinct rate. Plan: one
+    // tiny per-lang count agg (collected — one row per language, driver-
+    // sized by construction, same class as q82's MG summary), rates
+    // computed in exact ppm, then the same codegen'd FNV when-chain
+    // filter as q67 — the corpus side stays one narrow scan, no shuffle
+    // beyond the two bounded per-lang aggs. The oracle re-derives the
+    // rates from counts with the same IEEE sqrt and the same FNV stream,
+    // and the emitted rate_ppm column pins the derivation itself.
+    "q91_temperature_mix" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+      val nMin = counts.map(_._2).min
+      val ppm = counts.map { case (l, n) =>
+        (l, n, math.round(1000000.0 * math.sqrt(nMin.toDouble / n))) }
+      val kept = Relational.mixtureSample(docs, "doc_id", "lang",
+          ppm.map { case (l, _, c) => l -> c / 1000000.0 }.toMap,
+          defaultRate = 0.0, seed = 43L)
+        .groupBy("lang").agg(count(lit(1)).as("kept"))
+      ppm.toDF("lang", "total", "rate_ppm")
+        .join(kept, Seq("lang"), "left_outer")
+        .select(col("lang"), col("total"),
+          coalesce(col("kept"), lit(0L)).as("kept"), col("rate_ppm"))
+        .orderBy("lang")
+    }),
+
     // ---- North-star: embedding-cosine near-dup -------------------------
     // Gated on the LSH plan (the scale path): OR-amplified hyperplane
     // blocking, recall sized by Dedup.lshTablesFor so a pair at θ=0.5 is
@@ -2789,6 +2823,25 @@ object SparkEntry {
            AND er.ts <= c.ts AND er.ts > c.ts - INTERVAL 10 MINUTE
          GROUP BY c.event_id ORDER BY c.event_id""",
     "q67_domain_mixing" -> mixingOracleSql,
+    // Temperature rates re-derived from per-lang counts (same IEEE sqrt,
+    // same ppm rounding), kept counts replayed on the same FNV stream.
+    "q91_temperature_mix" ->
+      (fnvBucketCtes("documents", "doc_id", 43) + """,
+         counts AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS total
+           FROM documents GROUP BY lang),
+         mn AS (SELECT MIN(total) AS n_min FROM counts),
+         r AS (
+           SELECT lang, total,
+             CAST(round(1000000 * sqrt(CAST(n_min AS DOUBLE) / total))
+               AS BIGINT) AS rate_ppm
+           FROM counts, mn)
+         SELECT r.lang, r.total,
+           CAST(SUM(CASE WHEN s.b < r.rate_ppm THEN 1 ELSE 0 END)
+             AS BIGINT) AS kept,
+           r.rate_ppm
+         FROM r JOIN s ON s.lang = r.lang
+         GROUP BY r.lang, r.total, r.rate_ppm ORDER BY r.lang"""),
     "q68_sequence_packing" -> packingOracleSql,
     "q69_bm25_search" -> bm25OracleSql,
     "q70_unigram_surprisal" -> surprisalOracleSql,
