@@ -104,6 +104,24 @@ object EventStream {
       joinType)
   }
 
+  /** Watermark-BOUNDED streaming dedup — the at-least-once ingest
+    * deduplication a production event pipeline runs. Plain
+    * `dropDuplicates(keys)` on keys that exclude the event-time column
+    * keeps one state row per distinct key FOREVER (state ∝ key
+    * cardinality over the stream's lifetime — unbounded at 100 TB/day);
+    * `dropDuplicatesWithinWatermark` instead guarantees dedup only for
+    * duplicates arriving within the watermark horizon and EVICTS each
+    * key's state once the watermark passes its first-seen event time, so
+    * state is rate × watermark, independent of stream length. That
+    * matches the real delivery-duplicate model (retries land seconds-to-
+    * minutes apart, not days) — the unbounded variant exists in
+    * StreamingEtlSpec purely as the semantics reference.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Sliding-window per-user activity rate (5 min slide, 1 h width). */
   def slidingUserRate(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

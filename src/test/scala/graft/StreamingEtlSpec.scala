@@ -377,6 +377,26 @@ class StreamingEtlSpec extends SparkSpec {
       batch.as[(Long, Long)].collect().toMap)
   }
 
+  test("dedupWithinWatermark drops delivery duplicates with BOUNDED state") {
+    // plant exact delivery duplicates: the fixture unioned with itself —
+    // every duplicate pair arrives in the same batch, well inside any
+    // watermark horizon, so the bounded-state operator must behave
+    // exactly like batch distinct-on-key while its state stays evictable
+    // (plain dropDuplicates on these keys would pin one state row per
+    // event_id forever)
+    val src = EventStream.readEvents(spark, sf0001)
+    val doubled = src.unionAll(src)
+    val got = EventStream.runToMemory(
+      EventStream.dedupWithinWatermark(doubled, Seq("event_id"),
+        watermark = "30 minutes"),
+      "stream_dedup_wm_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = Tables.events(spark, sf0001)
+    assert(got.count() == batch.count(),
+      s"deduped stream ${got.count()} rows vs batch distinct ${batch.count()}")
+    assert(got.select("event_id").distinct().count() == batch.count())
+  }
+
   test("custom expressions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
