@@ -389,6 +389,46 @@ class ScaleShapeSpec extends SparkSpec {
       "q75 must select via bounded partial top-k")
   }
 
+  test("round-10 corpus-query plan shapes: q89 broadcast-regime ingest, q90 range-shuffled write, q91 broadcast mix") {
+    // q89 (broadcast regime at fixture scale): the shard's band frame
+    // must BROADCAST — the standing corpus of a 100 TB nightly ingest
+    // cannot shuffle for the candidate join — and nothing may plan a
+    // cartesian; the admit must be a left-anti hash join
+    val q89 = SparkEntry.queries("q89_incremental_ingest")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(q89.contains("BroadcastHashJoin"),
+      "q89 shard bands must broadcast against the corpus scan")
+    assert(q89.contains("LeftAnti"), "q89 admit must be a left-anti join")
+    assert(!q89.contains("CartesianProduct"))
+    // q91: the kept-count side joins a ~5-row rates frame — broadcast,
+    // never an exchange of the corpus side for that join; no cartesian
+    val q91 = SparkEntry.queries("q91_temperature_mix")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(q91.contains("BroadcastHashJoin"),
+      "q91 per-lang frame must broadcast")
+    assert(!q91.contains("CartesianProduct"))
+  }
+
+  test("q90 z-order write is ONE range shuffle with the sort inside partitions") {
+    // the written-copy scan side is covered by the oracle; this pins the
+    // WRITE plan: repartitionByRange (range exchange on the z key) +
+    // sortWithinPartitions — never a global Sort (single-task funnel) and
+    // never a hash exchange (which would scatter the z-ranges)
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val keyed = li.withColumn("__z",
+      graft.functions.LayoutFunctions.morton(col("l_partkey"), col("l_suppkey")))
+      .repartitionByRange(4, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val p = keyed.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"),
+      "z-order write must range-partition on the z key")
+    // Sort's toString is positional: "Sort [keys], <global>, 0"
+    assert(p.contains("Sort [") && !p.contains("], true, 0"),
+      "the per-file sort must be within partitions, not a global sort")
+  }
+
   test("dedup under a hot bucket: 60 identical docs verify exactly through the grid") {
     // 60 identical documents share every band key (and every simhash
     // chunk-pair key): the classic silent-quadratic-reducer fixture. With
