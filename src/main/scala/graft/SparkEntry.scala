@@ -713,7 +713,7 @@ object SparkEntry {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
       val nMin = counts.map(_._2).min
       val ppm = counts.map { case (l, n) =>
-        (l, n, math.round(1000000.0 * math.sqrt(nMin.toDouble / n))) }
+        (l, n, Relational.temperatureRatePpm(nMin, n)) }
       val kept = Relational.mixtureSample(docs, "doc_id", "lang",
           ppm.map { case (l, _, c) => l -> c / 1000000.0 }.toMap,
           defaultRate = 0.0, seed = 43L)

@@ -308,6 +308,21 @@ object Relational {
       concat(key.cast("string"), lit(":" + seed))),
     lit(1000000L))
 
+  /** Temperature-sampling keep rate in exact ppm: √(nMin/n) at α = 0.5 —
+    * the multilingual/multi-domain rebalancing rule (p_s ∝ n_s^α): the
+    * smallest domain keeps everything, larger domains downsample so
+    * effective sizes become √(nMin·n), the geometric interpolation
+    * between proportional and uniform. Pure (nMin, n) function with IEEE
+    * sqrt and half-up ppm rounding, so a SQL oracle re-derives it
+    * bit-identically (q91). Feed it per-domain counts and hand the rates
+    * to [[mixtureSample]].
+    */
+  def temperatureRatePpm(nMin: Long, n: Long): Long = {
+    require(nMin >= 1 && n >= nMin,
+      s"temperatureRatePpm: need 1 <= nMin <= n, got ($nMin, $n)")
+    math.round(1000000.0 * math.sqrt(nMin.toDouble / n))
+  }
+
   def hashSplit(df: DataFrame, idCol: String, trainFrac: Double,
                 seed: Long): (DataFrame, DataFrame) = {
     require(trainFrac >= 0.0 && trainFrac <= 1.0,

@@ -321,4 +321,29 @@ class PropertySpec extends SparkSpec {
       assert(te.count() == ts.size - n)
     }
   }
+
+  test("law: temperatureRatePpm — floor at the smallest domain, monotone, effective-size interpolation") {
+    for (ns <- samples(Gen.listOfN(8, Gen.chooseNum(1L, 1000000L)), 8)) {
+      val nMin = ns.min
+      val rates = ns.map(n => n -> Relational.temperatureRatePpm(nMin, n))
+      // the smallest domain keeps everything, exactly
+      assert(Relational.temperatureRatePpm(nMin, nMin) == 1000000L)
+      // rates in (0, 1e6]; monotone non-increasing in domain size
+      rates.foreach { case (n, r) =>
+        assert(r >= 1L && r <= 1000000L, s"rate $r for n=$n nMin=$nMin") }
+      val sorted = rates.sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Seq((n1, r1), (n2, r2)) =>
+          assert(r2 <= r1, s"rate rose $r1->$r2 as n grew $n1->$n2")
+        case _ =>
+      }
+      // effective size n·r/1e6 ≈ √(nMin·n) within ppm rounding error
+      rates.foreach { case (n, r) =>
+        val eff = n.toDouble * r / 1000000.0
+        val want = math.sqrt(nMin.toDouble * n)
+        assert(math.abs(eff - want) <= n / 1000000.0 + 1e-9,
+          s"effective size $eff vs sqrt interpolation $want at n=$n")
+      }
+    }
+  }
 }
