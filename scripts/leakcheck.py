@@ -38,6 +38,19 @@ def files():
                 if n.endswith((".scala", ".sbt", ".py", ".sh", ".md")):
                     yield os.path.join(dirpath, n)
     yield os.path.join(ROOT, "build.sbt")
+    # Root-level prose docs and bench notes are exactly where a stray
+    # internal URL would land (round-10 advice) — sweep them too.
+    # PAPERS.md / SNIPPETS.md are DRIVER-retrieved public content (full of
+    # legitimate public URLs), not build artifacts, so they stay out.
+    retrieved = {"PAPERS.md", "SNIPPETS.md"}
+    for n in sorted(os.listdir(ROOT)):
+        if n.endswith(".md") and n not in retrieved:
+            yield os.path.join(ROOT, n)
+    bench_dir = os.path.join(ROOT, "bench")
+    if os.path.isdir(bench_dir):
+        for n in sorted(os.listdir(bench_dir)):
+            if n.endswith(".json"):
+                yield os.path.join(bench_dir, n)
 
 def main():
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else None

@@ -20,8 +20,11 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
 python3 scripts/check_oracle.py "$SF" "$OUT"
 
 echo "== 3/4 plan-smell audit =="
+# `|| true` so a missing summary line (sbt dying mid-stage) still reaches
+# the guard below and prints the FAIL diagnostic instead of aborting the
+# pipeline silently under set -e (round-10 advice)
 audit_out=$(sbt -batch "runMain graft.Explain --audit $SF" | tee /dev/stderr |
-  grep -oP '(?<=, )\d+(?= UNEXPLAINED)' | tail -1)
+  grep -oP '(?<=, )\d+(?= UNEXPLAINED)' | tail -1 || true)
 if [ "${audit_out:-1}" != "0" ]; then
   echo "FAIL: plan audit reported ${audit_out:-?} unexplained smells" >&2
   exit 1

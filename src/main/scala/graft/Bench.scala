@@ -37,12 +37,23 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def esc(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // JSON escape: backslash, quote, and ALL control chars <0x20 — a tab
+    // or CR inside a Spark analysis message must not make the artifact
+    // unparseable (round-10 advice)
+    def esc(s: String): String = s.flatMap {
+      case '\\'             => "\\\\"
+      case '"'              => "\\\""
+      case '\n'             => "\\n"
+      case '\r'             => "\\r"
+      case '\t'             => "\\t"
+      case c if c < ' '     => f"\\u${c.toInt}%04x"
+      case c                => c.toString
+    }
 
     def run(name: String): (Double, Option[String]) = {
       spark.catalog.clearCache()

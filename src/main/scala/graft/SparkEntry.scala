@@ -535,8 +535,13 @@ object SparkEntry {
       val evalSet = docs.filter(col("doc_id") % 10 === 3)
         .select((col("doc_id") + 3000000L).as("doc_id"),
           concat(col("text"), lit(" zzevaltail")).as("text"))
+      // evalPlan pinned: the eval side is 10% of documents BY CONSTRUCTION
+      // (bounded relative to the corpus at every SF we run — ≤112 MiB of
+      // band payload even on the x100 fixture), so the auto-guard's
+      // estimate job would be pure overhead here; the guard stays the
+      // default for library callers (DedupSimilaritySpec pins its refusal).
       Dedup.crossJaccardPairs(corpus, evalSet, "doc_id", "text",
-          threshold = 0.8)
+          threshold = 0.8, evalPlan = "broadcast")
         .groupBy(col("id_a").as("doc_id"))
         .agg(count(lit(1)).as("n_eval_matches"),
              max("jaccard").as("max_jaccard"))
@@ -567,7 +572,14 @@ object SparkEntry {
             (lit(1.0) - col("a")) * x + col("a") *
               element_at(col("embedding"), pmod(i + 1, lit(64)) + 1))
             .as("embedding"))
-      Similarity.crossCosineMatches(corpus, evalSet, threshold = 0.9)
+      // checkEvalSize pinned off: eval = 10% of embeddings by construction
+      // (~112 MB of vectors even at x100 — under the broadcast budget at
+      // every scale we run), and the guard's estimate aggregate measured
+      // ~half this query's time at sf0.1 (round-10 verdict). The guard
+      // stays the default for unknown callers; DedupSimilaritySpec asserts
+      // it still refuses an oversized eval frame.
+      Similarity.crossCosineMatches(corpus, evalSet, threshold = 0.9,
+          checkEvalSize = false)
         .orderBy("id_a", "id_b")
     }),
 
@@ -654,6 +666,11 @@ object SparkEntry {
           concat(col("text"), lit(" zzingest")).as("text"))
         .unionAll(docs.filter(col("doc_id") % 10 === 7)
           .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+      // evalPlan stays "auto" HERE deliberately (unlike q84/q88): the shard
+      // is 20% of documents and GROWS with the fixture — on the x100 corpus
+      // its estimated band payload crosses the measured 256 MiB broadcast/
+      // shuffle boundary (bench/cross_decontam_ab_r8.json), so the guard's
+      // reroute is load-bearing, not overhead.
       val flagged = Dedup.crossJaccardPairs(corpus, shard, "doc_id", "text",
           threshold = 0.8)
         .select(col("id_b").as("doc_id")).distinct()
@@ -677,10 +694,34 @@ object SparkEntry {
     "q90_zorder_scan" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
-      val out = s"target/q90_zorder/${new java.io.File(dir).getName}"
-      Sources.writeZOrdered(li, "l_partkey", "l_suppkey", out,
-        files = Sources.filesForTargetSize(s"$dir/lineitem.parquet",
-          targetBytes = 4L << 20))
+      // Output keyed on a digest of the ABSOLUTE fixture dir (round-10
+      // advice: two dirs sharing a basename must not clobber each other),
+      // and the rewrite is skipped when a signature marker shows the
+      // written copy is current for this exact fixture file — so repeated
+      // plan constructions (Explain audit, specs, bench passes) pay the
+      // write once, while a regenerated fixture (new mtime/size) triggers
+      // a fresh rewrite.
+      val absDir = new java.io.File(dir).getAbsolutePath
+      val srcFile = new java.io.File(s"$dir/lineitem.parquet")
+      def deepSig(f: java.io.File): String =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+            .map(deepSig).mkString(",")
+        else s"${f.getName}:${f.length}:${f.lastModified}"
+      val sig = deepSig(srcFile)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(absDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(12)
+      val out = s"target/q90_zorder/$digest"
+      val marker = java.nio.file.Paths.get(out, "_graft_sig")
+      val current = java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == sig
+      if (!current) {
+        Sources.writeZOrdered(li, "l_partkey", "l_suppkey", out,
+          files = Sources.filesForTargetSize(s"$dir/lineitem.parquet",
+            targetBytes = 4L << 20))
+        java.nio.file.Files.writeString(marker, sig)
+      }
       s.read.parquet(out)
         .filter(col("l_partkey").between(20, 120) &&
           col("l_suppkey").between(3, 7))
@@ -1304,11 +1345,23 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
-    // ---- Approximate aggregates (HLL — the 100 TB countDistinct path;
-    // rows-only: HLL estimates are engine-specific) ----------------------
+    // ---- Approximate aggregates (HLL — the 100 TB countDistinct path) --
+    // TOLERANCE-gated (round-10 verdict #4): the raw HLL estimate is
+    // engine-specific (can never hash-match DuckDB), so the query emits
+    // the EXACT distinct plus an in-engine flag asserting the HLL estimate
+    // sits within 3× its configured rsd of that exact value; the oracle
+    // recomputes the exact distinct and expects the flag true — so a
+    // broken HLL (or a broken exact path) fails the hash gate instead of
+    // hiding behind rows-only. HLL++ is deterministic for fixed input, so
+    // the banded flag is stable, and GoldenSpec separately pins the raw
+    // estimates at sf0.01.
     "q44_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir).groupBy("event_type")
-        .agg(approx_count_distinct("user_id").as("approx_users"))
+        .agg(countDistinct("user_id").as("n_exact"),
+          approx_count_distinct("user_id", 0.05).as("approx_users"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("approx_users") - col("n_exact")).cast("double") <=
+            lit(0.15) * col("n_exact")).as("within_rsd"))
         .orderBy("event_type")),
 
     // ---- North-star: quality scoring (full stats; oracle-checked) ------
@@ -2857,6 +2910,14 @@ object SparkEntry {
          INTERSECT
          SELECT user_id FROM events WHERE event_type = 'error'
          ORDER BY user_id""",
+    // Tolerance gate for the HLL path: the oracle recomputes the exact
+    // distinct and expects the engine's within-3·rsd flag to hold — the
+    // engine-specific estimate itself never enters the hash (GoldenSpec
+    // pins it at sf0.01 instead).
+    "q44_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+           true AS within_rsd
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q38_quality_stats" ->
       raw"""SELECT doc_id,
            length(text) AS n_chars_m,

@@ -34,9 +34,16 @@ object Tables {
     *   - TIMESTAMP_NTZ (micros): cast to TimestampType; the session TZ is
     *     pinned to UTC everywhere, so the wall-clock values are unchanged
     *     and match DuckDB's naive-timestamp read exactly.
+    *
+    * The nanos-long read path needs `spark.sql.legacy.parquet.nanosAsLong`
+    * = true, which every session FACTORY in this project sets at build time
+    * (Bench/Verify/Explain/Apps/BenchStream/the test session) — the loader
+    * itself is side-effect-free (round-10 verdict: a loader silently
+    * flipping session-wide legacy conf is a mixed-workload surprise). A
+    * session without the conf fails the nanos-generation scan LOUDLY at
+    * analysis, never silently wrong.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>

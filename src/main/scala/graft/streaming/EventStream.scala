@@ -32,7 +32,8 @@ object EventStream {
     * events.parquet inside `dir`.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong comes from the session factory (see Tables.events
+    // scaladoc) — probing the footer is side-effect-free here too
     val tsType = spark.read.parquet(s"$dir/events.parquet")
       .schema("ts").dataType
     val tsDdl = tsType match {

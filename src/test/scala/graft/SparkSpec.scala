@@ -20,6 +20,7 @@ object SparkSpec {
       .config("spark.sql.warehouse.dir",
         new java.io.File("target/tmp/warehouse").getAbsolutePath)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
