@@ -1218,27 +1218,34 @@ object SparkEntry {
     // 8-grams shared with at least one OTHER document. Complements q66
     // (train-vs-eval) with the within-corpus self-overlap a passage-level
     // dedup pass removes. Scale shape: grams travel as FNV-64 hashes
-    // (8-byte keys); the gram-frequency agg and the semi-join both
+    // (8-byte keys); the gram-frequency agg and the flag join both
     // partition on the gram hash — nothing pairwise, nothing collected.
-    // The oracle joins raw gram STRINGS (64-bit collision-freedom
-    // argument, as q66/q24) ---------------------------------------------
+    // Round-11 constant cut (verdict #5): the round-10 plan evaluated the
+    // gram kernel (tokenize + 8-shingle + fnv explode — the dominant
+    // narrow cost) THREE times (per-doc totals agg, gram-df agg, semi-join
+    // probe); now ONE explicit repartition on the gram hash is the single
+    // evaluation + exchange, and ReuseExchange feeds the shuffled copy to
+    // both the df aggregate and the join probe (the
+    // boundedSelfJoinCandidates pay-as-you-go trick). The per-gram flag
+    // (nd ≥ 2) folds into the one per-doc agg, so totals and hits collapse
+    // into a single pass too. The oracle joins raw gram STRINGS (64-bit
+    // collision-freedom argument, as q66/q24) ---------------------------
     "q71_dup_passages" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val grams = docs.select(col("doc_id"),
           explode(array_distinct(TextFunctions.tokenShingles(
             TextFunctions.tokens(col("text")), 8))).as("g"))
         .select(col("doc_id"), TextFunctions.fnv64(col("g")).as("gh"))
-      val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val r = grams.repartition(col("gh"))
       // grams are distinct per doc, so count == distinct-doc frequency
-      val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("nd"))
-        .filter(col("nd") >= 2).select("gh")
-      val hits = grams.join(dupGrams, Seq("gh"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-      totals.join(hits, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          coalesce(col("n_dup"), lit(0L)).as("n_dup"), col("n_grams"),
-          round(coalesce(col("n_dup"), lit(0L)).cast("double") /
-            col("n_grams"), 4).as("dup_frac"))
+      val freq = r.groupBy("gh").agg(count(lit(1)).as("nd"))
+      r.join(freq, Seq("gh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_dup"), col("n_grams"),
+          round(col("n_dup").cast("double") / col("n_grams"), 4)
+            .as("dup_frac"))
         .orderBy("doc_id")
     }),
 
