@@ -67,6 +67,38 @@ object SparkEntry {
     base.unionByName(twins)
   }
 
+  /** Construction-time WRITE side effects (q90's z-order rewrite, q92's
+    * IVF index build), cached across plan constructions: the output path is
+    * keyed on a digest of the ABSOLUTE fixture dir (two dirs sharing a
+    * basename can't clobber each other — round-10 advice), and `build`
+    * is skipped when the signature marker recorded for the written copy
+    * still matches the source fixture file's (name, length, mtime) tree —
+    * so repeated constructions (Explain audit, specs, bench passes) pay
+    * the write once, while a regenerated fixture triggers a fresh build.
+    * Returns the output path.
+    */
+  private def cachedBuild(dir: String, srcRel: String, outBase: String)
+                         (build: String => Unit): String = {
+    def deepSig(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(deepSig).mkString(",")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    val sig = deepSig(new java.io.File(s"$dir/$srcRel"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val out = s"$outBase/$digest"
+    val marker = java.nio.file.Paths.get(out, "_graft_sig")
+    val current = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == sig
+    if (!current) {
+      build(out)
+      java.nio.file.Files.writeString(marker, sig)
+    }
+    out
+  }
+
   /** q82's pass-1 frame: the ONE aggregate job computing N and the
     * k=2048-counter Misra-Gries candidate summary. The query builder
     * EXECUTES this (driver collect of a driver-sized-by-construction
@@ -694,33 +726,10 @@ object SparkEntry {
     "q90_zorder_scan" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
-      // Output keyed on a digest of the ABSOLUTE fixture dir (round-10
-      // advice: two dirs sharing a basename must not clobber each other),
-      // and the rewrite is skipped when a signature marker shows the
-      // written copy is current for this exact fixture file — so repeated
-      // plan constructions (Explain audit, specs, bench passes) pay the
-      // write once, while a regenerated fixture (new mtime/size) triggers
-      // a fresh rewrite.
-      val absDir = new java.io.File(dir).getAbsolutePath
-      val srcFile = new java.io.File(s"$dir/lineitem.parquet")
-      def deepSig(f: java.io.File): String =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
-            .map(deepSig).mkString(",")
-        else s"${f.getName}:${f.length}:${f.lastModified}"
-      val sig = deepSig(srcFile)
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(absDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        .take(12)
-      val out = s"target/q90_zorder/$digest"
-      val marker = java.nio.file.Paths.get(out, "_graft_sig")
-      val current = java.nio.file.Files.exists(marker) &&
-        java.nio.file.Files.readString(marker) == sig
-      if (!current) {
-        Sources.writeZOrdered(li, "l_partkey", "l_suppkey", out,
+      val out = cachedBuild(dir, "lineitem.parquet", "target/q90_zorder") {
+        p => Sources.writeZOrdered(li, "l_partkey", "l_suppkey", p,
           files = Sources.filesForTargetSize(s"$dir/lineitem.parquet",
             targetBytes = 4L << 20))
-        java.nio.file.Files.writeString(marker, sig)
       }
       s.read.parquet(out)
         .filter(col("l_partkey").between(20, 120) &&
@@ -1509,6 +1518,26 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
           nLists = 8, nProbe = 8)
+        .orderBy("q_id", "rn")
+    }),
+
+    // ---- PERSISTED IVF index: build once, query many (round-10 #2) -----
+    // q52 proves the IVF machinery fit-per-call; this is the production
+    // shape — centroids + cell-partitioned assignments written as parquet
+    // ONCE per corpus (cachedBuild: later plan constructions and repeated
+    // query batches skip the KMeans fit entirely and read the stored
+    // inverted file, with the cell-partitioned layout pruning unprobed
+    // cells at the scan). Exhaustive probing against the SAME exact
+    // brute-force oracle as q26/q52 proves the round-trip through the
+    // stored index loses nothing.
+    "q92_ivf_index_query" -> ((s, dir) => {
+      val idx = cachedBuild(dir, "embeddings.parquet",
+          "target/q92_ivf_index") { p =>
+        Similarity.buildIvfIndex(Tables.embeddings(s, dir), p, nLists = 8)
+      }
+      Similarity.ivfTopKFromIndex(idx,
+          Tables.embeddings(s, dir).filter(col("vec_id") < 5),
+          k = 5, nProbe = 8)
         .orderBy("q_id", "rn")
     }),
 
@@ -3022,6 +3051,8 @@ object SparkEntry {
          ORDER BY o_orderkey""",
     // identical to q26: exhaustive probing must reproduce exact top-k
     "q52_ivf_exhaustive" -> exactTopKSql,
+    // The persisted-index round trip must reproduce the same exact top-k.
+    "q92_ivf_index_query" -> exactTopKSql,
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

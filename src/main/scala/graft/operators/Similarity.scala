@@ -176,6 +176,18 @@ object Similarity {
               trainSample: Double = Double.NaN,
               trainRowBudget: Long = 100000L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (assigned, cent) = ivfFit(corpus, nLists, seed, trainSample,
+      trainRowBudget, idCol, vecCol)
+    ivfProbe(assigned, cent, queries, k, nProbe, idCol, vecCol)
+  }
+
+  /** The IVF index frames: corpus assigned to KMeans cells plus the
+    * centroid table. Shared by the fit-per-call path ([[ivfTopK]]) and the
+    * persisted-index path ([[buildIvfIndex]]).
+    */
+  private def ivfFit(corpus: DataFrame, nLists: Int, seed: Long,
+                     trainSample: Double, trainRowBudget: Long,
+                     idCol: String, vecCol: String): (DataFrame, DataFrame) = {
     val c = corpus.select(col(idCol).as("n_id"),
         V.toDoubleArray(col(vecCol)).as("v_n"))
       .withColumn("nrm_n", V.norm(col("v_n")))
@@ -190,13 +202,24 @@ object Similarity {
     val cent = km.clusterCenters.toSeq.zipWithIndex
       .map { case (cv, i) => (i.toLong, cv.toArray.toSeq) }
       .toDF("cell_id", "cen")
-      .withColumn("c2", V.dot(col("cen"), col("cen")))
+    (assigned, cent)
+  }
+
+  /** The IVF query path over prepared index frames: route each query to its
+    * `nProbe` nearest cells, score only those cells' members, reduce with
+    * the bounded heap. `assigned` = (n_id, v_n, nrm_n, cell); `cent` =
+    * (cell_id, cen).
+    */
+  private def ivfProbe(assigned: DataFrame, cent: DataFrame,
+                       queries: DataFrame, k: Int, nProbe: Int,
+                       idCol: String, vecCol: String): DataFrame = {
+    val centC2 = cent.withColumn("c2", V.dot(col("cen"), col("cen")))
     val qBase = queries.select(col(idCol).as("q_id"),
         V.toDoubleArray(col(vecCol)).as("v_q"))
       .withColumn("nrm_q", V.norm(col("v_q")))
     // nProbe nearest cells per query: maximize 2·q·c − |c|² (ties → smaller
     // cell id, matching the heap's deterministic ordering)
-    val qCells = qBase.crossJoin(broadcast(cent))
+    val qCells = qBase.crossJoin(broadcast(centC2))
       .withColumn("aff", V.dot(col("v_q"), col("cen")) * 2 - col("c2"))
       .groupBy("q_id")
       .agg(AggFunctions.topKByScore(col("aff"), col("cell_id"), nProbe)
@@ -209,6 +232,49 @@ object Similarity {
       .withColumn("sim", round(
         V.dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")), 6))
     topKReduce(scored, k)
+  }
+
+  /** Build and PERSIST the IVF index: centroids + per-vector cell
+    * assignments written as parquet under `indexPath`. This is the 100 TB
+    * ANN shape (round-10 verdict #2): the KMeans fit and the corpus
+    * assignment pass run ONCE at build time and amortize over every later
+    * query batch — [[ivfTopK]]'s fit-per-call is a fixture convenience, not
+    * a production plan.
+    *
+    * The assignment table is `partitionBy("cell")`, so the on-disk layout
+    * IS the inverted file: a query batch probing nProbe of nLists cells
+    * reads only those cells' files — the broadcast cell join triggers
+    * dynamic partition pruning, and scan bytes scale with nProbe/nLists,
+    * not corpus size. Vectors and norms are stored WITH the assignment
+    * (denormalized) so the query path never re-reads or re-joins the raw
+    * corpus table.
+    */
+  def buildIvfIndex(corpus: DataFrame, indexPath: String,
+                    nLists: Int = 16, seed: Long = 40L,
+                    trainSample: Double = Double.NaN,
+                    trainRowBudget: Long = 100000L,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val (assigned, cent) = ivfFit(corpus, nLists, seed, trainSample,
+      trainRowBudget, idCol, vecCol)
+    cent.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/centroids.parquet")
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/assignments.parquet")
+  }
+
+  /** Query a persisted IVF index ([[buildIvfIndex]]): same routing/scoring
+    * as [[ivfTopK]], but the corpus side comes straight off the stored
+    * inverted file — no KMeans fit, no assignment pass, and (with the
+    * cell-partitioned layout) only the probed cells' files scanned.
+    */
+  def ivfTopKFromIndex(indexPath: String, queries: DataFrame, k: Int,
+                       nProbe: Int = 4, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val cent = spark.read.parquet(s"$indexPath/centroids.parquet")
+    val assigned = spark.read.parquet(s"$indexPath/assignments.parquet")
+    ivfProbe(assigned, cent, queries, k, nProbe, idCol, vecCol)
   }
 
   /** LSH-bucketed approximate top-k with OR-amplification: `tables`

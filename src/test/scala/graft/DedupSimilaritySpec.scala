@@ -268,6 +268,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r8 >= 0.8, s"recall@10 at nProbe=8 was $r8, floor 0.8")
   }
 
+  test("persisted IVF index reproduces the fit-per-call results (both regimes)") {
+    // buildIvfIndex + ivfTopKFromIndex must be a pure refactoring of
+    // ivfTopK's plan against stored frames: same seed → same centroids →
+    // identical routing, in BOTH the exhaustive and approximate regimes
+    // (q92 gates only the exhaustive probe against the oracle).
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    Similarity.buildIvfIndex(emb, dir, nLists = 16)
+    for (nProbe <- Seq(4, 16)) {
+      val direct = Similarity.ivfTopK(emb, queries, k = 10,
+          nLists = 16, nProbe = nProbe)
+        .select("q_id", "n_id", "rn").as[(Long, Long, Long)].collect().toSet
+      val stored = Similarity.ivfTopKFromIndex(dir, queries, k = 10,
+          nProbe = nProbe)
+        .select("q_id", "n_id", "rn").as[(Long, Long, Long)].collect().toSet
+      assert(stored === direct, s"nProbe=$nProbe diverged through the index")
+    }
+  }
+
   test("lshTopK returns a subset ranking consistent with brute force") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 3)
