@@ -121,6 +121,79 @@ class StreamingEtlSpec extends SparkSpec {
     assert(s == b, s"stream rows ${s.size} vs batch ${b.size}")
   }
 
+  test("hourlyStats: checkpointed file sink survives a mid-input restart exactly once") {
+    // The recovery property a production stream needs (round-10 verdict
+    // #3), proven end to end: run hourlyStats as a REAL parquet file-sink
+    // stream with a checkpoint dir, stop it with only half the input
+    // consumed, restart from the same checkpoint over the full input, and
+    // the written output must equal the batch q18 result EXACTLY — every
+    // window present, none duplicated. The parquet sink's manifest log +
+    // the file source's processed-files log in the checkpoint are what
+    // make the restart exactly-once; a re-delivered or re-emitted window
+    // would fail the multiset compare below.
+    import java.nio.file.{Files, Paths}
+    val stageDir = Files.createTempDirectory("ckpt_stage")
+    val ckptDir = Files.createTempDirectory("ckpt_cp").toString
+    val outDir = Files.createTempDirectory("ckpt_out").toString
+    val ev = Tables.events(spark, sf0001)
+    // four chronological slice files so maxFilesPerTrigger=1 gives real
+    // multi-trigger progress, and the watermark advances between triggers
+    val bounds = ev.withColumn("d", col("ts").cast("double"))
+      .stat.approxQuantile("d", Array(0.25, 0.5, 0.75), 0.0001)
+    val slices = Seq(
+      col("ts").cast("double") < bounds(0),
+      col("ts").cast("double") >= bounds(0) &&
+        col("ts").cast("double") < bounds(1),
+      col("ts").cast("double") >= bounds(1) &&
+        col("ts").cast("double") < bounds(2),
+      col("ts").cast("double") >= bounds(2))
+    def stage(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = Files.createTempDirectory(s"ckpt_tmp_$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, stageDir.resolve(f"s$i%02d.parquet"))
+    }
+    def startStream() =
+      EventStream.hourlyStats(
+        spark.readStream.schema(EventStream.schemaFor("TIMESTAMP"))
+          .option("maxFilesPerTrigger", "1").parquet(stageDir.toString))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+
+    // phase 1: first two slices only; stop with the rest of the input
+    // still unstaged — the stream is down mid-input
+    slices.take(2).zipWithIndex.foreach { case (p, i) => stage(i, ev.filter(p)) }
+    val q1 = startStream()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // phase 2: the remaining slices plus a far-future sentinel event whose
+    // arrival pushes the watermark past every fixture window (a finite
+    // append stream otherwise withholds its tail windows forever); the
+    // sentinel's own window stays open and is never emitted
+    slices.drop(2).zipWithIndex.foreach { case (p, i) => stage(2 + i, ev.filter(p)) }
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinelUs = maxUs + 24L * 3600 * 1000000
+    stage(9, Seq((9999999L, sentinelUs, 0L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props")))
+    val q2 = startStream()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val batch = SparkEntry.queries("q18_hourly_window")(spark, sf0001)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got.distinct.size == got.size,
+      "restart re-emitted a window (duplicate rows in the file sink)")
+    assert(got.sorted == batch.sorted,
+      s"file-sink rows ${got.size} vs batch ${batch.size}")
+  }
+
   test("recentPairs runs as a real stream-stream join and matches batch") {
     // inner matches emit eagerly in append mode, so a finite fixture
     // yields the complete inner-join result (outer's null rows would wait
