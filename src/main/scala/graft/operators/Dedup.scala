@@ -465,6 +465,14 @@ object Dedup {
     * rather than O(diameter). Near-dup graphs have tiny diameters (high
     * thresholds make clusters quasi-cliques), so rounds ≈ 2-4 in practice.
     *
+    * `reliable = true` swaps each round's lineage truncation from
+    * `localCheckpoint` (executor-local blocks — fast, but lost with an
+    * executor) to reliable `checkpoint` against the SparkContext's
+    * configured checkpoint dir — the multi-executor deployment shape,
+    * where a lost executor must not kill a long label-propagation run.
+    * Same plan, same labels (DedupSimilaritySpec asserts it); callers must
+    * `sc.setCheckpointDir` first.
+    *
     * Scale design: per-round cost is one equi-join on the edge list + one
     * self-join on the (vertex, label) frame — both shuffle-bounded by
     * |E| and |V|, nothing quadratic, no driver-side data. The ONE driver
@@ -482,14 +490,15 @@ object Dedup {
     * non-converged run loud, never silently wrong.
     */
   def componentIds(df: DataFrame, idCol: String, pairs: DataFrame,
-                   maxIter: Int = 20): DataFrame = {
+                   maxIter: Int = 20, reliable: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def truncate(d: DataFrame): DataFrame =
+      if (reliable) d.checkpoint() else d.localCheckpoint()
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
       .persist(MEMORY_AND_DISK)
-    var comp = df.select(col(idCol).as("id"), col(idCol).as("comp"))
-      .localCheckpoint()
+    var comp = truncate(df.select(col(idCol).as("id"), col(idCol).as("comp")))
     var converged = false
     var it = 0
     try {
@@ -503,12 +512,11 @@ object Dedup {
             least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
         // (2) pointer jump: l''(v) = l'(l'(v)) — labels are always vertex
         // ids, so the lookup join always hits
-        val next = prop
+        val next = truncate(prop
           .join(prop.select(col("comp").as("cc"), col("id").as("comp")),
             Seq("comp"))
           .select(col("id"), col("prev"),
-            least(col("comp"), col("cc")).as("comp"))
-          .localCheckpoint() // truncate lineage — see scaladoc
+            least(col("comp"), col("cc")).as("comp"))) // truncate lineage — see scaladoc
         val changed = next.filter(col("comp") < col("prev")).count()
         comp = next.select("id", "comp")
         converged = changed == 0L

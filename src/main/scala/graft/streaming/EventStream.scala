@@ -155,14 +155,20 @@ object EventStream {
             state.remove()
             s
           } else {
-            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            // single O(1)-memory pass — the summary only needs count, sum
+            // and the time bounds, never the sorted event list
+            var n = 0L; var sum = 0.0
+            var minTs = Long.MaxValue; var maxTs = Long.MinValue
+            evs.foreach { e =>
+              n += 1; sum += e.value
+              val t = e.ts.getTime
+              if (t < minTs) minTs = t
+              if (t > maxTs) maxTs = t
+            }
             val prev = state.getOption.getOrElse(
-              SessionSummary(uid, 0L, 0.0, sorted.head.ts.getTime, 0L))
-            val next = SessionSummary(uid,
-              prev.n_events + sorted.size,
-              prev.total_value + sorted.map(_.value).sum,
-              prev.first_ts,
-              sorted.last.ts.getTime)
+              SessionSummary(uid, 0L, 0.0, minTs, 0L))
+            val next = SessionSummary(uid, prev.n_events + n,
+              prev.total_value + sum, prev.first_ts, maxTs)
             state.update(next)
             state.setTimeoutTimestamp(next.last_ts, s"$gapMinutes minutes")
             next
@@ -194,37 +200,63 @@ object EventStream {
       s.first_us / 1000, s.last_us / 1000)
 
   /** Pure per-group fold for [[sessionizeClosed]]: the open-session state
-    * and this batch's events form one time-ordered sequence of interval
-    * units, split on the same event-time gap rule batch q49 uses. This
-    * handles every late-but-within-watermark arrival order: an event
-    * landing inside or within gap of the open session merges (min/max
-    * bounds — never regressing the already-set timeout), while an event
-    * more than a gap BEFORE the session's first event closes as its own
-    * earlier session instead of stretching the open one backwards across a
-    * boundary batch semantics would split. Returns (closed sessions to
-    * emit, the still-open tail session).
+    * and this batch's events form interval units merged on the same
+    * event-time gap rule batch q49 uses. This handles every
+    * late-but-within-watermark arrival order: an event landing inside or
+    * within gap of the open session merges (min/max bounds — never
+    * regressing the already-set timeout), while an event more than a gap
+    * BEFORE the session's first event closes as its own earlier session
+    * instead of stretching the open one backwards across a boundary batch
+    * semantics would split. Returns (closed sessions to emit in time
+    * order, the still-open tail session).
+    *
+    * BOUNDED merge (round-10 verdict #7): events stream off the iterator
+    * ONE at a time into an ordered map of gap-separated session intervals —
+    * never a sort of the whole batch — so a hot user's memory is
+    * O(sessions in the batch) (bounded by batchSpan/gap + 1), not
+    * O(events). Each insert merges backward at most once (intervals are
+    * kept > gap apart, and a backward merge never lowers the merged
+    * interval's start) and cascades forward only while it keeps absorbing
+    * neighbors, so total work is O(n log s). The maximal gap-separated
+    * clusters this produces are exactly what the previous sort-then-fold
+    * computed — a pairwise-within-gap chain merges transitively in either
+    * formulation (the hot-user spec pins arrival-order independence);
+    * only the floating-point ASSOCIATION of total_value can differ, which
+    * no gate compares at exact equality across arrival orders.
     */
   private[graft] def foldSessions(uid: Long, state: Option[OpenSession],
-                                  eventUs: Seq[(Long, Double)], gapUs: Long)
+                                  eventUs: Iterator[(Long, Double)], gapUs: Long)
       : (Seq[SessionSummary], Option[OpenSession]) = {
-    val units = (eventUs.map { case (t, v) => OpenSession(uid, 1L, v, t, t) }
-      ++ state).sortBy(u => (u.first_us, u.last_us))
-    val closed = Seq.newBuilder[SessionSummary]
-    var open: Option[OpenSession] = None
-    units.foreach { u =>
-      open = open match {
-        case Some(s) if u.first_us - s.last_us > gapUs =>
-          closed += emit(s) // gap between units: session is final
-          Some(u)
-        case Some(s) =>
-          Some(OpenSession(uid, s.n_events + u.n_events,
-            s.total_value + u.total_value,
-            math.min(s.first_us, u.first_us),
-            math.max(s.last_us, u.last_us)))
-        case None => Some(u)
+    val iv = scala.collection.mutable.TreeMap.empty[Long, OpenSession]
+    def merge(a: OpenSession, b: OpenSession): OpenSession =
+      OpenSession(uid, a.n_events + b.n_events, a.total_value + b.total_value,
+        math.min(a.first_us, b.first_us), math.max(a.last_us, b.last_us))
+    def insert(u: OpenSession): Unit = {
+      var cur = u
+      // backward: the nearest interval starting at or before cur. At most
+      // one merge — the merged start equals that interval's start, whose
+      // predecessor is already > gap away by the map invariant.
+      iv.rangeTo(cur.first_us).lastOption match {
+        case Some((k, s)) if cur.first_us - s.last_us <= gapUs =>
+          iv.remove(k); cur = merge(s, cur)
+        case _ =>
       }
+      // forward: cascade while the (growing) interval reaches the next one
+      var go = true
+      while (go) iv.rangeFrom(cur.first_us + 1).headOption match {
+        case Some((k, s)) if s.first_us - cur.last_us <= gapUs =>
+          iv.remove(k); cur = merge(cur, s)
+        case _ => go = false
+      }
+      iv.update(cur.first_us, cur)
     }
-    (closed.result(), open)
+    state.foreach(insert)
+    eventUs.foreach { case (t, v) => insert(OpenSession(uid, 1L, v, t, t)) }
+    if (iv.isEmpty) (Seq.empty, None)
+    else {
+      val all = iv.values.toSeq
+      (all.init.map(emit), Some(all.last))
+    }
   }
 
   def sessionizeClosed(events: Dataset[Event],
@@ -243,7 +275,7 @@ object EventStream {
             Iterator.single(emit(s))
           } else {
             val (closed, open) = foldSessions(uid, state.getOption,
-              evs.toSeq.map(e => (micros(e.ts), e.value)), gapUs)
+              evs.map(e => (micros(e.ts), e.value)), gapUs)
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last_us / 1000,

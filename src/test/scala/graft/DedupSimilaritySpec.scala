@@ -327,6 +327,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.length == n && got.forall(_._2 == 0L))
   }
 
+  test("componentIds reliable checkpoint(dir) variant yields identical labels") {
+    // The multi-executor deployment shape the scaladoc claims (round-10
+    // verdict #6): same propagation, lineage truncated through reliable
+    // checkpoint files instead of executor-local blocks. Run the real
+    // sf0.001 documents pair graph through both variants and require
+    // label-for-label equality, and require the checkpoint dir was
+    // actually used (files written) so the test can't silently exercise
+    // the local path twice.
+    import spark.implicits._
+    val ckptDir = java.nio.file.Files.createTempDirectory("cc_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    val docs = Tables.documents(spark, sf0001)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+    val local = Dedup.componentIds(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val rel = Dedup.componentIds(docs, "doc_id", pairs, reliable = true)
+      .as[(Long, Long)].collect().toMap
+    assert(rel == local, "reliable-checkpoint labels diverged from local")
+    val written = java.nio.file.Files.walk(ckptDir).count()
+    assert(written > 1, "reliable variant wrote nothing to the checkpoint dir")
+  }
+
   test("dropNearDuplicatesReleasable frees the dup-id cache on release") {
     // a filter no other suite uses, so CacheManager can't dedupe this
     // call's dup-id plan onto a cache entry leaked by an earlier q45/q53

@@ -412,28 +412,56 @@ class StreamingEtlSpec extends SparkSpec {
     val open = EventStream.OpenSession(1L, 2L, 2.0, 100 * min, 110 * min)
     // within gap of first_us: merges, extending the session backwards
     val (c1, o1) = EventStream.foldSessions(1L, Some(open),
-      Seq((80 * min, 1.0)), gap)
+      Seq((80 * min, 1.0)).iterator, gap)
     assert(c1.isEmpty)
     assert(o1.contains(EventStream.OpenSession(1L, 3L, 3.0, 80 * min, 110 * min)))
     // more than a gap before first_us: closes as its own earlier session
     val (c2, o2) = EventStream.foldSessions(1L, Some(open),
-      Seq((40 * min, 1.0)), gap)
+      Seq((40 * min, 1.0)).iterator, gap)
     assert(c2 == Seq(EventStream.SessionSummary(1L, 1L, 1.0,
       40 * min / 1000, 40 * min / 1000)))
     assert(o2.contains(open))
     // two late events within gap of EACH OTHER form one earlier session —
     // batch q49 over the same events would split identically
     val (c3, o3) = EventStream.foldSessions(1L, Some(open),
-      Seq((40 * min, 1.0), (35 * min, 2.0)), gap)
+      Seq((40 * min, 1.0), (35 * min, 2.0)).iterator, gap)
     assert(c3 == Seq(EventStream.SessionSummary(1L, 2L, 3.0,
       35 * min / 1000, 40 * min / 1000)))
     assert(o3.contains(open))
     // a forward event past the gap closes the open session, opens a new one
     val (c4, o4) = EventStream.foldSessions(1L, Some(open),
-      Seq((150 * min, 5.0)), gap)
+      Seq((150 * min, 5.0)).iterator, gap)
     assert(c4 == Seq(EventStream.SessionSummary(1L, 2L, 2.0,
       100 * min / 1000, 110 * min / 1000)))
     assert(o4.contains(EventStream.OpenSession(1L, 1L, 5.0, 150 * min, 150 * min)))
+  }
+
+  test("foldSessions: hot user in one batch — bounded merge, arrival-order independent") {
+    // Round-10 verdict #7: a single hot user landing a whole batch on one
+    // executor must not materialize its events — foldSessions now streams
+    // them into a map of gap-separated intervals, O(sessions) memory.
+    // Semantics check: 50k events forming 10 well-separated sessions,
+    // delivered in a seeded SHUFFLED order (worst case for an incremental
+    // merge — constant interval splits/joins), must produce exactly the
+    // sessions the time-sorted delivery produces: same counts, same
+    // bounds, 9 closed + 1 open.
+    val min = 60000000L
+    val gap = 30 * min
+    val rnd = new scala.util.Random(7)
+    val events = (0 until 10).flatMap { s0 =>
+      val start = s0 * 1000L * min // sessions 1000 min apart, gap 30 min
+      (0 until 5000).map(i => (start + (i % 25) * min, 1.0))
+    }
+    def run(evs: Seq[(Long, Double)]) =
+      EventStream.foldSessions(1L, None, evs.iterator, gap)
+    val (closedSorted, openSorted) = run(events.sortBy(_._1))
+    val (closedShuffled, openShuffled) = run(rnd.shuffle(events))
+    def key(s: EventStream.SessionSummary) = (s.user_id, s.n_events, s.first_ts, s.last_ts)
+    assert(closedSorted.size == 9 && openSorted.isDefined)
+    assert(closedSorted.map(key) == closedShuffled.map(key))
+    assert(openSorted.map(s => (s.n_events, s.first_us, s.last_us)) ==
+      openShuffled.map(s => (s.n_events, s.first_us, s.last_us)))
+    assert(closedSorted.forall(_.n_events == 5000L))
   }
 
   test("streaming dedup: dropDuplicates over a watermarked stream") {
