@@ -11,15 +11,15 @@ cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-target/verify_out}
 
-echo "== 1/4 sbt test =="
+echo "== 1/5 sbt test =="
 sbt -batch test
 
-echo "== 2/4 Verify + DuckDB oracle ($SF) =="
+echo "== 2/5 Verify + DuckDB oracle ($SF) =="
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
   sbt -batch "runMain graft.Verify $SF $OUT"
 python3 scripts/check_oracle.py "$SF" "$OUT"
 
-echo "== 3/4 plan-smell audit =="
+echo "== 3/5 plan-smell audit =="
 # `|| true` so a missing summary line (sbt dying mid-stage) still reaches
 # the guard below and prints the FAIL diagnostic instead of aborting the
 # pipeline silently under set -e (round-10 advice)
@@ -30,7 +30,22 @@ if [ "${audit_out:-1}" != "0" ]; then
   exit 1
 fi
 
-echo "== 4/4 leak sweep =="
+echo "== 4/5 leak sweep =="
 python3 scripts/leakcheck.py
+
+# Stage 5: bench + round-over-round diff with the 2x alarm (round-10
+# verdict #8). Skippable for quick correctness-only runs with
+# SPARK_GRAFT_GATE_BENCH=0; SPARK_GRAFT_BENCH_ALLOW=q1,q2 passes
+# adjudicated regressions through.
+if [ "${SPARK_GRAFT_GATE_BENCH:-1}" = "1" ]; then
+  echo "== 5/5 bench + diff vs previous round =="
+  SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_BENCH_SF:-/root/testdata/sf0.1} \
+  SPARK_GRAFT_CPUS=${SPARK_GRAFT_BENCH_CPUS:-32} \
+    sbt -batch "runMain graft.Bench" > /dev/null
+  python3 scripts/bench_diff.py bench/bench_latest.json \
+    ${SPARK_GRAFT_BENCH_ALLOW:+--allow "$SPARK_GRAFT_BENCH_ALLOW"}
+else
+  echo "== 5/5 bench diff skipped (SPARK_GRAFT_GATE_BENCH=0) =="
+fi
 
 echo "FULL GATE GREEN"
