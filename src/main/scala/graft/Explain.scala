@@ -55,6 +55,9 @@ object Explain {
         "q26_sim_topk" -> Set("BroadcastNestedLoopJoin"),
         "q32_ml_als_recs" -> Set("CartesianProduct"),
         "q52_ivf_exhaustive" -> Set("BroadcastNestedLoopJoin"),
+        // same coarse-probe shape as q52, against the STORED centroid
+        // table (a broadcast cross join of queries x nLists-row frame)
+        "q92_ivf_index_query" -> Set("BroadcastNestedLoopJoin"),
         "q69_bm25_search" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         "q70_unigram_surprisal" ->

@@ -1232,23 +1232,29 @@ object SparkEntry {
     // Round-11 constant cut (verdict #5): the round-10 plan evaluated the
     // gram kernel (tokenize + 8-shingle + fnv explode — the dominant
     // narrow cost) THREE times (per-doc totals agg, gram-df agg, semi-join
-    // probe); now ONE explicit repartition on the gram hash is the single
-    // evaluation + exchange, and ReuseExchange feeds the shuffled copy to
-    // both the df aggregate and the join probe (the
-    // boundedSelfJoinCandidates pay-as-you-go trick). The per-gram flag
-    // (nd ≥ 2) folds into the one per-doc agg, so totals and hits collapse
-    // into a single pass too. The oracle joins raw gram STRINGS (64-bit
-    // collision-freedom argument, as q66/q24) ---------------------------
+    // probe). Now the gram frequency is a COUNT WINDOW over the one
+    // exchange on the gram hash — a window, not an agg+join-back, because
+    // column pruning gives the two join branches different projections
+    // and quietly defeats exchange reuse (measured: the "reused" plan
+    // still ran the explode twice); the window subtree structurally
+    // CANNOT re-evaluate its input, so the kernel runs once by
+    // construction (ScaleShapeSpec counts the Generate nodes). The per-
+    // gram flag (nd ≥ 2) then folds into the one per-doc agg. Skew note:
+    // the window's per-gh group buffer is bounded by a gram's doc
+    // frequency and spills; the hash-partitioned sort is on 16-byte rows.
+    // The oracle joins raw gram STRINGS (64-bit collision-freedom
+    // argument, as q66/q24) ---------------------------------------------
     "q71_dup_passages" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val grams = docs.select(col("doc_id"),
           explode(array_distinct(TextFunctions.tokenShingles(
             TextFunctions.tokens(col("text")), 8))).as("g"))
         .select(col("doc_id"), TextFunctions.fnv64(col("g")).as("gh"))
-      val r = grams.repartition(col("gh"))
       // grams are distinct per doc, so count == distinct-doc frequency
-      val freq = r.groupBy("gh").agg(count(lit(1)).as("nd"))
-      r.join(freq, Seq("gh"))
+      val withNd = grams.withColumn("nd",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("gh")))
+      withNd
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))

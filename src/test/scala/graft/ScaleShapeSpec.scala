@@ -358,12 +358,18 @@ class ScaleShapeSpec extends SparkSpec {
   }
 
   test("round-6 corpus-query plan shapes: q71/q73/q74 stay shuffle-bounded") {
-    // q71: dup-passage detection must be hash equi-joins on the gram key —
-    // never a cartesian/nested-loop pairing of documents
+    // q71: dup-passage detection must be hash-partitioned on the gram key —
+    // never a cartesian/nested-loop pairing of documents — and (round 11)
+    // the gram kernel must be evaluated ONCE: the frequency is a count
+    // window over the single gh exchange (an agg+join-back re-ran the
+    // explode per pruned branch), so exactly one Generate may appear
     val q71 = SparkEntry.queries("q71_dup_passages")(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!q71.contains("CartesianProduct"))
-    assert(q71.contains("LeftSemi"), "q71 dup-gram probe must be a semi-join")
+    assert(q71.contains("windowspecdefinition(gh"),
+      "q71 gram frequency must be the window over the gh exchange")
+    assert("Generate explode".r.findAllIn(q71).size == 1,
+      "q71 must evaluate the gram explode exactly once")
     // q73: the fitted ranges collapse to ONE broadcast row; the vector
     // side must see a broadcast, not an exchange of the corpus
     val q73 = SparkEntry.queries("q73_embed_quantize")(spark, sf0001)
