@@ -58,6 +58,7 @@ object Explain {
         // same coarse-probe shape as q52, against the STORED centroid
         // table (a broadcast cross join of queries x nLists-row frame)
         "q92_ivf_index_query" -> Set("BroadcastNestedLoopJoin"),
+        "q93_ivf_index_append" -> Set("BroadcastNestedLoopJoin"),
         "q69_bm25_search" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         "q70_unigram_surprisal" ->

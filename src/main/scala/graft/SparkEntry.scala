@@ -1547,6 +1547,27 @@ object SparkEntry {
         .orderBy("q_id", "rn")
     }),
 
+    // ---- INCREMENTAL IVF index append (nightly-ingest ANN) -------------
+    // q92's build-once story plus the ingest path: index built on 90% of
+    // the corpus, the %10=3 shard APPENDED against the stored centroids
+    // (no refit, one narrow shard pass — the ANN sibling of q89's
+    // incremental dedup), then an exhaustive-probe query over the
+    // combined inverted file must still reproduce the exact brute-force
+    // top-k — proving append placed every shard row where the index
+    // routing expects it and lost/duplicated nothing.
+    "q93_ivf_index_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = cachedBuild(dir, "embeddings.parquet",
+          "target/q93_ivf_append") { p =>
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 3), p,
+          nLists = 8)
+        Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 3), p)
+      }
+      Similarity.ivfTopKFromIndex(idx, emb.filter(col("vec_id") < 5),
+          k = 5, nProbe = 8)
+        .orderBy("q_id", "rn")
+    }),
+
     // ---- LSH ANN, recall-sized to reproduce the exact top-k ------------
     // OR-amplified hyperplane LSH with `tables` sized by lshTablesFor so a
     // neighbor at the fixture's 5th-neighbor similarity FLOOR (measured:
@@ -3059,6 +3080,9 @@ object SparkEntry {
     "q52_ivf_exhaustive" -> exactTopKSql,
     // The persisted-index round trip must reproduce the same exact top-k.
     "q92_ivf_index_query" -> exactTopKSql,
+    // Build-on-90% + append-10% must also reproduce it (append placed
+    // every shard row correctly; exhaustive probe erases routing bias).
+    "q93_ivf_index_append" -> exactTopKSql,
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

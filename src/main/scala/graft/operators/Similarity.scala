@@ -277,6 +277,45 @@ object Similarity {
     ivfProbe(assigned, cent, queries, k, nProbe, idCol, vecCol)
   }
 
+  /** INCREMENTAL index append — the nightly-ingest path of the persisted
+    * index (the ANN sibling of q89's incremental dedup): assign a NEW
+    * shard against the STORED centroids (no KMeans refit, no touch of the
+    * standing assignments) and append its rows into the cell-partitioned
+    * inverted file. Per-ingest cost is one narrow pass over the shard —
+    * |shard| × nLists broadcast dot products + an O(shard) partitioned
+    * write — independent of corpus size. The quantizer is intentionally
+    * NOT refreshed: IVF recall degrades only as the vector distribution
+    * drifts from the trained centroids, and the production cadence is
+    * many cheap appends, then a full [[buildIvfIndex]] rebuild when a
+    * recall probe says so (same economics as q89's dedup-vs-re-dedup
+    * crossover, IngestScaleNote).
+    *
+    * Assignment = argmax of the same affinity 2·q·c − |c|² the query-side
+    * coarse probe ranks by (equivalent to nearest centroid; ties → smaller
+    * cell id, matching KMeans' first-min rule), computed with the SAME
+    * bounded-heap aggregate at k=1 — so appended rows land exactly where
+    * a full rebuild with these centroids would put them.
+    */
+  def appendToIvfIndex(shard: DataFrame, indexPath: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = shard.sparkSession
+    val cent = spark.read.parquet(s"$indexPath/centroids.parquet")
+      .withColumn("c2", V.dot(col("cen"), col("cen")))
+    val s = shard.select(col(idCol).as("n_id"),
+        V.toDoubleArray(col(vecCol)).as("v_n"))
+      .withColumn("nrm_n", V.norm(col("v_n")))
+    val assigned = s.crossJoin(broadcast(cent))
+      .withColumn("aff", V.dot(col("v_n"), col("cen")) * 2 - col("c2"))
+      .groupBy("n_id")
+      .agg(AggFunctions.topKByScore(col("aff"), col("cell_id"), 1).as("c"),
+        first("v_n").as("v_n"), first("nrm_n").as("nrm_n"))
+      .select(col("n_id"), col("v_n"), col("nrm_n"),
+        element_at(col("c"), 1).getField("n_id").cast("int").as("cell"))
+    assigned.write.mode("append").partitionBy("cell")
+      .parquet(s"$indexPath/assignments.parquet")
+  }
+
   /** LSH-bucketed approximate top-k with OR-amplification: `tables`
     * independent hyperplane sketches of `planes` bits each; a corpus row is
     * a candidate if it shares ANY table's bucket with the query (recall

@@ -288,6 +288,38 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("appendToIvfIndex ingests a disjoint shard; combined index stays exact") {
+    // The nightly-ingest path: index built on the fixture, a DERIVED
+    // disjoint shard (ids + 1e6, q61's twin blend) appended with no
+    // refit. The combined inverted file must (a) hold every row exactly
+    // once and (b) reproduce brute-force top-k under exhaustive probing
+    // over corpus + shard.
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val base = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
+        .as("embedding"))
+    val shard = base.filter(col("vec_id") < 50)
+      .withColumn("a", (col("vec_id") % 8).cast("double") / 20.0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (lit(1.0) - col("a")) * x + col("a") *
+            element_at(col("embedding"), pmod(i + 1, lit(64)) + 1))
+          .as("embedding"))
+    Similarity.buildIvfIndex(base, dir, nLists = 8)
+    Similarity.appendToIvfIndex(shard, dir)
+    val combined = base.unionByName(shard)
+    val stored = spark.read.parquet(s"$dir/assignments.parquet")
+    assert(stored.count() === combined.count())
+    assert(stored.select("n_id").distinct().count() === combined.count())
+    val queries = combined.filter(col("vec_id") % 500000 < 3)
+    val exact = Similarity.bruteForceTopK(combined, queries, k = 5)
+      .select("q_id", "n_id", "rn").as[(Long, Long, Long)].collect().toSet
+    val viaIndex = Similarity.ivfTopKFromIndex(dir, queries, k = 5, nProbe = 8)
+      .select("q_id", "n_id", "rn").as[(Long, Long, Long)].collect().toSet
+    assert(viaIndex === exact, "appended index diverged from brute force")
+  }
+
   test("lshTopK returns a subset ranking consistent with brute force") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 3)

@@ -415,6 +415,25 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!q91.contains("CartesianProduct"))
   }
 
+  test("persisted IVF index scan is dynamically partition-pruned to probed cells") {
+    // The point of the cell-partitioned layout (round 11): a query batch
+    // probing nProbe of nLists cells must only READ those cells' files.
+    // The broadcast cell join makes Spark insert a dynamic-pruning
+    // subquery on the partition column — pin that it actually fires, so a
+    // layout or join-shape change can't silently regress the scan back to
+    // full-corpus reads.
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("ivf_dpp").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    graft.operators.Similarity.buildIvfIndex(emb, idx, nLists = 8)
+    val df = graft.operators.Similarity.ivfTopKFromIndex(idx,
+      emb.filter(col("vec_id") < 3), k = 5, nProbe = 2)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression(cell"),
+      "assignments scan lost its dynamic partition pruning")
+  }
+
   test("q90 z-order write is ONE range shuffle with the sort inside partitions") {
     // the written-copy scan side is covered by the oracle; this pins the
     // WRITE plan: repartitionByRange (range exchange on the z key) +
