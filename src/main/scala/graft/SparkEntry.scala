@@ -1210,11 +1210,20 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.fnv64(col("g")).as("gh"))
       val isEval = pmod(col("doc_id"), lit(10)) === 7
       val evalGrams = grams.filter(isEval).select("gh").distinct()
-      val train = grams.filter(!isEval)
-      val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      train.join(broadcast(evalGrams), Seq("gh"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-        .join(totals, Seq("doc_id"))
+        .withColumn("__hit", lit(1L))
+      // ONE corpus-side kernel pass (round 11; was two — a totals agg AND
+      // an overlap join each re-ran the explode): the left-outer probe of
+      // the broadcast eval set marks each train gram in place, and totals
+      // + overlap fold into a single per-doc agg. The corpus still never
+      // shuffles its gram stream — only (doc_id, flag) rows reach the
+      // partial-agged doc_id exchange, which is the scale property this
+      // query exists to demonstrate.
+      grams.filter(!isEval)
+        .join(broadcast(evalGrams), Seq("gh"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+        .filter(col("n_overlap") >= 1)
         .select(col("doc_id"), col("n_overlap"), col("n_grams"),
           round(col("n_overlap").cast("double") / col("n_grams"), 4)
             .as("overlap_frac"))
