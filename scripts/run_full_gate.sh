@@ -39,8 +39,13 @@ python3 scripts/leakcheck.py
 # adjudicated regressions through.
 if [ "${SPARK_GRAFT_GATE_BENCH:-1}" = "1" ]; then
   echo "== 5/5 bench + diff vs previous round =="
+  # median-of-3 by default: the 2x alarm compares against the previous
+  # round's MEDIAN artifact, and a single pass's first-query JIT/IO
+  # inflation (measured 2-3x on sub-second queries, medians unchanged)
+  # would file false alarms
   SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_BENCH_SF:-/root/testdata/sf0.1} \
   SPARK_GRAFT_CPUS=${SPARK_GRAFT_BENCH_CPUS:-32} \
+  SPARK_GRAFT_BENCH_REPEAT=${SPARK_GRAFT_BENCH_REPEAT:-3} \
     sbt -batch "runMain graft.Bench" > /dev/null
   python3 scripts/bench_diff.py bench/bench_latest.json \
     ${SPARK_GRAFT_BENCH_ALLOW:+--allow "$SPARK_GRAFT_BENCH_ALLOW"}
