@@ -316,6 +316,35 @@ object Similarity {
       .parquet(s"$indexPath/assignments.parquet")
   }
 
+  /** The recall probe the append cadence needs ([[appendToIvfIndex]]
+    * scaladoc: "many cheap appends, then a rebuild when a recall probe
+    * says so"): measured recall@k of the stored index at `nProbe` against
+    * exact brute force, over a caller-supplied query sample. One scalar
+    * comes back to the driver (the boundary-scalar pattern); both rankings
+    * run over the index's OWN stored vectors, so the probe needs no access
+    * to the original corpus table. Sample the queries — the exact side is
+    * |sample| × |corpus| dot products, the same economics as
+    * [[bruteForceTopK]]. At exhaustive nProbe this returns exactly 1.0
+    * (the q52/q92 property); a production cadence tracks the approximate-
+    * regime number and rebuilds when quantizer drift degrades it below
+    * the application's floor.
+    */
+  def ivfRecallAtK(indexPath: String, queries: DataFrame, k: Int,
+                   nProbe: Int, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Double = {
+    val spark = queries.sparkSession
+    val corpus = spark.read.parquet(s"$indexPath/assignments.parquet")
+      .select(col("n_id").as(idCol), col("v_n").as(vecCol))
+    val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("q_id"), col("n_id"))
+    val approx = ivfTopKFromIndex(indexPath, queries, k, nProbe, idCol, vecCol)
+      .select(col("q_id"), col("n_id"))
+    val row = exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1))).head()
+    val denom = exact.count()
+    if (denom == 0L) 1.0 else row.getLong(0).toDouble / denom
+  }
+
   /** LSH-bucketed approximate top-k with OR-amplification: `tables`
     * independent hyperplane sketches of `planes` bits each; a corpus row is
     * a candidate if it shares ANY table's bucket with the query (recall

@@ -320,6 +320,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaIndex === exact, "appended index diverged from brute force")
   }
 
+  test("ivfRecallAtK: exhaustive probe is exactly 1.0; approximate regime holds its floor") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_recall").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfIndex(emb, dir, nLists = 16)
+    val sample = emb.filter(col("vec_id") < 20)
+    assert(Similarity.ivfRecallAtK(dir, sample, k = 10, nProbe = 16) === 1.0)
+    val r4 = Similarity.ivfRecallAtK(dir, sample, k = 10, nProbe = 4)
+    assert(r4 >= 0.6 && r4 < 1.0,
+      s"approximate-regime recall $r4 outside the expected band")
+  }
+
   test("lshTopK returns a subset ranking consistent with brute force") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 3)
