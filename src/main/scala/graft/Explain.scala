@@ -70,6 +70,11 @@ object Explain {
         // q26 bruteForceTopK shape) — exact bipartite cosine with zero
         // corpus shuffle; the cross is bounded by the benchmark set size.
         "q88_semantic_decontam" -> Set("BroadcastNestedLoopJoin"),
+        // q96: the q69/q70 shape exactly — crossJoin(broadcast(1-row
+        // corpus count)), and the SinglePartition exchange is that count's
+        // own global aggregate.
+        "q96_tfidf_topterms" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         // q82 pass 1 (construction-time collect, exposed via
         // SparkEntry.auditPlans): a GLOBAL aggregate — its final merge of
         // the per-partition MG summaries is one row through one task, the
