@@ -1792,6 +1792,33 @@ object SparkEntry {
         .orderBy("doc_id", "trank")
     }),
 
+    // ---- North-star: BPE ENCODE against a PERSISTED vocabulary ---------
+    // The q92 build-once/query-many shape applied to tokenization: the
+    // trained symbolized vocab is written as parquet ONCE per corpus
+    // (cachedBuild — repeated constructions and bench passes skip the 10
+    // training rounds entirely), and encoding is a broadcast join of the
+    // corpus token stream against the stored vocab folding to one per-doc
+    // agg — the amortized cost a 100 TB pipeline actually pays per encode
+    // pass. OOV words (unseen shards) fall back to character symbols
+    // (spec-pinned); here the corpus trains the vocab so every word hits.
+    // The oracle re-trains the identical 10 rounds in DuckDB and encodes
+    // against the final stage — a hash-green row proves the STORED
+    // artifact reproduces the freshly-trained tokenizer exactly ----------
+    "q97_bpe_encode" -> ((s, dir) => {
+      val vocabPath = cachedBuild(dir, "documents.parquet",
+          "target/q97_bpe_vocab") { p =>
+        operators.Bpe.trainAndWriteVocab(
+          operators.Bpe.wordFreq(Tables.documents(s, dir), "text"),
+          nMerges = 10, path = p)
+      }
+      operators.Bpe.encodeCounts(Tables.documents(s, dir), "doc_id",
+          "text", vocabPath)
+        .select(col("doc_id"), col("n_ws"), col("n_bpe"),
+          round(col("n_bpe").cast("double") / col("n_ws"), 6)
+            .as("fertility"))
+        .orderBy("doc_id")
+    }),
+
     // E16-E18 chained: ALS factors → K-Means → largest-cluster attribute
     // tokens (the als:110-146 genre chain, fully relational).
     "q35_ml_cluster_tokens" -> ((s, dir) => {
@@ -3338,6 +3365,7 @@ object SparkEntry {
            coalesce(a.clean_text, '') AS clean_text
          FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""",
     "q95_bpe_merges" -> bpeOracleSql(10),
+    "q97_bpe_encode" -> bpeEncodeOracleSql(10),
     // Same smoothed-idf formulation; ranking on the ROUNDED score with
     // the term tiebreak in both engines.
     "q96_tfidf_topterms" ->
@@ -3373,7 +3401,38 @@ object SparkEntry {
     * CTEs would re-expand the base scan 2^n times. Tie-break in both
     * engines: count desc, then (left, right) bytewise asc.
     */
-  private def bpeOracleSql(nMerges: Int): String = {
+  private def bpeOracleSql(nMerges: Int): String =
+    s"WITH ${bpeStagesSql(nMerges)} " +
+      s"SELECT * FROM (${bpeMergesUnionSql(nMerges)}) ORDER BY merge_rank"
+
+  /** q97's oracle: encode the corpus against the FINAL stage of the same
+    * replayed training chain — per-doc whitespace vs BPE token counts,
+    * n_syms = symbols in the bracket-encoded word (in-vocab by
+    * construction here; the engine's OOV fallback is exercised by spec).
+    */
+  private def bpeEncodeOracleSql(nMerges: Int): String =
+    raw"""WITH ${bpeStagesSql(nMerges)},
+      vocab AS (SELECT word,
+          len(string_split(substr(enc, 2, len(enc)-2),
+            chr(2) || chr(1))) AS n_syms
+        FROM s$nMerges),
+      dt AS (SELECT doc_id,
+          unnest(string_split_regex(trim(text), '[$WS]+')) AS word
+        FROM documents)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws,
+        CAST(SUM(coalesce(n_syms, len(word) + 1)) AS BIGINT) AS n_bpe,
+        round(CAST(SUM(coalesce(n_syms, len(word) + 1)) AS DOUBLE)
+          / COUNT(*), 6) AS fertility
+      FROM dt LEFT JOIN vocab USING (word)
+      GROUP BY doc_id ORDER BY doc_id"""
+
+  private def bpeMergesUnionSql(nMerges: Int): String =
+    (1 to nMerges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+            a||b AS merged, CAST(w AS BIGINT) AS pair_count FROM b$k"""
+    }.mkString(" UNION ALL ")
+
+  private def bpeStagesSql(nMerges: Int): String = {
     val head = raw"""
       w0 AS MATERIALIZED (
         SELECT tok AS word, COUNT(*) AS cnt FROM (
@@ -3404,11 +3463,6 @@ object SparkEntry {
             (SELECT chr(1)||a||chr(2)||chr(1)||b||chr(2) FROM b$k),
             (SELECT chr(1)||a||b||chr(2) FROM b$k)) AS enc FROM s${k - 1})"""
     }
-    val union = (1 to nMerges).map { k =>
-      s"""SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
-            a||b AS merged, CAST(w AS BIGINT) AS pair_count FROM b$k"""
-    }.mkString(" UNION ALL ")
-    s"WITH ${(head +: stages).mkString(",")} " +
-      s"SELECT * FROM ($union) ORDER BY merge_rank"
+    (head +: stages).mkString(",")
   }
 }

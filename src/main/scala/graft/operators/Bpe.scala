@@ -111,6 +111,45 @@ object Bpe {
     out.result()
   }
 
+  /** Train AND persist: the final symbolized vocab table (word, cnt,
+    * syms) written as parquet — the tokenizer artifact a 100 TB pipeline
+    * builds once and amortizes over every encode pass (the q92 IVF
+    * build-once/query-many shape applied to tokenization). Returns the
+    * learned merges.
+    */
+  def trainAndWriteVocab(words: DataFrame, nMerges: Int,
+                         path: String): Seq[Merge] = {
+    val merges = trainMerges(words, nMerges)
+    val syms = merges.foldLeft(initialVocab(words)) { (df, m) =>
+      df.withColumn("syms", applyMerge(col("syms"), m.lhs, m.rhs))
+    }
+    syms.write.mode("overwrite").parquet(path)
+    merges
+  }
+
+  /** Encode a corpus against a STORED vocab: per-doc whitespace-token and
+    * BPE-token counts. Scale shape: the vocab table is vocab-sized
+    * (BROADCAST; at 1e8-word vocabs, a shuffle join on the word key —
+    * same guarded trade-off as Dedup's eval sides), the corpus token
+    * stream joins map-side and folds to one per-doc agg — encoding never
+    * pays the training passes. Out-of-vocab words (an unseen shard) fall
+    * back to character symbols: len(word)+1 with the end-of-word marker —
+    * the exact cost BPE assigns an all-OOV word before any merge applies.
+    */
+  def encodeCounts(docs: DataFrame, idCol: String, textCol: String,
+                   vocabPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val vocab = spark.read.parquet(vocabPath)
+      .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    docs.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_ws"),
+        sum(coalesce(col("n_syms"), length(col("word")) + 1).cast("long"))
+          .as("n_bpe"))
+  }
+
   private val mergesSchema = StructType(Seq(
     StructField("merge_rank", LongType, nullable = false),
     StructField("lhs", StringType, nullable = false),

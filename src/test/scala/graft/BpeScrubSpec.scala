@@ -75,6 +75,27 @@ class BpeScrubSpec extends SparkSpec {
     assert(out === ((17L, 1L, "x1")))
   }
 
+  test("persisted vocab: syms reconstruct each word, encode matches, " +
+      "OOV falls back to characters") {
+    val dir = java.nio.file.Files.createTempDirectory("bpevocab").toString
+    val docs = Seq("low low low lower lower newest").toDF("text")
+    Bpe.trainAndWriteVocab(Bpe.wordFreq(docs, "text"), 3, s"$dir/vocab")
+    // round-trip invariant: concat(syms) == word + </w> for every row
+    val bad = spark.read.parquet(s"$dir/vocab")
+      .select(col("word"), concat_ws("", col("syms")).as("joined"))
+      .filter(col("joined") =!= concat(col("word"), lit(Bpe.EndOfWord)))
+      .count()
+    assert(bad === 0)
+    // after merges (l,o),(lo,w),(low,</w>): low -> [low</w>] = 1 symbol;
+    // lower -> [low,e,r,</w>] = 4; newest untouched = 7 chars + marker.
+    // "qqq" is OOV -> fallback len+1 = 4.
+    val enc = Bpe.encodeCounts(
+        Seq((0L, "low lower newest qqq")).toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/vocab")
+      .select("n_ws", "n_bpe").as[(Long, Long)].head()
+    assert(enc === ((4L, 1L + 4L + 7L + 4L)))
+  }
+
   /** The q94 pipeline against an arbitrary (doc_id, text) frame. */
   private def scrub(docs: org.apache.spark.sql.DataFrame) = {
     val q = SparkEntry.queries("q94_dup_gram_scrub")
