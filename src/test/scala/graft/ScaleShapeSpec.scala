@@ -473,4 +473,33 @@ class ScaleShapeSpec extends SparkSpec {
     assert(sp.length == 60 * 59 / 2)
     assert(sp.forall(_._3 == 0L))
   }
+
+  test("round-11 tokenizer/curation plan shapes: q94 gram window + no " +
+      "token explode, q96/q97 broadcast lookups") {
+    // q94: the gram frequency must be the count window over the ONE gh
+    // exchange (q71's kernel-once shape), and the rewrite must stay a
+    // doc-level join — exactly TWO Generates may appear (the positional
+    // gram explode and the sparse covered-position expansion), never a
+    // third for per-token rows
+    val q94 = SparkEntry.queries("q94_dup_gram_scrub")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!q94.contains("CartesianProduct"))
+    assert(q94.contains("windowspecdefinition(gh"),
+      "q94 gram frequency must be the window over the gh exchange")
+    assert("Generate ".r.findAllIn(q94).size == 2,
+      "q94 must generate only gram + covered-position rows, never tokens")
+    // q96: df and the corpus count must come back as broadcasts — the tf
+    // stream is the only shuffle
+    val q96 = SparkEntry.queries("q96_tfidf_topterms")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(q96.contains("BroadcastHashJoin"), "q96 df lookup must broadcast")
+    assert(!q96.contains("CartesianProduct"))
+    // q97: encoding against the stored vocab must be a broadcast hash
+    // join (the encode pass adds no corpus shuffle before the doc agg)
+    val q97 = SparkEntry.queries("q97_bpe_encode")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(q97.contains("BroadcastHashJoin"),
+      "q97 vocab lookup must broadcast")
+    assert(!q97.contains("CartesianProduct"))
+  }
 }
