@@ -1715,35 +1715,10 @@ object SparkEntry {
     // n_tok ≤ doc length, so worst case is a fully-duplicated doc at
     // O(n_tok²) on docs of ~1e3 tokens — bounded, spill-free). The
     // oracle replays the semantics over exploded token positions ---------
-    "q94_dup_gram_scrub" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
-      val grams = docs.filter(size(col("t")) >= 8)
-        .select(col("doc_id"),
-          posexplode(TextFunctions.tokenShingles(col("t"), 8))
-            .as(Seq("i0", "g")))
-        .select(col("doc_id"), (col("i0") + 1).as("i"),
-          TextFunctions.fnv64(col("g")).as("gh"))
-      // positional (NOT per-doc-distinct) grams: n counts corpus-wide
-      // occurrences, so n >= 2 is exactly "this span appears elsewhere
-      // (any doc, or again in this one)"
-      val cov = grams
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("gh")))
-        .filter(col("n") >= 2)
-        .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("p"))
-        .groupBy("doc_id").agg(array_sort(collect_set(col("p"))).as("cov"))
-      docs.join(cov, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
-          when(col("cov").isNull, col("t"))
-            .otherwise(filter(col("t"),
-              (tok, i0) => !array_contains(col("cov"), i0 + 1)))
-            .as("kept"))
-        .select(col("doc_id"), col("n_tok"),
-          size(col("kept")).cast("long").as("n_kept"),
-          (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
-          concat_ws(" ", col("kept")).as("clean_text"))
-        .orderBy("doc_id")
-    }),
+    "q94_dup_gram_scrub" -> ((s, dir) =>
+      Dedup.scrubDuplicateGrams(Tables.documents(s, dir), "doc_id", "text",
+          n = 8)
+        .orderBy("doc_id")),
 
     // ---- North-star: BPE vocabulary TRAINING (Sennrich et al. 2016) ----
     // 10 exact merge rounds learned from the corpus — see operators.Bpe
@@ -1790,6 +1765,51 @@ object SparkEntry {
         .select(col("doc_id"), col("rn").cast("long").as("trank"),
           col("tok"), col("tf"), col("df"), col("tfidf"))
         .orderBy("doc_id", "trank")
+    }),
+
+    // ---- North-star CAPSTONE: the full corpus-curation chain -----------
+    // The Dolma/C4/RefinedWeb shape end-to-end as ONE DataFrame program,
+    // every stage an operator this suite gates individually: quality gate
+    // (q53's token-count + alpha-ratio rules) → benchmark DECONTAMINATION
+    // (q66's 8-gram broadcast probe against the %10=7 eval slice, doc
+    // dropped on any overlap) → near-dedup KEEP-BEST (q81's shared
+    // component labels, max_by(blen, -id) per component) → duplicate-
+    // substring SCRUB over the survivors (q94). Scale shape: the corpus
+    // flows through the chain as doc-level rows — eval grams and the
+    // keep-id set broadcast, the only corpus-scale exchanges are the LSH
+    // band shuffle inside componentLabels and the scrub's gram-hash
+    // window. The oracle replays all four stages in one WITH RECURSIVE
+    // chain (quality CTEs + the q81 closure seeded from the decontaminated
+    // set + the scrub CTEs over the survivor relation), so a hash-green
+    // row pins every inter-stage boundary, not just each stage alone -----
+    "q98_corpus_curation" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      val grams8 = (d: DataFrame) => d.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokenShingles(
+          TextFunctions.tokens(col("text")), 8))).as("g"))
+        .select(col("doc_id"), TextFunctions.fnv64(col("g")).as("gh"))
+      val quality = all.filter(
+        size(TextFunctions.tokens(col("text"))) >= 30 &&
+          (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+            .cast("double") / length(col("text"))) >= 0.8)
+      val evalGrams = grams8(all.filter(pmod(col("doc_id"), lit(10)) === 7))
+        .select("gh").distinct()
+      val cand = quality.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val contaminated = grams8(cand)
+        .join(broadcast(evalGrams), Seq("gh"))
+        .select("doc_id").distinct()
+      val decon = cand.join(contaminated, Seq("doc_id"), "left_anti")
+      val comp = Dedup.componentLabels(decon, "doc_id", "text",
+        threshold = 0.8)
+      val keep = decon.select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("blen"))
+        .join(comp, Seq("doc_id"))
+        .groupBy("component")
+        .agg(expr("max_by(doc_id, struct(blen, -doc_id))").as("doc_id"))
+        .select("doc_id")
+      val survivors = decon.join(keep, Seq("doc_id"), "left_semi")
+      Dedup.scrubDuplicateGrams(survivors, "doc_id", "text", n = 8)
+        .orderBy("doc_id")
     }),
 
     // ---- North-star: BPE ENCODE against a PERSISTED vocabulary ---------
@@ -2385,9 +2405,14 @@ object SparkEntry {
     * by min doc_id. q64/q81/q86 all build on this one definition so the
     * three oracles cannot drift apart.
     */
-  private val componentClosureCtes: String = raw"""WITH RECURSIVE toks AS (
+  /** The q81/q86/q98 connected-component closure over an arbitrary base
+    * relation (doc_id, text): quadratic 3-token-shingle Jaccard pairs,
+    * symmetric edges, recursive reachability, component = MIN reachable
+    * id. Callers embed after `WITH RECURSIVE`.
+    */
+  private def componentClosureBody(base: String): String = raw"""toks AS (
            SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
-           FROM documents),
+           FROM $base),
          sh AS (
            SELECT doc_id,
              CASE WHEN len(t) < 3 THEN []::VARCHAR[]
@@ -2406,12 +2431,15 @@ object SparkEntry {
            UNION
            SELECT id_b AS u, id_a AS v FROM prs),
          reach AS (
-           SELECT doc_id AS src, doc_id AS dst FROM documents
+           SELECT doc_id AS src, doc_id AS dst FROM $base
            UNION
            SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
          comp AS (
            SELECT src AS doc_id, MIN(dst) AS component
            FROM reach GROUP BY src)"""
+
+  private val componentClosureCtes: String =
+    "WITH RECURSIVE " + componentClosureBody("documents")
 
   /** q85 oracle: the Morton fold as a CTE chain — one CTE per
     * [[graft.functions.LayoutFunctions.spreadSteps]] entry, constants
@@ -3333,37 +3361,55 @@ object SparkEntry {
     // out, text rebuilt with an ORDER BY string_agg. Joins raw gram
     // STRINGS vs the engine's FNV-64 hashes — the standard 64-bit
     // collision-freedom argument (q24/q66/q71).
-    "q94_dup_gram_scrub" ->
-      raw"""WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
-           FROM documents),
-         grams AS (
-           SELECT doc_id,
-             unnest(range(1, len(t) - 6)) AS i,
-             unnest(list_transform(range(1, len(t) - 6),
+    "q94_dup_gram_scrub" -> ("WITH " + scrubCtesBody("documents") +
+      scrubFinalSelect),
+    // The four-stage chain in one WITH RECURSIVE: q53's quality CTEs,
+    // q66's decontam semantics (eval slice's distinct grams, NOT IN on
+    // any-overlap docs), the q81 closure seeded from the DECONTAMINATED
+    // relation, keep-best per component, then the q94 scrub CTEs over the
+    // survivor relation. Every stage boundary is inside the hash.
+    "q98_corpus_curation" ->
+      (raw"""WITH RECURSIVE q AS (
+           SELECT * FROM documents
+           WHERE len(string_split_regex(trim(text), '[$WS]+')) >= 30
+             AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   AS DOUBLE) / length(text) >= 0.8),
+         evg AS (
+           SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, len(t) - 6),
                i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
-                              t[i+4], t[i+5], t[i+6], t[i+7]))) AS g
-           FROM toks WHERE len(t) >= 8),
-         dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
-         cov AS (SELECT DISTINCT doc_id,
-                   unnest(list_transform(range(0, 8), d -> i + d)) AS p
-                 FROM grams JOIN dup USING (g)),
-         pos AS (SELECT doc_id, unnest(t) AS tok,
-                   generate_subscripts(t, 1) AS p
-                 FROM toks),
-         kept AS (SELECT p0.doc_id, p0.tok, p0.p
-                  FROM pos p0 LEFT JOIN cov c
-                    ON p0.doc_id = c.doc_id AND p0.p = c.p
-                  WHERE c.p IS NULL),
-         agg AS (SELECT doc_id, COUNT(*) AS n_kept,
-                   string_agg(tok, ' ' ORDER BY p) AS clean_text
-                 FROM kept GROUP BY doc_id),
-         base AS (SELECT doc_id, len(t) AS n_tok FROM toks)
-         SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
-           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
-           CAST(b.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
-           coalesce(a.clean_text, '') AS clean_text
-         FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""",
+                              t[i+4], t[i+5], t[i+6], t[i+7])))) AS g
+           FROM (SELECT string_split_regex(trim(text), '[$WS]+') AS t
+                 FROM documents WHERE doc_id % 10 = 7)
+           WHERE len(t) >= 8),
+         cand AS (SELECT doc_id, text FROM q WHERE doc_id % 10 <> 7),
+         candg AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(t) - 6),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                              t[i+4], t[i+5], t[i+6], t[i+7])))) AS g
+           FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '[$WS]+') AS t
+                 FROM cand)
+           WHERE len(t) >= 8),
+         contam AS (SELECT DISTINCT doc_id FROM candg JOIN evg USING (g)),
+         decon AS (
+           SELECT doc_id, text FROM cand
+           WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         """ + componentClosureBody("decon") + raw""",
+         scored AS (
+           SELECT c.component, c.doc_id,
+                  CAST(strlen(d.text) AS BIGINT) AS blen
+           FROM comp c JOIN decon d USING (doc_id)),
+         ranked AS (
+           SELECT component, doc_id,
+                  row_number() OVER (PARTITION BY component
+                    ORDER BY blen DESC, doc_id ASC) AS rn
+           FROM scored),
+         surv AS (
+           SELECT d.doc_id, d.text FROM decon d
+           JOIN (SELECT doc_id FROM ranked WHERE rn = 1) k USING (doc_id)),
+         """ + scrubCtesBody("surv") + scrubFinalSelect),
     "q95_bpe_merges" -> bpeOracleSql(10),
     "q97_bpe_encode" -> bpeEncodeOracleSql(10),
     // Same smoothed-idf formulation; ranking on the ROUNDED score with
@@ -3401,6 +3447,48 @@ object SparkEntry {
     * CTEs would re-expand the base scan 2^n times. Tie-break in both
     * engines: count desc, then (left, right) bytewise asc.
     */
+  /** The q94/q98 scrub oracle CTEs over an arbitrary (doc_id, text) base
+    * relation: positional 8-grams (parallel unnest zips index + gram),
+    * corpus-wide occurrence count >= 2, covered positions anti-joined out
+    * of the exploded token stream, text rebuilt with an ORDER BY
+    * string_agg. The oracle needn't be scale-shaped; it joins raw gram
+    * STRINGS vs the engine's FNV-64 hashes (the q24/q66/q71 64-bit
+    * collision-freedom argument).
+    */
+  private def scrubCtesBody(base: String): String = raw"""sctoks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM $base),
+         scgrams AS (
+           SELECT doc_id,
+             unnest(range(1, len(t) - 6)) AS i,
+             unnest(list_transform(range(1, len(t) - 6),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                              t[i+4], t[i+5], t[i+6], t[i+7]))) AS g
+           FROM sctoks WHERE len(t) >= 8),
+         scdup AS (SELECT g FROM scgrams GROUP BY g HAVING COUNT(*) >= 2),
+         sccov AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(0, 8), d -> i + d)) AS p
+                 FROM scgrams JOIN scdup USING (g)),
+         scpos AS (SELECT doc_id, unnest(t) AS tok,
+                   generate_subscripts(t, 1) AS p
+                 FROM sctoks),
+         sckept AS (SELECT p0.doc_id, p0.tok, p0.p
+                  FROM scpos p0 LEFT JOIN sccov c
+                    ON p0.doc_id = c.doc_id AND p0.p = c.p
+                  WHERE c.p IS NULL),
+         scagg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY p) AS clean_text
+                 FROM sckept GROUP BY doc_id),
+         scbase AS (SELECT doc_id, len(t) AS n_tok FROM sctoks)"""
+
+  private val scrubFinalSelect: String = """
+         SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(b.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(a.clean_text, '') AS clean_text
+         FROM scbase b LEFT JOIN scagg a USING (doc_id)
+         ORDER BY b.doc_id"""
+
   private def bpeOracleSql(nMerges: Int): String =
     s"WITH ${bpeStagesSql(nMerges)} " +
       s"SELECT * FROM (${bpeMergesUnionSql(nMerges)}) ORDER BY merge_rank"

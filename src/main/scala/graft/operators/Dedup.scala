@@ -691,4 +691,46 @@ object Dedup {
       .filter(col("sim") > threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** Duplicate-substring SCRUB (Lee et al. 2022 §4's dedup-by-substring at
+    * token n-gram granularity): rewrite each doc removing every token
+    * covered by an n-gram occurring ≥ 2 times corpus-wide. Scale shape:
+    * the positional gram stream travels as (id, i, fnv64) rows through
+    * ONE hash exchange on the gram hash where a count window flags
+    * duplicated occurrences in place (the q71 kernel-once trick); only
+    * flagged positions — sparse in a deduplicated-enough corpus — expand
+    * to covered-position rows and fold to one sorted array per affected
+    * doc; the rewrite is a doc-level join plus a narrow index-aware
+    * `filter` HOF, so the corpus is never token-exploded and never
+    * shuffles. Returns (id, n_tok, n_kept, n_removed, clean_text);
+    * row order unspecified (callers sort).
+    */
+  def scrubDuplicateGrams(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol), T.tokens(col(textCol)).as("t"))
+    val grams = docs.filter(size(col("t")) >= n)
+      .select(col(idCol),
+        posexplode(T.tokenShingles(col("t"), n)).as(Seq("i0", "g")))
+      .select(col(idCol), (col("i0") + 1).as("i"), T.fnv64(col("g")).as("gh"))
+    // positional (NOT per-doc-distinct) grams: the window count is the
+    // corpus-wide occurrence count, so >= 2 means "this span appears
+    // elsewhere (any doc, or again in this one)"
+    val cov = grams
+      .withColumn("nocc", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("nocc") >= 2)
+      .select(col(idCol),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .groupBy(idCol).agg(array_sort(collect_set(col("p"))).as("cov"))
+    docs.join(cov, Seq(idCol), "left_outer")
+      .select(col(idCol), size(col("t")).cast("long").as("n_tok"),
+        when(col("cov").isNull, col("t"))
+          .otherwise(filter(col("t"),
+            (tok, i0) => !array_contains(col("cov"), i0 + 1)))
+          .as("kept"))
+      .select(col(idCol), col("n_tok"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
 }
