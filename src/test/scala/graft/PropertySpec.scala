@@ -346,4 +346,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("law: BPE max pair count is non-increasing across merge rounds") {
+    // merging (a,b) can only create pairs (x,ab)/(ab,y) whose occurrence
+    // sets are subsets of (x,a)/(b,y)'s — so the argmax count never rises
+    // (the standard BPE training invariant). Random word-soup corpora.
+    val words = Gen.listOfN(30,
+      Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString))
+    for (ws <- samples(words, 3)) {
+      val docs = Seq(ws.mkString(" ")).toDF("text")
+      val merges = graft.operators.Bpe.trainMerges(
+        graft.operators.Bpe.wordFreq(docs, "text"), 6)
+      val counts = merges.sortBy(_.rank).map(_.pairCount)
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+        s"pair counts must be non-increasing: $counts")
+      assert(counts.forall(_ >= 1))
+    }
+  }
+
+  test("law: scrub output tokens are a subsequence of the input's") {
+    // clean_text must be the input token stream with positions removed —
+    // never reordered, never rewritten
+    val docs = samples(smallLists, 6).zipWithIndex.map { case (ts, i) =>
+      (i.toLong, ts.map(v => s"w$v").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .scrubDuplicateGrams(docs, "doc_id", "text", n = 3)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    val orig = docs.as[(Long, String)].collect().toMap
+    for ((id, clean) <- out) {
+      val ct = if (clean.isEmpty) Seq.empty else clean.split(" ").toSeq
+      val ot = orig(id).split(" ").toSeq
+      // subsequence check
+      var j = 0
+      for (t <- ot if j < ct.length && ct(j) == t) j += 1
+      assert(j == ct.length,
+        s"doc $id: '$clean' is not a subsequence of '${orig(id)}'")
+    }
+  }
 }
