@@ -59,6 +59,9 @@ object Explain {
         // table (a broadcast cross join of queries x nLists-row frame)
         "q92_ivf_index_query" -> Set("BroadcastNestedLoopJoin"),
         "q93_ivf_index_append" -> Set("BroadcastNestedLoopJoin"),
+        // q99: the same coarse-probe cross of queries x the nLists-row
+        // stored centroid table as q52/q92.
+        "q99_quantized_refine" -> Set("BroadcastNestedLoopJoin"),
         "q69_bm25_search" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         "q70_unigram_surprisal" ->

@@ -1584,6 +1584,27 @@ object SparkEntry {
         .orderBy("q_id", "rn")
     }),
 
+    // ---- PROVABLY-EXACT quantized ANN (filter-and-refine) --------------
+    // The int8-code filter pass with a rigorous reconstruction-error
+    // bound: per-query ε = Σ|q_i|Δ_i/2 gives per-candidate cosine bounds
+    // côs ± ε/(‖q‖‖x‖); prune below the k-th largest lower bound, re-rank
+    // ONLY the survivor superset with exact doubles. At exhaustive probe
+    // the result EQUALS brute force (same oracle as q26/q52/q92) while
+    // the filter scan reads the 64-byte code column instead of 512-byte
+    // vectors — the memory-bandwidth shape a 100 TB ANN filter needs.
+    // DedupSimilaritySpec measures that the prune actually bites.
+    "q99_quantized_refine" -> ((s, dir) => {
+      val idx = cachedBuild(dir, "embeddings.parquet",
+          "target/q99_pq_index") { p =>
+        Similarity.buildQuantizedIndex(Tables.embeddings(s, dir), p,
+          nLists = 8)
+      }
+      Similarity.quantizedRefineTopK(idx,
+          Tables.embeddings(s, dir).filter(col("vec_id") < 5),
+          k = 5, nProbe = 8)
+        .orderBy("q_id", "rn")
+    }),
+
     // ---- LSH ANN, recall-sized to reproduce the exact top-k ------------
     // OR-amplified hyperplane LSH with `tables` sized by lshTablesFor so a
     // neighbor at the fixture's 5th-neighbor similarity FLOOR (measured:
@@ -3256,6 +3277,10 @@ object SparkEntry {
     // Build-on-90% + append-10% must also reproduce it (append placed
     // every shard row correctly; exhaustive probe erases routing bias).
     "q93_ivf_index_append" -> exactTopKSql,
+    // The quantized filter-and-refine round trip must reproduce the exact
+    // top-k too: the bound argument makes the survivor set a superset of
+    // the true top-k, and the refine pass is the brute-force scoring.
+    "q99_quantized_refine" -> exactTopKSql,
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

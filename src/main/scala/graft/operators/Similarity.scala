@@ -345,6 +345,143 @@ object Similarity {
     if (denom == 0L) 1.0 else row.getLong(0).toDouble / denom
   }
 
+  /** Build and PERSIST the QUANTIZED refine index: the [[buildIvfIndex]]
+    * layout plus per-vector int8 codes ([[V.quantizeInt8]] against
+    * corpus-global per-dim ranges) stored ALONGSIDE the full vectors in
+    * the cell-partitioned assignment table, and the dim-row ranges table.
+    * The point at 100 TB: the filter pass of [[quantizedRefineTopK]]
+    * projects ONLY the 64-byte code column (parquet column pruning —
+    * never the 512-byte double vectors), so the scan of the non-surviving
+    * majority is ~8× fewer bytes; full vectors are read just for the
+    * provably-sufficient survivor set.
+    */
+  def buildQuantizedIndex(corpus: DataFrame, indexPath: String,
+                          nLists: Int = 8, seed: Long = 40L,
+                          trainSample: Double = Double.NaN,
+                          trainRowBudget: Long = 100000L,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Unit = {
+    val (assigned, cent) = ivfFit(corpus, nLists, seed, trainSample,
+      trainRowBudget, idCol, vecCol)
+    val ranges = assigned
+      .select(posexplode(col("v_n")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+    ranges.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/ranges.parquet")
+    cent.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/centroids.parquet")
+    val rarr = ranges.agg(transform(
+      array_sort(collect_list(struct(col("pos"), col("lo"), col("hi")))),
+      s => struct(s.getField("lo").as("lo"), s.getField("hi").as("hi")))
+      .as("rgs"))
+    assigned.crossJoin(broadcast(rarr))
+      .withColumn("codes", V.quantizeInt8(col("v_n"), col("rgs")))
+      .select("n_id", "v_n", "nrm_n", "codes", "cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/assignments.parquet")
+  }
+
+  /** PROVABLY-EXACT quantized search (the filter-and-refine pattern with
+    * a rigorous error bound): score candidates from the int8 codes, prune
+    * with per-(query, vector) bounds, and re-rank only the survivors with
+    * exact doubles — at exhaustive nProbe the result EQUALS brute force
+    * (q99's oracle is the same exact top-k SQL as q26/q52/q92).
+    *
+    * The bound: codes reconstruct x̂ with |x_i − x̂_i| ≤ Δ_i/2 per dim
+    * (Δ_i = (hi_i − lo_i)/255), so for query q,
+    * |q·x − q·x̂| ≤ Σ|q_i|·Δ_i/2 =: ε(q) — one narrow per-query fold over
+    * the broadcast ranges. With stored exact norms, per-candidate cosine
+    * bounds are côs ± ε(q)/(‖q‖‖x‖); ε is inflated by 1e-9 absolute so
+    * float evaluation slop (~1e-14 at dim 64) can never break soundness.
+    * The per-query threshold t = k-th largest LOWER bound (the same
+    * bounded-heap partial aggregate as every ANN reduction here);
+    * survivors = candidates with UPPER bound ≥ t — a superset of the true
+    * top-k by the standard filter-refine argument, so the exact re-rank
+    * over survivors reproduces brute force exactly.
+    *
+    * Scale shape: the filter pass reads (cell, n_id, nrm_n, codes) only
+    * — column pruning keeps the double vectors unread; the dim-row ranges
+    * table collapses to plan literals (a boundary scalar, like q82's
+    * sketch); thresholds are |queries| rows broadcast back; the re-rank
+    * reads full vectors only for the survivor join. PropertySpec-style
+    * gating: DedupSimilaritySpec asserts result == bruteForceTopK AND
+    * that the prune actually bites ([[quantizedPruneStats]]).
+    */
+  def quantizedRefineTopK(indexPath: String, queries: DataFrame, k: Int,
+                          nProbe: Int = 8, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame =
+    quantizedRefineFrames(indexPath, queries, k, nProbe, idCol, vecCol)._3
+
+  /** (candidate rows scored from codes, survivor rows re-ranked exactly)
+    * — the measured prune rate of [[quantizedRefineTopK]].
+    */
+  def quantizedPruneStats(indexPath: String, queries: DataFrame, k: Int,
+                          nProbe: Int = 8, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): (Long, Long) = {
+    val (approx, surv, _) =
+      quantizedRefineFrames(indexPath, queries, k, nProbe, idCol, vecCol)
+    (approx.count(), surv.count())
+  }
+
+  private def quantizedRefineFrames(indexPath: String, queries: DataFrame,
+                                    k: Int, nProbe: Int, idCol: String,
+                                    vecCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = queries.sparkSession
+    val cent = spark.read.parquet(s"$indexPath/centroids.parquet")
+      .withColumn("c2", V.dot(col("cen"), col("cen")))
+    val asg = spark.read.parquet(s"$indexPath/assignments.parquet")
+    // dim-row ranges → driver literals (boundary scalar, dim values)
+    val rng = spark.read.parquet(s"$indexPath/ranges.parquet")
+      .orderBy("pos").select("lo", "hi").collect()
+    val los = rng.map(_.getDouble(0)).toSeq
+    val deltas = rng.map(r => (r.getDouble(1) - r.getDouble(0)) / 255.0).toSeq
+    val losL = typedlit(los)
+    val delL = typedlit(deltas)
+    val qBase = queries.select(col(idCol).as("q_id"),
+        V.toDoubleArray(col(vecCol)).as("v_q"))
+      .withColumn("nrm_q", V.norm(col("v_q")))
+      .withColumn("qa", aggregate(zip_with(col("v_q"), losL,
+        (x, l) => x * l), lit(0.0), _ + _))
+      .withColumn("w", zip_with(col("v_q"), delL, (x, d) => x * d))
+      .withColumn("qeps", aggregate(zip_with(col("v_q"), delL,
+        (x, d) => abs(x) * d), lit(0.0), _ + _) / 2 + lit(1e-9))
+    val qCells = qBase.crossJoin(broadcast(cent))
+      .withColumn("aff", V.dot(col("v_q"), col("cen")) * 2 - col("c2"))
+      .groupBy("q_id")
+      .agg(AggFunctions.topKByScore(col("aff"), col("cell_id"), nProbe)
+        .as("cells"))
+      .select(col("q_id"), explode(col("cells")).as("ce"))
+      .select(col("q_id"), col("ce.n_id").cast("int").as("cell"))
+    val q = qBase.join(qCells, Seq("q_id"))
+      .select("q_id", "cell", "nrm_q", "qa", "w", "qeps")
+    // FILTER pass: codes only — the double vectors stay unread here
+    val approx = asg.select("cell", "n_id", "nrm_n", "codes")
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("dhat", col("qa") + aggregate(
+        zip_with(col("w"), col("codes"), (wi, c) => wi * (c + 128)),
+        lit(0.0), _ + _))
+      .withColumn("chat", col("dhat") / (col("nrm_q") * col("nrm_n")))
+      .withColumn("err", col("qeps") / (col("nrm_q") * col("nrm_n")))
+    val thr = approx.groupBy("q_id")
+      .agg(AggFunctions.topKByScore(col("chat") - col("err"),
+        col("n_id").cast("long"), k).as("h"))
+      .select(col("q_id"),
+        element_at(col("h"), size(col("h"))).getField("sim").as("t"))
+    val surv = approx.join(broadcast(thr), Seq("q_id"))
+      .filter(col("chat") + col("err") >= col("t"))
+      .select("q_id", "cell", "n_id")
+    // REFINE pass: full vectors for survivors only
+    val scored = asg.select(col("cell"), col("n_id"), col("v_n"),
+        col("nrm_n"))
+      .join(broadcast(surv), Seq("cell", "n_id"))
+      .join(broadcast(qBase.select("q_id", "v_q", "nrm_q")), Seq("q_id"))
+      .withColumn("sim", round(
+        V.dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")), 6))
+    (approx, surv, topKReduce(scored, k))
+  }
+
   /** LSH-bucketed approximate top-k with OR-amplification: `tables`
     * independent hyperplane sketches of `planes` bits each; a corpus row is
     * a candidate if it shares ANY table's bucket with the query (recall

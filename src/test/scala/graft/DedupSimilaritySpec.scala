@@ -493,4 +493,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.forall { case (a, b, s) => a != 99L && b != 199L && !s.isNaN },
       s"zero-norm vectors must be dropped, got ${got.toSeq}")
   }
+
+  test("quantized filter-and-refine: exact at exhaustive probe, and the " +
+      "prune actually bites") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files
+      .createTempDirectory("qrefine").toString
+    Similarity.buildQuantizedIndex(emb, dir, nLists = 8)
+    val queries = emb.filter(col("vec_id") < 8)
+    for (k <- Seq(3, 5)) {
+      val exact = Similarity.bruteForceTopK(emb, queries, k)
+        .select("q_id", "n_id", "sim", "rn")
+        .orderBy("q_id", "rn").collect().toSeq
+      val refined = Similarity.quantizedRefineTopK(dir, queries, k,
+          nProbe = 8)
+        .select("q_id", "n_id", "sim", "rn")
+        .orderBy("q_id", "rn").collect().toSeq
+      assert(refined === exact, s"k=$k: refine must equal brute force")
+    }
+    val (cand, surv) = Similarity.quantizedPruneStats(dir, queries, 5,
+      nProbe = 8)
+    assert(cand === 8L * 499L, s"exhaustive probe scores all pairs: $cand")
+    assert(surv < cand / 2,
+      s"the int8 filter must prune most candidates: $surv of $cand")
+  }
 }
