@@ -516,5 +516,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cand === 8L * 499L, s"exhaustive probe scores all pairs: $cand")
     assert(surv < cand / 2,
       s"the int8 filter must prune most candidates: $surv of $cand")
+    info(f"prune: $surv of $cand candidates survive " +
+      f"(${100.0 * surv / cand}%.1f%% -> exact re-rank)")
   }
 }
