@@ -1840,6 +1840,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- JSONL round-trip gate (the corpus interchange format) ---------
+    // Dolma/RedPajama-style corpora ship as gzip JSONL; this is the
+    // write→read loop gated on LOSSLESSNESS: documents written via
+    // Sources.writeJsonl (once — cachedBuild), read back with the source
+    // table's own schema (zero inference passes), and fingerprinted
+    // per doc. The oracle computes the same polynomial fingerprint over
+    // the ORIGINAL parquet, so a hash-green row proves every text byte
+    // and typed column survived the JSON encode/decode (the mixed-corpus
+    // gate runs this same loop over CJK/emoji text). The gzip-parts
+    // layout keeps the read parallel — each part is one task, unlike a
+    // monolithic .gz text source (quirk Q7) ------------------------------
+    "q100_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = cachedBuild(dir, "documents.parquet",
+          "target/q100_jsonl") { p => Sources.writeJsonl(docs, p) }
+      Sources.jsonlWithSchema(s, path, docs.schema)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // ---- North-star: BPE ENCODE against a PERSISTED vocabulary ---------
     // The q92 build-once/query-many shape applied to tokenization: the
     // trained symbolized vocab is written as parquet ONCE per corpus
@@ -3444,6 +3465,17 @@ object SparkEntry {
          """ + scrubCtesBody("surv") + scrubFinalSelect),
     "q95_bpe_merges" -> bpeOracleSql(10),
     "q97_bpe_encode" -> bpeEncodeOracleSql(10),
+    // Over the ORIGINAL parquet — equality proves the engine's JSONL
+    // write→read loop lossless (same original-fixture-oracle trick as
+    // q90's z-order loop). Fingerprint formula identical to q27's.
+    "q100_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, n_chars,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''),
+                 ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
     // Same smoothed-idf formulation; ranking on the ROUNDED score with
     // the term tiebreak in both engines.
     "q96_tfidf_topterms" ->
