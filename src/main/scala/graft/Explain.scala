@@ -82,7 +82,11 @@ object Explain {
         // SparkEntry.auditPlans): a GLOBAL aggregate — its final merge of
         // the per-partition MG summaries is one row through one task, the
         // q03/q17 shape.
-        "q82_heavy_hitters#pass1" -> Set("SinglePartition-exchange"))
+        "q82_heavy_hitters#pass1" -> Set("SinglePartition-exchange"),
+        // q101's bloom build (construction-time, cachedBuild-amortized):
+        // a GLOBAL aggregate — the final merge ORs the per-partition
+        // bloom blobs through one task, the q03/q17/q82#pass1 shape.
+        "q101_bloom_ingest#build" -> Set("SinglePartition-exchange"))
       // construction-time plans (driver-collected passes) audit alongside
       // the returned frames — restricted to the selected queries' passes
       val auditTargets = names.map(n =>

@@ -129,7 +129,15 @@ object SparkEntry {
     // narrow merge projections layered on the checkpointed vocab.
     "q95_bpe_merges#pairs" -> ((s, dir) =>
       operators.Bpe.pairCounts(operators.Bpe.initialVocab(
-        operators.Bpe.wordFreq(Tables.documents(s, dir), "text")))))
+        operators.Bpe.wordFreq(Tables.documents(s, dir), "text")))),
+    // q101's bloom build (cachedBuild pass): one key-column aggregate
+    // folding the corpus into the persisted filter — sizing literals are
+    // stand-ins here (the real build derives them from the count pass).
+    "q101_bloom_ingest#build" -> ((s, dir) =>
+      operators.Dedup.exactBloomAggFrame(
+        Tables.documents(s, dir).select("doc_id", "text")
+          .filter(col("doc_id") % 10 =!= 7),
+        "text", n = 1000L, numBits = 10000L)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1888,6 +1896,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: BLOOM-gated exact-dedup ingest admission ----------
+    // q89's incremental-ingest shape for EXACT dedup, with the standing
+    // corpus compiled into a persisted Bloom filter (cachedBuild — the
+    // q92/q97 build-once artifact pattern): shard keys probe the stored
+    // filter inside the scan's codegen span, never-seen rows are admitted
+    // outright (no false negatives), and only might-contain candidates
+    // (true dups + ~0.9% FPs at 10 bits/key) reach the raw-text verify —
+    // candidates broadcast into a corpus semi-join, the surviving key set
+    // broadcasts back into the shard anti-join, so the corpus never
+    // shuffles and the per-ingest join input is |dups| + fp·|new| instead
+    // of |shard|. Shard = exact copies of the %10=5 slice (must ALL be
+    // dropped), near-miss variants of %10=3 (one appended token — hash
+    // differs, must ALL be admitted), and the genuinely-new %10=7 slice.
+    // Oracle = plain NOT IN on raw text: bloom FPs are verified away, so
+    // the admission is EXACT, not approximate --------------------------
+    "q101_bloom_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val shard = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" zznew")).as("text")))
+        .unionAll(docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+      val bloomPath = cachedBuild(dir, "documents.parquet",
+          "target/q101_bloom") { p =>
+        operators.Dedup.buildExactBloom(corpus, "text", p)
+      }
+      operators.Dedup.bloomAdmit(corpus, shard, "text", bloomPath)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("blen"))
+        .orderBy("doc_id")
+    }),
+
     // E16-E18 chained: ALS factors → K-Means → largest-cluster attribute
     // tokens (the als:110-146 genre chain, fully relational).
     "q35_ml_cluster_tokens" -> ((s, dir) => {
@@ -3498,6 +3541,25 @@ object SparkEntry {
          SELECT doc_id, CAST(trank AS BIGINT) AS trank, tok,
            CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
          FROM ranked WHERE trank <= 3 ORDER BY doc_id, trank""",
+    // Plain NOT IN on raw text — the bloom-probe + verify pipeline must
+    // reproduce exact set-membership admission (FPs verified away, no
+    // FNs by the Bloom guarantee).
+    "q101_bloom_ingest" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+         shard AS (
+           SELECT doc_id + 5000000 AS doc_id, text
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id + 3000000 AS doc_id, text || ' zznew' AS text
+           FROM documents WHERE doc_id % 10 = 3
+           UNION ALL
+           SELECT doc_id + 7000000 AS doc_id, text
+           FROM documents WHERE doc_id % 10 = 7)
+         SELECT doc_id, CAST(strlen(text) AS BIGINT) AS blen
+         FROM shard
+         WHERE text NOT IN (SELECT text FROM corpus)
+         ORDER BY doc_id""",
   )
 
   /** The q95 oracle: BPE training replayed in DuckDB, stage by stage.

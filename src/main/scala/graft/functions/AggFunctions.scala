@@ -1,6 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graft.ColumnBridge
 
 import graft.functions.expressions.MisraGriesCandidates
@@ -34,4 +36,28 @@ object AggFunctions {
     ColumnBridge.column(
       MisraGriesCandidates(ColumnBridge.expression(item), k)
         .toAggregateExpression())
+
+  /** Spark's own Bloom-filter aggregate (the engine behind runtime join
+    * filtering), surfaced as a Column: folds `key` (must be bigint — hash
+    * upstream with xxhash64) into one serialized Bloom filter of `numBits`
+    * bits, with the hash-function count sized optimally for
+    * `expectedItems`. Genuine partial agg: each partition builds its own
+    * filter and merge is a bitwise OR, so exactly one `numBits/8`-byte
+    * blob per partition crosses the shuffle regardless of input size.
+    */
+  def bloomFilterAgg(key: Column, expectedItems: Long, numBits: Long): Column =
+    ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(key),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+
+  /** Membership probe against a serialized Bloom filter (no false
+    * negatives; false-positive rate set by the build's bits-per-key). The
+    * filter rides the plan as a binary literal — broadcast once per
+    * executor exactly like Spark's injected runtime filters — and the
+    * probe is a codegen-friendly scalar, so it runs inside the scan's
+    * WholeStageCodegen span.
+    */
+  def bloomMightContain(bloom: Array[Byte], key: Column): Column =
+    ColumnBridge.column(
+      BloomFilterMightContain(Literal(bloom), ColumnBridge.expression(key)))
 }

@@ -733,4 +733,81 @@ object Dedup {
         (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
         concat_ws(" ", col("kept")).as("clean_text"))
   }
+
+  private def bloomKey(c: Column, nfc: Boolean): Column =
+    xxhash64(if (nfc) T.nfcNormalize(c) else c)
+
+  /** Build the standing corpus's exact-dedup Bloom filter and persist it
+    * as a one-row parquet artifact (`n_keys`, `num_bits`, `bloom`) — the
+    * q92-style build-once side of [[bloomAdmit]]. Two jobs over ONE
+    * column: a count (sizes the filter: `bitsPerKey` bits per key, hash
+    * count optimal for that load) and the [[graft.functions.AggFunctions
+    * .bloomFilterAgg]] fold. At 10 bits/key the false-positive rate is
+    * ~0.9%; FPs only cost verify-join work, never correctness.
+    *
+    * 100 TB sizing: the artifact is `n_keys × bitsPerKey / 8` bytes —
+    * 1.25 GB for 10^9 docs — built once per corpus snapshot and amortized
+    * over every subsequent ingest, exactly like the IVF index (q92) and
+    * the BPE vocab (q97). A nightly pipeline appends new keys by OR-ing a
+    * shard-built filter of the same geometry (Bloom union = bitwise OR),
+    * never rescanning the corpus.
+    */
+  def buildExactBloom(corpus: DataFrame, keyCol: String, path: String,
+                      bitsPerKey: Int = 10, nfc: Boolean = false): Unit = {
+    val n = math.max(1L, corpus.select(col(keyCol)).count())
+    val numBits = math.max(64L, n * bitsPerKey)
+    exactBloomAggFrame(corpus, keyCol, n, numBits, nfc)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** The bloom build's single aggregation frame (count pass already done,
+    * sizing passed in) — exposed so the construction-time plan audits
+    * alongside the returned frames (SparkEntry.auditPlans).
+    */
+  def exactBloomAggFrame(corpus: DataFrame, keyCol: String, n: Long,
+                         numBits: Long, nfc: Boolean = false): DataFrame =
+    corpus.select(bloomKey(col(keyCol), nfc).as("k"))
+      .agg(lit(n).as("n_keys"), lit(numBits).as("num_bits"),
+        graft.functions.AggFunctions.bloomFilterAgg(col("k"), n, numBits)
+          .as("bloom"))
+
+  /** EXACT incremental-ingest admission via a persisted Bloom filter: the
+    * fast path of [[exact]]-dedup when a shard arrives against a standing
+    * corpus. Shard keys probe the stored filter inside the scan's codegen
+    * span; rows the filter has never seen are admitted OUTRIGHT (Bloom
+    * filters have no false negatives), and only the might-contain
+    * candidates — true duplicates plus the ~1% false positives — reach
+    * the verify stage, which matches on the RAW key value (collision-
+    * proof) in two corpus-shuffle-free steps: candidates broadcast into a
+    * semi-join against the corpus scan, and the surviving (tiny) existing-
+    * key set broadcasts back into the shard anti-join. Result: admitted
+    * shard rows, exactly `shard WHERE key NOT IN corpus` semantics.
+    *
+    * Against a plain anti-join ingest, the join input shrinks from
+    * |shard| to |dups| + fp·|new|, and the corpus side is a single
+    * column-pruned scan with NOTHING shuffled — the broadcast semi-join
+    * prunes it further at runtime (the candidate-key filter pushes into
+    * the scan as Spark's own runtime bloom would). Within-shard
+    * duplicates are out of scope (admission against the standing corpus
+    * only), mirroring q89's incremental-ingest contract.
+    */
+  def bloomAdmit(corpus: DataFrame, shard: DataFrame, keyCol: String,
+                 bloomPath: String, nfc: Boolean = false): DataFrame = {
+    val sp = corpus.sparkSession
+    // one-row artifact: driver-sized by construction
+    val art = sp.read.parquet(bloomPath).head()
+    val bloom = art.getAs[Array[Byte]]("bloom")
+    val probed = shard.withColumn("__mc",
+      graft.functions.AggFunctions.bloomMightContain(bloom,
+        bloomKey(col(keyCol), nfc)))
+    val clean = probed.filter(!col("__mc"))
+    val cand = probed.filter(col("__mc"))
+    val candKeys = cand.select(col(keyCol).as("__k")).distinct()
+    val existing = corpus.select(col(keyCol).as("__k"))
+      .join(broadcast(candKeys), Seq("__k"), "left_semi").distinct()
+    clean.unionByName(
+        cand.join(broadcast(existing), cand(keyCol) === existing("__k"),
+          "left_anti"))
+      .drop("__mc")
+  }
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Bloom-gated exact-dedup ingest admission (q101's operator pair):
+  * build-once [[Dedup.buildExactBloom]] + per-shard [[Dedup.bloomAdmit]].
+  *
+  * The laws that make the pipeline EXACT (not approximate):
+  *   - no false negatives: a key the filter has seen always probes true,
+  *     so every true duplicate reaches the verify join and is dropped —
+  *     at ANY filter size, including a pathologically undersized one;
+  *   - false positives are verified away: an undersized filter (1 bit
+  *     per key) sends most of the shard through the verify join, and the
+  *     admitted set STILL equals the NOT IN truth.
+  */
+class BloomIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    new java.io.File(s"target/tmp/bloom_$name").getAbsolutePath
+
+  private val corpusDocs: Seq[(Long, String)] =
+    (1L to 200L).map(i => i -> s"corpus document number $i with body ${i * 7}")
+  private val dupSlice: Seq[(Long, String)] =
+    corpusDocs.filter(_._1 % 3 == 0).map { case (i, t) => (1000L + i, t) }
+  private val newSlice: Seq[(Long, String)] =
+    (2001L to 2060L).map(i => i -> s"fresh shard document $i never seen")
+
+  private def corpus: DataFrame = corpusDocs.toDF("doc_id", "text")
+  private def shard: DataFrame = (dupSlice ++ newSlice).toDF("doc_id", "text")
+
+  private def admittedIds(bitsPerKey: Int, name: String): Seq[Long] = {
+    val path = tmp(name)
+    Dedup.buildExactBloom(corpus, "text", path, bitsPerKey = bitsPerKey)
+    Dedup.bloomAdmit(corpus, shard, "text", path)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+  }
+
+  private val truth: Seq[Long] = {
+    val corpusTexts = corpusDocs.map(_._2).toSet
+    (dupSlice ++ newSlice).filterNot { case (_, t) => corpusTexts(t) }
+      .map(_._1).sorted
+  }
+
+  test("admitted set equals the NOT IN truth at the production geometry") {
+    assert(truth.nonEmpty && truth.size < dupSlice.size + newSlice.size)
+    assert(admittedIds(bitsPerKey = 10, "prod") == truth)
+  }
+
+  test("undersized filter (1 bit/key, FP-heavy) is still exact") {
+    // with ~200 keys in ~200 bits most probes collide: the verify join is
+    // doing nearly all the work, and must reject every false positive
+    assert(admittedIds(bitsPerKey = 1, "tiny") == truth)
+  }
+
+  test("no false negatives: every exact duplicate is dropped at any size") {
+    for ((bits, name) <- Seq(1 -> "fn1", 10 -> "fn10")) {
+      val admitted = admittedIds(bits, name).toSet
+      assert(dupSlice.forall { case (id, _) => !admitted(id) },
+        s"a true duplicate was admitted at bitsPerKey=$bits")
+    }
+  }
+
+  test("nfc flag: composed and decomposed twins dedup as one key") {
+    val path = tmp("nfc")
+    val composed = "caf\u00e9 menu listing"   // e-acute composed
+    val decomposed = "cafe\u0301 menu listing" // e + combining acute
+    val c = Seq((1L, composed)).toDF("doc_id", "text")
+    val sh = Seq((10L, decomposed), (11L, "unrelated text")).toDF("doc_id", "text")
+    Dedup.buildExactBloom(c, "text", path, nfc = true)
+    // verify matches on the raw key column, so normalization must be
+    // applied by the CALLER's keying convention on both sides; assert the
+    // bloom probe alone already collapses the twins (no false negative on
+    // the normalized key), and the non-nfc path keeps them distinct
+    val probedTogether = Dedup.bloomAdmit(c,
+        sh.withColumn("text", graft.functions.TextFunctions.nfcNormalize(col("text"))),
+        "text", path, nfc = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(probedTogether == Set(11L))
+    val pathRaw = tmp("nfcraw")
+    Dedup.buildExactBloom(c, "text", pathRaw, nfc = false)
+    val rawAdmitted = Dedup.bloomAdmit(c, sh, "text", pathRaw, nfc = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rawAdmitted == Set(10L, 11L))
+  }
+
+  test("artifact records the build geometry") {
+    val path = tmp("geom")
+    Dedup.buildExactBloom(corpus, "text", path, bitsPerKey = 12)
+    val row = spark.read.parquet(path).head()
+    assert(row.getAs[Long]("n_keys") == 200L)
+    assert(row.getAs[Long]("num_bits") == 2400L)
+    assert(row.getAs[Array[Byte]]("bloom").length > 0)
+  }
+}
