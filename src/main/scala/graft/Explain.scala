@@ -66,6 +66,11 @@ object Explain {
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         "q70_unigram_surprisal" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q102: the q70 shape exactly — crossJoin(broadcast(1-row corpus
+        // stats)), and the SinglePartition exchange is that frame's own
+        // global aggregate.
+        "q102_bigram_surprisal" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         "q73_embed_quantize" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         "q74_corpus_shuffle" -> Set("SinglePartition-exchange"),

@@ -1129,6 +1129,52 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: BIGRAM LM surprisal — q70's model-based quality
+    // signal upgraded to first-order context: train an interpolated
+    // bigram LM on the corpus itself (Jelinek-Mercer: λ·c(v,w)/c(v·) +
+    // (1−λ)·unigram, λ=0.7, unigram +1-smoothed over the observed vocab
+    // exactly as q70) and score each doc by mean bigram surprisal
+    // −ln p(w|v). Catches what a unigram can't: common words in
+    // improbable ORDER (shuffled/templated text) score high while the
+    // same bag of words in fluent order scores low. Scale shape: the
+    // bigram stream is linear in corpus tokens; c(v,w) is one map-side-
+    // combined groupBy and its join back is the stream's only wide join
+    // (hot bigrams partial-aggregate map-side, AQE splits skewed join
+    // partitions); context counts c(v·) and unigram counts are vocab-
+    // sized and broadcast; the corpus stats frame is one row. Per-bigram
+    // surprisal rounds to 6 dp and sums as DECIMAL so the hash cannot
+    // depend on aggregation order ---------------------------------------
+    "q102_bigram_surprisal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val withToks = docs.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("t"))
+      val toks = withToks.select(col("doc_id"), explode(col("t")).as("tok"))
+      val stats = toks.agg(count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("vocab"))
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("cw"))
+      val bg = withToks.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+            slice(col("t"), lit(1), size(col("t")) - 1).as("v"),
+            slice(col("t"), lit(2), size(col("t")) - 1).as("w"))).as("p"))
+        .select(col("doc_id"), col("p.v").as("v"), col("p.w").as("w"))
+      val cb = bg.groupBy("v", "w").agg(count(lit(1)).as("cvw"))
+      val cv = bg.groupBy("v").agg(count(lit(1)).as("cv"))
+      bg.join(cb, Seq("v", "w"))
+        .join(broadcast(cv), Seq("v"))
+        .join(broadcast(uni.withColumnRenamed("tok", "w")), Seq("w"))
+        .crossJoin(broadcast(stats))
+        .withColumn("surprisal", round(-log(
+          lit(0.7) * (col("cvw").cast("double") / col("cv")) +
+            lit(0.3) * ((col("cw") + 1.0) /
+              (col("n_tokens") + col("vocab")))), 6))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("surprisal").cast(DecimalType(18, 6)))
+              .cast("double") / count(lit(1)), 4)
+            .as("mean_surprisal"))
+        .orderBy("doc_id")
+    }),
+
     // ---- North-star: BM25 ranked retrieval (Robertson/Spärck Jones;
     // k1=1.2, b=0.75) for a fixed term set over the corpus — the search
     // primitive of a data-curation stack. Scale shape: tf is one bounded
@@ -1869,6 +1915,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- ORC round-trip gate (the Hive-side columnar interchange) ------
+    // q100's losslessness loop for ORC: documents written once via
+    // Sources.writeOrc (cachedBuild), read back typed with the schema
+    // from the FILE (no schema argument, no inference pass — the ORC
+    // advantage over JSONL), fingerprinted per doc against the original-
+    // fixture oracle. With parquet as the native store, JSONL (q100) and
+    // ORC (q103) close out the interchange-format matrix a corpus
+    // pipeline actually meets ------------------------------------------
+    "q103_orc_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = cachedBuild(dir, "documents.parquet",
+          "target/q103_orc") { p => Sources.writeOrc(docs, p) }
+      s.read.orc(path)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // ---- North-star: BPE ENCODE against a PERSISTED vocabulary ---------
     // The q92 build-once/query-many shape applied to tokenization: the
     // trained symbolized vocab is written as parquet ONCE per corpus
@@ -2343,6 +2407,55 @@ object SparkEntry {
                AS surprisal
            FROM tr r JOIN lm l USING (tok) CROSS JOIN stats s)
          SELECT doc_id, COUNT(*) AS n_tok,
+           round(CAST(SUM(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_surprisal
+         FROM sc GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Shared q100/q103 round-trip oracle: per-doc polynomial fingerprint
+    * (q27's formula) plus the typed columns, over the ORIGINAL parquet —
+    * a hash-green row proves the interchange write→read loop preserved
+    * every text byte and typed value.
+    */
+  private val roundTripOracleSql: String =
+    """SELECT doc_id, lang, n_chars,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''),
+                 ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id"""
+
+  /** q102 oracle: the interpolated bigram LM re-derived in DuckDB — same
+    * λ=0.7 Jelinek-Mercer mix, same +1-smoothed unigram backoff, same
+    * double-op order (cast-to-double numerators, long denominators), 6-dp
+    * per-bigram rounding and DECIMAL sum exactly as q70.
+    */
+  private val bigramSurprisalOracleSql: String =
+    raw"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         tr AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         stats AS (
+           SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS vocab
+           FROM tr),
+         uni AS (SELECT tok, COUNT(*) AS cw FROM tr GROUP BY tok),
+         bgl AS (
+           SELECT doc_id, list_transform(range(1, len(t)),
+               i -> struct_pack(v := t[i], w := t[i+1])) AS ps
+           FROM toks WHERE len(t) >= 2),
+         bg AS (
+           SELECT doc_id, p.v AS v, p.w AS w
+           FROM (SELECT doc_id, unnest(ps) AS p FROM bgl)),
+         cb AS (SELECT v, w, COUNT(*) AS cvw FROM bg GROUP BY v, w),
+         cv AS (SELECT v, COUNT(*) AS cv FROM bg GROUP BY v),
+         sc AS (
+           SELECT g.doc_id,
+             round(-ln(0.7 * (CAST(b.cvw AS DOUBLE) / c.cv)
+                     + 0.3 * ((u.cw + 1.0) / (s.n_tokens + s.vocab))), 6)
+               AS surprisal
+           FROM bg g JOIN cb b USING (v, w) JOIN cv c USING (v)
+           JOIN uni u ON g.w = u.tok CROSS JOIN stats s)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
            round(CAST(SUM(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
              / COUNT(*), 4) AS mean_surprisal
          FROM sc GROUP BY doc_id ORDER BY doc_id"""
@@ -3219,6 +3332,7 @@ object SparkEntry {
     "q68_sequence_packing" -> packingOracleSql,
     "q69_bm25_search" -> bm25OracleSql,
     "q70_unigram_surprisal" -> surprisalOracleSql,
+    "q102_bigram_surprisal" -> bigramSurprisalOracleSql,
     "q36_stratified_split_counts" -> stratifiedSplitOracleSql,
     "q42_except_all" ->
       """SELECT user_id, COUNT(*) AS cnt FROM (
@@ -3508,17 +3622,11 @@ object SparkEntry {
          """ + scrubCtesBody("surv") + scrubFinalSelect),
     "q95_bpe_merges" -> bpeOracleSql(10),
     "q97_bpe_encode" -> bpeEncodeOracleSql(10),
-    // Over the ORIGINAL parquet — equality proves the engine's JSONL
-    // write→read loop lossless (same original-fixture-oracle trick as
+    // Over the ORIGINAL parquet — equality proves the engine's JSONL/ORC
+    // write→read loops lossless (same original-fixture-oracle trick as
     // q90's z-order loop). Fingerprint formula identical to q27's.
-    "q100_jsonl_roundtrip" ->
-      """SELECT doc_id, lang, n_chars,
-           list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(text, ''),
-                 ch -> CAST(ascii(ch) AS BIGINT))),
-             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
-         FROM documents ORDER BY doc_id""",
+    "q100_jsonl_roundtrip" -> roundTripOracleSql,
+    "q103_orc_roundtrip" -> roundTripOracleSql,
     // Same smoothed-idf formulation; ranking on the ROUNDED score with
     // the term tiebreak in both engines.
     "q96_tfidf_topterms" ->

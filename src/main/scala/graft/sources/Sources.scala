@@ -140,6 +140,16 @@ object Sources {
                       schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC write: the Hive-ecosystem columnar interchange sibling of
+    * [[writeJsonl]]. Unlike JSONL the schema travels IN the file (typed
+    * read needs no schema argument and no inference pass), values stay
+    * binary-typed end-to-end, and stripe-level min/max indexes give the
+    * same predicate-pushdown class as parquet. q103 gates the loop on
+    * losslessness against the original fixture.
+    */
+  def writeOrc(df: DataFrame, outPath: String): Unit =
+    df.write.mode("overwrite").orc(outPath)
+
   /** S5: driver-side text sink for small reports (replaces the reference's
     * open()/write blocks, higgs:27-59). Engine results that are themselves
     * large must go through df.write, never through this.
