@@ -1995,6 +1995,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: corpus SNAPSHOT DIFF (dataset versioning) ---------
+    // The reconciliation pass every managed 100 TB corpus runs between
+    // snapshots: v2 vs v1 classified per doc as added / removed /
+    // modified / unchanged. Scale shape: both sides reduce to
+    // (doc_id, xxhash64(text)) AT THE SCAN — 16-byte rows through one
+    // co-partitioned full-outer hash join, the corpus text never
+    // shuffles; at 10^9 docs that is a ~16 GB shuffle instead of the
+    // corpus. Content equality via 64-bit hash (the standard diff trade:
+    // same-id collision odds ~n·2⁻⁶⁴); the oracle compares raw text, so
+    // a green row also witnesses no collision in the fixture. v2 drops
+    // the %10=4 slice (removed), edits the %10=5 texts (modified), and
+    // gains the %10=7 slice v1 excludes (added) ------------------------
+    "q104_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+      val v2 = docs.filter(col("doc_id") % 10 =!= 4)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 5,
+            concat(col("text"), lit(" v2edit")))
+            .otherwise(col("text")).as("text"))
+      v1.select(col("doc_id"), xxhash64(col("text")).as("h1"))
+        .join(v2.select(col("doc_id"), xxhash64(col("text")).as("h2")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "modified")
+            .otherwise("unchanged").as("status"))
+        .orderBy("doc_id")
+    }),
+
     // E16-E18 chained: ALS factors → K-Means → largest-cluster attribute
     // tokens (the als:110-146 genre chain, fully relational).
     "q35_ml_cluster_tokens" -> ((s, dir) => {
@@ -3667,6 +3698,24 @@ object SparkEntry {
          SELECT doc_id, CAST(strlen(text) AS BIGINT) AS blen
          FROM shard
          WHERE text NOT IN (SELECT text FROM corpus)
+         ORDER BY doc_id""",
+    // Raw-text comparison (no hashing) — a green row proves the engine's
+    // 64-bit content-hash diff classified every doc exactly as the text
+    // diff does on this fixture.
+    "q104_snapshot_diff" ->
+      """WITH v1 AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 5 THEN text || ' v2edit'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 10 <> 4)
+         SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.text <> b.text THEN 'modified'
+                ELSE 'unchanged' END AS status
+         FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
          ORDER BY doc_id""",
   )
 

@@ -123,6 +123,20 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static dimension enrichment — the stateless join every event
+    * pipeline runs before anything else (attach user/tenant/experiment
+    * attributes to the firehose). The static side is re-planned per
+    * micro-batch by Structured Streaming semantics — a slowly-changing
+    * dimension table picks up its updates between batches with no restart
+    * — and broadcasts, so the stream side never shuffles and needs no
+    * watermark (stream-static inner/left joins keep no state). The SAME
+    * code runs in batch, which is how StreamingEtlSpec asserts
+    * stream == batch row-for-row.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String,
+                    joinType: String = "left_outer"): DataFrame =
+    events.join(broadcast(dim), Seq(key), joinType)
+
   /** Sliding-window per-user activity rate (5 min slide, 1 h width). */
   def slidingUserRate(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

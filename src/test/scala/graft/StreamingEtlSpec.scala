@@ -218,6 +218,26 @@ class StreamingEtlSpec extends SparkSpec {
       s"stream pairs ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("enrichWithDim: stream-static broadcast join matches batch, append-mode") {
+    // stateless by construction (no watermark, no state store): every
+    // event joins the static dimension inside its own micro-batch, so
+    // Append mode emits everything immediately
+    val dim = Tables.events(spark, sf0001).select(col("event_type"))
+      .distinct().withColumn("type_code", xxhash64(col("event_type")))
+    val streamed = EventStream.runToMemory(
+      EventStream.enrichWithDim(
+        EventStream.readEvents(spark, sf0001), dim, "event_type"),
+      "enrich_dim_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = EventStream.enrichWithDim(
+      Tables.events(spark, sf0001), dim, "event_type")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "event_type", "type_code")
+        .as[(Long, String, Long)].collect().sorted.toSeq
+    val (s, b) = (rows(streamed), rows(batch))
+    assert(s.nonEmpty && s == b, s"stream rows ${s.size} vs batch ${b.size}")
+  }
+
   test("recentPairs LEFT OUTER emits watermark-evicted unmatched lefts as a stream") {
     // The append-mode outer-join semantic the inner test's comment dodges:
     // an unmatched left row may only emit once the watermark passes
