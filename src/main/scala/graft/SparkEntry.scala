@@ -1031,6 +1031,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: exact-k-PER-GROUP deterministic sample — the
+    // balanced-subset primitive (k docs per language for evals/ablations):
+    // q75's hash-priority bottom-k applied per group through the
+    // topKByScore PARTIAL aggregate, so each input partition contributes
+    // at most groups×k entries to the shuffle — never the per-group
+    // row_number window, which funnels every row of a group through one
+    // reducer. Priority is the same FNV stream as q75 (pure function of
+    // (doc_id, seed), partition-independent); ranking is on the DOUBLE
+    // image of the hash with id tiebreak, and the oracle replays the
+    // identical cast so the two engines order identically -----------------
+    "q105_grouped_sample" -> ((s, dir) => {
+      val k = 20
+      val pr = Tables.documents(s, dir).select(col("lang"), col("doc_id"),
+        negate(TextFunctions.fnv64(
+            concat(col("doc_id").cast("string"), lit(":31")))
+          .cast("double")).as("score"))
+      pr.groupBy("lang")
+        .agg(graft.functions.AggFunctions
+          .topKByScore(col("score"), col("doc_id"), k).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("i", "e")))
+        .select(col("lang"), (col("i") + 1).cast("long").as("rank"),
+          col("e.n_id").as("doc_id"))
+        .orderBy("lang", "rank")
+    }),
+
     // ---- North-star: JSON metadata extraction — the semi-structured
     // side-channel every corpus carries (events.props is a JSON string).
     // get_json_object is Spark's codegen'd path-extraction primitive — a
@@ -2634,6 +2659,21 @@ object SparkEntry {
            ORDER BY hs, doc_id LIMIT 100)
          ORDER BY doc_id"""
 
+  /** q105 oracle: per-lang bottom-k on the same FNV stream, ranked on the
+    * DOUBLE image of the signed hash exactly as the engine's topKByScore
+    * compares (score = −CAST(hs AS DOUBLE), ties by doc_id ASC).
+    */
+  private val groupedSampleOracleSql: String =
+    fnvSignedCtes("documents", "doc_id", 31) + """,
+         r AS (
+           SELECT lang, doc_id, ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(hs AS DOUBLE) ASC, doc_id) AS rank
+           FROM sg)
+         SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+         FROM r WHERE rank <= 20
+         ORDER BY lang, rank"""
+
   /** q62 oracle: re-derive the bucket per id and reproduce the FULL
     * train/test assignment. */
   /** Shared oracle prefix: the q64 3-gram-Jaccard near-dup closure —
@@ -3319,6 +3359,7 @@ object SparkEntry {
     "q62_hash_split" -> hashSplitOracleSql,
     "q74_corpus_shuffle" -> corpusShuffleOracleSql,
     "q75_priority_sample" -> prioritySampleOracleSql,
+    "q105_grouped_sample" -> groupedSampleOracleSql,
     "q77_doc_chunks" -> docChunksOracleSql,
     "q78_json_props" ->
       """WITH p AS (

@@ -543,6 +543,22 @@ class StreamingEtlSpec extends SparkSpec {
       Seq(10L, 12L)) // best two by score desc
     assert(topk(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) ==
       Seq(20L))
+    // the bloom pair end-to-end in SQL: build a filter over seen keys,
+    // probe a seen and an unseen key (no false negative on the seen one).
+    // might_contain requires its filter side constant-foldable or a
+    // scalar subquery — the subquery IS the production shape (Spark's own
+    // runtime filters inject exactly this)
+    val bloom = spark.sql(
+      """SELECT graft_bloom_contains(
+           (SELECT graft_bloom_agg(xxhash64(k), 3L, 4096L)
+            FROM VALUES ('a'), ('b'), ('c') AS t(k)),
+           xxhash64('b')) AS hit,
+         graft_bloom_contains(
+           (SELECT graft_bloom_agg(xxhash64(k), 3L, 4096L)
+            FROM VALUES ('a'), ('b'), ('c') AS t(k)),
+           xxhash64('zzz-never-seen')) AS miss""").head()
+    assert(bloom.getBoolean(0), "bloom false negative on a seen key")
+    assert(!bloom.getBoolean(1), "unseen key probed true at 4096 bits/3 keys")
   }
 
   test("SQL surface coerces or rejects mistyped inputs at analysis time") {
