@@ -91,7 +91,14 @@ object Explain {
         // q101's bloom build (construction-time, cachedBuild-amortized):
         // a GLOBAL aggregate — the final merge ORs the per-partition
         // bloom blobs through one task, the q03/q17/q82#pass1 shape.
-        "q101_bloom_ingest#build" -> Set("SinglePartition-exchange"))
+        "q101_bloom_ingest#build" -> Set("SinglePartition-exchange"),
+        // q107: the threshold subplan — a cumulative sum over the
+        // |wc-domain|-row histogram (the q74-class BOUNDED partition-less
+        // window) and crossJoin(broadcast(1-row threshold/total frames)),
+        // whose SinglePartition exchanges are those frames' own global
+        // aggregates. The corpus side never shuffles.
+        "q107_percentile_gate" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"))
       // construction-time plans (driver-collected passes) audit alongside
       // the returned frames — restricted to the selected queries' passes
       val auditTargets = names.map(n =>

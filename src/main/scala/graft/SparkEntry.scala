@@ -1056,6 +1056,31 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }),
 
+    // ---- North-star: data-derived PERCENTILE quality gate — the CCNet
+    // pattern: the keep threshold is not a constant (q65's Gopher rules)
+    // but a percentile OF THE CORPUS (drop the shortest 20% by word
+    // count), recomputed per snapshot. Computed EXACTLY without a global
+    // sort or approx_percentile drift: word count lives on a bounded
+    // domain, so one map-side-combined histogram groupBy + a cumulative
+    // sum over the |domain|-row frame (the q74-class bounded partition-
+    // less window) yields the exact threshold, broadcast back into the
+    // corpus filter — two corpus scans total, zero corpus shuffles ------
+    "q107_percentile_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val wc = docs.select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("wc"))
+      val hist = wc.groupBy("wc").agg(count(lit(1)).as("c"))
+      val thresh = hist
+        .withColumn("cum", sum("c").over(Window.orderBy("wc")))
+        .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+        .filter(col("cum") >= ceil(col("n") * lit(0.2)))
+        .agg(min("wc").as("t"))
+      wc.crossJoin(broadcast(thresh))
+        .filter(col("wc") >= col("t"))
+        .select(col("doc_id"), col("wc"), col("t"))
+        .orderBy("doc_id")
+    }),
+
     // ---- North-star: JSON metadata extraction — the semi-structured
     // side-channel every corpus carries (events.props is a JSON string).
     // get_json_object is Spark's codegen'd path-extraction primitive — a
@@ -2048,6 +2073,38 @@ object SparkEntry {
             .when(col("h2").isNull, "removed")
             .when(col("h1") =!= col("h2"), "modified")
             .otherwise("unchanged").as("status"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- North-star: APPLY CHANGESET (diff → next snapshot) ------------
+    // The write side of q104's versioning story: given the standing
+    // corpus v1 and a changeset (upserts carrying payload text, deletes
+    // carrying only ids — the CDC/Delta-MERGE shape), produce v2. Scale
+    // shape: the changeset is the ingest increment and BROADCASTS; v1
+    // streams through one broadcast anti-join (drop every changed id)
+    // plus a union of the upsert payloads — the corpus never shuffles
+    // and is scanned exactly once. The oracle constructs v2 DIRECTLY
+    // from the fixture definition, so a hash-green row proves
+    // apply(v1, diff) == snapshot(v2) byte-for-byte (fingerprints) -----
+    "q106_apply_changeset" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+      val changes = docs.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), col("text"), lit("upsert").as("action"))
+        .unionAll(docs.filter(col("doc_id") % 10 === 5)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" v2edit")).as("text"),
+            lit("upsert").as("action")))
+        .unionAll(docs.filter(col("doc_id") % 10 === 4)
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            lit("delete").as("action")))
+      val next = v1
+        .join(broadcast(changes.select("doc_id")), Seq("doc_id"),
+          "left_anti")
+        .unionByName(changes.filter(col("action") === "upsert")
+          .select("doc_id", "text"))
+      next.select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
 
@@ -3360,6 +3417,22 @@ object SparkEntry {
     "q74_corpus_shuffle" -> corpusShuffleOracleSql,
     "q75_priority_sample" -> prioritySampleOracleSql,
     "q105_grouped_sample" -> groupedSampleOracleSql,
+    // Exact percentile replay: same histogram + running sum + ceil(n*0.2)
+    // threshold, same IEEE ceil on the double product.
+    "q107_percentile_gate" ->
+      raw"""WITH wc AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '[$WS]+')) AS BIGINT)
+               AS wc
+           FROM documents),
+         hist AS (SELECT wc, COUNT(*) AS c FROM wc GROUP BY wc),
+         n AS (SELECT SUM(c) AS n FROM hist),
+         cum AS (SELECT wc, SUM(c) OVER (ORDER BY wc) AS cum FROM hist),
+         t AS (SELECT MIN(wc) AS t FROM cum CROSS JOIN n
+               WHERE cum >= CEIL(n * 0.2))
+         SELECT w.doc_id, w.wc, t.t
+         FROM wc w CROSS JOIN t WHERE w.wc >= t.t
+         ORDER BY doc_id""",
     "q77_doc_chunks" -> docChunksOracleSql,
     "q78_json_props" ->
       """WITH p AS (
@@ -3758,6 +3831,21 @@ object SparkEntry {
                 ELSE 'unchanged' END AS status
          FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
          ORDER BY doc_id""",
+    // v2 constructed DIRECTLY from the fixture definition (q104's v2) —
+    // equality proves the engine's apply(v1, changeset) reconstruction.
+    "q106_apply_changeset" ->
+      """WITH v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 5 THEN text || ' v2edit'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 10 <> 4)
+         SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''),
+                 ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         FROM v2 ORDER BY doc_id""",
   )
 
   /** The q95 oracle: BPE training replayed in DuckDB, stage by stage.
