@@ -98,7 +98,14 @@ object Explain {
         // whose SinglePartition exchanges are those frames' own global
         // aggregates. The corpus side never shuffles.
         "q107_percentile_gate" ->
-          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"))
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q108: the SinglePartition exchange is SPARK'S OWN
+        // InjectRuntimeFilter bloom build (bloom_filter_agg over the
+        // flag-frame join keys — the very mechanism q101 surfaces
+        // explicitly): a global aggregate merging per-partition bloom
+        // blobs through one task, the q03/q17 shape, injected by the
+        // optimizer rather than written by us.
+        "q108_curation_report" -> Set("SinglePartition-exchange"))
       // construction-time plans (driver-collected passes) audit alongside
       // the returned frames — restricted to the selected queries' passes
       val auditTargets = names.map(n =>

@@ -1944,6 +1944,114 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: token-distribution DRIFT between snapshots --------
+    // The monitoring scalar a managed corpus publishes per release:
+    // per-source KL divergence KL(p_v1 ‖ p_v2) of the +1-smoothed
+    // unigram distributions over the union vocab (q104's v1/v2 pair), so
+    // an ingest that shifts a source's language silently shows up as a
+    // number before any model trains on it. Scale shape: two token-count
+    // aggs (map-side combined) meet in ONE full-outer join co-partitioned
+    // on (source, token); the per-source totals frame is |sources| rows
+    // and broadcasts; per-term contributions round to 12 dp and sum as
+    // DECIMAL so the hash cannot depend on aggregation order ------------
+    "q109_token_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def counts(d: DataFrame, c: String) = d
+        .select(col("source"), explode(TextFunctions.tokens(col("text")))
+          .as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as(c))
+      val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+      val v2 = docs.filter(col("doc_id") % 10 =!= 4)
+        .select(col("source"),
+          when(col("doc_id") % 10 === 5,
+            concat(col("text"), lit(" v2edit")))
+            .otherwise(col("text")).as("text"))
+      val joined = counts(v1, "c1")
+        .join(counts(v2, "c2"), Seq("source", "tok"), "full_outer")
+        .select(col("source"), col("tok"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+      val stats = joined.groupBy("source").agg(
+        sum("c1").as("n1"), sum("c2").as("n2"), count(lit(1)).as("v"))
+      joined.join(broadcast(stats), Seq("source"))
+        .withColumn("p1", (col("c1") + 1.0) / (col("n1") + col("v")))
+        .withColumn("p2", (col("c2") + 1.0) / (col("n2") + col("v")))
+        .withColumn("term",
+          round(col("p1") * log(col("p1") / col("p2")), 12))
+        .groupBy("source")
+        .agg(max("n1").as("n1"), max("n2").as("n2"), max("v").as("v"),
+          round(sum(col("term").cast(DecimalType(28, 12))).cast("double"),
+            6).as("kl"))
+        .orderBy("source")
+    }),
+
+    // ---- North-star: curation DROP-REASON report (observability) -------
+    // The companion every q98-style pipeline ships with: per doc, WHICH
+    // stage decided its fate — dropped_quality / dropped_decontam /
+    // dropped_dup / kept_scrubbed / kept_clean — the report a data team
+    // reads before shipping a snapshot (and the debugging surface when a
+    // gate misfires). Same stage operators and precedence as q98; the
+    // classification is left-join flag frames folded by one when-chain,
+    // so the corpus is scanned once and each stage's id set joins
+    // co-partitioned on doc_id. "Scrubbed" = any position covered by a
+    // corpus-wide duplicated 8-gram (the q94 window kernel, stopped at
+    // the coverage test — no rewrite work for a report). The oracle
+    // replays all stages in one WITH RECURSIVE chain ending in the same
+    // CASE precedence ---------------------------------------------------
+    "q108_curation_report" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select("doc_id", "text")
+      val grams8 = (d: DataFrame) => d.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokenShingles(
+          TextFunctions.tokens(col("text")), 8))).as("g"))
+        .select(col("doc_id"), TextFunctions.fnv64(col("g")).as("gh"))
+      val quality = all.filter(
+        size(TextFunctions.tokens(col("text"))) >= 30 &&
+          (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+            .cast("double") / length(col("text"))) >= 0.8)
+      val evalGrams = grams8(all.filter(pmod(col("doc_id"), lit(10)) === 7))
+        .select("gh").distinct()
+      val cand = quality.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val contaminated = grams8(cand)
+        .join(broadcast(evalGrams), Seq("gh"))
+        .select("doc_id").distinct()
+      val decon = cand.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val comp = Dedup.componentLabels(decon, "doc_id", "text",
+        threshold = 0.8)
+      val keep = decon.select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("blen"))
+        .join(comp, Seq("doc_id"))
+        .groupBy("component")
+        .agg(expr("max_by(doc_id, struct(blen, -doc_id))").as("doc_id"))
+        .select("doc_id")
+      val survivors = decon.join(keep, Seq("doc_id"), "left_semi")
+      val scrubbed = survivors
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokenShingles(col("t"), 8)).as("g"))
+        .select(col("doc_id"), TextFunctions.fnv64(col("g")).as("gh"))
+        .withColumn("nocc", count(lit(1)).over(Window.partitionBy("gh")))
+        .filter(col("nocc") >= 2).select("doc_id").distinct()
+      corpus
+        .join(quality.select(col("doc_id"), lit(1).as("q")),
+          Seq("doc_id"), "left_outer")
+        .join(contaminated.withColumn("ct", lit(1)), Seq("doc_id"),
+          "left_outer")
+        .join(keep.withColumn("kb", lit(1)), Seq("doc_id"), "left_outer")
+        .join(scrubbed.withColumn("sc", lit(1)), Seq("doc_id"),
+          "left_outer")
+        .select(col("doc_id"),
+          when(col("q").isNull, "dropped_quality")
+            .when(col("ct") === 1, "dropped_decontam")
+            .when(col("kb").isNull, "dropped_dup")
+            .when(col("sc") === 1, "kept_scrubbed")
+            .otherwise("kept_clean").as("status"))
+        .orderBy("doc_id")
+    }),
+
     // ---- JSONL round-trip gate (the corpus interchange format) ---------
     // Dolma/RedPajama-style corpora ship as gzip JSONL; this is the
     // write→read loop gated on LOSSLESSNESS: documents written via
@@ -2707,6 +2815,99 @@ object SparkEntry {
          FROM ch ORDER BY doc_id, chunk_id"""
   }
 
+  /** The q98/q108 shared four-stage curation chain: quality CTEs → eval
+    * 8-gram decontamination → the q81 keep-best closure — ends at `surv`
+    * (the kept, pre-scrub relation), with `q`/`contam`/`ranked` live for
+    * stage-attribution consumers. Single-sourced so the capstone rewrite
+    * (q98) and the drop-reason report (q108) can never drift apart.
+    */
+  private def curationChainCtes: String =
+    raw"""WITH RECURSIVE q AS (
+           SELECT * FROM documents
+           WHERE len(string_split_regex(trim(text), '[$WS]+')) >= 30
+             AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   AS DOUBLE) / length(text) >= 0.8),
+         evg AS (
+           SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, len(t) - 6),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                              t[i+4], t[i+5], t[i+6], t[i+7])))) AS g
+           FROM (SELECT string_split_regex(trim(text), '[$WS]+') AS t
+                 FROM documents WHERE doc_id % 10 = 7)
+           WHERE len(t) >= 8),
+         cand AS (SELECT doc_id, text FROM q WHERE doc_id % 10 <> 7),
+         candg AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(t) - 6),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                              t[i+4], t[i+5], t[i+6], t[i+7])))) AS g
+           FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '[$WS]+') AS t
+                 FROM cand)
+           WHERE len(t) >= 8),
+         contam AS (SELECT DISTINCT doc_id FROM candg JOIN evg USING (g)),
+         decon AS (
+           SELECT doc_id, text FROM cand
+           WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         """ + componentClosureBody("decon") + raw""",
+         scored AS (
+           SELECT c.component, c.doc_id,
+                  CAST(strlen(d.text) AS BIGINT) AS blen
+           FROM comp c JOIN decon d USING (doc_id)),
+         ranked AS (
+           SELECT component, doc_id,
+                  row_number() OVER (PARTITION BY component
+                    ORDER BY blen DESC, doc_id ASC) AS rn
+           FROM scored),
+         surv AS (
+           SELECT d.doc_id, d.text FROM decon d
+           JOIN (SELECT doc_id FROM ranked WHERE rn = 1) k USING (doc_id))"""
+
+  /** q109 oracle: the per-source KL drift re-derived in DuckDB — same v1
+    * / v2 definitions as q104, same +1 smoothing over the union vocab,
+    * same double-op order, 12-dp per-term rounding and DECIMAL sum.
+    */
+  private val tokenDriftOracleSql: String =
+    raw"""WITH v1 AS (
+           SELECT source, text FROM documents WHERE doc_id % 10 <> 7),
+         v2 AS (
+           SELECT source,
+             CASE WHEN doc_id % 10 = 5 THEN text || ' v2edit'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 10 <> 4),
+         t1 AS (
+           SELECT source, tok, COUNT(*) AS c1
+           FROM (SELECT source, unnest(string_split_regex(trim(text),
+                   '[$WS]+')) AS tok FROM v1)
+           GROUP BY source, tok),
+         t2 AS (
+           SELECT source, tok, COUNT(*) AS c2
+           FROM (SELECT source, unnest(string_split_regex(trim(text),
+                   '[$WS]+')) AS tok FROM v2)
+           GROUP BY source, tok),
+         j AS (
+           SELECT COALESCE(t1.source, t2.source) AS source,
+                  COALESCE(t1.tok, t2.tok) AS tok,
+                  COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+           FROM t1 FULL OUTER JOIN t2
+             ON t1.source = t2.source AND t1.tok = t2.tok),
+         stats AS (
+           SELECT source, SUM(c1) AS n1, SUM(c2) AS n2, COUNT(*) AS v
+           FROM j GROUP BY source),
+         terms AS (
+           SELECT j.source,
+             round(((c1 + 1.0) / (n1 + v)) *
+               ln(((c1 + 1.0) / (n1 + v)) / ((c2 + 1.0) / (n2 + v))), 12)
+               AS term
+           FROM j JOIN stats USING (source))
+         SELECT s.source, CAST(s.n1 AS BIGINT) AS n1,
+           CAST(s.n2 AS BIGINT) AS n2, CAST(s.v AS BIGINT) AS v,
+           round(CAST(SUM(CAST(t.term AS DECIMAL(28,12))) AS DOUBLE), 6)
+             AS kl
+         FROM terms t JOIN stats s USING (source)
+         GROUP BY s.source, s.n1, s.n2, s.v
+         ORDER BY s.source"""
+
   /** q75 oracle: bottom-k by the re-derived signed FNV priority (ties by
     * id), then the outer ORDER BY restores the engine's doc_id order. */
   private val prioritySampleOracleSql: String =
@@ -3417,6 +3618,7 @@ object SparkEntry {
     "q74_corpus_shuffle" -> corpusShuffleOracleSql,
     "q75_priority_sample" -> prioritySampleOracleSql,
     "q105_grouped_sample" -> groupedSampleOracleSql,
+    "q109_token_drift" -> tokenDriftOracleSql,
     // Exact percentile replay: same histogram + running sum + ceil(n*0.2)
     // threshold, same IEEE ceil on the double product.
     "q107_percentile_gate" ->
@@ -3724,47 +3926,39 @@ object SparkEntry {
     // relation, keep-best per component, then the q94 scrub CTEs over the
     // survivor relation. Every stage boundary is inside the hash.
     "q98_corpus_curation" ->
-      (raw"""WITH RECURSIVE q AS (
-           SELECT * FROM documents
-           WHERE len(string_split_regex(trim(text), '[$WS]+')) >= 30
-             AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                   AS DOUBLE) / length(text) >= 0.8),
-         evg AS (
-           SELECT DISTINCT unnest(list_distinct(list_transform(
-               range(1, len(t) - 6),
+      (curationChainCtes + ",\n         " + scrubCtesBody("surv") +
+        scrubFinalSelect),
+    // Same four-stage chain, ending in the CASE classification instead of
+    // the rewrite — the precedence (quality → decontam → dup → scrub) is
+    // pinned per doc, so a green row proves the report attributes every
+    // drop to the same stage the pipeline's own chain would.
+    "q108_curation_report" ->
+      (curationChainCtes + raw""",
+         sctoks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM surv),
+         scgrams AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 6),
                i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
-                              t[i+4], t[i+5], t[i+6], t[i+7])))) AS g
-           FROM (SELECT string_split_regex(trim(text), '[$WS]+') AS t
-                 FROM documents WHERE doc_id % 10 = 7)
-           WHERE len(t) >= 8),
-         cand AS (SELECT doc_id, text FROM q WHERE doc_id % 10 <> 7),
-         candg AS (
-           SELECT doc_id, unnest(list_distinct(list_transform(
-               range(1, len(t) - 6),
-               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
-                              t[i+4], t[i+5], t[i+6], t[i+7])))) AS g
-           FROM (SELECT doc_id,
-                   string_split_regex(trim(text), '[$WS]+') AS t
-                 FROM cand)
-           WHERE len(t) >= 8),
-         contam AS (SELECT DISTINCT doc_id FROM candg JOIN evg USING (g)),
-         decon AS (
-           SELECT doc_id, text FROM cand
-           WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-         """ + componentClosureBody("decon") + raw""",
-         scored AS (
-           SELECT c.component, c.doc_id,
-                  CAST(strlen(d.text) AS BIGINT) AS blen
-           FROM comp c JOIN decon d USING (doc_id)),
-         ranked AS (
-           SELECT component, doc_id,
-                  row_number() OVER (PARTITION BY component
-                    ORDER BY blen DESC, doc_id ASC) AS rn
-           FROM scored),
-         surv AS (
-           SELECT d.doc_id, d.text FROM decon d
-           JOIN (SELECT doc_id FROM ranked WHERE rn = 1) k USING (doc_id)),
-         """ + scrubCtesBody("surv") + scrubFinalSelect),
+                              t[i+4], t[i+5], t[i+6], t[i+7]))) AS g
+           FROM sctoks WHERE len(t) >= 8),
+         scdup AS (SELECT g FROM scgrams GROUP BY g HAVING COUNT(*) >= 2),
+         scrubbed AS (SELECT DISTINCT doc_id
+                      FROM scgrams JOIN scdup USING (g))
+         SELECT d.doc_id,
+           CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM q)
+                  THEN 'dropped_quality'
+                WHEN d.doc_id IN (SELECT doc_id FROM contam)
+                  THEN 'dropped_decontam'
+                WHEN d.doc_id NOT IN (SELECT doc_id FROM ranked
+                                      WHERE rn = 1)
+                  THEN 'dropped_dup'
+                WHEN d.doc_id IN (SELECT doc_id FROM scrubbed)
+                  THEN 'kept_scrubbed'
+                ELSE 'kept_clean' END AS status
+         FROM documents d WHERE d.doc_id % 10 <> 7
+         ORDER BY d.doc_id"""),
     "q95_bpe_merges" -> bpeOracleSql(10),
     "q97_bpe_encode" -> bpeEncodeOracleSql(10),
     // Over the ORIGINAL parquet — equality proves the engine's JSONL/ORC
