@@ -2013,19 +2013,26 @@ object SparkEntry {
       val evalGrams = grams8(all.filter(pmod(col("doc_id"), lit(10)) === 7))
         .select("gh").distinct()
       val cand = quality.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      // contaminated fans out to TWO consumers (decon's anti-join and the
+      // final classification join) — materialize the gram probe once or
+      // the whole explode+join subtree re-executes per consumer
       val contaminated = grams8(cand)
         .join(broadcast(evalGrams), Seq("gh"))
         .select("doc_id").distinct()
+        .localCheckpoint()
       val decon = cand.join(contaminated, Seq("doc_id"), "left_anti")
         .localCheckpoint()
       val comp = Dedup.componentLabels(decon, "doc_id", "text",
         threshold = 0.8)
+      // keep likewise feeds the survivor semi-join AND the final join —
+      // id-only rows, cheap to pin
       val keep = decon.select(col("doc_id"),
           octet_length(col("text")).cast("long").as("blen"))
         .join(comp, Seq("doc_id"))
         .groupBy("component")
         .agg(expr("max_by(doc_id, struct(blen, -doc_id))").as("doc_id"))
         .select("doc_id")
+        .localCheckpoint()
       val survivors = decon.join(keep, Seq("doc_id"), "left_semi")
       val scrubbed = survivors
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
