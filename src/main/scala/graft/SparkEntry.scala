@@ -137,7 +137,16 @@ object SparkEntry {
       operators.Dedup.exactBloomAggFrame(
         Tables.documents(s, dir).select("doc_id", "text")
           .filter(col("doc_id") % 10 =!= 7),
-        "text", n = 1000L, numBits = 10000L)))
+        "text", n = 1000L, numBits = 10000L)),
+    // q110's band-index build (cachedBuild pass): the ONE corpus
+    // sketch+explode pass every later ingest amortizes — narrow kernels,
+    // no shuffle at all (the write is partition-local).
+    "q110_lsh_index_ingest#build" -> ((s, dir) =>
+      operators.Dedup.lshBandRows(
+        Tables.documents(s, dir).select("doc_id", "text")
+          .filter(col("doc_id") % 10 =!= 7),
+        "doc_id", "text", shingleWidth = 3, bands = 32, rowsPerBand = 4,
+        normalize = false)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -720,6 +729,36 @@ object SparkEntry {
       // reroute is load-bearing, not overhead.
       val flagged = Dedup.crossJaccardPairs(corpus, shard, "doc_id", "text",
           threshold = 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      shard.join(flagged, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("blen"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- North-star: incremental ingest via a PERSISTED LSH index ------
+    // q89 re-sketches the standing corpus on EVERY ingest; production
+    // amortizes that: Dedup.writeLshBandIndex compiles the corpus into a
+    // stored band table once (cachedBuild, the q92/q101 artifact shape),
+    // and each shard probes it — candidates from a broadcast-hash join
+    // against 16-byte stored rows, exact-Jaccard verify with the shingle
+    // kernel runtime-pruned to candidate docs only. Identical sketch
+    // geometry ⇒ identical candidate set ⇒ the SAME admission as q89,
+    // pinned by sharing q89's full quadratic oracle verbatim.
+    "q110_lsh_index_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val shard = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" zzingest")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+      val idx = cachedBuild(dir, "documents.parquet",
+          "target/q110_lsh_index") { p =>
+        Dedup.writeLshBandIndex(corpus, "doc_id", "text", p)
+      }
+      val flagged = Dedup.lshIndexProbe(corpus, shard, idx,
+          "doc_id", "text", threshold = 0.8)
         .select(col("id_b").as("doc_id")).distinct()
       shard.join(flagged, Seq("doc_id"), "left_anti")
         .select(col("doc_id"),
@@ -2644,6 +2683,49 @@ object SparkEntry {
     * a hash-green row proves the interchange write→read loop preserved
     * every text byte and typed value.
     */
+  /** q89/q110 shared oracle: full quadratic corpus × shard Jaccard, then
+    * NOT IN — proves the band blocking (fresh sketch in q89, persisted
+    * index in q110) + left-anti admitted exactly the non-dup shard
+    * (miss bound 4e-8 structural, same as q84).
+    */
+  private val incrementalIngestOracleSql: String =
+    raw"""WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+         shard AS (
+           SELECT doc_id + 5000000 AS doc_id, text || ' zzingest' AS text
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id + 7000000 AS doc_id, text
+           FROM documents WHERE doc_id % 10 = 7),
+         shc AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '[$WS]+') AS t
+                 FROM corpus)),
+         shs AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '[$WS]+') AS t
+                 FROM shard)),
+         flagged AS (
+           SELECT DISTINCT e.doc_id
+           FROM shc c, shs e
+           WHERE len(c.s) > 0 AND len(e.s) > 0
+             AND CAST(len(list_intersect(c.s, e.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(c.s, e.s))) >= 0.8)
+         SELECT doc_id, CAST(strlen(text) AS BIGINT) AS blen
+         FROM shard
+         WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+         ORDER BY doc_id"""
+
   private val roundTripOracleSql: String =
     """SELECT doc_id, lang, n_chars,
            list_reduce(
@@ -3383,43 +3465,11 @@ object SparkEntry {
     // Full quadratic corpus × shard Jaccard, then NOT IN — proves the
     // broadcast band blocking + left-anti admitted exactly the non-dup
     // shard (miss bound 4e-8 structural, same as q84).
-    "q89_incremental_ingest" ->
-      raw"""WITH corpus AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
-         shard AS (
-           SELECT doc_id + 5000000 AS doc_id, text || ' zzingest' AS text
-           FROM documents WHERE doc_id % 10 = 5
-           UNION ALL
-           SELECT doc_id + 7000000 AS doc_id, text
-           FROM documents WHERE doc_id % 10 = 7),
-         shc AS (
-           SELECT doc_id,
-             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
-                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
-                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
-             END AS s
-           FROM (SELECT doc_id,
-                   string_split_regex(trim(text), '[$WS]+') AS t
-                 FROM corpus)),
-         shs AS (
-           SELECT doc_id,
-             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
-                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
-                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
-             END AS s
-           FROM (SELECT doc_id,
-                   string_split_regex(trim(text), '[$WS]+') AS t
-                 FROM shard)),
-         flagged AS (
-           SELECT DISTINCT e.doc_id
-           FROM shc c, shs e
-           WHERE len(c.s) > 0 AND len(e.s) > 0
-             AND CAST(len(list_intersect(c.s, e.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(c.s, e.s))) >= 0.8)
-         SELECT doc_id, CAST(strlen(text) AS BIGINT) AS blen
-         FROM shard
-         WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
-         ORDER BY doc_id""",
+    "q89_incremental_ingest" -> incrementalIngestOracleSql,
+    // q110 probes the PERSISTED band index instead of re-sketching the
+    // corpus — identical geometry, identical admission, so the oracle is
+    // q89's quadratic ground truth verbatim.
+    "q110_lsh_index_ingest" -> incrementalIngestOracleSql,
     // The read-through gate's oracle runs the box aggregate over the
     // ORIGINAL fixture — agreement proves the z-order rewrite is a pure
     // relayout (no row lost, duplicated, or mutated).

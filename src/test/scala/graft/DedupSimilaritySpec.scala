@@ -519,4 +519,83 @@ class DedupSimilaritySpec extends SparkSpec {
     info(f"prune: $surv of $cand candidates survive " +
       f"(${100.0 * surv / cand}%.1f%% -> exact re-rank)")
   }
+
+  test("persisted LSH band index: probe equals crossJaccardPairs exactly") {
+    // The q110 contract: identical sketch geometry => identical candidate
+    // set => identical verified pairs (ids AND exact jaccard values), in
+    // the q89 shard regime over the real fixture.
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx").toString
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val shard = docs.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("text"), lit(" zzingest")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+    Dedup.writeLshBandIndex(corpus, "doc_id", "text", dir)
+    val direct = Dedup.crossJaccardPairs(corpus, shard, "doc_id", "text",
+        threshold = 0.8, evalPlan = "broadcast")
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val viaIndex = Dedup.lshIndexProbe(corpus, shard, dir,
+        "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(direct.nonEmpty, "fixture regime must produce near-dup pairs")
+    assert(viaIndex === direct, "stored-index probe diverged from the " +
+      "fresh-sketch path")
+  }
+
+  test("appendToLshBandIndex: appended docs become probe-visible, no refit") {
+    // Nightly cadence: index built on half the corpus, the other half
+    // appended (geometry read from the stored meta). A probe against the
+    // combined index must equal crossJaccardPairs over the full corpus.
+    val dir = java.nio.file.Files.createTempDirectory("lsh_append").toString
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val half1 = corpus.filter(col("doc_id") % 2 === 0)
+    val half2 = corpus.filter(col("doc_id") % 2 =!= 0)
+    val shard = docs.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("text"), lit(" zzingest")).as("text"))
+    Dedup.writeLshBandIndex(half1, "doc_id", "text", dir)
+    val before = Dedup.lshIndexProbe(corpus, shard, dir,
+        "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    Dedup.appendToLshBandIndex(half2, "doc_id", "text", dir)
+    val after = Dedup.lshIndexProbe(corpus, shard, dir,
+        "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.crossJaccardPairs(corpus, shard, "doc_id", "text",
+        threshold = 0.8, evalPlan = "broadcast")
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after === full, "combined index diverged from the full corpus")
+    // the pre-append probe must be exactly the half1 subset: append added
+    // pairs, never mutated existing ones
+    assert(before === full.filter(_._1 % 2 == 0),
+      "pre-append probe should cover exactly the indexed half")
+    assert(before.size < after.size, "append must surface new pairs")
+  }
+
+  test("LSH band index meta pins NFC geometry across build and probe") {
+    // Index built with normalize=true on COMPOSED text; the probe reads
+    // the flag from meta, so a DECOMPOSED shard twin must match with
+    // jaccard exactly 1 — and a normalize=false index must miss it.
+    val base = (1 to 60).map(i => s"vál$i").mkString(" ")
+    val decomposed = base.replace("á", "á")
+    val corpus = Seq((1L, base),
+      (3L, (1 to 60).map(i => s"zz$i").mkString(" "))).toDF("doc_id", "text")
+    val shard = Seq((100L, decomposed)).toDF("doc_id", "text")
+    val dirNfc = java.nio.file.Files.createTempDirectory("lsh_nfc").toString
+    Dedup.writeLshBandIndex(corpus, "doc_id", "text", dirNfc,
+      normalize = true)
+    val hit = Dedup.lshIndexProbe(corpus, shard, dirNfc, "doc_id", "text",
+      threshold = 0.8).collect()
+    assert(hit.length == 1 && hit.head.getLong(0) == 1L &&
+      hit.head.getDouble(2) == 1.0)
+    val dirRaw = java.nio.file.Files.createTempDirectory("lsh_raw").toString
+    Dedup.writeLshBandIndex(corpus, "doc_id", "text", dirRaw)
+    assert(Dedup.lshIndexProbe(corpus, shard, dirRaw, "doc_id", "text",
+      threshold = 0.8).isEmpty, "un-normalized index must miss the twin")
+  }
 }
