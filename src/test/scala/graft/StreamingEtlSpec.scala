@@ -677,4 +677,46 @@ class StreamingEtlSpec extends SparkSpec {
     val const = Array.fill(500)(42.toByte)
     assert(boxDownsample(const, 64).forall(_ == 42.toByte))
   }
+
+  test("streaming bloom admission equals the batch gate (stream-static, Append)") {
+    // q101's arrival-time twin: the same persisted filter probed inside a
+    // continuous stream, residue verified through a stream-static anti
+    // join — entirely stateless, so Append mode with no watermark.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val path = java.nio.file.Files
+      .createTempDirectory("stream_bloom").toString
+    graft.operators.Dedup.buildExactBloom(corpus, "text", path)
+    // arrivals: verbatim corpus duplicates (re-keyed) + genuinely new docs
+    val arrivals = corpus.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          concat(col("text"), lit(" brandnew")).as("text")))
+      .as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val streamed = graft.streaming.IngestStream.bloomAdmit(
+      input.toDF().toDF("doc_id", "text"), corpus, "text", path)
+    val q = streamed.writeStream.format("memory").queryName("bloom_admit")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches — admission must not depend on batch boundaries
+      input.addData(arrivals.take(arrivals.size / 2): _*)
+      q.processAllAvailable()
+      input.addData(arrivals.drop(arrivals.size / 2): _*)
+      q.processAllAvailable()
+      val got = spark.table("bloom_admit").select("doc_id")
+        .as[Long].collect().toSet
+      val batch = graft.operators.Dedup.bloomAdmit(corpus,
+          arrivals.toDF("doc_id", "text"), "text", path)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === batch, "streamed admission diverged from batch gate")
+      // and the gate actually discriminated: news in, dups out
+      assert(batch.forall(_ >= 7000000L), "every verbatim dup rejected")
+      assert(batch.nonEmpty, "new docs admitted")
+    } finally q.stop()
+  }
 }
