@@ -1884,6 +1884,36 @@ object SparkEntry {
           n = 8)
         .orderBy("doc_id")),
 
+    // ---- North-star: content-defined chunking dup report ---------------
+    // CDC at token granularity (TextFunctions.cdcChunks — Rabin-style
+    // local boundaries, so edits re-chunk only their neighborhood): per
+    // doc, how much of its token stream lives in chunks shared VERBATIM
+    // with other docs — the partial-overlap detector between q19's
+    // whole-doc exact dedup and q71's per-gram accounting, at chunk
+    // (not gram) shuffle volume: ~1/modulus the rows of the gram stream,
+    // 24 bytes each, text never exploded. Shared = chunk content hash in
+    // ≥2 distinct docs; one (chash, doc_id) distinct + count, and the
+    // shared set semi-folds back as a join on the same chash exchange.
+    "q111_cdc_chunks" -> ((s, dir) => {
+      // the chunk stream fans out to TWO consumers (the shared-set
+      // aggregate and the final classification join) — materialize the
+      // 28-byte rows once or the tokenize+window kernel runs per consumer
+      val rows = Dedup.cdcChunkRows(Tables.documents(s, dir),
+        "doc_id", "text").localCheckpoint()
+      val shared = rows.select("chash", "doc_id").distinct()
+        .groupBy("chash").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 2).select("chash")
+      rows.join(shared.withColumn("sh", lit(1)), Seq("chash"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("ctoks").as("n_tok"),
+          coalesce(sum(when(col("sh") === 1, col("ctoks"))), lit(0L))
+            .as("dup_tok"))
+        .withColumn("dup_frac",
+          round(col("dup_tok").cast("double") / col("n_tok"), 6))
+        .orderBy("doc_id")
+    }),
+
     // ---- North-star: BPE vocabulary TRAINING (Sennrich et al. 2016) ----
     // 10 exact merge rounds learned from the corpus — see operators.Bpe
     // for the scale design (ONE corpus pass builds the word-frequency
@@ -3977,6 +4007,63 @@ object SparkEntry {
     // collision-freedom argument (q24/q66/q71).
     "q94_dup_gram_scrub" -> ("WITH " + scrubCtesBody("documents") +
       scrubFinalSelect),
+    // q111: the CDC chunker replayed end-to-end — same 4-token windows,
+    // same FNV-1a-64 (byte-faithful via utf8OctetsSql), same mod-16
+    // boundary rule (unsigned % 16 == Spark's pmod on the signed image
+    // since 2^64 ≡ 0 mod 16), same filter-then-append end construction,
+    // chunk hashes compared WITHIN the engine only (signedness never
+    // crosses), sharing = count(distinct doc) >= 2 on chunk content.
+    "q111_cdc_chunks" ->
+      raw"""WITH toks AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         win AS (
+           SELECT doc_id, t,
+             unnest(range(1, CASE WHEN len(t) >= 4
+                                  THEN len(t) - 2 ELSE 1 END)) AS i
+           FROM toks),
+         winh AS (
+           SELECT doc_id, i,
+             ${fnvOctetsSql("array_to_string(t[i:i+3], ' ')")} AS wh
+           FROM win),
+         bnd AS (
+           SELECT doc_id, list(i + 3 ORDER BY i) AS bends
+           FROM winh WHERE wh % 16 = 0 GROUP BY doc_id),
+         ends AS (
+           SELECT tk.doc_id, tk.t,
+             list_concat(
+               list_filter(COALESCE(b.bends, []::BIGINT[]),
+                 e -> e < len(tk.t)),
+               [CAST(len(tk.t) AS BIGINT)]) AS ee
+           FROM toks tk LEFT JOIN bnd b ON tk.doc_id = b.doc_id),
+         chunk AS (
+           SELECT doc_id, t, ee,
+             unnest(range(1, len(ee) + 1)) AS k
+           FROM ends),
+         cstrs AS (
+           SELECT doc_id,
+             array_to_string(
+               t[(CASE WHEN k = 1 THEN 1 ELSE ee[k-1] + 1 END):(ee[k])],
+               ' ') AS cstr,
+             ee[k] - (CASE WHEN k = 1 THEN 1 ELSE ee[k-1] + 1 END) + 1
+               AS ctoks
+           FROM chunk),
+         ch AS (
+           SELECT doc_id, ${fnvOctetsSql("cstr")} AS chash, ctoks
+           FROM cstrs),
+         shared AS (
+           SELECT chash FROM ch
+           GROUP BY chash HAVING COUNT(DISTINCT doc_id) >= 2)
+         SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(ctoks) AS BIGINT) AS n_tok,
+           CAST(COALESCE(SUM(CASE WHEN chash IN (SELECT chash FROM shared)
+                                  THEN ctoks END), 0) AS BIGINT) AS dup_tok,
+           round(CAST(COALESCE(SUM(CASE WHEN chash IN
+                     (SELECT chash FROM shared) THEN ctoks END), 0)
+                   AS DOUBLE) / SUM(ctoks), 6) AS dup_frac
+         FROM ch GROUP BY doc_id ORDER BY doc_id""",
     // The four-stage chain in one WITH RECURSIVE: q53's quality CTEs,
     // q66's decontam semantics (eval slice's distinct grams, NOT IN on
     // any-overlap docs), the q81 closure seeded from the DECONTAMINATED

@@ -811,6 +811,61 @@ object Dedup {
       .drop("__mc")
   }
 
+  /** Content-defined chunking (Rabin/FastCDC shape at token granularity):
+    * a chunk boundary falls after token `i+w-1` wherever the FNV-64 hash
+    * of the w-token window ending there is ≡ 0 (mod `modulus`) — so
+    * boundaries are a pure function of LOCAL content, and an edit
+    * re-chunks only its neighborhood before the stream re-synchronizes
+    * (the property fixed-size chunking lacks, and the reason backup/dedup
+    * systems use CDC for partial-overlap detection). Expected chunk
+    * length ≈ `modulus` tokens + w; the final chunk always ends at the
+    * last token, so chunks PARTITION the token stream exactly —
+    * `sum(ctoks) = n_tokens` per doc, for every doc with ≥1 token.
+    *
+    * Returns one row per chunk: (idCol, cidx, chash, ctoks) — `cidx` the
+    * 0-based chunk position, `chash` FNV-64 of the ' '-joined chunk
+    * tokens. Only these 28-byte rows are ever exploded; text never is.
+    *
+    * EVALUATION-SHAPE WARNING (the reason this is a DataFrame operator,
+    * not a Column function): every intermediate array (token list, window
+    * hashes, boundary ends) is staged as a NAMED COLUMN so per-element
+    * lambdas reference an O(1) attribute. Written as one nested Column
+    * expression, `element_at(wh, i)` inside a lambda re-evaluates the
+    * whole O(n) window-hash subtree PER ELEMENT (Catalyst HOFs evaluate
+    * lambda-body subtrees per invocation, and subexpression elimination
+    * does not reach inside lambdas) — measured O(n³): minutes per 100
+    * 100-token docs. Staged, the same semantics are O(n) per row.
+    * CollapseProject keeps the stages separate because each alias is
+    * referenced more than once and is non-cheap.
+    */
+  def cdcChunkRows(df: DataFrame, idCol: String, textCol: String,
+                   w: Int = 4, modulus: Int = 16): DataFrame =
+    df.select(col(idCol), T.tokens(col(textCol)).as("__t"))
+      .withColumn("__wh",
+        transform(T.tokenShingles(col("__t"), w), s => T.fnv64(s)))
+      .withColumn("__ends", concat(
+        when(size(col("__wh")) === 0, array().cast("array<int>"))
+          .otherwise(filter(
+            transform(
+              filter(sequence(lit(1), size(col("__wh"))),
+                i => pmod(element_at(col("__wh"), i),
+                  lit(modulus)) === 0),
+              i => i + lit(w - 1)),
+            e => e < size(col("__t")))),
+        array(size(col("__t")))))
+      .withColumn("__starts", concat(array(lit(1)),
+        transform(slice(col("__ends"), lit(1), size(col("__ends")) - 1),
+          e => e + 1)))
+      .select(col(idCol), posexplode(
+        zip_with(col("__starts"), col("__ends"), (s, e) =>
+          struct(
+            T.fnv64(concat_ws(" ", slice(col("__t"), s, e - s + 1)))
+              .as("chash"),
+            (e - s + 1).as("ctoks")))))
+      .select(col(idCol), col("pos").as("cidx"),
+        col("col.chash").as("chash"),
+        col("col.ctoks").cast("long").as("ctoks"))
+
   /** Persisted MinHash-LSH BAND INDEX: the build-once side of near-dup
     * incremental ingest, completing the stored-artifact trio — IVF for
     * ANN (q92), Bloom for exact dedup (q101), band index for FUZZY dedup.

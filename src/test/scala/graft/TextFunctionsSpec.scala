@@ -228,4 +228,59 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
     assert(got == Seq("\u00e1", null))
   }
+
+  test("cdcChunkRows: chunks partition the token stream exactly") {
+    // the law sum(ctoks) == n_tokens, over real fixture docs
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val covered = graft.operators.Dedup.cdcChunkRows(docs, "doc_id", "text")
+      .groupBy("doc_id").agg(sum("ctoks").as("covered"),
+        count(lit(1)).as("k"))
+    val bad = docs.select(col("doc_id"),
+        size(T.tokens(col("text"))).cast("long").as("n"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .filter(col("n") =!= col("covered") || col("k") < 1)
+    assert(bad.isEmpty, "chunks must cover every token exactly once")
+    // short doc: single whole-doc chunk
+    val one = graft.operators.Dedup.cdcChunkRows(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(one.count() == 1L && one.head().getAs[Long]("ctoks") == 3L)
+  }
+
+  test("cdcChunkRows: boundaries resynchronize after a point edit") {
+    // CDC's defining property (why dedup systems use it over fixed-size
+    // chunking): replace ONE token mid-doc and the chunk sets differ only
+    // near the edit — chunks past the edit's window realign exactly.
+    val toks = (1 to 400).map(i => s"tok${i % 97}w$i")
+    val edited = toks.updated(200, "EDITED")
+    val rows = graft.operators.Dedup.cdcChunkRows(
+      Seq((1L, toks.mkString(" ")), (2L, edited.mkString(" ")))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    def hashes(id: Long) = rows.filter(col("doc_id") === id)
+      .orderBy("cidx").select("chash").as[Long].collect().toSeq
+    val a = hashes(1L); val b = hashes(2L)
+    val sharedCount = a.toSet.intersect(b.toSet).size
+    assert(a != b, "the edit must change at least one chunk")
+    assert(sharedCount >= a.size - 3 && sharedCount >= b.size - 3,
+      s"resync failed: ${a.size} vs ${b.size} chunks, $sharedCount shared")
+    // positional resync: identical prefix before the edit, identical
+    // suffix after it
+    val firstDiff = a.zip(b).indexWhere { case (x, y) => x != y }
+    assert(firstDiff > 0, "prefix before the edit must be identical")
+    assert(a.takeRight(2) == b.takeRight(2),
+      "suffix after resync must be identical")
+  }
+
+  test("cdcChunkRows: long docs chunk in linear time (evaluation shape)") {
+    // the regression this operator's staging exists to prevent: a nested
+    // Column formulation was O(n^3) per row (minutes for 100-token docs);
+    // staged attributes make a 20k-token doc chunk in well under a minute
+    val big = (1 to 20000).map(i => s"w${i % 1013}x$i").mkString(" ")
+    val t0 = System.nanoTime
+    val n = graft.operators.Dedup.cdcChunkRows(
+      Seq((1L, big)).toDF("doc_id", "text"), "doc_id", "text")
+      .agg(sum("ctoks")).head().getLong(0)
+    val secs = (System.nanoTime - t0) / 1e9
+    assert(n == 20000L, s"covered $n of 20000 tokens")
+    assert(secs < 60.0, f"20k-token doc took $secs%.1f s - shape regressed")
+  }
 }
