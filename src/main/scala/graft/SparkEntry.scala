@@ -1321,6 +1321,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: NO-SPLIT sequence packing (next-fit bins) ---------
+    // q68 concat-and-cuts (docs may straddle windows); this is the other
+    // production regime — docs stay WHOLE (instruction tuning, long-
+    // context curricula), greedily next-fit into 512-token bins per FNV
+    // bucket. The library's one deliberate mapPartitions operator: the
+    // fold is inherently sequential per bucket, so the plan is one hash
+    // exchange + in-partition sort + O(1)-state streaming fold (see
+    // Relational.packBinsNoSplit). Oracle: the identical fold replayed as
+    // a DuckDB recursive CTE stepping rn -> rn+1 per bucket.
+    "q112_pack_bins" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      Relational.packBinsNoSplit(docs, "doc_id", "n_tok",
+          buckets = 8, ctx = 512, seed = 17L)
+        .select(col("doc_id"), col("bucket"),
+          (col("bucket") * lit(1L << 32) + col("bin")).as("pack_id"),
+          col("off"))
+        .orderBy("doc_id")
+    }),
+
     // ---- North-star: deterministic domain MIXING — Pile/LLaMA-style
     // per-source sampling rates applied via the hashSplit FNV stream
     // (pure function of (doc_id, seed): partition-independent,
@@ -2850,6 +2870,46 @@ object SparkEntry {
            ((off + greatest(n_tok - 1, 0)) // 512) - (off // 512) AS n_cuts
          FROM o ORDER BY doc_id"""
 
+  /** q112 oracle: the next-fit fold replayed exactly — same FNV bucket
+    * stream (q68's seed), same ascending-id visit order, same state
+    * transition (fits → same bin, else next bin; overlong doc overflows
+    * its own bin) — as a recursive CTE stepping rn → rn+1 per bucket.
+    * Recursion depth = max docs per bucket (fixture-scale; the oracle
+    * needn't be scale-shaped).
+    */
+  private def packBinsOracleSql: String =
+    "WITH RECURSIVE " + fnvSignedFrom("documents", "doc_id", 17) + raw""",
+         s AS (
+           SELECT *, ((hs % 1000000) + 1000000) % 1000000 AS b
+           FROM sg),
+         p AS (
+           SELECT doc_id, CAST(b % 8 AS BIGINT) AS bucket,
+             CAST(len(string_split_regex(trim(text), '[$WS]+')) AS BIGINT)
+               AS w
+           FROM s),
+         o AS (
+           SELECT doc_id, bucket, w,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+           FROM p),
+         pack AS (
+           SELECT bucket, rn, doc_id, w,
+             CAST(0 AS BIGINT) AS bin,
+             CAST(0 AS BIGINT) AS off,
+             CAST(greatest(512 - w, 0) AS BIGINT) AS rem
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.bucket, o.rn, o.doc_id, o.w,
+             CASE WHEN o.w <= pk.rem THEN pk.bin ELSE pk.bin + 1 END,
+             CASE WHEN o.w <= pk.rem THEN 512 - pk.rem
+                  ELSE CAST(0 AS BIGINT) END,
+             CAST(CASE WHEN o.w <= pk.rem THEN greatest(pk.rem - o.w, 0)
+                       ELSE greatest(512 - o.w, 0) END AS BIGINT)
+           FROM pack pk JOIN o
+             ON o.bucket = pk.bucket AND o.rn = pk.rn + 1)
+         SELECT doc_id, bucket,
+           bucket * 4294967296 + bin AS pack_id, off
+         FROM pack ORDER BY doc_id"""
+
   /** DuckDB CTEs computing the hashSplit FNV stream: the FNV-1a-64 fold of
     * "<key>:<seed>" (HUGEINT mod-2⁶⁴ wrap exactly as the q22 oracle spells
     * it), re-signed like Java's long. Byte-faithful via [[fnvOctetsSql]]
@@ -3764,6 +3824,7 @@ object SparkEntry {
          FROM r JOIN s ON s.lang = r.lang
          GROUP BY r.lang, r.total, r.rate_ppm ORDER BY r.lang"""),
     "q68_sequence_packing" -> packingOracleSql,
+    "q112_pack_bins" -> packBinsOracleSql,
     "q69_bm25_search" -> bm25OracleSql,
     "q70_unigram_surprisal" -> surprisalOracleSql,
     "q102_bigram_surprisal" -> bigramSurprisalOracleSql,

@@ -395,6 +395,59 @@ object Relational {
           floor((col("off") + greatest(col(weightCol) - 1, lit(0L))) / ctx))
   }
 
+  /** No-split sequence packing: greedy NEXT-FIT bin packing of whole
+    * documents into `ctx`-token bins — the packing regime training
+    * pipelines use when documents must stay intact (instruction tuning,
+    * long-context curricula), complementing [[packedSpans]]' concat-and-
+    * cut. Docs shard by the same FNV bucket stream; within a bucket they
+    * are visited in ascending id order and each doc lands in the current
+    * bin if it fits, else opens the next bin (a doc longer than `ctx`
+    * gets a bin of its own, overflowing it — the caller's filter decides
+    * whether such docs exist). Output: one row per doc with (bucket, bin,
+    * off) — `off` the doc's token offset inside its bin — a pure function
+    * of (ids, weights, seed), partition-independent.
+    *
+    * Scale shape: next-fit is inherently a sequential fold, so this is
+    * the library's one deliberate mapPartitions operator (the documented
+    * last resort): ONE hash exchange on the bucket key, an in-partition
+    * spillable sort by (bucket, id), then a streaming O(1)-state fold —
+    * no collect_list materialization of a bucket, no quadratic array
+    * append, state = (current bucket, bin, remaining) however large the
+    * bucket. `buckets` is the parallelism knob exactly as in
+    * [[packedSpans]]. Per-bucket packing quality is next-fit's (≥ 50% of
+    * optimal fill); a first-fit-decreasing variant would need random
+    * access to open bins and is deliberately out — determinism and
+    * streaming state win at corpus scale.
+    */
+  def packBinsNoSplit(df: DataFrame, idCol: String, weightCol: String,
+                      buckets: Int, ctx: Int, seed: Long): DataFrame = {
+    require(buckets >= 1, s"packBinsNoSplit: buckets >= 1, got $buckets")
+    require(ctx >= 1, s"packBinsNoSplit: ctx >= 1, got $ctx")
+    requireFresh(df, "packBinsNoSplit", Seq("bucket", "bin", "off"))
+    val sp = df.sparkSession
+    import sp.implicits._
+    val bucket = pmod(
+      graft.functions.TextFunctions.fnv64(
+        concat(col(idCol).cast("string"), lit(":" + seed))),
+      lit(1000000L)) % buckets
+    df.select(bucket.as("bucket"), col(idCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("w"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var cur = Long.MinValue; var bin = -1L; var rem = 0L
+        it.map { case (b, id, w) =>
+          if (b != cur) { cur = b; bin = -1L; rem = 0L }
+          if (bin < 0L || w > rem) { bin += 1L; rem = ctx.toLong }
+          val off = ctx.toLong - rem
+          rem = math.max(0L, rem - w)
+          (id, b, bin, off)
+        }
+      }
+      .toDF(idCol, "bucket", "bin", "off")
+  }
+
   /** Deterministic fixed-size sample — "exactly k rows from 100 TB",
     * partition-independent: the k rows with the smallest hashSplit FNV
     * priorities (ties broken by id). Unlike `sample()` (rate-based,

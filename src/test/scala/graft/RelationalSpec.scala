@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TextFunctions => T}
 import graft.operators.Relational
 
 class RelationalSpec extends SparkSpec {
@@ -144,5 +145,53 @@ class RelationalSpec extends SparkSpec {
     val b = vals.toDF("x").repartition(7)
       .agg(Relational.decSum(col("x"))).as[Double].head()
     assert(a == b && a == 100.0)
+  }
+
+  test("packBinsNoSplit: capacity, in-bin layout, and overlong isolation laws") {
+    // synthetic weights engineered to force every transition: exact fits,
+    // overflow-to-next-bin, and an overlong (w > ctx) doc
+    val rows = (1L to 200L).map(i =>
+      (i, if (i == 50L) 900L else 1L + (i * 37L) % 400L))
+    val df = rows.toDF("doc_id", "n_tok")
+    val packed = Relational.packBinsNoSplit(df, "doc_id", "n_tok",
+        buckets = 4, ctx = 512, seed = 9L)
+      .join(df, Seq("doc_id"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("bin"), r.getAs[Long]("off"), r.getAs[Long]("n_tok")))
+    // every doc appears exactly once, whole (no-split by construction)
+    assert(packed.length == 200 && packed.map(_._1).distinct.length == 200)
+    // capacity: a bin's total weight fits ctx unless it is a single
+    // overlong doc's dedicated bin
+    packed.groupBy(p => (p._2, p._3)).foreach { case ((bk, bin), ds) =>
+      val total = ds.map(_._5).sum
+      assert(total <= 512 || (ds.length == 1 && ds.head._5 > 512),
+        s"bucket $bk bin $bin overfilled: $total with ${ds.length} docs")
+    }
+    // in-bin layout: ascending-id docs tile the bin contiguously from 0
+    packed.groupBy(p => (p._2, p._3)).foreach { case (_, ds) =>
+      val sorted = ds.sortBy(_._1)
+      var expect = 0L
+      sorted.foreach { d =>
+        assert(d._4 == expect, s"doc ${d._1} off ${d._4} != $expect")
+        expect += d._5
+      }
+    }
+    // the overlong doc sits alone at off 0
+    val big = packed.find(_._1 == 50L).get
+    assert(big._4 == 0L &&
+      packed.count(p => (p._2, p._3) == ((big._2, big._3))) == 1)
+  }
+
+  test("packBinsNoSplit: assignment is partition-independent") {
+    val df = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(T.tokens(col("text"))).cast("long")
+        .as("n_tok"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Relational.packBinsNoSplit(d, "doc_id", "n_tok",
+          buckets = 8, ctx = 512, seed = 17L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(run(df) == run(df.repartition(13)),
+      "packing must not depend on input partitioning")
   }
 }
