@@ -719,4 +719,55 @@ class StreamingEtlSpec extends SparkSpec {
       assert(batch.nonEmpty, "new docs admitted")
     } finally q.stop()
   }
+
+  test("micro-batch fuzzy admission: foreachBatch + lshIndexProbe equals batch") {
+    // The pattern IngestStream's scaladoc prescribes for NEAR-dup
+    // admission (whose candidate verify needs a batch-built broadcast, so
+    // it cannot be a continuous stream-static join): each micro-batch
+    // probes the persisted band index and anti-joins its own flagged set.
+    // Across arbitrary batch boundaries the union of admitted rows must
+    // equal the one-shot batch admission over the whole shard.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val dir = java.nio.file.Files
+      .createTempDirectory("stream_fuzzy").toString
+    graft.operators.Dedup.writeLshBandIndex(corpus, "doc_id", "text", dir)
+    val arrivals = docs.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("text"), lit(" zzingest")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+      .as[(Long, String)].collect().toSeq
+    val admitted = scala.collection.mutable.Set[Long]()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val flagged = graft.operators.Dedup.lshIndexProbe(corpus, batch,
+            dir, "doc_id", "text", threshold = 0.8)
+          .select(col("id_b").as("doc_id")).distinct()
+        admitted ++= batch.join(flagged, Seq("doc_id"), "left_anti")
+          .select("doc_id").as[Long].collect()
+        ()
+      }
+      .start()
+    try {
+      input.addData(arrivals.take(arrivals.size / 2): _*)
+      q.processAllAvailable()
+      input.addData(arrivals.drop(arrivals.size / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = arrivals.toDF("doc_id", "text")
+    val batchAdmitted = oneShot.join(
+        graft.operators.Dedup.lshIndexProbe(corpus, oneShot, dir,
+            "doc_id", "text", threshold = 0.8)
+          .select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted.toSet === batchAdmitted,
+      "micro-batched fuzzy admission diverged from the one-shot batch")
+    assert(batchAdmitted.nonEmpty && batchAdmitted.size < arrivals.size,
+      "gate must both admit and reject on this fixture")
+  }
 }
