@@ -2074,6 +2074,44 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- North-star: per-source DATASET CARD (observability) -----------
+    // The one-pass summary a data team publishes with a snapshot (the
+    // "dataset card" numbers): per source — docs, tokens, mean length,
+    // language spread, exact-dup fraction (corpus-WIDE copies, so a
+    // source holding the duplicate of another source's doc counts), and
+    // the q53/q98/q108 quality-gate pass rate. Plan: ONE kernel pass per
+    // doc to a narrow (source, lang, wc, q, th) row; copies counted by a
+    // window over the 8-byte text hash (fine-grained partitions — one
+    // shuffle, no self-join, no fan-out); then the per-source aggregate.
+    // xxhash64 stands in for text equality with the q104 zero-collision
+    // argument (the oracle groups raw text — a hash-green row also
+    // witnesses collision-freedom on the fixture).
+    "q113_corpus_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("wc"),
+          (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+            .cast("double") / length(col("text"))).as("alpha"),
+          xxhash64(col("text")).as("th"))
+        .select(col("source"), col("lang"), col("wc"), col("th"),
+          when(col("wc") >= 30 && col("alpha") >= 0.8, 1L)
+            .otherwise(0L).as("q"))
+        .withColumn("n_copies",
+          count(lit(1)).over(Window.partitionBy("th")))
+      d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("wc").as("n_tok"),
+          round(sum("wc").cast("double") / count(lit(1)), 6).as("mean_wc"),
+          countDistinct("lang").as("n_langs"),
+          sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("dup_docs"),
+          round(sum(when(col("n_copies") >= 2, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("pct_dup"),
+          sum("q").as("q_docs"),
+          round(sum("q").cast("double") / count(lit(1)), 6)
+            .as("pct_quality"))
+        .orderBy("source")
+    }),
+
     // ---- North-star: curation DROP-REASON report (observability) -------
     // The companion every q98-style pipeline ships with: per doc, WHICH
     // stage decided its fate — dropped_quality / dropped_decontam /
@@ -3825,6 +3863,33 @@ object SparkEntry {
          GROUP BY r.lang, r.total, r.rate_ppm ORDER BY r.lang"""),
     "q68_sequence_packing" -> packingOracleSql,
     "q112_pack_bins" -> packBinsOracleSql,
+    // q113: every card number re-derived — raw-text copy counts (the
+    // engine's xxhash64 grouping must agree, witnessing zero collisions),
+    // the same quality rule as the q98/q108 chain, IEEE divides of exact
+    // integer sums, 6-dp rounding.
+    "q113_corpus_card" ->
+      raw"""WITH d AS (
+           SELECT source, lang,
+             CAST(len(string_split_regex(trim(text), '[$WS]+')) AS BIGINT)
+               AS wc,
+             COUNT(*) OVER (PARTITION BY text) AS n_copies,
+             CASE WHEN len(string_split_regex(trim(text), '[$WS]+')) >= 30
+                   AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '',
+                         'g')) AS DOUBLE) / length(text) >= 0.8
+                  THEN 1 ELSE 0 END AS q
+           FROM documents)
+         SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(wc) AS BIGINT) AS n_tok,
+           round(CAST(SUM(wc) AS DOUBLE) / COUNT(*), 6) AS mean_wc,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_docs,
+           round(CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*), 6) AS pct_dup,
+           CAST(SUM(q) AS BIGINT) AS q_docs,
+           round(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS pct_quality
+         FROM d GROUP BY source ORDER BY source""",
     "q69_bm25_search" -> bm25OracleSql,
     "q70_unigram_surprisal" -> surprisalOracleSql,
     "q102_bigram_surprisal" -> bigramSurprisalOracleSql,
