@@ -105,7 +105,11 @@ object Explain {
         // explicitly): a global aggregate merging per-partition bloom
         // blobs through one task, the q03/q17 shape, injected by the
         // optimizer rather than written by us.
-        "q108_curation_report" -> Set("SinglePartition-exchange"))
+        "q108_curation_report" -> Set("SinglePartition-exchange"),
+        // q114: the ordered cumsum + scalar totals run over the
+        // |value-domain|-row HISTOGRAM (bounded by the 2-dp domain, the
+        // q74/q107 class), never over the event stream itself.
+        "q114_value_drift" -> Set("SinglePartition-exchange"))
       // construction-time plans (driver-collected passes) audit alongside
       // the returned frames — restricted to the selected queries' passes
       val auditTargets = names.map(n =>

@@ -2074,6 +2074,25 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- North-star: numeric-value DRIFT (exact two-sample KS) ---------
+    // q109 alarms on token-distribution drift; this is the NUMERIC twin —
+    // the exact two-sample Kolmogorov-Smirnov statistic between two event
+    // populations (user-parity cohorts), the gate a pipeline puts on a
+    // feature column between snapshots. Exact, not sketched: the value
+    // domain is BOUNDED (2-dp readings in a fixed range — the q107
+    // histogram argument), so the plan is one groupBy(value) histogram
+    // shuffle, a |domain|-row ordered cumsum (the q74/q107 bounded
+    // partition-less window class) + q03-style scalar totals, and a
+    // 1-row max. For genuinely continuous columns, pre-quantize to the
+    // domain resolution — KS under ε-quantization moves by at most the
+    // mass within ε. D = max over distinct v of |F_A(v) − F_B(v)|,
+    // right-continuous ECDFs.
+    "q114_value_drift" -> ((s, dir) =>
+      Relational.ksStatistic(
+        Tables.events(s, dir)
+          .select((col("user_id") % 2).as("side"), col("value")),
+        "side", "value")),
+
     // ---- North-star: per-source DATASET CARD (observability) -----------
     // The one-pass summary a data team publishes with a snapshot (the
     // "dataset card" numbers): per source — docs, tokens, mean length,
@@ -3863,6 +3882,27 @@ object SparkEntry {
          GROUP BY r.lang, r.total, r.rate_ppm ORDER BY r.lang"""),
     "q68_sequence_packing" -> packingOracleSql,
     "q112_pack_bins" -> packBinsOracleSql,
+    // q114: the exact KS replayed — same per-value histogram, same
+    // right-continuous cumulative order, same IEEE exact-integer-ratio
+    // divides (deterministic across engines), 6-dp round on the max.
+    "q114_value_drift" ->
+      """WITH h AS (
+           SELECT value,
+             SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+           FROM events GROUP BY value),
+         c AS (
+           SELECT value,
+             SUM(ca) OVER (ORDER BY value) AS cuma,
+             SUM(cb) OVER (ORDER BY value) AS cumb,
+             SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+           FROM h)
+         SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           round(MAX(ABS(CAST(cuma AS DOUBLE) / na -
+             CAST(cumb AS DOUBLE) / nb)), 6) AS ks
+         FROM c""",
     // q113: every card number re-derived — raw-text copy counts (the
     // engine's xxhash64 grouping must agree, witnessing zero collisions),
     // the same quality rule as the q98/q108 chain, IEEE divides of exact

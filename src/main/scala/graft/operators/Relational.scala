@@ -395,6 +395,35 @@ object Relational {
           floor((col("off") + greatest(col(weightCol) - 1, lit(0L))) / ctx))
   }
 
+  /** Exact two-sample Kolmogorov-Smirnov statistic between the rows where
+    * `sideCol` = 0 and = 1, over `valueCol` — the numeric drift gate
+    * (q114). Exact, not sketched, under the bounded-domain argument: the
+    * plan is one groupBy(value) histogram shuffle, then an ordered cumsum
+    * and scalar totals over the |domain|-row histogram (the q74/q107
+    * bounded partition-less window class) and a 1-row max — the event
+    * stream itself never sorts. For genuinely continuous columns,
+    * pre-quantize to the domain resolution (KS moves by at most the mass
+    * within one quantum). Returns one row:
+    * (n_a, n_b, n_values, ks), ks = max |F_A(v) − F_B(v)| over distinct
+    * v, right-continuous ECDFs, 6-dp rounded.
+    */
+  def ksStatistic(df: DataFrame, sideCol: String,
+                  valueCol: String): DataFrame = {
+    val hist = df.groupBy(valueCol).agg(
+      sum(when(col(sideCol) === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col(sideCol) === 1, 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy()
+    hist.select(
+        sum("ca").over(wCum).as("cuma"), sum("cb").over(wCum).as("cumb"),
+        sum("ca").over(wTot).as("na"), sum("cb").over(wTot).as("nb"))
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        count(lit(1)).as("n_values"),
+        round(max(abs(col("cuma").cast("double") / col("na") -
+          col("cumb").cast("double") / col("nb"))), 6).as("ks"))
+  }
+
   /** No-split sequence packing: greedy NEXT-FIT bin packing of whole
     * documents into `ctx`-token bins — the packing regime training
     * pipelines use when documents must stay intact (instruction tuning,

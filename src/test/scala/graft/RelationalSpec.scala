@@ -194,4 +194,25 @@ class RelationalSpec extends SparkSpec {
     assert(run(df) == run(df.repartition(13)),
       "packing must not depend on input partitioning")
   }
+
+  test("ksStatistic: identical, disjoint, and hand-computed shifted cohorts") {
+    def ks(rows: Seq[(Int, Double)]): (Long, Long, Double) = {
+      val r = Relational.ksStatistic(rows.toDF("side", "value"),
+        "side", "value").head()
+      (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Double]("ks"))
+    }
+    // identical distributions: D = 0 exactly
+    val same = (1 to 50).flatMap(i =>
+      Seq((0, i.toDouble), (1, i.toDouble)))
+    assert(ks(same) == ((50L, 50L, 0.0)))
+    // disjoint supports: D = 1 exactly
+    val disjoint = (1 to 30).map(i => (0, i.toDouble)) ++
+      (1 to 30).map(i => (1, 100.0 + i))
+    assert(ks(disjoint) == ((30L, 30L, 1.0)))
+    // hand-computed: A = {1,2,3,4}, B = {3,4,5,6} -> max gap at v=2:
+    // F_A(2)=0.5, F_B(2)=0 -> D = 0.5
+    val shifted = Seq(1.0, 2.0, 3.0, 4.0).map((0, _)) ++
+      Seq(3.0, 4.0, 5.0, 6.0).map((1, _))
+    assert(ks(shifted) == ((4L, 4L, 0.5)))
+  }
 }
