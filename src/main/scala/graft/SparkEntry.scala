@@ -2271,6 +2271,50 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: TOKENIZER-FIT report (fertility + OOV) ------------
+    // The number a team checks before committing to a tokenizer: per
+    // source, fertility (BPE symbols per whitespace word) and OOV rate
+    // against a vocab trained on the STANDING corpus only (%10≠7) — the
+    // %10=7 holdout supplies genuine OOV words for the char-fallback arm,
+    // the production regime where incoming data meets a frozen tokenizer.
+    // Same stored-artifact amortization as q97 (cachedBuild; vocab is a
+    // broadcast ~|vocab|-row table, the token stream never shuffles for
+    // scoring — one groupBy(source) partial agg).
+    "q115_tokenizer_fit" -> ((s, dir) => {
+      val vocabPath = cachedBuild(dir, "documents.parquet",
+          "target/q115_bpe_vocab") { p =>
+        operators.Bpe.trainAndWriteVocab(
+          operators.Bpe.wordFreq(
+            Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7),
+            "text"),
+          nMerges = 10, path = p)
+      }
+      val vocab = s.read.parquet(vocabPath)
+        .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+      // the holdout slice arrives with a token the frozen vocab has never
+      // seen (q89's suffix trick) so the char-fallback/OOV arm is
+      // exercised with a NONZERO rate, not just replayed symbolically
+      Tables.documents(s, dir)
+        .select(col("source"),
+          when(pmod(col("doc_id"), lit(10)) === 7,
+            concat(col("text"), lit(" zzoov")))
+            .otherwise(col("text")).as("text"))
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("word"))
+        .join(broadcast(vocab), Seq("word"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_ws"),
+          sum(coalesce(col("n_syms"), length(col("word")) + 1)
+            .cast("long")).as("n_bpe"),
+          sum(when(col("n_syms").isNull, 1L).otherwise(0L)).as("n_oov"),
+          round(sum(coalesce(col("n_syms"), length(col("word")) + 1)
+            .cast("long")).cast("double") / count(lit(1)), 6)
+            .as("fertility"),
+          round(sum(when(col("n_syms").isNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("oov_rate"))
+        .orderBy("source")
+    }),
+
     // ---- North-star: BLOOM-gated exact-dedup ingest admission ----------
     // q89's incremental-ingest shape for EXACT dedup, with the standing
     // corpus compiled into a persisted Bloom filter (cachedBuild — the
@@ -4271,6 +4315,7 @@ object SparkEntry {
          ORDER BY d.doc_id"""),
     "q95_bpe_merges" -> bpeOracleSql(10),
     "q97_bpe_encode" -> bpeEncodeOracleSql(10),
+    "q115_tokenizer_fit" -> tokenizerFitOracleSql(10),
     // Over the ORIGINAL parquet — equality proves the engine's JSONL/ORC
     // write→read loops lossless (same original-fixture-oracle trick as
     // q90's z-order loop). Fingerprint formula identical to q27's.
@@ -4430,18 +4475,46 @@ object SparkEntry {
       FROM dt LEFT JOIN vocab USING (word)
       GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q115 oracle: DuckDB re-trains the 10 rounds ON THE STANDING-CORPUS
+    * SLICE only (the trainWhere arm — stored artifact == fresh tokenizer,
+    * as in q97), then scores the WHOLE corpus per source; the %10=7
+    * holdout supplies genuine OOV words for the char-fallback arm.
+    */
+  private def tokenizerFitOracleSql(nMerges: Int): String =
+    raw"""WITH ${bpeStagesSql(nMerges, "WHERE doc_id % 10 <> 7")},
+      vocab AS (SELECT word,
+          len(string_split(substr(enc, 2, len(enc)-2),
+            chr(2) || chr(1))) AS n_syms
+        FROM s$nMerges),
+      dt AS (SELECT source,
+          unnest(string_split_regex(trim(
+            CASE WHEN doc_id % 10 = 7 THEN text || ' zzoov'
+                 ELSE text END), '[$WS]+')) AS word
+        FROM documents)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_ws,
+        CAST(SUM(coalesce(n_syms, len(word) + 1)) AS BIGINT) AS n_bpe,
+        CAST(SUM(CASE WHEN n_syms IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        round(CAST(SUM(coalesce(n_syms, len(word) + 1)) AS DOUBLE)
+          / COUNT(*), 6) AS fertility,
+        round(CAST(SUM(CASE WHEN n_syms IS NULL THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(*), 6) AS oov_rate
+      FROM dt LEFT JOIN vocab USING (word)
+      GROUP BY source ORDER BY source"""
+
   private def bpeMergesUnionSql(nMerges: Int): String =
     (1 to nMerges).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
             a||b AS merged, CAST(w AS BIGINT) AS pair_count FROM b$k"""
     }.mkString(" UNION ALL ")
 
-  private def bpeStagesSql(nMerges: Int): String = {
+  private def bpeStagesSql(nMerges: Int,
+                           trainWhere: String = ""): String = {
     val head = raw"""
       w0 AS MATERIALIZED (
         SELECT tok AS word, COUNT(*) AS cnt FROM (
           SELECT unnest(string_split_regex(trim(text), '[$WS]+')) AS tok
-          FROM documents) GROUP BY tok),
+          FROM documents $trainWhere) GROUP BY tok),
       s0 AS MATERIALIZED (
         SELECT word, cnt,
           list_aggregate(list_transform(range(1, len(word)+1),
