@@ -109,7 +109,12 @@ object Explain {
         // q114: the ordered cumsum + scalar totals run over the
         // |value-domain|-row HISTOGRAM (bounded by the 2-dp domain, the
         // q74/q107 class), never over the event stream itself.
-        "q114_value_drift" -> Set("SinglePartition-exchange"))
+        "q114_value_drift" -> Set("SinglePartition-exchange"),
+        // q116: the profiler IS one global aggregate — its final merge of
+        // the per-partition partials is one row through one task, the
+        // q03/q17 class; everything upstream is the map-side Expand+
+        // partial-distinct the scaladoc documents.
+        "q116_profile" -> Set("SinglePartition-exchange"))
       // construction-time plans (driver-collected passes) audit alongside
       // the returned frames — restricted to the selected queries' passes
       val auditTargets = names.map(n =>

@@ -2074,6 +2074,18 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- North-star: one-pass COLUMN PROFILER (data quality) -----------
+    // The Deequ shape: per column — non-null count, exact distinct, and
+    // numeric min/max/decimal-mean — in ONE aggregate pass over the
+    // table (Relational.profile; the multi-distinct Expand is the
+    // documented exact-count trade, HLL-swappable at 100 TB), then a
+    // 1-row explode to long format. The pre-ingest sanity report every
+    // pipeline runs on a new relational drop.
+    "q116_profile" -> ((s, dir) =>
+      Relational.profile(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))),
+
     // ---- North-star: numeric-value DRIFT (exact two-sample KS) ---------
     // q109 alarms on token-distribution drift; this is the NUMERIC twin —
     // the exact two-sample Kolmogorov-Smirnov statistic between two event
@@ -3926,6 +3938,50 @@ object SparkEntry {
          GROUP BY r.lang, r.total, r.rate_ppm ORDER BY r.lang"""),
     "q68_sequence_packing" -> packingOracleSql,
     "q112_pack_bins" -> packBinsOracleSql,
+    // q116: every profile cell re-derived per column; means via the same
+    // DECIMAL(28,4) sum / non-null count, 6-dp rounded; non-numeric
+    // columns carry typed NULL numeric slots.
+    "q116_profile" ->
+      """WITH p AS (SELECT
+           COUNT(o_orderkey) AS k_n, COUNT(DISTINCT o_orderkey) AS k_d,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS k_min,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS k_max,
+           round(CAST(SUM(CAST(o_orderkey AS DECIMAL(28,4))) AS DOUBLE)
+             / COUNT(o_orderkey), 6) AS k_avg,
+           COUNT(o_custkey) AS c_n, COUNT(DISTINCT o_custkey) AS c_d,
+           CAST(MIN(o_custkey) AS DOUBLE) AS c_min,
+           CAST(MAX(o_custkey) AS DOUBLE) AS c_max,
+           round(CAST(SUM(CAST(o_custkey AS DECIMAL(28,4))) AS DOUBLE)
+             / COUNT(o_custkey), 6) AS c_avg,
+           COUNT(o_totalprice) AS t_n, COUNT(DISTINCT o_totalprice) AS t_d,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS t_min,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS t_max,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+             / COUNT(o_totalprice), 6) AS t_avg,
+           COUNT(o_orderstatus) AS s_n,
+           COUNT(DISTINCT o_orderstatus) AS s_d,
+           COUNT(o_orderdate) AS dt_n, COUNT(DISTINCT o_orderdate) AS dt_d,
+           COUNT(o_orderpriority) AS pr_n,
+           COUNT(DISTINCT o_orderpriority) AS pr_d
+         FROM orders)
+         SELECT * FROM (
+           SELECT 'o_orderkey' AS col_name, k_n AS n_nonnull,
+             k_d AS n_distinct, k_min AS min_num, k_max AS max_num,
+             k_avg AS avg_num FROM p
+           UNION ALL SELECT 'o_custkey', c_n, c_d, c_min, c_max, c_avg
+             FROM p
+           UNION ALL SELECT 'o_totalprice', t_n, t_d, t_min, t_max, t_avg
+             FROM p
+           UNION ALL SELECT 'o_orderstatus', s_n, s_d,
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             CAST(NULL AS DOUBLE) FROM p
+           UNION ALL SELECT 'o_orderdate', dt_n, dt_d,
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             CAST(NULL AS DOUBLE) FROM p
+           UNION ALL SELECT 'o_orderpriority', pr_n, pr_d,
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             CAST(NULL AS DOUBLE) FROM p)
+         ORDER BY col_name""",
     // q114: the exact KS replayed — same per-value histogram, same
     // right-continuous cumulative order, same IEEE exact-integer-ratio
     // divides (deterministic across engines), 6-dp round on the max.

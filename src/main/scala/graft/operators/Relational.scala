@@ -395,6 +395,48 @@ object Relational {
           floor((col("off") + greatest(col(weightCol) - 1, lit(0L))) / ctx))
   }
 
+  /** One-pass column PROFILER (the Deequ/data-quality shape): for every
+    * requested column — non-null count, exact distinct count, and for
+    * numeric columns min/max/mean (decimal-summed mean, so the double is
+    * partition-order-independent); non-numerics carry nulls in the
+    * numeric slots. Output long-format, one row per column:
+    * (col_name, n_nonnull, n_distinct, min_num, max_num, avg_num).
+    *
+    * Plan: ONE aggregate pass over the table (Spark plans the
+    * multi-distinct via Expand — |cols|× the scan rows through the
+    * partial agg, the standard exact-distinct trade; swap
+    * `approx_count_distinct` per column for the 100 TB profile run, the
+    * q44 HLL pattern, and Expand drops out), then a 1-row explode to the
+    * long format — nothing but the single aggregate ever shuffles.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: at least one column")
+    val schema = df.schema
+    def isNumeric(c: String): Boolean =
+      schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val aggs = cols.flatMap { c =>
+      val numeric = isNumeric(c)
+      def num(f: => Column): Column =
+        if (numeric) f else lit(null).cast("double")
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        countDistinct(col(c)).as(s"${c}__d"),
+        num(min(col(c)).cast("double")).as(s"${c}__min"),
+        num(max(col(c)).cast("double")).as(s"${c}__max"),
+        num(decSum(col(c)) / count(col(c))).as(s"${c}__avg"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").as("n_nonnull"),
+        col(s"${c}__d").as("n_distinct"),
+        col(s"${c}__min").as("min_num"),
+        col(s"${c}__max").as("max_num"),
+        round(col(s"${c}__avg"), 6).as("avg_num"))): _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
   /** Exact two-sample Kolmogorov-Smirnov statistic between the rows where
     * `sideCol` = 0 and = 1, over `valueCol` — the numeric drift gate
     * (q114). Exact, not sketched, under the bounded-domain argument: the

@@ -215,4 +215,24 @@ class RelationalSpec extends SparkSpec {
       Seq(3.0, 4.0, 5.0, 6.0).map((1, _))
     assert(ks(shifted) == ((4L, 4L, 0.5)))
   }
+
+  test("profile: null handling, exact distincts, and non-numeric slots") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some(2.5)),
+      (Some(1L), None, Some(2.5)),
+      (None, Some("b"), Some(5.0)),
+      (Some(3L), Some("a"), None))
+      .toDF("k", "s", "v")
+    val rows = Relational.profile(df, Seq("k", "s", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = rows("k")
+    assert(k.getLong(1) == 3 && k.getLong(2) == 2) // nonnull, distinct
+    assert(k.getDouble(3) == 1.0 && k.getDouble(4) == 3.0)
+    val s = rows("s")
+    assert(s.getLong(1) == 3 && s.getLong(2) == 2)
+    assert(s.isNullAt(3) && s.isNullAt(4) && s.isNullAt(5))
+    val v = rows("v")
+    assert(v.getLong(1) == 3 && v.getLong(2) == 2)
+    assert(v.getDouble(5) == math.rint((2.5 + 2.5 + 5.0) / 3 * 1e6) / 1e6)
+  }
 }
