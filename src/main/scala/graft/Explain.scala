@@ -114,7 +114,11 @@ object Explain {
         // the per-partition partials is one row through one task, the
         // q03/q17 class; everything upstream is the map-side Expand+
         // partial-distinct the scaladoc documents.
-        "q116_profile" -> Set("SinglePartition-exchange"))
+        "q116_profile" -> Set("SinglePartition-exchange"),
+        // q117: three global count-aggregates (one per FK edge) — each
+        // final merge is one row through one task, the q03/q17 class;
+        // the joins themselves are co-partitioned key-only equi-joins.
+        "q117_fk_orphans" -> Set("SinglePartition-exchange"))
       // construction-time plans (driver-collected passes) audit alongside
       // the returned frames — restricted to the selected queries' passes
       val auditTargets = names.map(n =>

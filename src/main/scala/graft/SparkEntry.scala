@@ -2074,6 +2074,30 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- North-star: referential-integrity report (data quality) -------
+    // The profiler's sibling: orphan-FK rates across the star schema's
+    // three load-bearing edges, with orphans PLANTED (a %100=3 slice of
+    // orders gets shifted custkeys — the q115 never-seen-token trick) so
+    // the orphan arm reports a nonzero rate, not a vacuous pass. The
+    // orphan set is never materialized: one key-only left join per edge,
+    // folded straight into a global count (Relational.orphanReport).
+    "q117_fk_orphans" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val dirty = orders.withColumn("o_custkey",
+        when(col("o_orderkey") % 100 === 3, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")))
+      Relational.orphanReport(dirty, "o_custkey",
+          Tables.customer(s, dir), "c_custkey",
+          "orders.o_custkey->customer.c_custkey")
+        .unionByName(Relational.orphanReport(li, "l_orderkey",
+          orders, "o_orderkey", "lineitem.l_orderkey->orders.o_orderkey"))
+        .unionByName(Relational.orphanReport(li, "l_partkey",
+          Tables.part(s, dir), "p_partkey",
+          "lineitem.l_partkey->part.p_partkey"))
+        .orderBy("relation")
+    }),
+
     // ---- North-star: one-pass COLUMN PROFILER (data quality) -----------
     // The Deequ shape: per column — non-null count, exact distinct, and
     // numeric min/max/decimal-mean — in ONE aggregate pass over the
@@ -3938,6 +3962,51 @@ object SparkEntry {
          GROUP BY r.lang, r.total, r.rate_ppm ORDER BY r.lang"""),
     "q68_sequence_packing" -> packingOracleSql,
     "q112_pack_bins" -> packBinsOracleSql,
+    // q117: each edge re-derived with a LEFT JOIN on distinct parent
+    // keys — same NULL-is-not-an-orphan FK semantics, same planted
+    // orphan slice, IEEE rate divide, 6-dp round.
+    "q117_fk_orphans" ->
+      """WITH dirty AS (
+           SELECT CASE WHEN o_orderkey % 100 = 3
+                       THEN o_custkey + 10000000
+                       ELSE o_custkey END AS ck
+           FROM orders),
+         e1 AS (
+           SELECT 'orders.o_custkey->customer.c_custkey' AS relation,
+             COUNT(*) AS n_rows,
+             SUM(CASE WHEN d.ck IS NULL THEN 1 ELSE 0 END) AS n_null_keys,
+             SUM(CASE WHEN d.ck IS NOT NULL AND p.k IS NULL
+                 THEN 1 ELSE 0 END) AS n_orphans
+           FROM dirty d LEFT JOIN
+             (SELECT DISTINCT c_custkey AS k FROM customer) p
+             ON d.ck = p.k),
+         e2 AS (
+           SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation,
+             COUNT(*) AS n_rows,
+             SUM(CASE WHEN c.l_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS n_null_keys,
+             SUM(CASE WHEN c.l_orderkey IS NOT NULL AND p.k IS NULL
+                 THEN 1 ELSE 0 END) AS n_orphans
+           FROM lineitem c LEFT JOIN
+             (SELECT DISTINCT o_orderkey AS k FROM orders) p
+             ON c.l_orderkey = p.k),
+         e3 AS (
+           SELECT 'lineitem.l_partkey->part.p_partkey' AS relation,
+             COUNT(*) AS n_rows,
+             SUM(CASE WHEN c.l_partkey IS NULL THEN 1 ELSE 0 END)
+               AS n_null_keys,
+             SUM(CASE WHEN c.l_partkey IS NOT NULL AND p.k IS NULL
+                 THEN 1 ELSE 0 END) AS n_orphans
+           FROM lineitem c LEFT JOIN
+             (SELECT DISTINCT p_partkey AS k FROM part) p
+             ON c.l_partkey = p.k)
+         SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_null_keys AS BIGINT) AS n_null_keys,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           round(CAST(n_orphans AS DOUBLE) / n_rows, 6) AS orphan_rate
+         FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+               UNION ALL SELECT * FROM e3)
+         ORDER BY relation""",
     // q116: every profile cell re-derived per column; means via the same
     // DECIMAL(28,4) sum / non-null count, 6-dp rounded; non-numeric
     // columns carry typed NULL numeric slots.

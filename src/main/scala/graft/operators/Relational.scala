@@ -437,6 +437,31 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** Referential-integrity (orphan foreign-key) report — the profiler's
+    * sibling (q117): one row per relation with the child's row count,
+    * null-key count, orphan count (non-null keys with no parent — SQL FK
+    * semantics: a NULL key is not an orphan), and the 6-dp orphan rate.
+    * Plan: parent keys distinct once, ONE left-outer equi-join of 8-byte
+    * key columns (co-partitioned shuffle; Spark broadcasts the parent
+    * side when small), folded straight into a global aggregate — the
+    * orphan SET is never materialized, only counted.
+    */
+  def orphanReport(child: DataFrame, childKey: String,
+                   parent: DataFrame, parentKey: String,
+                   relation: String): DataFrame = {
+    val p = parent.select(col(parentKey).as("__pk")).distinct()
+    child.select(col(childKey).as("__ck"))
+      .join(p, col("__ck") === col("__pk"), "left_outer")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__ck").isNull, 1L).otherwise(0L)).as("n_null_keys"),
+        sum(when(col("__ck").isNotNull && col("__pk").isNull, 1L)
+          .otherwise(0L)).as("n_orphans"))
+      .select(lit(relation).as("relation"), col("n_rows"),
+        col("n_null_keys"), col("n_orphans"),
+        round(col("n_orphans").cast("double") / col("n_rows"), 6)
+          .as("orphan_rate"))
+  }
+
   /** Exact two-sample Kolmogorov-Smirnov statistic between the rows where
     * `sideCol` = 0 and = 1, over `valueCol` — the numeric drift gate
     * (q114). Exact, not sketched, under the bounded-domain argument: the
