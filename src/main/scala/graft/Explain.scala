@@ -118,7 +118,13 @@ object Explain {
         // q117: three global count-aggregates (one per FK edge) — each
         // final merge is one row through one task, the q03/q17 class;
         // the joins themselves are co-partitioned key-only equi-joins.
-        "q117_fk_orphans" -> Set("SinglePartition-exchange"))
+        "q117_fk_orphans" -> Set("SinglePartition-exchange"),
+        // q118: the calendar cross (|types| x |hours| — bounded by
+        // wall-clock, not data) is the BroadcastNestedLoopJoin; the
+        // SinglePartition exchanges are the 1-row span aggregate and the
+        // |types|-row gap windows (q74/q107 bounded class).
+        "q118_hour_gaps" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"))
       // construction-time plans (driver-collected passes) audit alongside
       // the returned frames — restricted to the selected queries' passes
       val auditTargets = names.map(n =>

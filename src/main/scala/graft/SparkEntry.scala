@@ -2074,6 +2074,55 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- North-star: temporal COMPLETENESS report (event pipeline) -----
+    // Did every hour of the collection window actually arrive, per event
+    // type? The gap report an ingestion team reads before trusting a
+    // window of data: per type — expected hours (global span), present
+    // hours, missing hours, number of gap RUNS and the longest run
+    // (gaps-and-islands on the hour index). Plan: ONE map-side-combined
+    // distinct over (type, hour) is the only event-stream shuffle;
+    // everything after runs on the |types|×|hours| calendar frame
+    // (bounded by wall-clock time, not data volume — the q74/q107
+    // bounded-domain class), with the 1-row span frame broadcast.
+    "q118_hour_gaps" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val present = ev.select(col("event_type"),
+        date_trunc("hour", col("ts")).as("h")).distinct()
+      val bounds = ev.agg(date_trunc("hour", min("ts")).as("h0"),
+        date_trunc("hour", max("ts")).as("h1"))
+      val hours = bounds.select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("h"))
+      val types = ev.select("event_type").distinct()
+      val expectedCnt = bounds.select(
+        ((unix_timestamp(col("h1")) - unix_timestamp(col("h0"))) / 3600
+          + 1).cast("long").as("hours_expected"))
+      val missing = types.crossJoin(hours)
+        .join(present, Seq("event_type", "h"), "left_anti")
+        .select(col("event_type"),
+          (unix_timestamp(col("h")) / 3600).cast("long").as("hi"))
+      val wrn = Window.partitionBy("event_type").orderBy("hi")
+      val gapAgg = missing
+        .withColumn("g", col("hi") - row_number().over(wrn))
+        .groupBy("event_type", "g").agg(count(lit(1)).as("run"))
+        .groupBy("event_type").agg(
+          sum("run").as("hours_missing"),
+          count(lit(1)).as("n_gap_runs"),
+          max("run").as("max_gap_hours"))
+      types
+        .join(present.groupBy("event_type")
+          .agg(count(lit(1)).as("hours_present")), Seq("event_type"))
+        .join(gapAgg, Seq("event_type"), "left_outer")
+        .crossJoin(broadcast(expectedCnt))
+        .select(col("event_type"), col("hours_expected"),
+          col("hours_present"),
+          coalesce(col("hours_missing"), lit(0L)).as("hours_missing"),
+          coalesce(col("n_gap_runs"), lit(0L)).as("n_gap_runs"),
+          coalesce(col("max_gap_hours"), lit(0L)).as("max_gap_hours"),
+          round(col("hours_present").cast("double") /
+            col("hours_expected"), 6).as("coverage"))
+        .orderBy("event_type")
+    }),
+
     // ---- North-star: referential-integrity report (data quality) -------
     // The profiler's sibling: orphan-FK rates across the star schema's
     // three load-bearing edges, with orphans PLANTED (a %100=3 slice of
@@ -3962,6 +4011,54 @@ object SparkEntry {
          GROUP BY r.lang, r.total, r.rate_ppm ORDER BY r.lang"""),
     "q68_sequence_packing" -> packingOracleSql,
     "q112_pack_bins" -> packBinsOracleSql,
+    // q118: the calendar replay — same global hour span, same
+    // gaps-and-islands run decomposition on the hour index, exact
+    // integer hour arithmetic on both sides.
+    "q118_hour_gaps" ->
+      """WITH b AS (
+           SELECT date_trunc('hour', min(ts)) AS h0,
+                  date_trunc('hour', max(ts)) AS h1 FROM events),
+         hrs AS (
+           SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+           FROM b),
+         ty AS (SELECT DISTINCT event_type FROM events),
+         pres AS (
+           SELECT DISTINCT event_type, date_trunc('hour', ts) AS h
+           FROM events),
+         miss AS (
+           SELECT e.event_type,
+             CAST(epoch(e.h) / 3600 AS BIGINT) AS hi
+           FROM (SELECT event_type, h FROM ty, hrs) e
+           LEFT JOIN pres p
+             ON e.event_type = p.event_type AND e.h = p.h
+           WHERE p.h IS NULL),
+         runs AS (
+           SELECT event_type,
+             hi - row_number() OVER (PARTITION BY event_type
+                                     ORDER BY hi) AS g
+           FROM miss),
+         ga AS (SELECT event_type, g, COUNT(*) AS run
+                FROM runs GROUP BY event_type, g),
+         m AS (SELECT event_type, SUM(run) AS hours_missing,
+                 COUNT(*) AS n_gap_runs, MAX(run) AS max_gap_hours
+               FROM ga GROUP BY event_type),
+         pc AS (SELECT event_type, COUNT(*) AS hours_present
+                FROM pres GROUP BY event_type),
+         ex AS (SELECT CAST((epoch(h1) - epoch(h0)) / 3600 AS BIGINT) + 1
+                  AS hours_expected FROM b)
+         SELECT t.event_type,
+           CAST(ex.hours_expected AS BIGINT) AS hours_expected,
+           CAST(pc.hours_present AS BIGINT) AS hours_present,
+           CAST(COALESCE(m.hours_missing, 0) AS BIGINT) AS hours_missing,
+           CAST(COALESCE(m.n_gap_runs, 0) AS BIGINT) AS n_gap_runs,
+           CAST(COALESCE(m.max_gap_hours, 0) AS BIGINT) AS max_gap_hours,
+           round(CAST(pc.hours_present AS DOUBLE) / ex.hours_expected, 6)
+             AS coverage
+         FROM ty t
+         CROSS JOIN ex
+         JOIN pc ON pc.event_type = t.event_type
+         LEFT JOIN m ON m.event_type = t.event_type
+         ORDER BY t.event_type""",
     // q117: each edge re-derived with a LEFT JOIN on distinct parent
     // keys — same NULL-is-not-an-orphan FK semantics, same planted
     // orphan slice, IEEE rate divide, 6-dp round.
