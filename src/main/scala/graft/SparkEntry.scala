@@ -442,6 +442,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- North-star: dup-cluster SIZE HISTOGRAM (dedup observability) --
+    // How much of the corpus sits in near-dup clusters of size k — the
+    // number that tells a team whether dedup will shrink the corpus 2%
+    // or 40% BEFORE running the rewrite, and whether a giant cluster
+    // (boilerplate/spam) dominates. Rides the shared componentLabels
+    // stage (one LSH + label-propagation pass); the histogram itself is
+    // two count aggregates over (component) then (csize) — label-sized
+    // rows, nothing text-sized. Oracle: the q64 recursive closure, then
+    // the same double group.
+    "q119_cluster_sizes" -> ((s, dir) => {
+      val comp = Dedup.componentLabels(Tables.documents(s, dir),
+        "doc_id", "text", threshold = 0.8)
+      comp.groupBy("component").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_clusters"),
+          (col("csize") * count(lit(1))).as("n_docs"))
+        .orderBy("csize")
+    }),
+
     // ---- North-star: dedup canonical KEEP-BEST — per near-dup component,
     // keep the best copy rather than the first (what a curation pipeline
     // actually ships: among near-identical crawls, keep the longest
@@ -3707,6 +3725,16 @@ object SparkEntry {
          SELECT c.doc_id, c.component, z.csize
          FROM comp c JOIN sizes z USING (component)
          ORDER BY c.doc_id"""),
+    // q119: the q64 closure, then the same double group — cluster sizes,
+    // clusters per size, docs per size.
+    "q119_cluster_sizes" ->
+      (componentClosureCtes + raw""",
+         cs AS (
+           SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
+         SELECT CAST(csize AS BIGINT) AS csize,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(csize * COUNT(*) AS BIGINT) AS n_docs
+         FROM cs GROUP BY csize ORDER BY csize"""),
     // Same RECURSIVE closure as q64, then the keep-best argmax re-derived
     // as a ranked window (strlen = DuckDB byte length, matching the
     // engine's octet_length ranking; doc_id tiebreak).
