@@ -2092,6 +2092,38 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- North-star: deterministic SHARD EXPORT (write → read gate) ----
+    // The pipeline's LAST step: emit the corpus as training shards in the
+    // q74 deterministic-shuffle order (Sources.writeShards — contiguous
+    // pos slices, one dir per shard, rows pos-sorted inside). Gated like
+    // q90/q100: the report reads the WRITTEN copy and fingerprints every
+    // shard with a position-weighted fold — fp = Σ (pos+1)·h(doc) mod p —
+    // which is ORDER-AWARE yet commutative (a sum), so it verifies each
+    // doc sits at exactly its permutation position without any ordered
+    // collect; contiguity shows as last−first+1 = n_docs. The oracle
+    // replays the permutation, slicing, and fold from the raw fixture —
+    // a hash-green row proves the export lost, duplicated, displaced,
+    // and mutated NOTHING.
+    "q120_shard_export" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val out = cachedBuild(dir, "documents.parquet",
+          "target/q120_shards") { p =>
+        Sources.writeShards(docs, "doc_id", p, shards = 8,
+          buckets = 32, seed = 23L)
+      }
+      val M = 1000000007L
+      val mh = pmod(TextFunctions.fnv64(concat(
+        col("doc_id").cast("string"), lit(":"), col("text"))), lit(M))
+      s.read.parquet(out)
+        .select(col("shard").cast("long").as("shard"), col("pos"),
+          pmod((col("pos") + 1) * mh, lit(M)).as("term"))
+        .groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          min("pos").as("first_pos"), max("pos").as("last_pos"),
+          pmod(sum("term"), lit(M)).as("fp"))
+        .orderBy("shard")
+    }),
+
     // ---- North-star: temporal COMPLETENESS report (event pipeline) -----
     // Did every hour of the collection window actually arrive, per event
     // type? The gap report an ingestion team reads before trusting a
@@ -4039,6 +4071,37 @@ object SparkEntry {
          GROUP BY r.lang, r.total, r.rate_ppm ORDER BY r.lang"""),
     "q68_sequence_packing" -> packingOracleSql,
     "q112_pack_bins" -> packBinsOracleSql,
+    // q120: the permutation (q74's replay), the ceil(n/8) slicing, and
+    // the position-weighted fold re-derived from the RAW fixture — both
+    // FNV streams re-signed before the mod so the arithmetic matches the
+    // engine's pmod on signed longs.
+    "q120_shard_export" ->
+      ("WITH " + fnvSignedFrom("documents", "doc_id", 23) + raw""",
+         posed AS (
+           SELECT doc_id, text,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY ((hs % 32) + 32) % 32, hs, doc_id) - 1 AS BIGINT)
+               AS pos
+           FROM sg),
+         ss AS (SELECT (COUNT(*) + 7) // 8 AS ssize FROM posed),
+         fh AS (
+           SELECT pos, pos // (SELECT ssize FROM ss) AS shard,
+             ${fnvOctetsSql("CAST(doc_id AS VARCHAR) || ':' || text")}
+               AS hu2
+           FROM posed),
+         tm AS (
+           SELECT shard, pos,
+             ((CAST(CASE WHEN hu2 >= CAST(9223372036854775808 AS UBIGINT)
+                    THEN CAST(hu2 AS HUGEINT) - 18446744073709551616
+                    ELSE CAST(hu2 AS HUGEINT) END AS HUGEINT)
+               % 1000000007 + 1000000007) % 1000000007) AS mh
+           FROM fh)
+         SELECT CAST(shard AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           MIN(pos) AS first_pos, MAX(pos) AS last_pos,
+           CAST(SUM(((pos + 1) * mh) % 1000000007) % 1000000007 AS BIGINT)
+             AS fp
+         FROM tm GROUP BY shard ORDER BY shard"""),
     // q118: the calendar replay — same global hour span, same
     // gaps-and-islands run decomposition on the hour index, exact
     // integer hour arithmetic on both sides.

@@ -107,6 +107,31 @@ object Sources {
       .write.mode("overwrite").parquet(outPath)
   }
 
+  /** Deterministic TRAINING-SHARD export — the pipeline's last step:
+    * rows land in `shards` contiguous slices of the [[graft.operators
+    * .Relational.shuffleIndex]] order (a pure function of (ids, seed), so
+    * the export is bit-reproducible across runs/partitionings/engine
+    * versions), one directory per shard (`shard=K/`), rows sorted by
+    * global position inside each shard so a reader streams the permuted
+    * corpus in order. Plan: the shuffleIndex pass, one count (sizes the
+    * shards), one exchange on the shard key + in-partition sort, write.
+    * Shard size = ceil(n / shards); pick `shards` for the target file
+    * size at corpus scale.
+    */
+  def writeShards(df: DataFrame, idCol: String, outPath: String,
+                  shards: Int, buckets: Int, seed: Long): Unit = {
+    require(shards >= 1, s"writeShards: shards >= 1, got $shards")
+    val indexed = graft.operators.Relational
+      .shuffleIndex(df, idCol, buckets, seed).drop("bucket")
+    val n = math.max(1L, indexed.count())
+    val shardSize = (n + shards - 1) / shards
+    indexed
+      .withColumn("shard", (col("pos") / lit(shardSize)).cast("long"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.partitionBy("shard").mode("overwrite").parquet(outPath)
+  }
+
   /** Bucketed table write: pre-shuffles once on `key` into `buckets` files
     * per partition, so every later equi-join/aggregation on `key` between
     * co-bucketed tables runs with NO exchange — the amortize-one-shuffle
