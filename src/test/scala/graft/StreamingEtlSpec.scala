@@ -770,4 +770,30 @@ class StreamingEtlSpec extends SparkSpec {
     assert(batchAdmitted.nonEmpty && batchAdmitted.size < arrivals.size,
       "gate must both admit and reject on this fixture")
   }
+
+  test("writeShards: export is identical under input repartitioning") {
+    // the bit-reproducibility claim: shard membership, global positions,
+    // and in-file order are pure functions of (ids, seed) — independent
+    // of how the input happened to be partitioned
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    def export(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("shards").toString
+      Sources.writeShards(d, "doc_id", dir, shards = 4, buckets = 32,
+        seed = 23L)
+      spark.read.parquet(dir)
+        .select(col("shard").cast("long"), col("pos"), col("doc_id"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    }
+    val a = export(docs)
+    val b = export(docs.repartition(13))
+    assert(a == b, "shard export must not depend on input partitioning")
+    // shards are contiguous pos slices covering [0, n)
+    val n = docs.count()
+    assert(a.map(_._2).toSet == (0L until n).toSet)
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      val ps = rows.map(_._2).sorted
+      assert(ps.last - ps.head + 1 == ps.size, "shard must be contiguous")
+    }
+  }
 }
