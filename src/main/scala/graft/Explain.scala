@@ -124,7 +124,10 @@ object Explain {
         // SinglePartition exchanges are the 1-row span aggregate and the
         // |types|-row gap windows (q74/q107 bounded class).
         "q118_hour_gaps" ->
-          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"))
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q121: three global roll-ups of per-key count frames — each
+        // final merge is one row through one task, the q03/q17 class.
+        "q121_key_uniqueness" -> Set("SinglePartition-exchange"))
       // construction-time plans (driver-collected passes) audit alongside
       // the returned frames — restricted to the selected queries' passes
       val auditTargets = names.map(n =>

@@ -2197,6 +2197,29 @@ object SparkEntry {
         .orderBy("relation")
     }),
 
+    // ---- North-star: key-UNIQUENESS report (data quality) --------------
+    // The trio's third leg (profile / FK orphans / uniqueness): is the
+    // claimed primary key actually unique? Three claims checked: orders'
+    // PK (clean), lineitem's TPC-H composite PK — which the report
+    // DISCOVERS is not enforced by the synthetic generator (43% dup
+    // mass, max multiplicity 6: exactly the drop-a-claimed-PK surprise
+    // this check exists to catch pre-ingest) — and a deliberate non-key
+    // (o_custkey mod 1000) anchoring the saturated end. One map-side-
+    // combined groupBy per claim; only key columns ever shuffle.
+    "q121_key_uniqueness" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      Relational.uniquenessReport(orders, Seq("o_orderkey"),
+          "orders(o_orderkey)")
+        .unionByName(Relational.uniquenessReport(li,
+          Seq("l_orderkey", "l_linenumber"),
+          "lineitem(l_orderkey,l_linenumber)"))
+        .unionByName(Relational.uniquenessReport(
+          orders.withColumn("ck1000", col("o_custkey") % 1000),
+          Seq("ck1000"), "orders(o_custkey%1000) [non-key]"))
+        .orderBy("relation")
+    }),
+
     // ---- North-star: one-pass COLUMN PROFILER (data quality) -----------
     // The Deequ shape: per column — non-null count, exact distinct, and
     // numeric min/max/decimal-mean — in ONE aggregate pass over the
@@ -4150,6 +4173,29 @@ object SparkEntry {
          JOIN pc ON pc.event_type = t.event_type
          LEFT JOIN m ON m.event_type = t.event_type
          ORDER BY t.event_type""",
+    // q121: each uniqueness row re-derived from a per-key count frame —
+    // same >=2 duplication rule, same multiplicity max, IEEE rate.
+    "q121_key_uniqueness" ->
+      """WITH u AS (
+           SELECT 'orders(o_orderkey)' AS relation, COUNT(*) AS c
+           FROM orders GROUP BY o_orderkey
+           UNION ALL
+           SELECT 'lineitem(l_orderkey,l_linenumber)', COUNT(*)
+           FROM lineitem GROUP BY l_orderkey, l_linenumber
+           UNION ALL
+           SELECT 'orders(o_custkey%1000) [non-key]', COUNT(*)
+           FROM orders GROUP BY o_custkey % 1000)
+         SELECT relation,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_keys,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS n_dup_rows,
+           CAST(MAX(c) AS BIGINT) AS max_multiplicity,
+           round(CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+             / SUM(c), 6) AS dup_rate
+         FROM u GROUP BY relation ORDER BY relation""",
     // q117: each edge re-derived with a LEFT JOIN on distinct parent
     // keys — same NULL-is-not-an-orphan FK semantics, same planted
     // orphan slice, IEEE rate divide, 6-dp round.

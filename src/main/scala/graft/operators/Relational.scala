@@ -437,6 +437,27 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** Key-uniqueness report — the data-quality trio's third leg (q121,
+    * with [[profile]] and [[orphanReport]]): for a claimed key, one row
+    * with the row count, distinct key count, number of DUPLICATED key
+    * values, rows involved in duplication, and the max multiplicity.
+    * Plan: one map-side-combined groupBy on the key, then one tiny
+    * aggregate over the |keys|-row count frame — the key column is the
+    * only thing shuffled.
+    */
+  def uniquenessReport(df: DataFrame, keyCols: Seq[String],
+                       relation: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(sum("__c").as("n_rows"), count(lit(1)).as("n_keys"),
+        sum(when(col("__c") >= 2, 1L).otherwise(0L)).as("n_dup_keys"),
+        sum(when(col("__c") >= 2, col("__c")).otherwise(0L))
+          .as("n_dup_rows"),
+        max("__c").as("max_multiplicity"))
+      .select(lit(relation).as("relation"), col("n_rows"), col("n_keys"),
+        col("n_dup_keys"), col("n_dup_rows"), col("max_multiplicity"),
+        round(col("n_dup_rows").cast("double") / col("n_rows"), 6)
+          .as("dup_rate"))
+
   /** Referential-integrity (orphan foreign-key) report — the profiler's
     * sibling (q117): one row per relation with the child's row count,
     * null-key count, orphan count (non-null keys with no parent — SQL FK
