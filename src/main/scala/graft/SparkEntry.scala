@@ -2298,17 +2298,22 @@ object SparkEntry {
     // classification is left-join flag frames folded by one when-chain,
     // so the corpus is scanned once and each stage's id set joins
     // co-partitioned on doc_id. "Scrubbed" = any position covered by a
-    // corpus-wide duplicated 8-gram (the q94 window kernel, stopped at
-    // the coverage test — no rewrite work for a report). The oracle
-    // replays all stages in one WITH RECURSIVE chain ending in the same
-    // CASE precedence ---------------------------------------------------
+    // corpus-wide duplicated 8-gram (the q94 map-side-combined dup-set
+    // kernel, stopped at the coverage test — no rewrite work for a
+    // report). The candidate docs' 8-gram stream is tokenized ONCE
+    // (localCheckpoint) and feeds BOTH gram stages — the contamination
+    // probe and the scrub count (round-11 verdict #7: the kernel used
+    // to run twice). The oracle replays all stages in one WITH
+    // RECURSIVE chain ending in the same CASE precedence ----------------
     "q108_curation_report" -> ((s, dir) => {
       val all = Tables.documents(s, dir)
       val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
         .select("doc_id", "text")
+      // positional (non-distinct) grams: the scrub count needs repeats
+      // within a doc; the contamination probe distincts on doc_id anyway
       val grams8 = (d: DataFrame) => d.select(col("doc_id"),
-        explode(array_distinct(TextFunctions.tokenShingles(
-          TextFunctions.tokens(col("text")), 8))).as("g"))
+        explode(TextFunctions.tokenShingles(
+          TextFunctions.tokens(col("text")), 8)).as("g"))
         .select(col("doc_id"), TextFunctions.fnv64(col("g")).as("gh"))
       val quality = all.filter(
         size(TextFunctions.tokens(col("text"))) >= 30 &&
@@ -2317,10 +2322,12 @@ object SparkEntry {
       val evalGrams = grams8(all.filter(pmod(col("doc_id"), lit(10)) === 7))
         .select("gh").distinct()
       val cand = quality.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      // the ONE tokenize+shingle kernel pass over candidate docs, shared
+      // by the contamination probe and (filtered to survivors) the scrub
+      val candGrams = grams8(cand).localCheckpoint()
       // contaminated fans out to TWO consumers (decon's anti-join and the
-      // final classification join) — materialize the gram probe once or
-      // the whole explode+join subtree re-executes per consumer
-      val contaminated = grams8(cand)
+      // final classification join) — materialize the id set once
+      val contaminated = candGrams
         .join(broadcast(evalGrams), Seq("gh"))
         .select("doc_id").distinct()
         .localCheckpoint()
@@ -2337,15 +2344,14 @@ object SparkEntry {
         .agg(expr("max_by(doc_id, struct(blen, -doc_id))").as("doc_id"))
         .select("doc_id")
         .localCheckpoint()
-      val survivors = decon.join(keep, Seq("doc_id"), "left_semi")
-      val scrubbed = survivors
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 8)
-        .select(col("doc_id"),
-          explode(TextFunctions.tokenShingles(col("t"), 8)).as("g"))
-        .select(col("doc_id"), TextFunctions.fnv64(col("g")).as("gh"))
-        .withColumn("nocc", count(lit(1)).over(Window.partitionBy("gh")))
-        .filter(col("nocc") >= 2).select("doc_id").distinct()
+      // survivor grams = the shared candidate gram frame filtered by the
+      // survivor id set — no second tokenize pass; the duplicated-gram
+      // set is map-side combined (Dedup.duplicatedGramSet), never a
+      // window over a hot gram's occurrence list
+      val survGrams = candGrams.join(keep, Seq("doc_id"), "left_semi")
+      val scrubbed = survGrams
+        .join(Dedup.duplicatedGramSet(survGrams), Seq("gh"), "left_semi")
+        .select("doc_id").distinct()
       corpus
         .join(quality.select(col("doc_id"), lit(1).as("q")),
           Seq("doc_id"), "left_outer")

@@ -695,30 +695,37 @@ object Dedup {
   /** Duplicate-substring SCRUB (Lee et al. 2022 §4's dedup-by-substring at
     * token n-gram granularity): rewrite each doc removing every token
     * covered by an n-gram occurring ≥ 2 times corpus-wide. Scale shape:
-    * the positional gram stream travels as (id, i, fnv64) rows through
-    * ONE hash exchange on the gram hash where a count window flags
-    * duplicated occurrences in place (the q71 kernel-once trick); only
-    * flagged positions — sparse in a deduplicated-enough corpus — expand
-    * to covered-position rows and fold to one sorted array per affected
-    * doc; the rewrite is a doc-level join plus a narrow index-aware
-    * `filter` HOF, so the corpus is never token-exploded and never
-    * shuffles. Returns (id, n_tok, n_kept, n_removed, clean_text);
-    * row order unspecified (callers sort).
+    * the positional gram stream travels as (id, i, fnv64) rows; the
+    * duplicated-gram set comes from a map-side-combined `groupBy(gh)
+    * .count()` — partial aggregation folds a gram's occurrences INSIDE
+    * each map task, so a boilerplate 8-gram appearing in millions of
+    * docs (cookie banners, licence headers) crosses the exchange as one
+    * pre-counted row per task, never as a single-reducer occurrence
+    * list (a `count().over(Window.partitionBy(gh))` would buffer every
+    * occurrence of the hot gram in one window group — the round-11
+    * skew hazard this shape replaces; ScaleShapeSpec plants exactly
+    * that gram and pins the plan). Flagging is a semi-join back on the
+    * same gh key; the dup side carries one row per duplicated gram, so
+    * AQE can broadcast it when sparse. Only flagged positions — sparse
+    * in a deduplicated-enough corpus — expand to covered-position rows
+    * and fold to one sorted array per affected doc; the rewrite is a
+    * doc-level join plus a narrow index-aware `filter` HOF, so the
+    * corpus is never token-exploded and never shuffles. Returns
+    * (id, n_tok, n_kept, n_removed, clean_text); row order unspecified
+    * (callers sort).
     */
   def scrubDuplicateGrams(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = df.select(col(idCol), T.tokens(col(textCol)).as("t"))
     val grams = docs.filter(size(col("t")) >= n)
       .select(col(idCol),
         posexplode(T.tokenShingles(col("t"), n)).as(Seq("i0", "g")))
       .select(col(idCol), (col("i0") + 1).as("i"), T.fnv64(col("g")).as("gh"))
-    // positional (NOT per-doc-distinct) grams: the window count is the
-    // corpus-wide occurrence count, so >= 2 means "this span appears
-    // elsewhere (any doc, or again in this one)"
+    // positional (NOT per-doc-distinct) grams: the corpus-wide occurrence
+    // count >= 2 means "this span appears elsewhere (any doc, or again in
+    // this one)"
     val cov = grams
-      .withColumn("nocc", count(lit(1)).over(Window.partitionBy("gh")))
-      .filter(col("nocc") >= 2)
+      .join(duplicatedGramSet(grams), Seq("gh"), "left_semi")
       .select(col(idCol),
         explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
       .groupBy(idCol).agg(array_sort(collect_set(col("p"))).as("cov"))
@@ -733,6 +740,20 @@ object Dedup {
         (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
         concat_ws(" ", col("kept")).as("clean_text"))
   }
+
+  /** The corpus-wide DUPLICATED-GRAM SET of a gram stream (`gh` column):
+    * one row per gram hash occurring ≥ 2 times. The point is the shape —
+    * `groupBy(gh).count()` partial-aggregates inside each map task, so a
+    * gram occurring millions of times crosses the exchange as one
+    * pre-counted row per task and the filter leaves ONE row per
+    * duplicated gram; downstream consumers semi-join occurrences against
+    * it (streamed probes, nothing buffered) instead of windowing over
+    * the raw occurrence list. Shared by [[scrubDuplicateGrams]] and the
+    * q108 drop-reason report; hot-gram skew pinned by ScaleShapeSpec.
+    */
+  def duplicatedGramSet(grams: DataFrame): DataFrame =
+    grams.groupBy("gh").agg(count(lit(1)).as("__nocc"))
+      .filter(col("__nocc") >= 2).select("gh")
 
   private def bloomKey(c: Column, nfc: Boolean): Column =
     xxhash64(if (nfc) T.nfcNormalize(c) else c)

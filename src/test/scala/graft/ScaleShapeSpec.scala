@@ -474,19 +474,68 @@ class ScaleShapeSpec extends SparkSpec {
     assert(sp.forall(_._3 == 0L))
   }
 
-  test("round-11 tokenizer/curation plan shapes: q94 gram window + no " +
-      "token explode, q96/q97 broadcast lookups") {
-    // q94: the gram frequency must be the count window over the ONE gh
-    // exchange (q71's kernel-once shape), and the rewrite must stay a
-    // doc-level join — exactly TWO Generates may appear (the positional
-    // gram explode and the sparse covered-position expansion), never a
-    // third for per-token rows
+  test("scrub under a planted hot gram: exact rewrite, no window buffers " +
+      "the occurrence list") {
+    // The round-11 hazard fixture: ONE boilerplate span planted in 30% of
+    // docs (the cookie-banner / licence-header shape of real web
+    // corpora). Under a count().over(Window.partitionBy(gh)) plan every
+    // occurrence of each banner gram lands in a single window group on a
+    // single task — at corpus scale, millions of buffered rows with no
+    // partial aggregation. The de-skewed plan must flag the gram via a
+    // map-side-combined groupBy count (one pre-counted row per task
+    // crosses the exchange) and still rewrite every covered token out.
+    val banner = "this site uses cookies by continuing you accept terms ok"
+    val bannerTok = banner.split(" ").length // 10 tokens -> 3 8-grams
+    assert(bannerTok == 10)
+    val docs = (0 until 1000).map { i =>
+      val tail = (0 until 8).map(j => s"u${i}w$j").mkString(" ")
+      if (i % 10 < 3) (i.toLong, s"$banner $tail") // 300 hot-gram docs
+      else (i.toLong, s"solo$i $tail")             // unique content
+    }.toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicateGrams(docs, "doc_id", "text", n = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"),
+      "scrub must not window over the gram stream (hot-gram skew)")
+    assert(plan.contains("partial_count"),
+      "the duplicated-gram count must map-side combine")
+    val byId = out.as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    (0 until 1000).foreach { i =>
+      val (nRemoved, clean) = byId(i.toLong)
+      val tail = (0 until 8).map(j => s"u${i}w$j").mkString(" ")
+      if (i % 10 < 3) {
+        // every banner position is covered by a duplicated 8-gram;
+        // boundary grams reach into the unique tail so the tail stays
+        assert(nRemoved == bannerTok.toLong,
+          s"doc $i: expected the $bannerTok banner tokens scrubbed, " +
+            s"got $nRemoved")
+        assert(clean == tail, s"doc $i: tail must survive intact")
+      } else {
+        assert(nRemoved == 0L, s"doc $i: unique doc must be untouched")
+      }
+    }
+    assert(byId.size == 1000)
+  }
+
+  test("round-11 tokenizer/curation plan shapes: q94 map-side dup-set + " +
+      "no token explode, q96/q97 broadcast lookups") {
+    // q94 (round-12 de-skew): the gram frequency must be a PARTIAL
+    // aggregate on gh — map-side combine folds a hot gram inside each
+    // task — and NO window may appear (a count().over(partitionBy(gh))
+    // would buffer every occurrence of one gram in a single window
+    // group, the round-11 scale hazard). The rewrite must stay a
+    // doc-level join — exactly THREE Generates may appear (the gram
+    // explode feeds the dup-set aggregate AND the semi-join probe — two
+    // plan copies of the one logical kernel — plus the sparse
+    // covered-position expansion), never one for per-token rows
     val q94 = SparkEntry.queries("q94_dup_gram_scrub")(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!q94.contains("CartesianProduct"))
-    assert(q94.contains("windowspecdefinition(gh"),
-      "q94 gram frequency must be the window over the gh exchange")
-    assert("Generate ".r.findAllIn(q94).size == 2,
+    assert(!q94.contains("windowspecdefinition"),
+      "q94 must not window over the gram stream (hot-gram skew)")
+    assert(q94.contains("partial_count"),
+      "q94 gram frequency must map-side combine (partial aggregate)")
+    assert("Generate ".r.findAllIn(q94).size == 3,
       "q94 must generate only gram + covered-position rows, never tokens")
     // q96: df and the corpus count must come back as broadcasts — the tf
     // stream is the only shuffle
