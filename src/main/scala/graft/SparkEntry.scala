@@ -2505,7 +2505,7 @@ object SparkEntry {
         .unionAll(docs.filter(col("doc_id") % 10 === 7)
           .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
       val bloomPath = cachedBuild(dir, "documents.parquet",
-          "target/q101_bloom") { p =>
+          "target/q101_bloom2") { p => // v2: artifact now pins nfc
         operators.Dedup.buildExactBloom(corpus, "text", p)
       }
       operators.Dedup.bloomAdmit(corpus, shard, "text", bloomPath)

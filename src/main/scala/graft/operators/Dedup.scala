@@ -783,12 +783,18 @@ object Dedup {
 
   /** The bloom build's single aggregation frame (count pass already done,
     * sizing passed in) — exposed so the construction-time plan audits
-    * alongside the returned frames (SparkEntry.auditPlans).
+    * alongside the returned frames (SparkEntry.auditPlans). The artifact
+    * row pins the FULL probe contract — sizing AND the `nfc` key scheme —
+    * mirroring the LSH band index's meta row, so a probe can never
+    * silently hash different keys than were built (a build(nfc=true) +
+    * probe(nfc=false) mismatch would produce false negatives: true
+    * duplicates admitted without ever reaching the verify join).
     */
   def exactBloomAggFrame(corpus: DataFrame, keyCol: String, n: Long,
                          numBits: Long, nfc: Boolean = false): DataFrame =
     corpus.select(bloomKey(col(keyCol), nfc).as("k"))
       .agg(lit(n).as("n_keys"), lit(numBits).as("num_bits"),
+        lit(nfc).as("nfc"),
         graft.functions.AggFunctions.bloomFilterAgg(col("k"), n, numBits)
           .as("bloom"))
 
@@ -811,18 +817,27 @@ object Dedup {
     * the scan as Spark's own runtime bloom would). Within-shard
     * duplicates are out of scope (admission against the standing corpus
     * only), mirroring q89's incremental-ingest contract.
+    *
+    * The key scheme (`nfc`) comes FROM the artifact — the build pinned it
+    * (see [[exactBloomAggFrame]]), so probe keys are hashed exactly as
+    * the built keys were; callers cannot diverge. NULL keys are admitted
+    * OUTRIGHT, explicitly: a NULL probe yields a NULL might-contain,
+    * which would otherwise fail both branch filters and silently drop
+    * the row — and `left_anti` semantics (a NULL key matches nothing in
+    * the corpus) say admit.
     */
   def bloomAdmit(corpus: DataFrame, shard: DataFrame, keyCol: String,
-                 bloomPath: String, nfc: Boolean = false): DataFrame = {
+                 bloomPath: String): DataFrame = {
     val sp = corpus.sparkSession
     // one-row artifact: driver-sized by construction
     val art = sp.read.parquet(bloomPath).head()
     val bloom = art.getAs[Array[Byte]]("bloom")
+    val nfc = art.getAs[Boolean]("nfc")
     val probed = shard.withColumn("__mc",
       graft.functions.AggFunctions.bloomMightContain(bloom,
         bloomKey(col(keyCol), nfc)))
-    val clean = probed.filter(!col("__mc"))
-    val cand = probed.filter(col("__mc"))
+    val clean = probed.filter(!coalesce(col("__mc"), lit(false)))
+    val cand = probed.filter(coalesce(col("__mc"), lit(false)))
     val candKeys = cand.select(col(keyCol).as("__k")).distinct()
     val existing = corpus.select(col(keyCol).as("__k"))
       .join(broadcast(candKeys), Seq("__k"), "left_semi").distinct()

@@ -126,7 +126,11 @@ object Sources {
     val n = math.max(1L, indexed.count())
     val shardSize = (n + shards - 1) / shards
     indexed
-      .withColumn("shard", (col("pos") / lit(shardSize)).cast("long"))
+      // `div` is Spark's integral division — exact at ANY pos, unlike
+      // `/` (which promotes longs to double and is only exact below
+      // 2^53; at corpus scale that would silently misplace rows near
+      // shard boundaries, diverging from the oracle's integer `//`)
+      .withColumn("shard", expr(s"pos div ${shardSize}L"))
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "pos")
       .write.partitionBy("shard").mode("overwrite").parquet(outPath)

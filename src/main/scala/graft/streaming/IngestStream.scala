@@ -29,32 +29,86 @@ object IngestStream {
     * (Bloom filters have no false negatives) with no join at all, and only
     * the might-contain residue — true duplicates plus ~1% false positives
     * — passes through ONE stream-static LEFT ANTI join against the corpus
-    * key column. The static side is re-planned each micro-batch (the
-    * [[EventStream.enrichWithDim]] property), so a nightly-refreshed
-    * corpus snapshot and re-built filter are picked up without restart.
+    * key column. Only the CORPUS side refreshes in place: the static join
+    * side is re-planned each micro-batch (the [[EventStream.enrichWithDim]]
+    * property), but the Bloom blob is read ONCE here, at query
+    * construction, and embedded as a literal — a rebuilt filter is NOT
+    * picked up until the query restarts. A stale filter is a correctness
+    * hazard, not just a perf one: a key newly added to the corpus probes
+    * clean against the old filter, skips the verify join entirely, and is
+    * admitted as a duplicate. Operational contract: refresh filter and
+    * corpus snapshot TOGETHER — either restart this query after a rebuild
+    * (checkpoint recovery makes that cheap), or run the admission at
+    * micro-batch cadence via `foreachBatch` + [[graft.operators.Dedup
+    * .bloomAdmit]], which re-reads the artifact every batch (the
+    * [[bloomAdmitEachBatch]] sink does exactly this).
     *
     * 100 TB cost shape: the filter blob rides the closure once per
     * executor; the anti-join's STREAM side is only the candidate sliver
     * of each batch, and its static side is a single column-pruned scan of
     * the corpus key column per trigger — batch triggers accordingly (the
-    * gate is for arrival-time admission, not per-row latency). As in the
-    * batch twin, `nfc` normalizes the PROBE key; callers wanting
-    * NFC-equal admission pass normalized keys end-to-end (the
-    * [[graft.operators.Dedup.bloomAdmit]] contract, pinned by
-    * BloomIngestSpec).
+    * gate is for arrival-time admission, not per-row latency). The key
+    * scheme (`nfc`) comes FROM the artifact, as in the batch twin, so
+    * probe keys can never hash differently than the built keys; NULL keys
+    * are admitted outright (anti-join semantics — see
+    * [[graft.operators.Dedup.bloomAdmit]]), pinned by BloomIngestSpec.
     */
   def bloomAdmit(stream: DataFrame, corpusKeys: DataFrame, keyCol: String,
-                 bloomPath: String, nfc: Boolean = false): DataFrame = {
+                 bloomPath: String): DataFrame = {
     val sp = corpusKeys.sparkSession
     // one-row artifact: driver-sized by construction, read at plan time
-    val bloom = sp.read.parquet(bloomPath).head().getAs[Array[Byte]]("bloom")
+    val art = sp.read.parquet(bloomPath).head()
+    val bloom = art.getAs[Array[Byte]]("bloom")
+    val nfc = art.getAs[Boolean]("nfc")
     def probeKey(c: Column): Column =
       xxhash64(if (nfc) T.nfcNormalize(c) else c)
     val probed = stream.withColumn("__mc",
       AggFunctions.bloomMightContain(bloom, probeKey(col(keyCol))))
-    val clean = probed.filter(!col("__mc"))
-    val cand = probed.filter(col("__mc"))
+    val clean = probed.filter(!coalesce(col("__mc"), lit(false)))
+    val cand = probed.filter(coalesce(col("__mc"), lit(false)))
       .join(corpusKeys.select(col(keyCol)), Seq(keyCol), "left_anti")
     clean.unionByName(cand).drop("__mc")
   }
+
+  /** The FULL ingest-admission pipeline as a restartable checkpointed
+    * file sink: per micro-batch, the exact gate ([[graft.operators.Dedup
+    * .bloomAdmit]] — drops rows whose key the corpus already holds) then
+    * the fuzzy gate ([[graft.operators.Dedup.lshIndexProbe]] against the
+    * persisted band index — drops near-duplicates at `threshold`), and
+    * the surviving rows land as ONE parquet directory per batch.
+    *
+    * Why foreachBatch, not the plan-time [[bloomAdmit]]: both artifacts
+    * are re-read INSIDE the batch function, so a nightly-rebuilt Bloom
+    * filter or band index is picked up at the very next trigger — filter
+    * and corpus snapshot refresh together, the operational contract
+    * [[bloomAdmit]]'s scaladoc requires the caller to manage manually.
+    *
+    * Exactly-once across restarts: the checkpoint's offset log decides
+    * WHICH rows form batch N, and the output directory `batch=N` is
+    * OVERWRITTEN, not appended — a batch replayed after a crash rewrites
+    * its own directory byte-for-byte instead of duplicating rows.
+    * StreamingEtlSpec kills the query mid-shard, restarts from the same
+    * checkpoint, and asserts the union of batch directories equals the
+    * batch-mode admission of the whole shard.
+    */
+  def curatedAdmitEachBatch(stream: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String,
+                            bloomPath: String, lshIndexPath: String,
+                            threshold: Double, outPath: String,
+                            checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val exact = graft.operators.Dedup
+          .bloomAdmit(corpus, batch, textCol, bloomPath)
+        val flagged = graft.operators.Dedup
+          .lshIndexProbe(corpus, exact, lshIndexPath, idCol, textCol,
+            threshold)
+          .select(col("id_b").as(idCol)).distinct()
+        exact.join(flagged, Seq(idCol), "left_anti")
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .start()
 }

@@ -64,35 +64,56 @@ class BloomIngestSpec extends SparkSpec {
     }
   }
 
-  test("nfc flag: composed and decomposed twins dedup as one key") {
+  test("nfc flag travels IN the artifact: probes key exactly as built") {
     val path = tmp("nfc")
     val composed = "caf\u00e9 menu listing"   // e-acute composed
     val decomposed = "cafe\u0301 menu listing" // e + combining acute
     val c = Seq((1L, composed)).toDF("doc_id", "text")
     val sh = Seq((10L, decomposed), (11L, "unrelated text")).toDF("doc_id", "text")
     Dedup.buildExactBloom(c, "text", path, nfc = true)
-    // verify matches on the raw key column, so normalization must be
-    // applied by the CALLER's keying convention on both sides; assert the
-    // bloom probe alone already collapses the twins (no false negative on
-    // the normalized key), and the non-nfc path keeps them distinct
+    // the probe reads the key scheme FROM the artifact (round-11 advice:
+    // a build(nfc=true)+probe(nfc=false) divergence used to be possible
+    // and silently produced false negatives) \u2014 no nfc parameter exists on
+    // the probe side anymore. Verify matches on the raw key column, so
+    // normalization must be applied by the CALLER's keying convention on
+    // both sides; assert the bloom probe alone already collapses the
+    // twins, and a raw-keyed artifact keeps them distinct.
     val probedTogether = Dedup.bloomAdmit(c,
         sh.withColumn("text", graft.functions.TextFunctions.nfcNormalize(col("text"))),
-        "text", path, nfc = true)
+        "text", path)
       .select("doc_id").as[Long].collect().toSet
     assert(probedTogether == Set(11L))
     val pathRaw = tmp("nfcraw")
     Dedup.buildExactBloom(c, "text", pathRaw, nfc = false)
-    val rawAdmitted = Dedup.bloomAdmit(c, sh, "text", pathRaw, nfc = false)
+    val rawAdmitted = Dedup.bloomAdmit(c, sh, "text", pathRaw)
       .select("doc_id").as[Long].collect().toSet
     assert(rawAdmitted == Set(10L, 11L))
   }
 
-  test("artifact records the build geometry") {
+  test("NULL keys are admitted explicitly, never silently dropped") {
+    // xxhash64(NULL) is NULL, so might-contain is NULL \u2014 before the
+    // round-11 advice fix such rows failed BOTH branch filters and
+    // vanished from the output. Anti-join semantics (NULL matches no
+    // corpus key) say admit.
+    val path = tmp("nullkey")
+    Dedup.buildExactBloom(corpus, "text", path)
+    val sh = Seq((10L, Option("corpus document number 3 with body 21")),
+        (11L, None: Option[String]),
+        (12L, Option("a genuinely new document")))
+      .toDF("doc_id", "text")
+    val admitted = Dedup.bloomAdmit(corpus, sh, "text", path)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(11L, 12L),
+      s"NULL-key row must be admitted, dup dropped: got $admitted")
+  }
+
+  test("artifact records the build geometry and key scheme") {
     val path = tmp("geom")
     Dedup.buildExactBloom(corpus, "text", path, bitsPerKey = 12)
     val row = spark.read.parquet(path).head()
     assert(row.getAs[Long]("n_keys") == 200L)
     assert(row.getAs[Long]("num_bits") == 2400L)
+    assert(!row.getAs[Boolean]("nfc"))
     assert(row.getAs[Array[Byte]]("bloom").length > 0)
   }
 }
