@@ -106,10 +106,17 @@ object Explain {
         // blobs through one task, the q03/q17 shape, injected by the
         // optimizer rather than written by us.
         "q108_curation_report" -> Set("SinglePartition-exchange"),
-        // q114: the ordered cumsum + scalar totals run over the
-        // |value-domain|-row HISTOGRAM (bounded by the 2-dp domain, the
-        // q74/q107 class), never over the event stream itself.
+        // q114: the remaining SinglePartition exchanges feed the
+        // |buckets|-row offsets frame (exclusive prefix + totals — the
+        // shuffleIndex bounded class) and the final 1-row max; the
+        // |domain|-row cumulative itself is bucket-PARTITIONED
+        // (round-11 verdict #2, pinned by RelationalSpec's 1M-distinct
+        // plan probe).
         "q114_value_drift" -> Set("SinglePartition-exchange"),
+        // q114's cut-point pass (construction-time 1-row collect): a
+        // global approx-percentile aggregate — its final merge is one
+        // row through one task, the q03/q17/q82#pass1 shape.
+        "q114_value_drift#cuts" -> Set("SinglePartition-exchange"),
         // q116: the profiler IS one global aggregate — its final merge of
         // the per-partition partials is one row through one task, the
         // q03/q17 class; everything upstream is the map-side Expand+

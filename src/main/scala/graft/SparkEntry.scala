@@ -138,6 +138,19 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "text")
           .filter(col("doc_id") % 10 =!= 7),
         "text", n = 1000L, numBits = 10000L)),
+    // q114's cut-point pass (construction-time 1-row collect): the
+    // approximate-percentile aggregate over the distinct-value histogram
+    // that buckets the exact-KS cumulative — bounded boundary scalars,
+    // cut placement only load-balances (any monotone bucketing yields
+    // the identical statistic).
+    "q114_value_drift#cuts" -> ((s, dir) =>
+      operators.Relational.ksCutsFrame(
+        Tables.events(s, dir)
+          .select((col("user_id") % 2).as("side"), col("value"))
+          .groupBy("value").agg(
+            sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+            sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb")),
+        "value", 32)),
     // q110's band-index build (cachedBuild pass): the ONE corpus
     // sketch+explode pass every later ingest amortizes — narrow kernels,
     // no shuffle at all (the write is partition-local).
@@ -2236,15 +2249,15 @@ object SparkEntry {
     // q109 alarms on token-distribution drift; this is the NUMERIC twin —
     // the exact two-sample Kolmogorov-Smirnov statistic between two event
     // populations (user-parity cohorts), the gate a pipeline puts on a
-    // feature column between snapshots. Exact, not sketched: the value
-    // domain is BOUNDED (2-dp readings in a fixed range — the q107
-    // histogram argument), so the plan is one groupBy(value) histogram
-    // shuffle, a |domain|-row ordered cumsum (the q74/q107 bounded
-    // partition-less window class) + q03-style scalar totals, and a
-    // 1-row max. For genuinely continuous columns, pre-quantize to the
-    // domain resolution — KS under ε-quantization moves by at most the
-    // mass within ε. D = max over distinct v of |F_A(v) − F_B(v)|,
-    // right-continuous ECDFs.
+    // feature column between snapshots. Exact, not sketched, at ANY
+    // domain cardinality (round-11 verdict #2): one groupBy(value)
+    // histogram shuffle, then the global cumsum as range-BUCKETED
+    // prefix sums — approx-percentile cut points (a 1-row audited
+    // collect; placement only load-balances), per-bucket subtotals +
+    // broadcast exclusive offsets (the shuffleIndex trick), and
+    // bucket-PARTITIONED within-bucket windows — so no partition-less
+    // window ever touches the |domain|-row frame. D = max over
+    // distinct v of |F_A(v) − F_B(v)|, right-continuous ECDFs.
     "q114_value_drift" -> ((s, dir) =>
       Relational.ksStatistic(
         Tables.events(s, dir)

@@ -485,31 +485,84 @@ object Relational {
 
   /** Exact two-sample Kolmogorov-Smirnov statistic between the rows where
     * `sideCol` = 0 and = 1, over `valueCol` — the numeric drift gate
-    * (q114). Exact, not sketched, under the bounded-domain argument: the
-    * plan is one groupBy(value) histogram shuffle, then an ordered cumsum
-    * and scalar totals over the |domain|-row histogram (the q74/q107
-    * bounded partition-less window class) and a 1-row max — the event
-    * stream itself never sorts. For genuinely continuous columns,
-    * pre-quantize to the domain resolution (KS moves by at most the mass
-    * within one quantum). Returns one row:
-    * (n_a, n_b, n_values, ks), ks = max |F_A(v) − F_B(v)| over distinct
-    * v, right-continuous ECDFs, 6-dp rounded.
+    * (q114). Exact, not sketched, at ANY domain cardinality (round-11
+    * verdict #2 — the previous shape ran the cumulative as ONE
+    * partition-less window over the distinct-value histogram, a
+    * single-task funnel exactly when the domain is large): the global
+    * ECDF is computed as range-bucketed prefix sums, the
+    * [[shuffleIndex]] trick —
+    *
+    *   1. one groupBy(value) histogram shuffle (map-side combined);
+    *   2. `buckets`−1 approximate percentile CUTS over the distinct
+    *      values — a 1-row driver collect of bounded boundary scalars
+    *      (the Similarity/Bpe audited pattern; [[ksCutsFrame]] exposes
+    *      the plan to the audit). Cut PLACEMENT only load-balances:
+    *      any monotone bucketing yields the identical statistic, so
+    *      approx_percentile's sketch error is invisible in the result;
+    *   3. per-bucket subtotals + exclusive prefix offsets over the
+    *      |buckets|-row frame — the only partition-less windows in the
+    *      plan, bounded at `buckets` rows — broadcast back;
+    *   4. the within-bucket cumulative windows PARTITIONED by bucket
+    *      (≈|domain|/buckets rows per partition), then a 1-row max.
+    *
+    * Returns one row: (n_a, n_b, n_values, ks), ks = max
+    * |F_A(v) − F_B(v)| over distinct v, right-continuous ECDFs, 6-dp
+    * rounded. `valueCol` must be numeric (the cut points are quantiles).
     */
-  def ksStatistic(df: DataFrame, sideCol: String,
-                  valueCol: String): DataFrame = {
+  def ksStatistic(df: DataFrame, sideCol: String, valueCol: String,
+                  buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, s"ksStatistic: buckets >= 1, got $buckets")
     val hist = df.groupBy(valueCol).agg(
       sum(when(col(sideCol) === 0, 1L).otherwise(0L)).as("ca"),
       sum(when(col(sideCol) === 1, 1L).otherwise(0L)).as("cb"))
-    val wCum = Window.orderBy(valueCol)
+    // bounded boundary scalars: <= buckets-1 cut points, one driver row
+    val cutRow = ksCutsFrame(hist, valueCol, buckets).head()
+    val cuts: Seq[Double] =
+      if (cutRow.isNullAt(0)) Seq.empty
+      else cutRow.getSeq[Double](0).distinct.sorted
+    // bucket id = #cuts <= v: monotone non-decreasing in v, so bucket
+    // order refines value order and prefix offsets compose exactly.
+    // NULL values: c <= NULL filters to empty -> bucket 0, where the
+    // within-bucket window orders them first (Spark NULLS FIRST),
+    // matching the previous single-window shape.
+    val bucketed = hist.withColumn("__bkt",
+      size(filter(typedlit(cuts), c => c <= col(valueCol).cast("double"))))
+    val wOff = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val offs = bucketed.groupBy("__bkt")
+      .agg(sum("ca").as("__sa"), sum("cb").as("__sb"))
+      .select(col("__bkt"),
+        coalesce(sum("__sa").over(wOff), lit(0L)).as("__oa"),
+        coalesce(sum("__sb").over(wOff), lit(0L)).as("__ob"),
+        sum("__sa").over(wAll).as("__na"),
+        sum("__sb").over(wAll).as("__nb"))
+    val wCum = Window.partitionBy("__bkt").orderBy(valueCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy()
-    hist.select(
-        sum("ca").over(wCum).as("cuma"), sum("cb").over(wCum).as("cumb"),
-        sum("ca").over(wTot).as("na"), sum("cb").over(wTot).as("nb"))
-      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+    bucketed.join(broadcast(offs), Seq("__bkt"))
+      .select(
+        (col("__oa") + sum("ca").over(wCum)).as("cuma"),
+        (col("__ob") + sum("cb").over(wCum)).as("cumb"),
+        col("__na"), col("__nb"))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
         count(lit(1)).as("n_values"),
-        round(max(abs(col("cuma").cast("double") / col("na") -
-          col("cumb").cast("double") / col("nb"))), 6).as("ks"))
+        round(max(abs(col("cuma").cast("double") / col("__na") -
+          col("cumb").cast("double") / col("__nb"))), 6).as("ks"))
+  }
+
+  /** [[ksStatistic]]'s construction-time pass: the one aggregate that
+    * yields the bucket cut points (approximate percentiles over the
+    * DISTINCT-value histogram — distinct, so a heavy value can't drag
+    * every cut onto itself). Factored out so the driver-collected plan
+    * audits alongside the returned frames (SparkEntry.auditPlans).
+    */
+  def ksCutsFrame(hist: DataFrame, valueCol: String,
+                  buckets: Int): DataFrame = {
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    hist.agg(
+      (if (probs.isEmpty) typedlit(Seq.empty[Double])
+       else percentile_approx(col(valueCol).cast("double"),
+         typedlit(probs), lit(10000))).as("cuts"))
   }
 
   /** No-split sequence packing: greedy NEXT-FIT bin packing of whole

@@ -216,6 +216,71 @@ class RelationalSpec extends SparkSpec {
     assert(ks(shifted) == ((4L, 4L, 0.5)))
   }
 
+  test("ksStatistic at a 1M-distinct domain: exact, and the cumulative " +
+      "windows are bucket-partitioned, never one partition") {
+    // round-11 verdict #2: exact KS needs a global ECDF, but the ordered
+    // cumulative must never run as ONE partition-less window over the
+    // distinct-value histogram — at a large domain that is a single-task
+    // funnel. Continuous-ish cohorts (hash-derived doubles, ~every row
+    // its own histogram value; side 1 shifted +0.1) exercise exactly the
+    // regime the old shape fell over in.
+    val n = 1000000L
+    val rows = spark.range(n).select(
+      (col("id") % 2).cast("int").as("side"),
+      (pmod(xxhash64(col("id"), col("id") % 2), lit(1000000007L))
+        .cast("double") / 1e9 +
+        when(col("id") % 2 === 1, 0.1).otherwise(0.0)).as("value"))
+    val out = Relational.ksStatistic(rows, "side", "value")
+    // plan shape: any window NOT partitioned by the bucket column may
+    // only run over the |buckets|-row offsets frame (all-__-prefixed /
+    // internal columns) — a partition-less window whose child carries
+    // the histogram columns (value/ca/cb) would be the old
+    // single-task cumulative. AQE off for this probe only: its wrapper
+    // hides the node tree from collect until execution.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val exec = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Relational.ksStatistic(rows, "side", "value")
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    val winNodes = exec.collect { case p if p.nodeName == "Window" => p }
+    assert(winNodes.nonEmpty, "expected Window nodes in the KS plan")
+    winNodes.foreach { w =>
+      val s = w.simpleString(10000)
+      val bktPartitioned =
+        "windowspecdefinition\\(__bkt#\\d+, ".r.findFirstIn(s).isDefined
+      if (!bktPartitioned) {
+        val cols = w.children.head.output.map(_.name)
+        assert(cols.forall(c => c.startsWith("__") || c.startsWith("_we")),
+          s"window not partitioned by bucket runs over a non-bounded " +
+            s"frame: cols=$cols")
+      }
+    }
+    assert(winNodes.exists(w => "windowspecdefinition\\(__bkt#\\d+, "
+        .r.findFirstIn(w.simpleString(10000)).isDefined),
+      "the value cumulative must be PARTITIONED by bucket")
+    // exactness against a driver-computed KS over the same rows
+    val data = rows.as[(Int, Double)].collect()
+    val a = data.collect { case (0, v) => v }.sorted
+    val b = data.collect { case (1, v) => v }.sorted
+    def ecdf(xs: Array[Double], v: Double): Double = {
+      var lo = 0; var hi = xs.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (xs(m) <= v) lo = m + 1 else hi = m
+      }
+      lo.toDouble / xs.length
+    }
+    val vs = (a ++ b).distinct
+    val expected = vs.map(v => math.abs(ecdf(a, v) - ecdf(b, v))).max
+    val r = out.head()
+    assert(r.getAs[Long]("n_a") == a.length.toLong)
+    assert(r.getAs[Long]("n_b") == b.length.toLong)
+    assert(r.getAs[Long]("n_values") == vs.length.toLong)
+    assert(math.abs(r.getAs[Double]("ks") - expected) <= 1e-6,
+      s"ks ${r.getAs[Double]("ks")} vs driver-exact $expected")
+  }
+
   test("profile: null handling, exact distincts, and non-numeric slots") {
     val df = Seq(
       (Some(1L), Some("a"), Some(2.5)),
