@@ -67,6 +67,14 @@ object SparkEntry {
     base.unionByName(twins)
   }
 
+  /** Per-output-path monitors so one JVM never has two threads in the
+    * same build (Verify's query pool), and never attempts overlapping
+    * [[java.nio.channels.FileLock]]s (which would throw rather than
+    * block within a process).
+    */
+  private val buildMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Construction-time WRITE side effects (q90's z-order rewrite, q92's
     * IVF index build), cached across plan constructions: the output path is
     * keyed on a digest of the ABSOLUTE fixture dir (two dirs sharing a
@@ -76,9 +84,19 @@ object SparkEntry {
     * so repeated constructions (Explain audit, specs, bench passes) pay
     * the write once, while a regenerated fixture triggers a fresh build.
     * Returns the output path.
+    *
+    * CONCURRENT builders are safe (round-11 verdict #8 — the gate runs
+    * bench and specs in parallel processes): a same-JVM monitor plus a
+    * cross-process advisory file lock serialize the build, the
+    * marker-match is re-checked under the lock (the loser of the race
+    * finds the winner's marker and skips its own build), and the marker
+    * itself lands by atomic rename — a crash mid-build leaves no marker,
+    * so the next caller rebuilds rather than reading a torn artifact.
     */
-  private def cachedBuild(dir: String, srcRel: String, outBase: String)
-                         (build: String => Unit): String = {
+  private[graft] def cachedBuild(dir: String, srcRel: String,
+                                 outBase: String)
+                                (build: String => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     def deepSig(f: java.io.File): String =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
@@ -89,12 +107,31 @@ object SparkEntry {
       .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val out = s"$outBase/$digest"
-    val marker = java.nio.file.Paths.get(out, "_graft_sig")
-    val current = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == sig
-    if (!current) {
-      build(out)
-      java.nio.file.Files.writeString(marker, sig)
+    val marker = Paths.get(out, "_graft_sig")
+    def current(): Boolean =
+      Files.exists(marker) && Files.readString(marker) == sig
+    if (current()) return out
+    val monitor =
+      buildMonitors.computeIfAbsent(out, _ => new Object)
+    monitor.synchronized {
+      if (current()) return out
+      Files.createDirectories(Paths.get(outBase))
+      val lockPath = Paths.get(outBase, s".$digest.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock() // blocks until any other PROCESS's build ends
+        try {
+          if (!current()) {
+            build(out)
+            val tmp = Paths.get(out,
+              s"_graft_sig.tmp.${ProcessHandle.current().pid()}")
+            Files.writeString(tmp, sig)
+            Files.move(tmp, marker, StandardCopyOption.REPLACE_EXISTING,
+              StandardCopyOption.ATOMIC_MOVE)
+          }
+        } finally lk.release()
+      } finally ch.close()
     }
     out
   }
