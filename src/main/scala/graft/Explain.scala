@@ -59,6 +59,10 @@ object Explain {
         // table (a broadcast cross join of queries x nLists-row frame)
         "q92_ivf_index_query" -> Set("BroadcastNestedLoopJoin"),
         "q93_ivf_index_append" -> Set("BroadcastNestedLoopJoin"),
+        // q122: the same coarse-probe cross as q92/q93 — queries x the
+        // nLists-row stored centroid table; the tombstone subtraction is
+        // a broadcast ANTI join, not a smell.
+        "q122_ivf_index_delete" -> Set("BroadcastNestedLoopJoin"),
         // q99: the same coarse-probe cross of queries x the nLists-row
         // stored centroid table as q52/q92.
         "q99_quantized_refine" -> Set("BroadcastNestedLoopJoin"),

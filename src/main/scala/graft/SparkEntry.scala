@@ -834,6 +834,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- LSH band-index DELETE: the fuzzy-dedup takedown path ----------
+    // q110's stored band index with every OTHER %10=5 corpus doc
+    // (doc_id %20=5) tombstoned, completing build/append/probe with
+    // delete (round-11 verdict #3). The probe subtracts tombstoned ids
+    // from the candidate set via a broadcast anti-join, so shard twins
+    // of DELETED docs now admit (their near-dup left the corpus) while
+    // twins of kept docs still reject — the oracle replays the full
+    // quadratic near-dup admission against the reduced corpus.
+    // DedupSimilaritySpec proves compaction folds the tombstones into
+    // the stored 16-byte rows with identical admission.
+    "q123_lsh_index_delete" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val live = corpus.filter(pmod(col("doc_id"), lit(20)) =!= 5)
+      val shard = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" zzingest")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+      val idx = cachedBuild(dir, "documents.parquet",
+          "target/q123_lsh_delete") { p =>
+        Dedup.writeLshBandIndex(corpus, "doc_id", "text", p)
+        Dedup.deleteFromLshBandIndex(
+          corpus.filter(pmod(col("doc_id"), lit(20)) === 5), "doc_id", p)
+      }
+      val flagged = Dedup.lshIndexProbe(live, shard, idx,
+          "doc_id", "text", threshold = 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      shard.join(flagged, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("blen"))
+        .orderBy("doc_id")
+    }),
+
     // ---- North-star: Z-ORDER read-through gate -------------------------
     // q85 proves the Morton KEY; this gates the full write→read layout
     // loop: rewrite lineitem z-ordered on (l_partkey, l_suppkey) via
@@ -1815,6 +1849,34 @@ object SparkEntry {
         .orderBy("q_id", "rn")
     }),
 
+    // ---- IVF index DELETE: the takedown path (round-11 verdict #3) -----
+    // Completes the lifecycle q92 (build) and q93 (append) started:
+    // index built on 90% of the corpus, the %10=3 shard appended, then
+    // every vec_id %7=2 row DELETED as a tombstone table — no rebuild,
+    // no touch of the cell-partitioned inverted file, one O(|ids|)
+    // write. The exhaustive-probe query subtracts tombstones with a
+    // broadcast anti-join and must reproduce the exact brute-force
+    // top-k over the LIVE corpus (recompute-from-scratch oracle):
+    // deleted rows never surface as neighbors, everything else ranks
+    // exactly as a fresh build would. DedupSimilaritySpec proves
+    // compaction leaves the result byte-identical while retiring the
+    // anti-join; IndexMaintenanceNote records query cost returning to
+    // the fresh-build baseline post-compact.
+    "q122_ivf_index_delete" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = cachedBuild(dir, "embeddings.parquet",
+          "target/q122_ivf_delete") { p =>
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 3), p,
+          nLists = 8)
+        Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 3), p)
+        Similarity.deleteFromIvfIndex(emb.filter(col("vec_id") % 7 === 2),
+          p)
+      }
+      Similarity.ivfTopKFromIndex(idx, emb.filter(col("vec_id") < 5),
+          k = 5, nProbe = 8)
+        .orderBy("q_id", "rn")
+    }),
+
     // ---- PROVABLY-EXACT quantized ANN (filter-and-refine) --------------
     // The int8-code filter pass with a rigorous reconstruction-error
     // bound: per-query ε = Σ|q_i|Δ_i/2 gives per-candidate cosine bounds
@@ -2648,8 +2710,12 @@ object SparkEntry {
     * oracle for every ANN variant (q26 brute-force, q52 IVF-exhaustive,
     * q57 recall-sized LSH): approximate paths must reproduce it exactly.
     */
-  private val exactTopKSql: String =
-    """WITH e AS (
+  /** Exact brute-force top-k oracle, with a corpus-side predicate so the
+    * index-maintenance queries (q122's delete) can gate against a
+    * recompute-from-scratch over the LIVE corpus only.
+    */
+  private def exactTopKOracle(corpusWhere: String): String =
+    s"""WITH e AS (
            SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
@@ -2665,12 +2731,14 @@ object SparkEntry {
                list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])),
                (acc, x) -> acc + x) / (q.nrm * c.nrm), 6) AS sim
            FROM n q, n c
-           WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
+           WHERE q.vec_id < 5 AND c.vec_id != q.vec_id AND ($corpusWhere))
          SELECT q_id, n_id, sim, rn FROM (
            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                        ORDER BY sim DESC, n_id) AS rn
            FROM scored)
          WHERE rn <= 5 ORDER BY q_id, rn"""
+
+  private val exactTopKSql: String = exactTopKOracle("TRUE")
 
   /** UTF-8 octet list of a VARCHAR SQL expression — the byte-faithful
     * bridge between the engine kernels (which hash `getBytes` octets) and
@@ -3054,8 +3122,15 @@ object SparkEntry {
     * (miss bound 4e-8 structural, same as q84).
     */
   private val incrementalIngestOracleSql: String =
+    ingestOracleSql("doc_id % 10 <> 7")
+
+  /** The quadratic near-dup admission oracle (q89/q110/q123), with the
+    * corpus CTE's predicate parameterized so the band-index DELETE query
+    * gates against the reduced (post-takedown) corpus.
+    */
+  private def ingestOracleSql(corpusWhere: String): String =
     raw"""WITH corpus AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+           SELECT doc_id, text FROM documents WHERE $corpusWhere),
          shard AS (
            SELECT doc_id + 5000000 AS doc_id, text || ' zzingest' AS text
            FROM documents WHERE doc_id % 10 = 5
@@ -3885,6 +3960,11 @@ object SparkEntry {
     // corpus — identical geometry, identical admission, so the oracle is
     // q89's quadratic ground truth verbatim.
     "q110_lsh_index_ingest" -> incrementalIngestOracleSql,
+    // q123: the same quadratic ground truth over the REDUCED corpus —
+    // the deleted %20=5 docs must behave as if never indexed, so their
+    // shard twins admit while kept docs' twins still reject.
+    "q123_lsh_index_delete" ->
+      ingestOracleSql("doc_id % 10 <> 7 AND doc_id % 20 <> 5"),
     // The read-through gate's oracle runs the box aggregate over the
     // ORIGINAL fixture — agreement proves the z-order rewrite is a pure
     // relayout (no row lost, duplicated, or mutated).
@@ -4514,6 +4594,11 @@ object SparkEntry {
     // Build-on-90% + append-10% must also reproduce it (append placed
     // every shard row correctly; exhaustive probe erases routing bias).
     "q93_ivf_index_append" -> exactTopKSql,
+    // q122 = q93's lifecycle plus tombstoned deletes: the recompute
+    // oracle scores only the LIVE corpus (c.vec_id % 7 <> 2) — a
+    // deleted row surfacing as a neighbor, or a live row mis-ranked,
+    // breaks the hash.
+    "q122_ivf_index_delete" -> exactTopKOracle("c.vec_id % 7 <> 2"),
     // The quantized filter-and-refine round trip must reproduce the exact
     // top-k too: the bound argument makes the survivor set a superset of
     // the true top-k, and the refine pass is the brute-force scoring.

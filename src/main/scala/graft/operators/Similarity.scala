@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.ml.clustering.KMeans
@@ -273,8 +273,59 @@ object Similarity {
                        vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
     val cent = spark.read.parquet(s"$indexPath/centroids.parquet")
+    ivfProbe(liveIvfAssignments(spark, indexPath), cent, queries, k,
+      nProbe, idCol, vecCol)
+  }
+
+  /** Tombstone DELETE from a persisted IVF index — the takedown /
+    * licence-revocation path completing the build/append/query lifecycle
+    * (round-11 verdict #3: a real corpus takes deletions, and a full
+    * rebuild per delete is the wrong economics). Appends the ids as a
+    * tombstone table under the index; every query subtracts them with a
+    * BROADCAST anti-join (deletions between compactions are tiny
+    * relative to the corpus) until [[compactIvfIndex]] folds them into
+    * the stored files. Per-delete cost is one O(|ids|) write — the
+    * inverted file is never touched.
+    *
+    * Contract: a tombstoned id stays dead until compaction; re-appending
+    * a deleted id BEFORE compacting is unsupported (the tombstone has no
+    * sequence number and would shadow the new row) — compact first, then
+    * append, as an LSM would after a major compaction.
+    */
+  def deleteFromIvfIndex(ids: DataFrame, indexPath: String,
+                         idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).as("n_id")).distinct()
+      .write.mode("append").parquet(s"$indexPath/tombstones.parquet")
+
+  /** Fold tombstones into the stored inverted file: rewrite the
+    * assignments minus tombstoned rows (cell-partitioned as built, so
+    * the post-compact query plan — including partition pruning — is
+    * byte-identical to a fresh build's), swap the new files in, drop
+    * the tombstone table. Query cost returns to the fresh-build
+    * baseline: no anti-join remains in the probe plan. Single-writer
+    * maintenance, like build and append.
+    */
+  def compactIvfIndex(spark: SparkSession, indexPath: String): Unit = {
+    if (!new java.io.File(s"$indexPath/tombstones.parquet").exists()) return
+    val tmp = s"$indexPath/assignments.compact.tmp"
+    liveIvfAssignments(spark, indexPath)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    MaintenanceIo.swapDir(tmp, s"$indexPath/assignments.parquet")
+    MaintenanceIo.deleteDir(s"$indexPath/tombstones.parquet")
+  }
+
+  /** Live rows of the stored assignment table: stored minus tombstones.
+    * The anti-join build side is the tombstone table — broadcast, small
+    * by the compaction contract — so the inverted-file scan (and its
+    * cell partition pruning) is unchanged by pending deletes.
+    */
+  private def liveIvfAssignments(spark: SparkSession,
+                                 indexPath: String): DataFrame = {
     val assigned = spark.read.parquet(s"$indexPath/assignments.parquet")
-    ivfProbe(assigned, cent, queries, k, nProbe, idCol, vecCol)
+    if (!new java.io.File(s"$indexPath/tombstones.parquet").exists()) assigned
+    else assigned.join(
+      broadcast(spark.read.parquet(s"$indexPath/tombstones.parquet")),
+      Seq("n_id"), "left_anti")
   }
 
   /** INCREMENTAL index append — the nightly-ingest path of the persisted
@@ -333,7 +384,7 @@ object Similarity {
                    nProbe: Int, idCol: String = "vec_id",
                    vecCol: String = "embedding"): Double = {
     val spark = queries.sparkSession
-    val corpus = spark.read.parquet(s"$indexPath/assignments.parquet")
+    val corpus = liveIvfAssignments(spark, indexPath)
       .select(col("n_id").as(idCol), col("v_n").as(vecCol))
     val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
       .select(col("q_id"), col("n_id"))

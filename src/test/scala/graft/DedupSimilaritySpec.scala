@@ -598,4 +598,73 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.lshIndexProbe(corpus, shard, dirRaw, "doc_id", "text",
       threshold = 0.8).isEmpty, "un-normalized index must miss the twin")
   }
+
+  test("IVF maintenance: tombstoned deletes, compaction identity, " +
+      "re-append after compact") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_maint").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 3), idx,
+      nLists = 8)
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 3), idx)
+    val queries = emb.filter(col("vec_id") < 5)
+    def res() = Similarity.ivfTopKFromIndex(idx, queries, k = 5, nProbe = 8)
+      .orderBy("q_id", "rn").collect().toSeq
+    val full = res()
+    Similarity.deleteFromIvfIndex(emb.filter(col("vec_id") % 7 === 2), idx)
+    val pre = res()
+    assert(pre != full, "deletes must change some neighbor list")
+    assert(pre.forall(_.getAs[Long]("n_id") % 7 != 2),
+      "a tombstoned row surfaced as a neighbor")
+    // pending tombstones probe through an anti-join; compaction retires it
+    val prePlan = Similarity.ivfTopKFromIndex(idx, queries, 5, 8)
+      .queryExecution.executedPlan.toString
+    assert(prePlan.contains("LeftAnti"),
+      "pending tombstones must subtract via an anti-join")
+    Similarity.compactIvfIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones.parquet").exists(),
+      "compaction must retire the tombstone table")
+    assert(res() == pre, "compaction changed the query result")
+    val postPlan = Similarity.ivfTopKFromIndex(idx, queries, 5, 8)
+      .queryExecution.executedPlan.toString
+    assert(!postPlan.contains("LeftAnti"),
+      "post-compact probe must carry no anti-join")
+    assert(spark.read.parquet(s"$idx/assignments.parquet")
+      .filter(col("n_id") % 7 === 2).isEmpty,
+      "compaction left tombstoned rows in the stored files")
+    // the LSM contract: re-append AFTER compaction restores the rows
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 7 === 2), idx)
+    assert(res() == full,
+      "re-append after compact must restore the full-corpus ranking")
+  }
+
+  test("LSH band-index maintenance: tombstones prune candidates, " +
+      "compaction folds them in") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val live = corpus.filter(pmod(col("doc_id"), lit(20)) =!= 5)
+    val ldx = java.nio.file.Files.createTempDirectory("lsh_maint").toString
+    Dedup.writeLshBandIndex(corpus, "doc_id", "text", ldx)
+    Dedup.deleteFromLshBandIndex(
+      corpus.filter(pmod(col("doc_id"), lit(20)) === 5), "doc_id", ldx)
+    val shard = docs.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("text"), lit(" zzingest")).as("text"))
+    def probe() = Dedup.lshIndexProbe(live, shard, ldx, "doc_id", "text",
+        threshold = 0.8)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val pre = probe()
+    assert(pre.nonEmpty, "kept docs' twins must still match")
+    assert(pre.forall(_.getAs[Long]("id_a") % 20 != 5),
+      "a tombstoned doc produced a candidate pair")
+    Dedup.compactLshBandIndex(spark, ldx)
+    assert(!new java.io.File(s"$ldx/tombstones").exists())
+    assert(probe() == pre, "compaction changed the probe result")
+    assert(spark.read.parquet(s"$ldx/bands")
+      .filter(pmod(col("id"), lit(20)) === 5).isEmpty,
+      "compaction left tombstoned band rows")
+    // deleting ids the index never held is harmless
+    Dedup.deleteFromLshBandIndex(Seq(999999999L).toDF("doc_id"),
+      "doc_id", ldx)
+    assert(probe() == pre)
+  }
 }
