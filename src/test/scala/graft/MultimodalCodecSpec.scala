@@ -1,0 +1,97 @@
+package graft
+
+import java.awt.image.BufferedImage
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.StubDecoder
+
+/** Round-11 verdict #4: a REAL codec (the JDK's javax.imageio PNG
+  * decoder) behind the StubDecoder interface, proven through the same
+  * columnar path the stub oracles gate — real encoded bytes in, real
+  * pixels out, batch shape unchanged. q55/q60/q79's deterministic stub
+  * oracles stay untouched; this suite pins the production swap.
+  */
+class MultimodalCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A 4x2 RGB PNG with known pixel values, encoded in-memory. */
+  private def encodePng(pixels: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val h = pixels.length
+    val w = pixels.head.length
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pixels(y)(x)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    baos.toByteArray
+  }
+
+  private def luma(r: Int, g: Int, b: Int): Int =
+    (r * 299 + g * 587 + b * 114) / 1000
+
+  private val pixels: Array[Array[(Int, Int, Int)]] = Array(
+    Array((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)),
+    Array((0, 0, 0), (128, 128, 128), (10, 200, 30), (250, 40, 90)))
+  private val expectedLuma: Array[Byte] =
+    pixels.flatten.map { case (r, g, b) => luma(r, g, b).toByte }
+
+  test("real PNG bytes decode through the columnar batch path") {
+    val png = encodePng(pixels)
+    val wav = "RIFF1234WAVEfmt fake-audio-payload".getBytes("UTF-8")
+    val media = Multimodal.ingest(
+      Seq((1L, png), (2L, wav)).toDF("id", "bytes"), "id", "bytes")
+    // magic-byte sniffing sees REAL magic now, not fixture constants
+    val types = media.select(col("media_id"), col("meta.media_type"))
+      .as[(Long, String)].collect().toMap
+    assert(types == Map(1L -> "png", 2L -> "wav"))
+    val feats = Multimodal.decodeImageFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    val p = feats(1L)
+    assert(p.width == 4 && p.height == 2, "decoded dimensions wrong")
+    assert(p.luma_checksum == StubDecoder.checksum(expectedLuma),
+      "decoded luma plane differs from the BT.601 reference")
+    assert(math.abs(p.brightness -
+      expectedLuma.map(b => (b & 0xff).toDouble).sum / 8 / 256.0) < 1e-12)
+    // the non-image row passes through on byte-level features
+    val a = feats(2L)
+    assert(a.media_type == "wav" && a.width == -1)
+    assert(a.luma_checksum == StubDecoder.checksum(wav))
+  }
+
+  test("decode -> box downsample: real pixels through the real thumbnail") {
+    val png = encodePng(pixels)
+    val media = Multimodal.ingest(
+      Seq((7L, png)).toDF("id", "bytes"), "id", "bytes")
+    val row = Multimodal.decodeAndDownsample(media, target = 4).head()
+    // 8 luma pixels -> 4 cells of 2: each cell the floor-mean of its pair
+    val cells = expectedLuma.grouped(2)
+      .map(p => ((p(0) & 0xff) + (p(1) & 0xff)) / 2)
+      .map(_.toByte).toArray
+    assert(row.getAs[Long]("ds_len") == 4L)
+    assert(row.getAs[Long]("ds_checksum") == StubDecoder.checksum(cells),
+      "box-downsampled real pixels differ from the hand-computed cells")
+    assert(row.getAs[Int]("width") == 4 && row.getAs[Int]("height") == 2)
+  }
+
+  test("frame extraction slices REAL encoded bytes columnar-side") {
+    val png = encodePng(pixels)
+    val media = Multimodal.ingest(
+      Seq((3L, png)).toDF("id", "bytes"), "id", "bytes")
+    val frames = Multimodal.sampleFrames(media, chunkBytes = 16, everyK = 1)
+      .orderBy("frame_offset")
+      .as[(Long, Long, Array[Byte])].collect()
+    assert(frames.nonEmpty)
+    // re-assembling the sampled frames must reproduce the prefix of the
+    // real payload (columnar substr on binary, 1-based, chunk-aligned)
+    val reassembled = frames.flatMap(_._3)
+    assert(reassembled.take(png.length).sameElements(
+      png.take(reassembled.length)))
+    // and the first frame carries the true PNG magic
+    assert((frames.head._3.take(4).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47)))
+  }
+}
