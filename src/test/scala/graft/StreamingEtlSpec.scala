@@ -771,6 +771,78 @@ class StreamingEtlSpec extends SparkSpec {
       "gate must both admit and reject on this fixture")
   }
 
+  test("end-to-end curated ingest: bloom + LSH into a checkpointed file " +
+      "sink, killed mid-shard, resumes exactly once") {
+    // Round-11 verdict #6: the FULL admission pipeline (exact Bloom gate
+    // then band-index near-dup gate) composed into IngestStream
+    // .curatedAdmitEachBatch's restartable file sink — run over a staged
+    // file source, stopped with half the shard unprocessed, restarted
+    // from the same checkpoint, and the union of per-batch output
+    // directories must equal the one-shot batch admission of the whole
+    // shard: every admit present exactly once, every dup/near-dup absent.
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val bloomPath = Files.createTempDirectory("cur_bloom").toString
+    val lshPath = Files.createTempDirectory("cur_lsh").toString
+    graft.operators.Dedup.buildExactBloom(corpus, "text", bloomPath)
+    graft.operators.Dedup.writeLshBandIndex(corpus, "doc_id", "text",
+      lshPath)
+    // shard: verbatim corpus dups (bloom must drop), near-miss variants
+    // (bloom passes, LSH must drop), genuinely new docs (admit)
+    val shard = corpus.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(col("text"), lit(" zzingest")).as("text")))
+      .unionAll(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          concat(col("text"), lit(" brandnew")).as("text")))
+    val stageDir = Files.createTempDirectory("cur_stage")
+    val ckpt = Files.createTempDirectory("cur_ckpt").toString
+    val outDir = Files.createTempDirectory("cur_out").toString
+    def stage(i: Int): Unit = {
+      val tmp = Files.createTempDirectory(s"cur_tmp_$i")
+      shard.filter(pmod(col("doc_id"), lit(4)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, stageDir.resolve(f"s$i%02d.parquet"))
+    }
+    def start() = graft.streaming.IngestStream.curatedAdmitEachBatch(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString),
+      corpus, "doc_id", "text", bloomPath, lshPath, threshold = 0.8,
+      outDir, ckpt)
+    // phase 1: half the shard, then the stream dies mid-ingest
+    stage(0); stage(1)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    // phase 2: the rest arrives, the stream resumes from the checkpoint
+    stage(2); stage(3)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSeq
+    // one-shot batch truth over the whole shard: bloom gate then LSH gate
+    val exact = graft.operators.Dedup.bloomAdmit(corpus, shard, "text",
+      bloomPath)
+    val flagged = graft.operators.Dedup.lshIndexProbe(corpus, exact,
+        lshPath, "doc_id", "text", threshold = 0.8)
+      .select(col("id_b").as("doc_id")).distinct()
+    val truth = exact.join(flagged, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got.distinct.size == got.size,
+      "restart re-admitted a row (duplicate in the file sink)")
+    assert(got.sorted == truth.sorted,
+      s"streamed admission ${got.size} rows vs batch ${truth.size}")
+    // and the composed gate discriminated all three slices
+    assert(truth.forall(_ >= 7000000L), "every dup/near-dup rejected")
+    assert(truth.nonEmpty, "new docs admitted")
+  }
+
   test("writeShards: export is identical under input repartitioning") {
     // the bit-reproducibility claim: shard membership, global positions,
     // and in-file order are pure functions of (ids, seed) — independent
