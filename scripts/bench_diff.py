@@ -66,6 +66,7 @@ def main():
     args = [a for a in sys.argv[1:]]
     allow = set()
     floor = 0.3
+    require_median = False
     pos = []
     i = 0
     while i < len(args):
@@ -75,12 +76,25 @@ def main():
         elif args[i] == "--floor":
             floor = float(args[i + 1])
             i += 2
+        elif args[i] == "--require-median":
+            require_median = True
+            i += 1
         else:
             pos.append(args[i])
             i += 1
     cur_path = pos[0] if pos else os.path.join(ROOT, "bench/bench_latest.json")
     prev_path = pos[1] if len(pos) > 1 else newest_round_artifact()
     cur, prev = load(cur_path), load(prev_path)
+    # median-to-median by construction (round-11 verdict #5): the gate
+    # writes its median-of-3 run to an explicit path and passes
+    # --require-median, so a stray repeat-1 artifact (one cold pass vs a
+    # median base = guaranteed false alarms) can never be the comparison.
+    cr, pr = cur.get("repeat", 1), prev.get("repeat", 1)
+    print(f"comparing repeat={cr} current vs repeat={pr} base")
+    if require_median and (cr < 3 or pr < 3):
+        raise SystemExit(
+            f"FAIL: --require-median needs median-of-3 artifacts on both "
+            f"sides (current repeat={cr}, base repeat={pr})")
     cq = dict(cur.get("queries", {}))
     pq = dict(prev.get("queries", {}))
 

@@ -42,12 +42,21 @@ if [ "${SPARK_GRAFT_GATE_BENCH:-1}" = "1" ]; then
   # median-of-3 by default: the 2x alarm compares against the previous
   # round's MEDIAN artifact, and a single pass's first-query JIT/IO
   # inflation (measured 2-3x on sub-second queries, medians unchanged)
-  # would file false alarms
+  # would file false alarms. The gate's run lands at its OWN
+  # repeat-stamped path (round-11 verdict #5) — bench_latest.json (which
+  # any stray repeat-1 run overwrites) is never the comparison input —
+  # and bench_diff enforces median-to-median via --require-median.
+  REPEAT=${SPARK_GRAFT_BENCH_REPEAT:-3}
+  GATE_BENCH_OUT="bench/bench_gate_median${REPEAT}.json"
   SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_BENCH_SF:-/root/testdata/sf0.1} \
   SPARK_GRAFT_CPUS=${SPARK_GRAFT_BENCH_CPUS:-32} \
-  SPARK_GRAFT_BENCH_REPEAT=${SPARK_GRAFT_BENCH_REPEAT:-3} \
+  SPARK_GRAFT_BENCH_REPEAT=$REPEAT \
+  SPARK_GRAFT_BENCH_OUT="$GATE_BENCH_OUT" \
     sbt -batch "runMain graft.Bench" > /dev/null
-  python3 scripts/bench_diff.py bench/bench_latest.json \
+  echo "gate bench artifact: $GATE_BENCH_OUT (repeat=$REPEAT)"
+  REQUIRE_MEDIAN=""
+  [ "$REPEAT" -ge 3 ] && REQUIRE_MEDIAN="--require-median"
+  python3 scripts/bench_diff.py "$GATE_BENCH_OUT" $REQUIRE_MEDIAN \
     ${SPARK_GRAFT_BENCH_ALLOW:+--allow "$SPARK_GRAFT_BENCH_ALLOW"}
 else
   echo "== 5/5 bench diff skipped (SPARK_GRAFT_GATE_BENCH=0) =="
