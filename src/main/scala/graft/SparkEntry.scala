@@ -2369,14 +2369,18 @@ object SparkEntry {
     // language spread, exact-dup fraction (corpus-WIDE copies, so a
     // source holding the duplicate of another source's doc counts), and
     // the q53/q98/q108 quality-gate pass rate. Plan: ONE kernel pass per
-    // doc to a narrow (source, lang, wc, q, th) row; copies counted by a
-    // window over the 8-byte text hash (fine-grained partitions — one
-    // shuffle, no self-join, no fan-out); then the per-source aggregate.
-    // xxhash64 stands in for text equality with the q104 zero-collision
-    // argument (the oracle groups raw text — a hash-green row also
-    // witnesses collision-freedom on the fixture).
+    // doc to a narrow (source, lang, wc, q, th) row, then TWO-LEVEL
+    // aggregation instead of a count window over the text hash
+    // (round-12 de-skew, the q94 class: a boilerplate doc duplicated
+    // millions of times would buffer its whole occurrence list in one
+    // window group). Level 1 collapses copies per (source, lang, th)
+    // with map-side combine — a hot hash crosses the exchange
+    // pre-counted per task; level 2 sums per-hash counts globally
+    // (identical text ⇒ identical wc/alpha/q, the collision-freedom
+    // argument the oracle witnesses by grouping raw text); the dup flag
+    // joins back onto the collapsed one-row-per-(source,lang,th) frame.
     "q113_corpus_card" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d0 = Tables.documents(s, dir)
         .select(col("source"), col("lang"),
           size(TextFunctions.tokens(col("text"))).cast("long").as("wc"),
           (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
@@ -2385,19 +2389,25 @@ object SparkEntry {
         .select(col("source"), col("lang"), col("wc"), col("th"),
           when(col("wc") >= 30 && col("alpha") >= 0.8, 1L)
             .otherwise(0L).as("q"))
-        .withColumn("n_copies",
-          count(lit(1)).over(Window.partitionBy("th")))
-      d.groupBy("source").agg(
-          count(lit(1)).as("n_docs"),
-          sum("wc").as("n_tok"),
-          round(sum("wc").cast("double") / count(lit(1)), 6).as("mean_wc"),
+      val lvl1 = d0.groupBy("source", "lang", "th")
+        .agg(count(lit(1)).as("grp_cnt"),
+          first("wc").as("wc"), first("q").as("q"))
+      val copies = lvl1.groupBy("th").agg(sum("grp_cnt").as("n_copies"))
+      lvl1.join(copies, Seq("th"))
+        .groupBy("source").agg(
+          sum("grp_cnt").as("n_docs"),
+          sum(col("wc") * col("grp_cnt")).as("n_tok"),
+          round(sum(col("wc") * col("grp_cnt")).cast("double") /
+            sum("grp_cnt"), 6).as("mean_wc"),
           countDistinct("lang").as("n_langs"),
-          sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("dup_docs"),
-          round(sum(when(col("n_copies") >= 2, 1L).otherwise(0L))
-            .cast("double") / count(lit(1)), 6).as("pct_dup"),
-          sum("q").as("q_docs"),
-          round(sum("q").cast("double") / count(lit(1)), 6)
-            .as("pct_quality"))
+          sum(when(col("n_copies") >= 2, col("grp_cnt")).otherwise(0L))
+            .as("dup_docs"),
+          round(sum(when(col("n_copies") >= 2, col("grp_cnt"))
+            .otherwise(0L)).cast("double") / sum("grp_cnt"), 6)
+            .as("pct_dup"),
+          sum(col("q") * col("grp_cnt")).as("q_docs"),
+          round(sum(col("q") * col("grp_cnt")).cast("double") /
+            sum("grp_cnt"), 6).as("pct_quality"))
         .orderBy("source")
     }),
 

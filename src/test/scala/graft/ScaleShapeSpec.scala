@@ -537,6 +537,16 @@ class ScaleShapeSpec extends SparkSpec {
       "q94 gram frequency must map-side combine (partial aggregate)")
     assert("Generate ".r.findAllIn(q94).size == 3,
       "q94 must generate only gram + covered-position rows, never tokens")
+    // q113 (same round-12 de-skew class): copy counts must come from the
+    // two-level map-side-combined aggregation, never a window over the
+    // text hash — a doc duplicated millions of times would buffer its
+    // occurrence list in one window group
+    val q113 = SparkEntry.queries("q113_corpus_card")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!q113.contains("windowspecdefinition"),
+      "q113 must not window over the text hash")
+    assert(q113.contains("partial_count"),
+      "q113 copy counts must map-side combine")
     // q96: df and the corpus count must come back as broadcasts — the tf
     // stream is the only shuffle
     val q96 = SparkEntry.queries("q96_tfidf_topterms")(spark, sf0001)
