@@ -769,8 +769,8 @@ object Dedup {
     * 100 TB sizing: the artifact is `n_keys × bitsPerKey / 8` bytes —
     * 1.25 GB for 10^9 docs — built once per corpus snapshot and amortized
     * over every subsequent ingest, exactly like the IVF index (q92) and
-    * the BPE vocab (q97). A nightly pipeline appends new keys by OR-ing a
-    * shard-built filter of the same geometry (Bloom union = bitwise OR),
+    * the BPE vocab (q97). A nightly pipeline appends new keys via
+    * [[appendToExactBloom]] (OR-union of a same-geometry shard filter),
     * never rescanning the corpus.
     */
   def buildExactBloom(corpus: DataFrame, keyCol: String, path: String,
@@ -797,6 +797,41 @@ object Dedup {
         lit(nfc).as("nfc"),
         graft.functions.AggFunctions.bloomFilterAgg(col("k"), n, numBits)
           .as("bloom"))
+
+  /** INCREMENTAL Bloom append — the nightly path [[buildExactBloom]]'s
+    * scaladoc promises, now an operator: fold a NEW shard's keys into a
+    * filter of the SAME geometry and OR it into the stored blob (Bloom
+    * union = bitwise OR — valid because geometry AND hash count are
+    * reproduced: the shard filter is built with the artifact's original
+    * `n_keys` sizing, so Spark derives the identical hash functions),
+    * then rewrite the one-row artifact with the accrued key count. One
+    * pass over the NEW keys only; the corpus is never rescanned. The FP
+    * rate degrades gracefully as keys accrue past the built capacity
+    * (bits/key shrinks) — FPs only cost verify-join work, never
+    * correctness — and a capacity-doubling rebuild is the q93 economics.
+    */
+  def appendToExactBloom(shard: DataFrame, keyCol: String,
+                         path: String): Unit = {
+    val sp = shard.sparkSession
+    val art = sp.read.parquet(path).head()
+    val n0 = art.getAs[Long]("n_keys")
+    val numBits = art.getAs[Long]("num_bits")
+    val nfc = art.getAs[Boolean]("nfc")
+    val nNew = shard.select(col(keyCol)).count()
+    // same (expectedItems, numBits) => same numHashFunctions => OR-able
+    val shardBlob = exactBloomAggFrame(shard, keyCol, n0, numBits, nfc)
+      .head().getAs[Array[Byte]]("bloom")
+    val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(art.getAs[Array[Byte]]("bloom")))
+    merged.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(shardBlob)))
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    import sp.implicits._
+    Seq((n0 + nNew, numBits, nfc, bos.toByteArray))
+      .toDF("n_keys", "num_bits", "nfc", "bloom")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
 
   /** EXACT incremental-ingest admission via a persisted Bloom filter: the
     * fast path of [[exact]]-dedup when a shard arrives against a standing

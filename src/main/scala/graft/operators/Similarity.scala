@@ -481,7 +481,10 @@ object Similarity {
     val spark = queries.sparkSession
     val cent = spark.read.parquet(s"$indexPath/centroids.parquet")
       .withColumn("c2", V.dot(col("cen"), col("cen")))
-    val asg = spark.read.parquet(s"$indexPath/assignments.parquet")
+    // tombstone-aware, like the plain IVF path: the quantized index
+    // shares the assignment layout, so deleteFromIvfIndex /
+    // compactIvfIndex maintain it too (codes column carried through)
+    val asg = liveIvfAssignments(spark, indexPath)
     // dim-row ranges → driver literals (boundary scalar, dim values)
     val rng = spark.read.parquet(s"$indexPath/ranges.parquet")
       .orderBy("pos").select("lo", "hi").collect()

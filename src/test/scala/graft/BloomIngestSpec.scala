@@ -107,6 +107,27 @@ class BloomIngestSpec extends SparkSpec {
       s"NULL-key row must be admitted, dup dropped: got $admitted")
   }
 
+  test("appendToExactBloom: shard keys fold in, geometry preserved, " +
+      "admission stays exact") {
+    val path = tmp("append")
+    Dedup.buildExactBloom(corpus, "text", path)
+    val extra = (3001L to 3040L).map(i => i -> s"appended corpus doc $i")
+    Dedup.appendToExactBloom(extra.toDF("doc_id", "text"), "text", path)
+    val row = spark.read.parquet(path).head()
+    assert(row.getAs[Long]("n_keys") == 240L, "key count must accrue")
+    assert(row.getAs[Long]("num_bits") == 2000L, "geometry must not change")
+    // a shard of: a dup of the ORIGINAL corpus, a dup of an APPENDED
+    // key, and a genuinely new doc — only the new doc admits
+    val standing = corpus.unionAll(extra.toDF("doc_id", "text"))
+    val sh = Seq(5001L -> corpusDocs.head._2, 5002L -> extra.head._2,
+        5003L -> "a never seen shard document")
+      .toDF("doc_id", "text")
+    val admitted = Dedup.bloomAdmit(standing, sh, "text", path)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(5003L),
+      s"append must catch both old and appended dups: got $admitted")
+  }
+
   test("artifact records the build geometry and key scheme") {
     val path = tmp("geom")
     Dedup.buildExactBloom(corpus, "text", path, bitsPerKey = 12)

@@ -637,6 +637,31 @@ class DedupSimilaritySpec extends SparkSpec {
       "re-append after compact must restore the full-corpus ranking")
   }
 
+  test("quantized index honors tombstones and compaction too") {
+    // the quantized refine index shares the assignment layout, so the
+    // same delete/compact lifecycle must hold — and at exhaustive probe
+    // the result must equal brute force over the LIVE corpus exactly
+    // (the filter-refine bound argument is unaffected by deletions)
+    val emb = Tables.embeddings(spark, sf0001)
+    val idx = java.nio.file.Files.createTempDirectory("pq_maint").toString
+    Similarity.buildQuantizedIndex(emb, idx, nLists = 8)
+    Similarity.deleteFromIvfIndex(emb.filter(col("vec_id") % 7 === 2), idx)
+    val queries = emb.filter(col("vec_id") < 5)
+    def res() = Similarity.quantizedRefineTopK(idx, queries, k = 5,
+        nProbe = 8)
+      .orderBy("q_id", "rn").collect().toSeq
+    val pre = res()
+    assert(pre.forall(_.getAs[Long]("n_id") % 7 != 2),
+      "a tombstoned row surfaced from the quantized filter pass")
+    val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 7 =!= 2), queries, k = 5)
+      .orderBy("q_id", "rn").collect().toSeq
+    assert(pre == exact,
+      "quantized search over the live corpus must equal brute force")
+    Similarity.compactIvfIndex(spark, idx)
+    assert(res() == pre, "compaction changed the quantized result")
+  }
+
   test("LSH band-index maintenance: tombstones prune candidates, " +
       "compaction folds them in") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
