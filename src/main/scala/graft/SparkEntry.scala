@@ -1510,19 +1510,18 @@ object SparkEntry {
     // dedup pass removes. Scale shape: grams travel as FNV-64 hashes
     // (8-byte keys); the gram-frequency agg and the flag join both
     // partition on the gram hash — nothing pairwise, nothing collected.
-    // Round-11 constant cut (verdict #5): the round-10 plan evaluated the
-    // gram kernel (tokenize + 8-shingle + fnv explode — the dominant
-    // narrow cost) THREE times (per-doc totals agg, gram-df agg, semi-join
-    // probe). Now the gram frequency is a COUNT WINDOW over the one
-    // exchange on the gram hash — a window, not an agg+join-back, because
-    // column pruning gives the two join branches different projections
-    // and quietly defeats exchange reuse (measured: the "reused" plan
-    // still ran the explode twice); the window subtree structurally
-    // CANNOT re-evaluate its input, so the kernel runs once by
-    // construction (ScaleShapeSpec counts the Generate nodes). The per-
-    // gram flag (nd ≥ 2) then folds into the one per-doc agg. Skew note:
-    // the window's per-gh group buffer is bounded by a gram's doc
-    // frequency and spills; the hash-partitioned sort is on 16-byte rows.
+    // Round-12 de-skew (the q94/q113 class): the round-11 count WINDOW
+    // on gh kept the kernel single-evaluation but buffered every
+    // occurrence of one gram in a single window group — unbounded on a
+    // boilerplate gram. Now the gram stream is localCheckpoint-pinned
+    // (16-byte rows, the q108/q111 materialize-once pattern — measured
+    // equal to the window's cost: 3.76 s vs 3.68 sf0.1, 30.6 vs 27.4
+    // x100) so the kernel still runs ONCE while the frequency comes
+    // from the map-side-combined dup-set (a hot gram crosses the
+    // exchange pre-counted) and the flag folds into one per-doc agg.
+    // An un-pinned agg+join-back re-evaluates the kernel per branch
+    // (measured 6.5 s — column pruning gives the branches different
+    // projections and quietly defeats exchange reuse).
     // The oracle joins raw gram STRINGS (64-bit collision-freedom
     // argument, as q66/q24) ---------------------------------------------
     "q71_dup_passages" -> ((s, dir) => {
@@ -1531,14 +1530,17 @@ object SparkEntry {
           explode(array_distinct(TextFunctions.tokenShingles(
             TextFunctions.tokens(col("text")), 8))).as("g"))
         .select(col("doc_id"), TextFunctions.fnv64(col("g")).as("gh"))
-      // grams are distinct per doc, so count == distinct-doc frequency
-      val withNd = grams.withColumn("nd",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("gh")))
-      withNd
+        .localCheckpoint()
+      // grams are distinct per doc, so the map-side-combined count per
+      // gh == distinct-doc frequency; the dup flag joins back and ONE
+      // per-doc aggregate folds both counters (round-12 de-skew, the
+      // q94/q113 class — the count window here buffered every
+      // occurrence of a boilerplate gram in one group)
+      val dup = Dedup.duplicatedGramSet(grams).withColumn("d", lit(1L))
+      grams.join(dup, Seq("gh"), "left_outer")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          coalesce(sum("d"), lit(0L)).as("n_dup"))
         .select(col("doc_id"), col("n_dup"), col("n_grams"),
           round(col("n_dup").cast("double") / col("n_grams"), 4)
             .as("dup_frac"))

@@ -359,17 +359,21 @@ class ScaleShapeSpec extends SparkSpec {
 
   test("round-6 corpus-query plan shapes: q71/q73/q74 stay shuffle-bounded") {
     // q71: dup-passage detection must be hash-partitioned on the gram key —
-    // never a cartesian/nested-loop pairing of documents — and (round 11)
-    // the gram kernel must be evaluated ONCE: the frequency is a count
-    // window over the single gh exchange (an agg+join-back re-ran the
-    // explode per pruned branch), so exactly one Generate may appear
+    // never a cartesian/nested-loop pairing of documents. Round 12: the
+    // gram kernel is evaluated ONCE because the gram stream is
+    // localCheckpoint-pinned (zero Generates in the query's own plan —
+    // the explode ran at pin time), and the frequency is the map-side-
+    // combined dup-set, never a window over the gh occurrence list
+    // (unbounded buffering on a boilerplate gram)
     val q71 = SparkEntry.queries("q71_dup_passages")(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!q71.contains("CartesianProduct"))
-    assert(q71.contains("windowspecdefinition(gh"),
-      "q71 gram frequency must be the window over the gh exchange")
-    assert("Generate explode".r.findAllIn(q71).size == 1,
-      "q71 must evaluate the gram explode exactly once")
+    assert(!q71.contains("windowspecdefinition"),
+      "q71 must not window over the gram stream (hot-gram skew)")
+    assert(q71.contains("partial_count"),
+      "q71 gram frequency must map-side combine")
+    assert("Generate explode".r.findAllIn(q71).isEmpty,
+      "q71's gram explode must run once, at the checkpoint pin")
     // q73: the fitted ranges collapse to ONE broadcast row; the vector
     // side must see a broadcast, not an exchange of the corpus
     val q73 = SparkEntry.queries("q73_embed_quantize")(spark, sf0001)
