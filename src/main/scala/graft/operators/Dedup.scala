@@ -828,9 +828,15 @@ object Dedup {
     val bos = new java.io.ByteArrayOutputStream()
     merged.writeTo(bos)
     import sp.implicits._
+    // temp + swap, not overwrite-in-place: an overwrite deletes the old
+    // artifact before the new one lands, so a crash mid-write would
+    // leave NO filter and break every subsequent probe; the swap's worst
+    // case is the old (still-correct-for-old-keys) artifact surviving
+    val tmp = s"$path.append.tmp"
     Seq((n0 + nNew, numBits, nfc, bos.toByteArray))
       .toDF("n_keys", "num_bits", "nfc", "bloom")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    MaintenanceIo.swapDir(tmp, path)
   }
 
   /** EXACT incremental-ingest admission via a persisted Bloom filter: the
