@@ -793,8 +793,8 @@ object Dedup {
   def exactBloomAggFrame(corpus: DataFrame, keyCol: String, n: Long,
                          numBits: Long, nfc: Boolean = false): DataFrame =
     corpus.select(bloomKey(col(keyCol), nfc).as("k"))
-      .agg(lit(n).as("n_keys"), lit(numBits).as("num_bits"),
-        lit(nfc).as("nfc"),
+      .agg(lit(n).as("n_keys"), lit(n).as("cap"),
+        lit(numBits).as("num_bits"), lit(nfc).as("nfc"),
         graft.functions.AggFunctions.bloomFilterAgg(col("k"), n, numBits)
           .as("bloom"))
 
@@ -815,11 +815,16 @@ object Dedup {
     val sp = shard.sparkSession
     val art = sp.read.parquet(path).head()
     val n0 = art.getAs[Long]("n_keys")
+    // hash-function count derives from the BUILT capacity, which the
+    // artifact pins separately from the accrued key count — sizing the
+    // shard filter from n_keys would change numHashFunctions on the
+    // SECOND append and make the blobs unmergeable
+    val cap = art.getAs[Long]("cap")
     val numBits = art.getAs[Long]("num_bits")
     val nfc = art.getAs[Boolean]("nfc")
     val nNew = shard.select(col(keyCol)).count()
     // same (expectedItems, numBits) => same numHashFunctions => OR-able
-    val shardBlob = exactBloomAggFrame(shard, keyCol, n0, numBits, nfc)
+    val shardBlob = exactBloomAggFrame(shard, keyCol, cap, numBits, nfc)
       .head().getAs[Array[Byte]]("bloom")
     val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(art.getAs[Array[Byte]]("bloom")))
@@ -833,8 +838,8 @@ object Dedup {
     // leave NO filter and break every subsequent probe; the swap's worst
     // case is the old (still-correct-for-old-keys) artifact surviving
     val tmp = s"$path.append.tmp"
-    Seq((n0 + nNew, numBits, nfc, bos.toByteArray))
-      .toDF("n_keys", "num_bits", "nfc", "bloom")
+    Seq((n0 + nNew, cap, numBits, nfc, bos.toByteArray))
+      .toDF("n_keys", "cap", "num_bits", "nfc", "bloom")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     MaintenanceIo.swapDir(tmp, path)
   }

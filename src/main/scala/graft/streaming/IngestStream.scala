@@ -111,4 +111,80 @@ object IngestStream {
         ()
       }
       .start()
+
+  /** SELF-deduplicating continuous ingest — the full crawler loop:
+    * admission is gated against the standing corpus AND everything the
+    * stream has already admitted, because each batch APPENDS its own
+    * admissions back into the Bloom filter and the band index
+    * ([[graft.operators.Dedup.appendToExactBloom]] /
+    * [[graft.operators.Dedup.appendToLshBandIndex]]) before the next
+    * trigger. A page crawled in batch 1 and re-crawled (or paraphrased)
+    * in batch 900 is rejected in batch 900 — [[curatedAdmitEachBatch]]
+    * cannot do that (its artifacts are maintained by a nightly job, so
+    * within-stream duplicates pass until the rebuild).
+    *
+    * The standing side for the verify joins is `corpus` UNION the
+    * already-admitted output (read back from `outPath`, EXCLUDING the
+    * current batch's own directory) — so a replayed batch can never
+    * reject its own rows against its first attempt's output. Replay
+    * safety of the index appends: re-OR-ing keys into the Bloom filter
+    * is idempotent on the bits (`n_keys` drifts high, an FP-budget note
+    * only), and duplicate band rows only re-generate candidate pairs
+    * the probe distinct()s away — admission semantics are unchanged, so
+    * the per-batch overwrite keeps the OUTPUT exactly-once even though
+    * the sketch appends are at-least-once. Within-batch exact dups are
+    * collapsed (keep smallest id); within-batch NEAR-dups are the one
+    * admitted-twice window, bounded by a single trigger's contents —
+    * documented, and closable by sizing triggers.
+    */
+  def selfDedupIngest(stream: DataFrame, corpus: DataFrame,
+                      idCol: String, textCol: String,
+                      bloomPath: String, lshIndexPath: String,
+                      threshold: Double, outPath: String,
+                      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = stream.schema
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        // within-batch exact collapse, deterministic keep-smallest-id —
+        // the q19 map-side-combined groupBy shape, never a window over
+        // the text key (a batch full of one boilerplate page would
+        // buffer a single window group)
+        val b = batch.join(
+          batch.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)),
+          Seq(idCol, textCol), "left_semi")
+        val admittedSoFar = {
+          val dir = new java.io.File(outPath)
+          val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+            .filterNot(_.getName == s"batch=$batchId")
+            .map(_.getPath)
+          if (parts.isEmpty)
+            sp.createDataFrame(sp.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row], schema)
+          else sp.read.schema(schema).parquet(parts.toIndexedSeq: _*)
+        }
+        val standing = corpus.select(col(idCol), col(textCol))
+          .unionByName(admittedSoFar.select(col(idCol), col(textCol)))
+        val exact = graft.operators.Dedup
+          .bloomAdmit(standing, b, textCol, bloomPath)
+        val flagged = graft.operators.Dedup
+          .lshIndexProbe(standing, exact, lshIndexPath, idCol, textCol,
+            threshold)
+          .select(col("id_b").as(idCol)).distinct()
+        val admitted = exact.join(flagged, Seq(idCol), "left_anti")
+          .localCheckpoint() // three consumers: sink + two index appends
+        admitted.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        if (!admitted.isEmpty) {
+          graft.operators.Dedup
+            .appendToExactBloom(admitted, textCol, bloomPath)
+          graft.operators.Dedup
+            .appendToLshBandIndex(admitted, idCol, textCol, lshIndexPath)
+        }
+        ()
+      }
+      .start()
+  }
 }

@@ -115,6 +115,9 @@ class BloomIngestSpec extends SparkSpec {
     Dedup.appendToExactBloom(extra.toDF("doc_id", "text"), "text", path)
     val row = spark.read.parquet(path).head()
     assert(row.getAs[Long]("n_keys") == 240L, "key count must accrue")
+    assert(row.getAs[Long]("cap") == 200L,
+      "built capacity must NOT accrue (hash sizing would drift and make " +
+        "later appends unmergeable)")
     assert(row.getAs[Long]("num_bits") == 2000L, "geometry must not change")
     // a shard of: a dup of the ORIGINAL corpus, a dup of an APPENDED
     // key, and a genuinely new doc — only the new doc admits
@@ -133,6 +136,7 @@ class BloomIngestSpec extends SparkSpec {
     Dedup.buildExactBloom(corpus, "text", path, bitsPerKey = 12)
     val row = spark.read.parquet(path).head()
     assert(row.getAs[Long]("n_keys") == 200L)
+    assert(row.getAs[Long]("cap") == 200L)
     assert(row.getAs[Long]("num_bits") == 2400L)
     assert(!row.getAs[Boolean]("nfc"))
     assert(row.getAs[Array[Byte]]("bloom").length > 0)

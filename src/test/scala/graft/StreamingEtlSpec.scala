@@ -843,6 +843,74 @@ class StreamingEtlSpec extends SparkSpec {
     assert(truth.nonEmpty, "new docs admitted")
   }
 
+  test("selfDedupIngest: the stream rejects dups of its OWN admissions, " +
+      "across batches and across a restart") {
+    // The full crawler loop: each batch appends its admissions back into
+    // the Bloom filter and the band index, so a page re-crawled (or
+    // paraphrased) hundreds of batches later is rejected — including
+    // after a kill/restart, because the artifacts AND the admitted
+    // output are persistent.
+    import java.nio.file.Files
+    def toks(p: String) = (1 to 30).map(i => s"${p}w$i").mkString(" ")
+    val c1 = toks("c1"); val c2 = toks("c2")
+    val n1 = toks("n1"); val n2 = toks("n2"); val n3 = toks("n3")
+    val corpus = Seq((1L, c1), (2L, c2)).toDF("doc_id", "text")
+    val bloomPath = Files.createTempDirectory("sd_bloom").toString
+    val lshPath = Files.createTempDirectory("sd_lsh").toString
+    graft.operators.Dedup.buildExactBloom(corpus, "text", bloomPath)
+    graft.operators.Dedup.writeLshBandIndex(corpus, "doc_id", "text",
+      lshPath)
+    val stageDir = Files.createTempDirectory("sd_stage")
+    val ckpt = Files.createTempDirectory("sd_ckpt").toString
+    val outDir = Files.createTempDirectory("sd_out").toString
+    var staged = 0
+    def stage(rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"sd_tmp_$staged")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, stageDir.resolve(f"s$staged%02d.parquet"))
+      staged += 1
+    }
+    def start() = graft.streaming.IngestStream.selfDedupIngest(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString),
+      corpus, "doc_id", "text", bloomPath, lshPath, threshold = 0.8,
+      outDir, ckpt)
+
+    // batch 0: two copies of a NEW page in one batch (one admitted,
+    // smallest id) + a verbatim copy of the standing corpus (rejected)
+    stage(Seq(101L -> n1, 102L -> n1, 103L -> c1))
+    val q1 = start()
+    q1.processAllAvailable()
+    // batch 1: a re-crawl of the batch-0 admission (exact self-dup), a
+    // paraphrase of it (near self-dup), and a fresh page
+    stage(Seq(111L -> n1, 112L -> (n1 + " extra"), 113L -> n2))
+    q1.processAllAvailable()
+    q1.stop() // the stream dies here, mid-crawl
+
+    // batch 2 arrives after the restart: a re-crawl of the PRE-restart
+    // admission, a paraphrase of the standing corpus, and a fresh page
+    stage(Seq(121L -> n2, 122L -> (c2 + " extra"), 123L -> n3))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got.distinct.size == got.size, "a row was admitted twice")
+    assert(got.toSet == Set(101L, 113L, 123L),
+      s"self-dedup admission wrong: ${got.sorted}")
+    // the artifacts grew with the admissions
+    val nKeys = spark.read.parquet(bloomPath).head().getAs[Long]("n_keys")
+    assert(nKeys == 2L + 3L, s"bloom must hold corpus+admitted keys: $nKeys")
+    val bandIds = spark.read.parquet(s"$lshPath/bands")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(bandIds == Set(1L, 2L, 101L, 113L, 123L),
+      s"band index must hold corpus+admitted docs: $bandIds")
+  }
+
   test("writeShards: export is identical under input repartitioning") {
     // the bit-reproducibility claim: shard membership, global positions,
     // and in-file order are pure functions of (ids, seed) — independent
