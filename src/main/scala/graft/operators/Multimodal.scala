@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs batched per partition so any native decoder is
   * amortized over a batch, never per-row.
   *
-  * The actual byte decoding is STUBBED (this container ships no image/audio
-  * codecs — see `StubDecoder`): the stub is deterministic on the bytes, so
-  * tests pin real values, and the Spark-side shape — schema, batching,
-  * partition parallelism, metadata propagation — is the part that must (and
-  * does) hold at scale.
+  * Byte decoding comes in two tiers: `StubDecoder` is a deterministic
+  * stand-in (pure function of the bytes) that the q55/q60/q79 DuckDB
+  * oracles gate, and the JDK's own codecs — [[PngDecoder]] (javax.imageio)
+  * and [[WavDecoder]] (javax.sound.sampled) — prove REAL payloads through
+  * the identical batched columnar path (MultimodalCodecSpec). Video stays
+  * stubbed (no codec in the JDK); its frame-sampling plumbing is real.
   */
 object Multimodal {
 
@@ -126,9 +127,98 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode: the JDK's own RIFF/WAV parser
+    * (javax.sound.sampled — public API, zero new dependencies) behind the
+    * same batched per-partition boundary as [[PngDecoder]]. PCM WAV is a
+    * lossless container, so the decoded sample plane is bit-exact and
+    * spec-pinnable: the parser validates the RIFF chunks and hands back
+    * the interleaved PCM frames, which decode to signed ints with exact
+    * integer arithmetic (no float resampling anywhere).
+    */
+  object WavDecoder {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    /** (sampleRate, channels, interleaved signed samples). Supports the
+      * 8/16-bit PCM encodings WAV files actually carry; throws on
+      * undecodable payloads — callers route by the sniffed media_type
+      * first, exactly like [[PngDecoder.decodeLuma]].
+      */
+    def decodePcm(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        require(enc == AudioFormat.Encoding.PCM_SIGNED ||
+          enc == AudioFormat.Encoding.PCM_UNSIGNED,
+          s"unsupported WAV encoding: $enc")
+        val bits = fmt.getSampleSizeInBits
+        require(bits == 8 || bits == 16, s"unsupported sample width: $bits")
+        val raw = in.readAllBytes()
+        val samples =
+          if (bits == 8) {
+            // 8-bit WAV is unsigned by convention; recenter to signed
+            if (enc == AudioFormat.Encoding.PCM_UNSIGNED)
+              raw.map(b => (b & 0xff) - 128)
+            else raw.map(_.toInt)
+          } else {
+            val n = raw.length / 2
+            val out = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              val (lo, hi) =
+                if (fmt.isBigEndian) (raw(2 * i + 1), raw(2 * i))
+                else (raw(2 * i), raw(2 * i + 1))
+              out(i) = (hi.toInt << 8) | (lo & 0xff)
+              i += 1
+            }
+            out
+          }
+        (fmt.getSampleRate.toInt, fmt.getChannels, samples)
+      } finally in.close()
+    }
+  }
+
   case class DecodedFeatures(media_id: Long, media_type: String,
                              width: Int, height: Int, luma_checksum: Long,
                              brightness: Double)
+
+  case class AudioFeatures(media_id: Long, media_type: String,
+                           sample_rate: Int, channels: Int, n_samples: Long,
+                           peak_abs: Int, sum_abs: Long,
+                           zero_crossings: Long)
+
+  /** Real audio decode through the SAME batched columnar path as
+    * [[decodeImageFeatures]] (one codec context per partition, rows
+    * streamed through it): WAV rows parse to their PCM sample plane and
+    * derive sample-exact features — peak amplitude, total absolute
+    * amplitude, zero crossings — all integer arithmetic, deterministic
+    * on every JVM. Non-audio rows pass through with -1 dimensions and
+    * byte-level counts, so a mixed corpus needs no pre-split.
+    */
+  def decodeAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        if (m.meta.media_type == "wav") {
+          val (rate, ch, s) = WavDecoder.decodePcm(m.content)
+          var peak = 0; var sumAbs = 0L; var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val a = math.abs(s(i))
+            if (a > peak) peak = a
+            sumAbs += a
+            if (i > 0 && (s(i) < 0) != (s(i - 1) < 0)) zc += 1
+            i += 1
+          }
+          AudioFeatures(m.media_id, "wav", rate, ch, s.length.toLong,
+            peak, sumAbs, zc)
+        } else
+          AudioFeatures(m.media_id, m.meta.media_type, -1, -1,
+            m.meta.n_bytes, -1, -1L, -1L)
+      }
+    }
+  }
 
   /** Real decode through the SAME batched columnar path as
     * [[extractFeatures]] (one codec context per partition, rows streamed

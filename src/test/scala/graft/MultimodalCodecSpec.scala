@@ -77,6 +77,50 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(row.getAs[Int]("width") == 4 && row.getAs[Int]("height") == 2)
   }
 
+  /** A 16-bit mono PCM WAV with known samples, encoded in-memory by the
+    * JDK's own writer — the audio twin of [[encodePng]].
+    */
+  private def encodeWav(samples: Array[Short], rate: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("real WAV bytes decode through the columnar batch path") {
+    // a waveform with hand-checkable features: peak 3000, three sign flips
+    val samples = Array[Short](0, 1000, -2000, 3000, -50, 0, 7, -7)
+    val wav = encodeWav(samples, rate = 8000)
+    val png = encodePng(pixels)
+    val media = Multimodal.ingest(
+      Seq((1L, wav), (2L, png)).toDF("id", "bytes"), "id", "bytes")
+    // the WRITER's magic is what the sniffer sees — real RIFF header
+    val types = media.select(col("media_id"), col("meta.media_type"))
+      .as[(Long, String)].collect().toMap
+    assert(types == Map(1L -> "wav", 2L -> "png"))
+    val feats = Multimodal.decodeAudioFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    val a = feats(1L)
+    assert(a.sample_rate == 8000 && a.channels == 1)
+    assert(a.n_samples == samples.length.toLong, "sample count wrong")
+    assert(a.peak_abs == 3000, s"peak: ${a.peak_abs}")
+    assert(a.sum_abs == samples.map(s => math.abs(s.toInt)).sum.toLong)
+    // sign convention: 0 is non-negative; flips at 1000->-2000,
+    // -2000->3000, 3000->-50, -50->0, 7->-7
+    assert(a.zero_crossings == 5L, s"zero crossings: ${a.zero_crossings}")
+    // the non-audio row passes through with -1 dimensions
+    val p = feats(2L)
+    assert(p.media_type == "png" && p.sample_rate == -1 && p.channels == -1)
+  }
+
   test("frame extraction slices REAL encoded bytes columnar-side") {
     val png = encodePng(pixels)
     val media = Multimodal.ingest(
