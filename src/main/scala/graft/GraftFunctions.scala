@@ -38,16 +38,17 @@ object GraftFunctions {
         intArg(es, 3), longArg(es, 4))),
     "graft_topk" -> (es => TopKByScore(es.head, es(1), intArg(es, 2))),
     "graft_mg" -> (es => MisraGriesCandidates(es.head, intArg(es, 1))),
-    // Spark's bloom pair surfaced under the graft_ namespace so the SQL
+    // The bloom pair surfaced under the graft_ namespace so the SQL
     // side can run the q101 ingest-admission shape:
     //   graft_bloom_agg(xxhash64(key), items, bits) -> binary filter
     //   graft_bloom_contains(filterExpr, xxhash64(key)) -> boolean
+    // (the probe is BloomMightContainKey — Spark's BloomFilterMightContain
+    // falls out of codegen on constant-folded negative keys)
     "graft_bloom_agg" -> (es =>
       new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(es.head, es(1), es(2))),
     "graft_bloom_contains" -> (es =>
-      org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(es.head, es(1))),
+      BloomMightContainKey(es.head, es(1))),
   )
 
   /** Imperative registration into the current session. Idempotent. */

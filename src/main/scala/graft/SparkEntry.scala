@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.functions.TextFunctions.WS
-import graft.operators.{Dedup, Relational, Similarity}
+import graft.operators.{Dedup, MaintenanceIo, Relational, Similarity}
 import graft.sources.Sources
 import graft.streaming.EventStream
 
@@ -102,7 +102,10 @@ object SparkEntry {
         Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
           .map(deepSig).mkString(",")
       else s"${f.getName}:${f.length}:${f.lastModified}"
-    val sig = deepSig(new java.io.File(s"$dir/$srcRel"))
+    // the layout salt invalidates artifacts written under a superseded
+    // on-disk contract (v2 = MANIFEST-versioned index generations) even
+    // when the source fixture is unchanged
+    val sig = "v2:" + deepSig(new java.io.File(s"$dir/$srcRel"))
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
@@ -123,6 +126,13 @@ object SparkEntry {
         val lk = ch.lock() // blocks until any other PROCESS's build ends
         try {
           if (!current()) {
+            // a missing/stale marker means whatever sits at `out` is a
+            // different signature's artifact or a crashed build's debris
+            // — clear it, or append-mode artifacts written during the
+            // rebuild (tombstones, band appends) would inherit rows from
+            // the previous build (round-12 advice)
+            Files.deleteIfExists(marker)
+            MaintenanceIo.deleteDir(out)
             build(out)
             val tmp = Paths.get(out,
               s"_graft_sig.tmp.${ProcessHandle.current().pid()}")
@@ -837,8 +847,8 @@ object SparkEntry {
     // ---- LSH band-index DELETE: the fuzzy-dedup takedown path ----------
     // q110's stored band index with every OTHER %10=5 corpus doc
     // (doc_id %20=5) tombstoned, completing build/append/probe with
-    // delete (round-11 verdict #3). The probe subtracts tombstoned ids
-    // from the candidate set via a broadcast anti-join, so shard twins
+    // delete (round-11 verdict #3). The probe epoch-shadows tombstoned
+    // ids out of the candidate set (broadcast join), so shard twins
     // of DELETED docs now admit (their near-dup left the corpus) while
     // twins of kept docs still reject — the oracle replays the full
     // quadratic near-dup admission against the reduced corpus.
@@ -1856,13 +1866,13 @@ object SparkEntry {
     // index built on 90% of the corpus, the %10=3 shard appended, then
     // every vec_id %7=2 row DELETED as a tombstone table — no rebuild,
     // no touch of the cell-partitioned inverted file, one O(|ids|)
-    // write. The exhaustive-probe query subtracts tombstones with a
-    // broadcast anti-join and must reproduce the exact brute-force
+    // write. The exhaustive-probe query epoch-shadows tombstoned rows
+    // (broadcast join) and must reproduce the exact brute-force
     // top-k over the LIVE corpus (recompute-from-scratch oracle):
     // deleted rows never surface as neighbors, everything else ranks
     // exactly as a fresh build would. DedupSimilaritySpec proves
     // compaction leaves the result byte-identical while retiring the
-    // anti-join; IndexMaintenanceNote records query cost returning to
+    // tombstone join; IndexMaintenanceNote records query cost returning to
     // the fresh-build baseline post-compact.
     "q122_ivf_index_delete" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -2017,13 +2027,14 @@ object SparkEntry {
     // dedup-by-substring, at token-8-gram granularity): REWRITE each doc
     // removing every token covered by an 8-gram that occurs ≥ 2 times
     // corpus-wide — the ACTION complementing q71's signal. Scale shape:
-    // the positional gram stream travels as (doc_id, i, fnv64) 20-byte
-    // rows through ONE hash exchange on the gram hash, where a count
-    // window flags duplicated occurrences in place (q71's
-    // evaluate-the-kernel-once trick); only the flagged positions — the
-    // duplicated spans, sparse by construction in a deduplicated-enough
-    // corpus — expand to covered-position rows and shuffle again, folding
-    // to ONE array per affected doc. The rewrite itself is a doc-level
+    // the positional gram stream is materialized ONCE (localCheckpoint
+    // inside the operator) as (doc_id, i, fnv64) 20-byte rows; the
+    // duplicated-gram set comes from a map-side-combined groupBy(gh)
+    // count (hot grams fold inside each task — the r12 de-skew) and
+    // flags occurrences via a semi-join on the same gh key; only the
+    // flagged positions — the duplicated spans, sparse by construction
+    // in a deduplicated-enough corpus — expand to covered-position rows
+    // and shuffle again, folding to ONE array per affected doc. The rewrite itself is a doc-level
     // join (AQE broadcasts the cover side when sparse) plus a narrow
     // index-aware filter — the corpus is never exploded to token rows and
     // never shuffles. Per-row cost of the filter is O(n_tok · log n_cov)

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -55,9 +55,14 @@ object AggFunctions {
     * filter rides the plan as a binary literal — broadcast once per
     * executor exactly like Spark's injected runtime filters — and the
     * probe is a codegen-friendly scalar, so it runs inside the scan's
-    * WholeStageCodegen span.
+    * WholeStageCodegen span. [[graft.functions.expressions
+    * .BloomMightContainKey]] rather than Spark's own
+    * `BloomFilterMightContain`, whose generated `(Long)` cast breaks
+    * Janino (and silently interprets the probe) whenever the key
+    * constant-folds to a negative literal.
     */
   def bloomMightContain(bloom: Array[Byte], key: Column): Column =
     ColumnBridge.column(
-      BloomFilterMightContain(Literal(bloom), ColumnBridge.expression(key)))
+      graft.functions.expressions.BloomMightContainKey(
+        Literal(bloom), ColumnBridge.expression(key)))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
@@ -717,10 +717,17 @@ object Dedup {
   def scrubDuplicateGrams(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 8): DataFrame = {
     val docs = df.select(col(idCol), T.tokens(col(textCol)).as("t"))
+    // the positional gram stream feeds TWO consumers — the duplicated-
+    // gram aggregate and the semi-join probe side — so pin it
+    // (localCheckpoint, the q71/q108 materialize-once pattern) and the
+    // tokenize+shingle+posexplode kernel runs ONCE instead of once per
+    // consumer (round-12 advice; q71's own measurement put the exact
+    // re-evaluation at ~1.7x)
     val grams = docs.filter(size(col("t")) >= n)
       .select(col(idCol),
         posexplode(T.tokenShingles(col("t"), n)).as(Seq("i0", "g")))
       .select(col(idCol), (col("i0") + 1).as("i"), T.fnv64(col("g")).as("gh"))
+      .localCheckpoint()
     // positional (NOT per-doc-distinct) grams: the corpus-wide occurrence
     // count >= 2 means "this span appears elsewhere (any doc, or again in
     // this one)"
@@ -774,12 +781,25 @@ object Dedup {
     * never rescanning the corpus.
     */
   def buildExactBloom(corpus: DataFrame, keyCol: String, path: String,
-                      bitsPerKey: Int = 10, nfc: Boolean = false): Unit = {
-    val n = math.max(1L, corpus.select(col(keyCol)).count())
-    val numBits = math.max(64L, n * bitsPerKey)
-    exactBloomAggFrame(corpus, keyCol, n, numBits, nfc)
-      .coalesce(1).write.mode("overwrite").parquet(path)
-  }
+                      bitsPerKey: Int = 10, nfc: Boolean = false): Unit =
+    MaintenanceIo.withMaintenanceLock(path) {
+      val n = math.max(1L, corpus.select(col(keyCol)).count())
+      val numBits = math.max(64L, n * bitsPerKey)
+      val gen = MaintenanceIo.nextGen(path, "bloom")
+      exactBloomAggFrame(corpus, keyCol, n, numBits, nfc)
+        .coalesce(1).write.parquet(s"$path/$gen")
+      MaintenanceIo.publish(path,
+        MaintenanceIo.Manifest(0L, Map("bloom" -> gen)))
+    }
+
+  /** The one-row Bloom artifact (driver-sized by construction), resolved
+    * through the manifest — the ONE way to read it, so probes and
+    * appends always see a complete generation even while an append is
+    * publishing the next one.
+    */
+  private[graft] def readBloomArtifact(
+      sp: org.apache.spark.sql.SparkSession, path: String): Row =
+    sp.read.parquet(MaintenanceIo.snapshot(path)("bloom")).head()
 
   /** The bloom build's single aggregation frame (count pass already done,
     * sizing passed in) — exposed so the construction-time plan audits
@@ -811,38 +831,42 @@ object Dedup {
     * correctness — and a capacity-doubling rebuild is the q93 economics.
     */
   def appendToExactBloom(shard: DataFrame, keyCol: String,
-                         path: String): Unit = {
-    val sp = shard.sparkSession
-    val art = sp.read.parquet(path).head()
-    val n0 = art.getAs[Long]("n_keys")
-    // hash-function count derives from the BUILT capacity, which the
-    // artifact pins separately from the accrued key count — sizing the
-    // shard filter from n_keys would change numHashFunctions on the
-    // SECOND append and make the blobs unmergeable
-    val cap = art.getAs[Long]("cap")
-    val numBits = art.getAs[Long]("num_bits")
-    val nfc = art.getAs[Boolean]("nfc")
-    val nNew = shard.select(col(keyCol)).count()
-    // same (expectedItems, numBits) => same numHashFunctions => OR-able
-    val shardBlob = exactBloomAggFrame(shard, keyCol, cap, numBits, nfc)
-      .head().getAs[Array[Byte]]("bloom")
-    val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(art.getAs[Array[Byte]]("bloom")))
-    merged.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(shardBlob)))
-    val bos = new java.io.ByteArrayOutputStream()
-    merged.writeTo(bos)
-    import sp.implicits._
-    // temp + swap, not overwrite-in-place: an overwrite deletes the old
-    // artifact before the new one lands, so a crash mid-write would
-    // leave NO filter and break every subsequent probe; the swap's worst
-    // case is the old (still-correct-for-old-keys) artifact surviving
-    val tmp = s"$path.append.tmp"
-    Seq((n0 + nNew, cap, numBits, nfc, bos.toByteArray))
-      .toDF("n_keys", "cap", "num_bits", "nfc", "bloom")
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    MaintenanceIo.swapDir(tmp, path)
-  }
+                         path: String): Unit =
+    MaintenanceIo.withMaintenanceLock(path) {
+      val sp = shard.sparkSession
+      val m = MaintenanceIo.requireManifest(path)
+      val art = readBloomArtifact(sp, path)
+      val n0 = art.getAs[Long]("n_keys")
+      // hash-function count derives from the BUILT capacity, which the
+      // artifact pins separately from the accrued key count — sizing the
+      // shard filter from n_keys would change numHashFunctions on the
+      // SECOND append and make the blobs unmergeable
+      val cap = art.getAs[Long]("cap")
+      val numBits = art.getAs[Long]("num_bits")
+      val nfc = art.getAs[Boolean]("nfc")
+      val nNew = shard.select(col(keyCol)).count()
+      // same (expectedItems, numBits) => same numHashFunctions => OR-able
+      val shardBlob = exactBloomAggFrame(shard, keyCol, cap, numBits, nfc)
+        .head().getAs[Array[Byte]]("bloom")
+      val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(art.getAs[Array[Byte]]("bloom")))
+      merged.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(shardBlob)))
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos)
+      import sp.implicits._
+      // new generation + manifest swap, never overwrite-in-place: an
+      // overwrite deletes the old artifact before the new one lands, so
+      // a crash mid-write would leave NO filter and break every
+      // subsequent probe; here a crash at ANY step leaves the manifest
+      // pointing at the old (still-correct-for-old-keys) generation
+      val gen = MaintenanceIo.nextGen(path, "bloom")
+      Seq((n0 + nNew, cap, numBits, nfc, bos.toByteArray))
+        .toDF("n_keys", "cap", "num_bits", "nfc", "bloom")
+        .coalesce(1).write.parquet(s"$path/$gen")
+      MaintenanceIo.publish(path,
+        MaintenanceIo.Manifest(m.epoch + 1, Map("bloom" -> gen)))
+    }
 
   /** EXACT incremental-ingest admission via a persisted Bloom filter: the
     * fast path of [[exact]]-dedup when a shard arrives against a standing
@@ -876,7 +900,7 @@ object Dedup {
                  bloomPath: String): DataFrame = {
     val sp = corpus.sparkSession
     // one-row artifact: driver-sized by construction
-    val art = sp.read.parquet(bloomPath).head()
+    val art = readBloomArtifact(sp, bloomPath)
     val bloom = art.getAs[Array[Byte]]("bloom")
     val nfc = art.getAs[Boolean]("nfc")
     val probed = shard.withColumn("__mc",
@@ -968,15 +992,20 @@ object Dedup {
   def writeLshBandIndex(corpus: DataFrame, idCol: String, textCol: String,
                         path: String, shingleWidth: Int = 3,
                         bands: Int = 32, rowsPerBand: Int = 4,
-                        normalize: Boolean = false): Unit = {
-    lshBandRows(corpus, idCol, textCol, shingleWidth, bands, rowsPerBand,
-        normalize)
-      .write.mode("overwrite").parquet(s"$path/bands")
-    corpus.sparkSession.range(1)
-      .select(lit(shingleWidth).as("shingle_width"), lit(bands).as("bands"),
-        lit(rowsPerBand).as("rows_per_band"), lit(normalize).as("nfc"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-  }
+                        normalize: Boolean = false): Unit =
+    MaintenanceIo.withMaintenanceLock(path) {
+      val gen = MaintenanceIo.nextGen(path, "bands")
+      lshBandRows(corpus, idCol, textCol, shingleWidth, bands, rowsPerBand,
+          normalize)
+        .withColumn("epoch", lit(0L))
+        .write.parquet(s"$path/$gen")
+      corpus.sparkSession.range(1)
+        .select(lit(shingleWidth).as("shingle_width"), lit(bands).as("bands"),
+          lit(rowsPerBand).as("rows_per_band"), lit(normalize).as("nfc"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      MaintenanceIo.publish(path,
+        MaintenanceIo.Manifest(0L, Map("bands" -> gen)))
+    }
 
   /** The band-index build's one corpus pass (sketch → band explode) —
     * factored out so the construction-time plan audits alongside the
@@ -1000,52 +1029,80 @@ object Dedup {
     * docs only.
     */
   def appendToLshBandIndex(newDocs: DataFrame, idCol: String,
-                           textCol: String, path: String): Unit = {
-    val m = newDocs.sparkSession.read.parquet(s"$path/meta").head()
-    lshBandRows(newDocs, idCol, textCol, m.getAs[Int]("shingle_width"),
-        m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"),
-        m.getAs[Boolean]("nfc"))
-      .write.mode("append").parquet(s"$path/bands")
-  }
+                           textCol: String, path: String): Unit =
+    MaintenanceIo.withMaintenanceLock(path) {
+      val mf = MaintenanceIo.requireManifest(path)
+      val e = mf.epoch + 1
+      val m = newDocs.sparkSession.read.parquet(s"$path/meta").head()
+      lshBandRows(newDocs, idCol, textCol, m.getAs[Int]("shingle_width"),
+          m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"),
+          m.getAs[Boolean]("nfc"))
+        .withColumn("epoch", lit(e))
+        .write.mode("append").parquet(s"$path/${mf.tables("bands")}")
+      MaintenanceIo.publish(path, mf.copy(epoch = e))
+    }
 
   /** Tombstone DELETE from a stored band index — the takedown path
     * completing the build/append/probe lifecycle (round-11 verdict #3),
     * the fuzzy-dedup sibling of [[graft.operators.Similarity
-    * .deleteFromIvfIndex]]. Appends doc ids under `path/tombstones`;
-    * [[lshIndexProbe]] subtracts them from the candidate set with a
-    * broadcast anti-join until [[compactLshBandIndex]] folds them in.
-    * Per-delete cost is one O(|ids|) write — the 16-byte band rows are
-    * never touched. Same LSM contract as the IVF side: a tombstoned id
-    * stays dead until compaction; compact before re-appending it.
+    * .deleteFromIvfIndex]]. Appends epoch-stamped doc ids to the
+    * manifest's tombstone table; [[lshIndexProbe]] subtracts them from
+    * the candidate set with a broadcast join until
+    * [[compactLshBandIndex]] folds them in. Per-delete cost is one
+    * O(|ids|) write — the 16-byte band rows are never touched. Same
+    * epoch contract as the IVF side: a band row is live iff its epoch is
+    * LATER than the newest tombstone for its id, so re-append after
+    * delete works without compacting first.
     */
   def deleteFromLshBandIndex(ids: DataFrame, idCol: String,
                              path: String): Unit =
-    ids.select(col(idCol).as("id")).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+    MaintenanceIo.withMaintenanceLock(path) {
+      val m = MaintenanceIo.requireManifest(path)
+      val e = m.epoch + 1
+      val ts = m.tables.getOrElse("tombstones",
+        MaintenanceIo.nextGen(path, "tombstones"))
+      ids.select(col(idCol).as("id")).distinct()
+        .withColumn("epoch", lit(e))
+        .write.mode("append").parquet(s"$path/$ts")
+      MaintenanceIo.publish(path,
+        MaintenanceIo.Manifest(e, m.tables + ("tombstones" -> ts)))
+    }
 
-  /** Fold tombstones into the stored band table: rewrite live rows, swap
-    * in, drop the tombstone table — probe cost returns to the
-    * fresh-build baseline (no anti-join remains). Single-writer
-    * maintenance, like build and append.
+  /** Fold tombstones into the stored band table: rewrite live rows as a
+    * NEW generation, publish the manifest swap (band table + tombstone
+    * retirement atomically — racing readers see old pair or new table,
+    * never a mix), GC superseded generations past the reader grace copy.
+    * Probe cost returns to the fresh-build baseline (no tombstone join
+    * remains). Writers serialize on the maintenance lock.
     */
   def compactLshBandIndex(spark: org.apache.spark.sql.SparkSession,
-                          path: String): Unit = {
-    if (!new java.io.File(s"$path/tombstones").exists()) return
-    val tmp = s"$path/bands.compact.tmp"
-    liveBandRows(spark, path).write.mode("overwrite").parquet(tmp)
-    MaintenanceIo.swapDir(tmp, s"$path/bands")
-    MaintenanceIo.deleteDir(s"$path/tombstones")
-  }
+                          path: String): Unit =
+    MaintenanceIo.withMaintenanceLock(path) {
+      val m = MaintenanceIo.requireManifest(path)
+      if (!m.tables.contains("tombstones")) return
+      val gen = MaintenanceIo.nextGen(path, "bands")
+      liveBandRows(spark, path).write.parquet(s"$path/$gen")
+      MaintenanceIo.publish(path, MaintenanceIo.Manifest(m.epoch,
+        m.tables - "tombstones" + ("bands" -> gen)))
+    }
 
-  /** Stored band rows minus tombstones (broadcast anti-join — deletions
-    * between compactions are small by the compaction contract). */
+  /** Stored band rows minus epoch-shadowed ones (the tombstone side
+    * collapses to one max-epoch row per deleted id and broadcasts —
+    * deletions between compactions are small by the compaction
+    * contract). */
   private def liveBandRows(spark: org.apache.spark.sql.SparkSession,
                            path: String): DataFrame = {
-    val bands = spark.read.parquet(s"$path/bands")
-    if (!new java.io.File(s"$path/tombstones").exists()) bands
-    else bands.join(
-      broadcast(spark.read.parquet(s"$path/tombstones")),
-      Seq("id"), "left_anti")
+    val snap = MaintenanceIo.snapshot(path)
+    val bands = spark.read.parquet(snap("bands"))
+    snap.get("tombstones") match {
+      case None => bands
+      case Some(ts) =>
+        val te = spark.read.parquet(ts)
+          .groupBy("id").agg(max("epoch").as("__te"))
+        bands.join(broadcast(te), Seq("id"), "left")
+          .filter(col("__te").isNull || col("epoch") > col("__te"))
+          .drop("__te")
+    }
   }
 
   /** Near-dup pairs of an ingest shard against a standing corpus, probed

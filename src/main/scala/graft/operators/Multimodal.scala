@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * Byte decoding comes in two tiers: `StubDecoder` is a deterministic
   * stand-in (pure function of the bytes) that the q55/q60/q79 DuckDB
-  * oracles gate, and the JDK's own codecs — [[PngDecoder]] (javax.imageio)
+  * oracles gate, and the JDK's own codecs — [[ImageDecoder]] (javax.imageio)
   * and [[WavDecoder]] (javax.sound.sampled) — prove REAL payloads through
   * the identical batched columnar path (MultimodalCodecSpec). Video stays
   * stubbed (no codec in the JDK); its frame-sampling plumbing is real.
@@ -89,17 +89,22 @@ object Multimodal {
     }
   }
 
-  /** REAL image decode (round-11 verdict #4): the JDK's own PNG codec
-    * (javax.imageio — public API, zero new dependencies) behind the same
-    * batched per-partition boundary as [[StubDecoder]]. The decoded
-    * surface is the 8-bit LUMA plane (BT.601 integer weights, exact
-    * integer arithmetic — deterministic on every JVM), so downstream
-    * kernels — [[StubDecoder.boxDownsample]], checksum, brightness —
-    * consume REAL pixels through the very code path q55/q60/q79 gate
-    * with the deterministic stub. PNG is lossless, so decode is
-    * bit-exact and spec-pinnable.
+  /** REAL image decode (round-11 verdict #4): the JDK's own image
+    * codecs (javax.imageio — public API, zero new dependencies; its
+    * standard plugin set decodes PNG and JPEG, the two formats
+    * [[ingest]] sniffs) behind the same batched per-partition boundary
+    * as [[StubDecoder]]. The decoded surface is the 8-bit LUMA plane
+    * (BT.601 integer weights, exact integer arithmetic — deterministic
+    * on every JVM), so downstream kernels — [[StubDecoder
+    * .boxDownsample]], checksum, brightness — consume REAL pixels
+    * through the very code path q55/q60/q79 gate with the deterministic
+    * stub. PNG is lossless, so its decode is bit-exact and
+    * spec-pinnable; JPEG is lossy, so its specs pin dimensions exactly
+    * and pixel statistics to a tolerance (round-12 verdict #2 — web
+    * corpora are overwhelmingly JPEG, so the real first user hits this
+    * branch immediately).
     */
-  object PngDecoder {
+  object ImageDecoder {
     /** (width, height, luma plane row-major). Throws on undecodable
       * payloads — callers route by the sniffed media_type first.
       */
@@ -129,7 +134,7 @@ object Multimodal {
 
   /** REAL audio decode: the JDK's own RIFF/WAV parser
     * (javax.sound.sampled — public API, zero new dependencies) behind the
-    * same batched per-partition boundary as [[PngDecoder]]. PCM WAV is a
+    * same batched per-partition boundary as [[ImageDecoder]]. PCM WAV is a
     * lossless container, so the decoded sample plane is bit-exact and
     * spec-pinnable: the parser validates the RIFF chunks and hands back
     * the interleaved PCM frames, which decode to signed ints with exact
@@ -141,7 +146,7 @@ object Multimodal {
     /** (sampleRate, channels, interleaved signed samples). Supports the
       * 8/16-bit PCM encodings WAV files actually carry; throws on
       * undecodable payloads — callers route by the sniffed media_type
-      * first, exactly like [[PngDecoder.decodeLuma]].
+      * first, exactly like [[ImageDecoder.decodeLuma]].
       */
     def decodePcm(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
       val in = AudioSystem.getAudioInputStream(
@@ -149,11 +154,15 @@ object Multimodal {
       try {
         val fmt = in.getFormat
         val enc = fmt.getEncoding
-        require(enc == AudioFormat.Encoding.PCM_SIGNED ||
-          enc == AudioFormat.Encoding.PCM_UNSIGNED,
-          s"unsupported WAV encoding: $enc")
         val bits = fmt.getSampleSizeInBits
         require(bits == 8 || bits == 16, s"unsupported sample width: $bits")
+        // 16-bit must be signed: the branch below decodes two's
+        // complement, so accepting PCM_UNSIGNED here would silently
+        // offset every sample by 32768 (unsigned 16-bit WAV is
+        // nonstandard anyway — reject rather than mis-decode)
+        require(enc == AudioFormat.Encoding.PCM_SIGNED ||
+          (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8),
+          s"unsupported WAV encoding: $enc at $bits-bit")
         val raw = in.readAllBytes()
         val samples =
           if (bits == 8) {
@@ -231,9 +240,9 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
-        if (m.meta.media_type == "png") {
-          val (w, h, luma) = PngDecoder.decodeLuma(m.content)
-          DecodedFeatures(m.media_id, "png", w, h,
+        if (m.meta.media_type == "png" || m.meta.media_type == "jpeg") {
+          val (w, h, luma) = ImageDecoder.decodeLuma(m.content)
+          DecodedFeatures(m.media_id, m.meta.media_type, w, h,
             StubDecoder.checksum(luma), StubDecoder.brightness(luma))
         } else
           DecodedFeatures(m.media_id, m.meta.media_type, -1, -1,
@@ -254,7 +263,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
-        val (w, h, luma) = PngDecoder.decodeLuma(m.content)
+        val (w, h, luma) = ImageDecoder.decodeLuma(m.content)
         val ds = StubDecoder.boxDownsample(luma, target)
         (m.media_id, w, h, ds.length.toLong, StubDecoder.checksum(ds),
           StubDecoder.brightness(ds))

@@ -254,14 +254,18 @@ object Similarity {
                     trainSample: Double = Double.NaN,
                     trainRowBudget: Long = 100000L,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit = {
-    val (assigned, cent) = ivfFit(corpus, nLists, seed, trainSample,
-      trainRowBudget, idCol, vecCol)
-    cent.coalesce(1).write.mode("overwrite")
-      .parquet(s"$indexPath/centroids.parquet")
-    assigned.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexPath/assignments.parquet")
-  }
+                    vecCol: String = "embedding"): Unit =
+    MaintenanceIo.withMaintenanceLock(indexPath) {
+      val (assigned, cent) = ivfFit(corpus, nLists, seed, trainSample,
+        trainRowBudget, idCol, vecCol)
+      cent.coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexPath/centroids.parquet")
+      val gen = MaintenanceIo.nextGen(indexPath, "assignments")
+      assigned.withColumn("epoch", lit(0L))
+        .write.partitionBy("cell").parquet(s"$indexPath/$gen")
+      MaintenanceIo.publish(indexPath,
+        MaintenanceIo.Manifest(0L, Map("assignments" -> gen)))
+    }
 
   /** Query a persisted IVF index ([[buildIvfIndex]]): same routing/scoring
     * as [[ivfTopK]], but the corpus side comes straight off the stored
@@ -287,45 +291,73 @@ object Similarity {
     * the stored files. Per-delete cost is one O(|ids|) write — the
     * inverted file is never touched.
     *
-    * Contract: a tombstoned id stays dead until compaction; re-appending
-    * a deleted id BEFORE compacting is unsupported (the tombstone has no
-    * sequence number and would shadow the new row) — compact first, then
-    * append, as an LSM would after a major compaction.
+    * Tombstones are EPOCH-stamped (round-12 verdict #5): each carries
+    * the index's mutation epoch at delete time, and a row is live iff
+    * its own (build/append) epoch is LATER than the newest tombstone for
+    * its id — so re-appending a deleted id works immediately, no
+    * compaction required (the takedown-then-recrawl workflow). Ties
+    * favor the delete: a crash can orphan an epoch bump, and dead-stays-
+    * dead is the safe direction.
     */
   def deleteFromIvfIndex(ids: DataFrame, indexPath: String,
                          idCol: String = "vec_id"): Unit =
-    ids.select(col(idCol).as("n_id")).distinct()
-      .write.mode("append").parquet(s"$indexPath/tombstones.parquet")
+    MaintenanceIo.withMaintenanceLock(indexPath) {
+      val m = MaintenanceIo.requireManifest(indexPath)
+      val e = m.epoch + 1
+      val ts = m.tables.getOrElse("tombstones",
+        MaintenanceIo.nextGen(indexPath, "tombstones"))
+      ids.select(col(idCol).as("n_id")).distinct()
+        .withColumn("epoch", lit(e))
+        .write.mode("append").parquet(s"$indexPath/$ts")
+      MaintenanceIo.publish(indexPath,
+        MaintenanceIo.Manifest(e, m.tables + ("tombstones" -> ts)))
+    }
 
   /** Fold tombstones into the stored inverted file: rewrite the
     * assignments minus tombstoned rows (cell-partitioned as built, so
     * the post-compact query plan — including partition pruning — is
     * byte-identical to a fresh build's), swap the new files in, drop
     * the tombstone table. Query cost returns to the fresh-build
-    * baseline: no anti-join remains in the probe plan. Single-writer
-    * maintenance, like build and append.
+    * baseline: no tombstone join remains in the probe plan. The rewrite
+    * lands as a NEW generation and the manifest swap publishes
+    * assignments + tombstone retirement atomically — a concurrent reader
+    * sees either the old (assignments + tombstones) pair or the new
+    * compacted table, never a mix, and the grace generation keeps its
+    * in-flight scan valid (MaintenanceIo scaladoc). Writers serialize on
+    * the maintenance lock.
     */
-  def compactIvfIndex(spark: SparkSession, indexPath: String): Unit = {
-    if (!new java.io.File(s"$indexPath/tombstones.parquet").exists()) return
-    val tmp = s"$indexPath/assignments.compact.tmp"
-    liveIvfAssignments(spark, indexPath)
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    MaintenanceIo.swapDir(tmp, s"$indexPath/assignments.parquet")
-    MaintenanceIo.deleteDir(s"$indexPath/tombstones.parquet")
-  }
+  def compactIvfIndex(spark: SparkSession, indexPath: String): Unit =
+    MaintenanceIo.withMaintenanceLock(indexPath) {
+      val m = MaintenanceIo.requireManifest(indexPath)
+      if (!m.tables.contains("tombstones")) return
+      val gen = MaintenanceIo.nextGen(indexPath, "assignments")
+      liveIvfAssignments(spark, indexPath)
+        .write.partitionBy("cell").parquet(s"$indexPath/$gen")
+      MaintenanceIo.publish(indexPath, MaintenanceIo.Manifest(m.epoch,
+        m.tables - "tombstones" + ("assignments" -> gen)))
+    }
 
-  /** Live rows of the stored assignment table: stored minus tombstones.
-    * The anti-join build side is the tombstone table — broadcast, small
-    * by the compaction contract — so the inverted-file scan (and its
-    * cell partition pruning) is unchanged by pending deletes.
+  /** Live rows of the stored assignment table: stored rows minus
+    * epoch-shadowed ones. The tombstone side collapses to one
+    * max-epoch row per deleted id and broadcasts (deletions between
+    * compactions are small by the compaction contract), so the
+    * inverted-file scan (and its cell partition pruning) is unchanged
+    * by pending deletes. A row survives iff no tombstone covers its id
+    * at-or-after the row's own epoch — see [[deleteFromIvfIndex]].
     */
   private def liveIvfAssignments(spark: SparkSession,
                                  indexPath: String): DataFrame = {
-    val assigned = spark.read.parquet(s"$indexPath/assignments.parquet")
-    if (!new java.io.File(s"$indexPath/tombstones.parquet").exists()) assigned
-    else assigned.join(
-      broadcast(spark.read.parquet(s"$indexPath/tombstones.parquet")),
-      Seq("n_id"), "left_anti")
+    val snap = MaintenanceIo.snapshot(indexPath)
+    val assigned = spark.read.parquet(snap("assignments"))
+    snap.get("tombstones") match {
+      case None => assigned
+      case Some(ts) =>
+        val te = spark.read.parquet(ts)
+          .groupBy("n_id").agg(max("epoch").as("__te"))
+        assigned.join(broadcast(te), Seq("n_id"), "left")
+          .filter(col("__te").isNull || col("epoch") > col("__te"))
+          .drop("__te")
+    }
   }
 
   /** INCREMENTAL index append — the nightly-ingest path of the persisted
@@ -349,8 +381,11 @@ object Similarity {
     */
   def appendToIvfIndex(shard: DataFrame, indexPath: String,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit = {
+                       vecCol: String = "embedding"): Unit =
+      MaintenanceIo.withMaintenanceLock(indexPath) {
     val spark = shard.sparkSession
+    val m = MaintenanceIo.requireManifest(indexPath)
+    val e = m.epoch + 1
     val cent = spark.read.parquet(s"$indexPath/centroids.parquet")
       .withColumn("c2", V.dot(col("cen"), col("cen")))
     val s = shard.select(col(idCol).as("n_id"),
@@ -363,8 +398,10 @@ object Similarity {
         first("v_n").as("v_n"), first("nrm_n").as("nrm_n"))
       .select(col("n_id"), col("v_n"), col("nrm_n"),
         element_at(col("c"), 1).getField("n_id").cast("int").as("cell"))
-    assigned.write.mode("append").partitionBy("cell")
-      .parquet(s"$indexPath/assignments.parquet")
+    assigned.withColumn("epoch", lit(e))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexPath/${m.tables("assignments")}")
+    MaintenanceIo.publish(indexPath, m.copy(epoch = e))
   }
 
   /** The recall probe the append cadence needs ([[appendToIvfIndex]]
@@ -411,26 +448,30 @@ object Similarity {
                           trainSample: Double = Double.NaN,
                           trainRowBudget: Long = 100000L,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): Unit = {
-    val (assigned, cent) = ivfFit(corpus, nLists, seed, trainSample,
-      trainRowBudget, idCol, vecCol)
-    val ranges = assigned
-      .select(posexplode(col("v_n")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
-    ranges.coalesce(1).write.mode("overwrite")
-      .parquet(s"$indexPath/ranges.parquet")
-    cent.coalesce(1).write.mode("overwrite")
-      .parquet(s"$indexPath/centroids.parquet")
-    val rarr = ranges.agg(transform(
-      array_sort(collect_list(struct(col("pos"), col("lo"), col("hi")))),
-      s => struct(s.getField("lo").as("lo"), s.getField("hi").as("hi")))
-      .as("rgs"))
-    assigned.crossJoin(broadcast(rarr))
-      .withColumn("codes", V.quantizeInt8(col("v_n"), col("rgs")))
-      .select("n_id", "v_n", "nrm_n", "codes", "cell")
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexPath/assignments.parquet")
-  }
+                          vecCol: String = "embedding"): Unit =
+    MaintenanceIo.withMaintenanceLock(indexPath) {
+      val (assigned, cent) = ivfFit(corpus, nLists, seed, trainSample,
+        trainRowBudget, idCol, vecCol)
+      val ranges = assigned
+        .select(posexplode(col("v_n")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+      ranges.coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexPath/ranges.parquet")
+      cent.coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexPath/centroids.parquet")
+      val rarr = ranges.agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("lo"), col("hi")))),
+        s => struct(s.getField("lo").as("lo"), s.getField("hi").as("hi")))
+        .as("rgs"))
+      val gen = MaintenanceIo.nextGen(indexPath, "assignments")
+      assigned.crossJoin(broadcast(rarr))
+        .withColumn("codes", V.quantizeInt8(col("v_n"), col("rgs")))
+        .select("n_id", "v_n", "nrm_n", "codes", "cell")
+        .withColumn("epoch", lit(0L))
+        .write.partitionBy("cell").parquet(s"$indexPath/$gen")
+      MaintenanceIo.publish(indexPath,
+        MaintenanceIo.Manifest(0L, Map("assignments" -> gen)))
+    }
 
   /** PROVABLY-EXACT quantized search (the filter-and-refine pattern with
     * a rigorous error bound): score candidates from the int8 codes, prune

@@ -57,7 +57,8 @@ object IngestStream {
                  bloomPath: String): DataFrame = {
     val sp = corpusKeys.sparkSession
     // one-row artifact: driver-sized by construction, read at plan time
-    val art = sp.read.parquet(bloomPath).head()
+    // (manifest-resolved — never races an in-flight append's publish)
+    val art = graft.operators.Dedup.readBloomArtifact(sp, bloomPath)
     val bloom = art.getAs[Array[Byte]]("bloom")
     val nfc = art.getAs[Boolean]("nfc")
     def probeKey(c: Column): Column =
@@ -151,10 +152,16 @@ object IngestStream {
         // within-batch exact collapse, deterministic keep-smallest-id —
         // the q19 map-side-combined groupBy shape, never a window over
         // the text key (a batch full of one boilerplate page would
-        // buffer a single window group)
-        val b = batch.join(
-          batch.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)),
-          Seq(idCol, textCol), "left_semi")
+        // buffer a single window group). NULL-text rows route AROUND
+        // the collapse: join equality never matches NULL, so they would
+        // be silently dropped here — and the admission contract
+        // (anti-join semantics, BloomIngestSpec) says NULL keys admit,
+        // each as its own row (NULLs are not equal to each other)
+        val nn = batch.filter(col(textCol).isNotNull)
+        val b = nn.join(
+            nn.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)),
+            Seq(idCol, textCol), "left_semi")
+          .unionByName(batch.filter(col(textCol).isNull))
         val admittedSoFar = {
           val dir = new java.io.File(outPath)
           val parts = Option(dir.listFiles()).getOrElse(Array.empty)

@@ -113,7 +113,7 @@ class BloomIngestSpec extends SparkSpec {
     Dedup.buildExactBloom(corpus, "text", path)
     val extra = (3001L to 3040L).map(i => i -> s"appended corpus doc $i")
     Dedup.appendToExactBloom(extra.toDF("doc_id", "text"), "text", path)
-    val row = spark.read.parquet(path).head()
+    val row = Dedup.readBloomArtifact(spark, path)
     assert(row.getAs[Long]("n_keys") == 240L, "key count must accrue")
     assert(row.getAs[Long]("cap") == 200L,
       "built capacity must NOT accrue (hash sizing would drift and make " +
@@ -134,11 +134,47 @@ class BloomIngestSpec extends SparkSpec {
   test("artifact records the build geometry and key scheme") {
     val path = tmp("geom")
     Dedup.buildExactBloom(corpus, "text", path, bitsPerKey = 12)
-    val row = spark.read.parquet(path).head()
+    val row = Dedup.readBloomArtifact(spark, path)
     assert(row.getAs[Long]("n_keys") == 200L)
     assert(row.getAs[Long]("cap") == 200L)
     assert(row.getAs[Long]("num_bits") == 2400L)
     assert(!row.getAs[Boolean]("nfc"))
     assert(row.getAs[Array[Byte]]("bloom").length > 0)
+  }
+
+  test("bloom probe never falls back to interpreted mode (r12 verdict #1)") {
+    // Spark's own BloomFilterMightContain emits `(Long) <key>`; when the
+    // key constant-folds to a NEGATIVE literal (odds-on for any xxhash64
+    // of a constant), Janino parses the cast as a binary subtraction —
+    // "Expression java.lang.Long is not an rvalue" — and the projection
+    // silently interprets every row. CODEGEN_ONLY turns that silent
+    // fallback into a hard failure, so this test passing proves the
+    // probe (BloomMightContainKey) COMPILED, for literal keys and for
+    // the full q101 admission plan alike.
+    val fm = "spark.sql.codegen.factoryMode"
+    val fb = "spark.sql.codegen.fallback"
+    val (fm0, fb0) = (spark.conf.get(fm), spark.conf.get(fb))
+    spark.conf.set(fm, "CODEGEN_ONLY")
+    spark.conf.set(fb, "false")
+    try {
+      GraftFunctions.register(spark)
+      // xxhash64('b') = -6391946315847899181: the exact literal that
+      // broke Spark's expression (round-12 sbt log)
+      val r = spark.sql(
+        """SELECT graft_bloom_contains(
+             (SELECT graft_bloom_agg(xxhash64(k), 3L, 4096L)
+              FROM VALUES ('a'), ('b'), ('c') AS t(k)),
+             xxhash64('b')) AS hit,
+           graft_bloom_contains(
+             (SELECT graft_bloom_agg(xxhash64(k), 3L, 4096L)
+              FROM VALUES ('a'), ('b'), ('c') AS t(k)),
+             xxhash64('zzz-never-seen')) AS miss""").head()
+      assert(r.getBoolean(0) && !r.getBoolean(1))
+      // and the production admission plan end-to-end under CODEGEN_ONLY
+      assert(admittedIds(bitsPerKey = 10, "codegen") == truth)
+    } finally {
+      spark.conf.set(fm, fm0)
+      spark.conf.set(fb, fb0)
+    }
   }
 }

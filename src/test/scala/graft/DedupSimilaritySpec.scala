@@ -309,7 +309,8 @@ class DedupSimilaritySpec extends SparkSpec {
     Similarity.buildIvfIndex(base, dir, nLists = 8)
     Similarity.appendToIvfIndex(shard, dir)
     val combined = base.unionByName(shard)
-    val stored = spark.read.parquet(s"$dir/assignments.parquet")
+    val stored = spark.read.parquet(
+      graft.operators.MaintenanceIo.snapshot(dir)("assignments"))
     assert(stored.count() === combined.count())
     assert(stored.select("n_id").distinct().count() === combined.count())
     val queries = combined.filter(col("vec_id") % 500000 < 3)
@@ -615,26 +616,56 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pre != full, "deletes must change some neighbor list")
     assert(pre.forall(_.getAs[Long]("n_id") % 7 != 2),
       "a tombstoned row surfaced as a neighbor")
-    // pending tombstones probe through an anti-join; compaction retires it
+    // pending tombstones probe through a broadcast outer join whose
+    // filter epoch-shadows dead rows; compaction retires it entirely
     val prePlan = Similarity.ivfTopKFromIndex(idx, queries, 5, 8)
       .queryExecution.executedPlan.toString
-    assert(prePlan.contains("LeftAnti"),
-      "pending tombstones must subtract via an anti-join")
+    assert(prePlan.contains("LeftOuter"),
+      "pending tombstones must subtract via a broadcast outer join")
     Similarity.compactIvfIndex(spark, idx)
-    assert(!new java.io.File(s"$idx/tombstones.parquet").exists(),
-      "compaction must retire the tombstone table")
+    assert(graft.operators.MaintenanceIo.snapshot(idx)
+      .get("tombstones").isEmpty,
+      "compaction must retire the tombstone table from the manifest")
     assert(res() == pre, "compaction changed the query result")
     val postPlan = Similarity.ivfTopKFromIndex(idx, queries, 5, 8)
       .queryExecution.executedPlan.toString
-    assert(!postPlan.contains("LeftAnti"),
-      "post-compact probe must carry no anti-join")
-    assert(spark.read.parquet(s"$idx/assignments.parquet")
+    assert(!postPlan.contains("LeftOuter"),
+      "post-compact probe must carry no tombstone join")
+    assert(spark.read.parquet(
+        graft.operators.MaintenanceIo.snapshot(idx)("assignments"))
       .filter(col("n_id") % 7 === 2).isEmpty,
       "compaction left tombstoned rows in the stored files")
-    // the LSM contract: re-append AFTER compaction restores the rows
+    // re-append AFTER compaction restores the rows
     Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 7 === 2), idx)
     assert(res() == full,
       "re-append after compact must restore the full-corpus ranking")
+  }
+
+  test("IVF epoch tombstones: re-append a deleted id WITHOUT compacting " +
+      "(takedown-then-recrawl, r12 verdict #5)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_epoch").toString
+    Similarity.buildIvfIndex(emb, idx, nLists = 8)
+    val queries = emb.filter(col("vec_id") < 5)
+    def res() = Similarity.ivfTopKFromIndex(idx, queries, k = 5, nProbe = 8)
+      .orderBy("q_id", "rn").collect().toSeq
+    val full = res()
+    Similarity.deleteFromIvfIndex(emb.filter(col("vec_id") % 7 === 2), idx)
+    assert(res() != full, "delete must bite before the re-append")
+    // the re-crawl: the SAME ids come back while the tombstones are
+    // still pending — the new rows' epoch outranks the tombstones', so
+    // they are live immediately, and the old shadowed generation of the
+    // same ids must NOT resurface as duplicates
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 7 === 2), idx)
+    assert(res() == full,
+      "re-append before compaction must restore the full-corpus ranking")
+    // and compaction afterwards keeps exactly the live generation
+    Similarity.compactIvfIndex(spark, idx)
+    assert(res() == full, "compaction changed the re-appended result")
+    val stored = spark.read.parquet(
+      graft.operators.MaintenanceIo.snapshot(idx)("assignments"))
+    assert(stored.groupBy("n_id").count().filter(col("count") > 1).isEmpty,
+      "compaction left multiple generations of a re-appended id")
   }
 
   test("quantized index honors tombstones and compaction too") {
@@ -682,14 +713,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pre.forall(_.getAs[Long]("id_a") % 20 != 5),
       "a tombstoned doc produced a candidate pair")
     Dedup.compactLshBandIndex(spark, ldx)
-    assert(!new java.io.File(s"$ldx/tombstones").exists())
+    assert(graft.operators.MaintenanceIo.snapshot(ldx)
+      .get("tombstones").isEmpty)
     assert(probe() == pre, "compaction changed the probe result")
-    assert(spark.read.parquet(s"$ldx/bands")
+    assert(spark.read.parquet(
+        graft.operators.MaintenanceIo.snapshot(ldx)("bands"))
       .filter(pmod(col("id"), lit(20)) === 5).isEmpty,
       "compaction left tombstoned band rows")
     // deleting ids the index never held is harmless
     Dedup.deleteFromLshBandIndex(Seq(999999999L).toDF("doc_id"),
       "doc_id", ldx)
     assert(probe() == pre)
+  }
+
+  test("LSH epoch tombstones: re-append a deleted doc WITHOUT compacting") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val ldx = java.nio.file.Files.createTempDirectory("lsh_epoch").toString
+    Dedup.writeLshBandIndex(corpus, "doc_id", "text", ldx)
+    val victims = corpus.filter(pmod(col("doc_id"), lit(20)) === 5)
+    // shard re-crawls near-twins of the victims: pairs exist only while
+    // the victims' band rows are live
+    val shard = docs.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("text"), lit(" zzingest")).as("text"))
+    def probe() = Dedup.lshIndexProbe(corpus, shard, ldx, "doc_id", "text",
+        threshold = 0.8)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val full = probe()
+    assert(full.exists(_.getAs[Long]("id_a") % 20 == 5))
+    Dedup.deleteFromLshBandIndex(victims, "doc_id", ldx)
+    assert(probe().forall(_.getAs[Long]("id_a") % 20 != 5),
+      "delete must bite before the re-append")
+    Dedup.appendToLshBandIndex(victims, "doc_id", "text", ldx)
+    assert(probe() == full,
+      "re-append before compaction must restore the victims' pairs")
+    Dedup.compactLshBandIndex(spark, ldx)
+    assert(probe() == full, "compaction changed the re-appended result")
   }
 }

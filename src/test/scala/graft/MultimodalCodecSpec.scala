@@ -121,6 +121,79 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(p.media_type == "png" && p.sample_rate == -1 && p.channels == -1)
   }
 
+  /** In-memory JPEG encode via the JDK's own writer — the lossy sibling
+    * of [[encodePng]]. */
+  private def encodeJpeg(pixels: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val h = pixels.length
+    val w = pixels.head.length
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pixels(y)(x)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    baos.toByteArray
+  }
+
+  test("real JPEG bytes decode through the columnar batch path " +
+      "(r12 verdict #2)") {
+    // an 8x8 smooth gradient: JPEG's DCT quantization stays mild on
+    // smooth content, so decoded brightness lands near the source's —
+    // dimensions pin exactly, pixel statistics pin to a tolerance
+    // (lossy codec: bit-exactness is not a sane contract)
+    val grad: Array[Array[(Int, Int, Int)]] = Array.tabulate(8, 8) {
+      (y, x) => { val v = 16 * (y + x); (v, v, v) }
+    }
+    val jpeg = encodeJpeg(grad)
+    val png = encodePng(pixels)
+    val media = Multimodal.ingest(
+      Seq((1L, jpeg), (2L, png)).toDF("id", "bytes"), "id", "bytes")
+    // the real JFIF magic routes the row into the decode branch
+    val types = media.select(col("media_id"), col("meta.media_type"))
+      .as[(Long, String)].collect().toMap
+    assert(types == Map(1L -> "jpeg", 2L -> "png"))
+    val feats = Multimodal.decodeImageFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    val j = feats(1L)
+    assert(j.media_type == "jpeg")
+    assert(j.width == 8 && j.height == 8,
+      "JPEG decoded dimensions must be exact")
+    val srcBrightness = grad.flatten
+      .map { case (r, g, b) => luma(r, g, b).toDouble }.sum / 64 / 256.0
+    assert(math.abs(j.brightness - srcBrightness) < 0.02,
+      s"JPEG brightness ${j.brightness} too far from $srcBrightness")
+    // the PNG row still decodes bit-exactly alongside
+    assert(feats(2L).luma_checksum == StubDecoder.checksum(expectedLuma))
+    // and the thumbnail path handles a JPEG row end-to-end
+    val ds = Multimodal.decodeAndDownsample(
+        Multimodal.ingest(Seq((9L, jpeg)).toDF("id", "bytes"), "id",
+          "bytes"), target = 4)
+      .head()
+    assert(ds.getAs[Int]("width") == 8 && ds.getAs[Long]("ds_len") == 4L)
+  }
+
+  test("16-bit WAV signedness: the decode contract matches the format") {
+    // decodePcm's 16-bit branch reads two's complement, and its require
+    // now rejects PCM_UNSIGNED at 16 bits (round-12 advice: the old
+    // guard accepted the combination and silently offset every sample
+    // by 32768). The combination is UNREACHABLE from real WAV bytes —
+    // RIFF carries no signedness flag, so the JDK parser reports every
+    // 16-bit PCM WAV as signed (pinned here); the require is defense in
+    // depth for any other container the parser might hand us.
+    val samples = Array[Short](100, -100, 32767, -32768)
+    val bytes = encodeWav(samples, 8000)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try assert(in.getFormat.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      "JDK WAV parser must report 16-bit PCM as signed")
+    finally in.close()
+    // and the signed decode is sample-exact across the full range
+    val ok = Multimodal.WavDecoder.decodePcm(bytes)
+    assert(ok._3.toSeq == Seq(100, -100, 32767, -32768))
+  }
+
   test("frame extraction slices REAL encoded bytes columnar-side") {
     val png = encodePng(pixels)
     val media = Multimodal.ingest(

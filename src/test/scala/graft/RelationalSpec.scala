@@ -281,6 +281,17 @@ class RelationalSpec extends SparkSpec {
       s"ks ${r.getAs[Double]("ks")} vs driver-exact $expected")
   }
 
+  test("ksBucketCount scales with the measured domain (r12 verdict #4)") {
+    // never below the session's shuffle parallelism ...
+    assert(Relational.ksBucketCount(100000L, 65536L, 32) == 32)
+    // ... grows linearly once buckets would exceed the window budget ...
+    assert(Relational.ksBucketCount(1000000L, 65536L, 4) == 16)
+    assert(Relational.ksBucketCount(10000000L, 65536L, 32) == 153)
+    assert(Relational.ksBucketCount(1000000000L, 65536L, 32) == 15259)
+    // ... and caps where the cut array stops being a boundary scalar
+    assert(Relational.ksBucketCount(Long.MaxValue / 4, 65536L, 32) == 65536)
+  }
+
   test("profile: null handling, exact distincts, and non-numeric slots") {
     val df = Seq(
       (Some(1L), Some("a"), Some(2.5)),

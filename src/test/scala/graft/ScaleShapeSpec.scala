@@ -528,10 +528,11 @@ class ScaleShapeSpec extends SparkSpec {
     // task — and NO window may appear (a count().over(partitionBy(gh))
     // would buffer every occurrence of one gram in a single window
     // group, the round-11 scale hazard). The rewrite must stay a
-    // doc-level join — exactly THREE Generates may appear (the gram
-    // explode feeds the dup-set aggregate AND the semi-join probe — two
-    // plan copies of the one logical kernel — plus the sparse
-    // covered-position expansion), never one for per-token rows
+    // doc-level join — exactly ONE Generate may appear (the sparse
+    // covered-position expansion; the gram kernel itself is
+    // localCheckpoint-pinned inside the operator, so its posexplode runs
+    // once at construction and never re-enters this plan), never one
+    // for per-token rows
     val q94 = SparkEntry.queries("q94_dup_gram_scrub")(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!q94.contains("CartesianProduct"))
@@ -539,8 +540,9 @@ class ScaleShapeSpec extends SparkSpec {
       "q94 must not window over the gram stream (hot-gram skew)")
     assert(q94.contains("partial_count"),
       "q94 gram frequency must map-side combine (partial aggregate)")
-    assert("Generate ".r.findAllIn(q94).size == 3,
-      "q94 must generate only gram + covered-position rows, never tokens")
+    assert("Generate ".r.findAllIn(q94).size == 1,
+      "q94 must generate only covered-position rows, never tokens " +
+        "(gram kernel pinned, evaluated once)")
     // q113 (same round-12 de-skew class): copy counts must come from the
     // two-level map-side-combined aggregation, never a window over the
     // text hash — a doc duplicated millions of times would buffer its

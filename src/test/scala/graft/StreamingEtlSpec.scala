@@ -903,9 +903,11 @@ class StreamingEtlSpec extends SparkSpec {
     assert(got.toSet == Set(101L, 113L, 123L),
       s"self-dedup admission wrong: ${got.sorted}")
     // the artifacts grew with the admissions
-    val nKeys = spark.read.parquet(bloomPath).head().getAs[Long]("n_keys")
+    val nKeys = graft.operators.Dedup.readBloomArtifact(spark, bloomPath)
+      .getAs[Long]("n_keys")
     assert(nKeys == 2L + 3L, s"bloom must hold corpus+admitted keys: $nKeys")
-    val bandIds = spark.read.parquet(s"$lshPath/bands")
+    val bandIds = spark.read.parquet(
+        graft.operators.MaintenanceIo.snapshot(lshPath)("bands"))
       .select("id").distinct().as[Long].collect().toSet
     assert(bandIds == Set(1L, 2L, 101L, 113L, 123L),
       s"band index must hold corpus+admitted docs: $bandIds")
