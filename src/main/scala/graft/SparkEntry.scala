@@ -1910,6 +1910,31 @@ object SparkEntry {
         .orderBy("q_id", "rn")
     }),
 
+    // ---- Quantized index APPEND: the nightly path of q99's artifact ----
+    // Index built on 90% of the corpus (ranges and centroids fit THERE),
+    // the %10=3 shard appended against the STORED quantizer — no refit,
+    // no range refresh, codes stay valid because they are unclamped
+    // longs (an appended value past the fitted [lo,hi] reconstructs
+    // within Δ/2 like any other; the one unbounded case — a degenerate
+    // dimension that moved — is flagged per row and routed around the
+    // prune). At exhaustive probe the result must equal brute force over
+    // the FULL corpus (same oracle as q93's plain-IVF append), proving
+    // the append landed rows exactly where a rebuild would AND the
+    // filter-refine bound survived quantizing rows the ranges never saw.
+    "q124_quantized_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = cachedBuild(dir, "embeddings.parquet",
+          "target/q124_pq_append") { p =>
+        Similarity.buildQuantizedIndex(emb.filter(col("vec_id") % 10 =!= 3),
+          p, nLists = 8)
+        Similarity.appendToQuantizedIndex(emb.filter(col("vec_id") % 10 === 3),
+          p)
+      }
+      Similarity.quantizedRefineTopK(idx, emb.filter(col("vec_id") < 5),
+          k = 5, nProbe = 8)
+        .orderBy("q_id", "rn")
+    }),
+
     // ---- LSH ANN, recall-sized to reproduce the exact top-k ------------
     // OR-amplified hyperplane LSH with `tables` sized by lshTablesFor so a
     // neighbor at the fixture's 5th-neighbor similarity FLOOR (measured:
@@ -4626,6 +4651,7 @@ object SparkEntry {
     // top-k too: the bound argument makes the survivor set a superset of
     // the true top-k, and the refine pass is the brute-force scoring.
     "q99_quantized_refine" -> exactTopKSql,
+    "q124_quantized_append" -> exactTopKSql,
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

@@ -386,6 +386,10 @@ object Similarity {
     val spark = shard.sparkSession
     val m = MaintenanceIo.requireManifest(indexPath)
     val e = m.epoch + 1
+    require(!spark.read.parquet(s"$indexPath/${m.tables("assignments")}")
+        .columns.contains("codes"),
+      "this is a QUANTIZED index (stored codes would go stale/missing " +
+        "on plain rows) — append with appendToQuantizedIndex")
     val cent = spark.read.parquet(s"$indexPath/centroids.parquet")
       .withColumn("c2", V.dot(col("cen"), col("cen")))
     val s = shard.select(col(idCol).as("n_id"),
@@ -466,11 +470,83 @@ object Similarity {
       val gen = MaintenanceIo.nextGen(indexPath, "assignments")
       assigned.crossJoin(broadcast(rarr))
         .withColumn("codes", V.quantizeInt8(col("v_n"), col("rgs")))
-        .select("n_id", "v_n", "nrm_n", "codes", "cell")
+        .withColumn("oob", quantOutOfBounds(col("v_n"), col("rgs")))
+        .select("n_id", "v_n", "nrm_n", "codes", "oob", "cell")
         .withColumn("epoch", lit(0L))
         .write.partitionBy("cell").parquet(s"$indexPath/$gen")
       MaintenanceIo.publish(indexPath,
         MaintenanceIo.Manifest(0L, Map("assignments" -> gen)))
+    }
+
+  /** True when the Δ/2 reconstruction bound does NOT hold for this
+    * vector under the stored ranges: only possible on a DEGENERATE
+    * dimension (hi == lo, so Δ = 0 and the code is pinned to 0) whose
+    * value differs from the pinned point. Everywhere else the bound
+    * holds for ANY value — codes are stored as unclamped longs, and
+    * `floor((x−lo)/Δ + ½)` reconstructs within Δ/2 outside [lo, hi]
+    * just as well as inside. At build time this is false by
+    * construction (ranges are the corpus min/max); it exists for
+    * [[appendToQuantizedIndex]], whose rows arrive AFTER the ranges
+    * were fit.
+    */
+  private def quantOutOfBounds(v: Column, ranges: Column): Column =
+    exists(zip_with(v, ranges, (x, r) =>
+      r.getField("hi") === r.getField("lo") &&
+        x.cast("double") =!= r.getField("lo").cast("double")), b => b)
+
+  /** INCREMENTAL append into the QUANTIZED refine index — the nightly
+    * path completing its lifecycle (build/append/delete/compact/query,
+    * matching the plain IVF side): assign the shard against the STORED
+    * centroids (no refit), quantize against the STORED ranges (no
+    * range refresh — refreshing would invalidate every stored code),
+    * epoch-stamp, append into the current generation.
+    *
+    * Exactness survives the append: the int8 filter's bound
+    * |q·x − q·x̂| ≤ Σ|q_i|Δ_i/2 needs no in-range assumption because
+    * codes are UNCLAMPED longs — an appended value past the fitted
+    * [lo, hi] just takes a code outside [−128, 127] and reconstructs
+    * within Δ/2 like any other. The one genuinely unbounded case — a
+    * DEGENERATE dimension (Δ = 0) whose appended value moved — is
+    * flagged per row ([[quantOutOfBounds]]); flagged rows are excluded
+    * from the prune threshold (their bounds are lies) and always
+    * survive to the exact re-rank, so [[quantizedRefineTopK]] stays
+    * provably equal to brute force while the flagged sliver merely
+    * skips the code-level prune. Quantizer drift economics are the
+    * [[appendToIvfIndex]] cadence: many cheap appends, rebuild when a
+    * recall/compression probe says so.
+    */
+  def appendToQuantizedIndex(shard: DataFrame, indexPath: String,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): Unit =
+    MaintenanceIo.withMaintenanceLock(indexPath) {
+      val spark = shard.sparkSession
+      val m = MaintenanceIo.requireManifest(indexPath)
+      val e = m.epoch + 1
+      val cent = spark.read.parquet(s"$indexPath/centroids.parquet")
+        .withColumn("c2", V.dot(col("cen"), col("cen")))
+      val rarr = spark.read.parquet(s"$indexPath/ranges.parquet")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("lo"), col("hi")))),
+          s => struct(s.getField("lo").as("lo"), s.getField("hi").as("hi")))
+          .as("rgs"))
+      val s = shard.select(col(idCol).as("n_id"),
+          V.toDoubleArray(col(vecCol)).as("v_n"))
+        .withColumn("nrm_n", V.norm(col("v_n")))
+      s.crossJoin(broadcast(cent))
+        .withColumn("aff", V.dot(col("v_n"), col("cen")) * 2 - col("c2"))
+        .groupBy("n_id")
+        .agg(AggFunctions.topKByScore(col("aff"), col("cell_id"), 1).as("c"),
+          first("v_n").as("v_n"), first("nrm_n").as("nrm_n"))
+        .select(col("n_id"), col("v_n"), col("nrm_n"),
+          element_at(col("c"), 1).getField("n_id").cast("int").as("cell"))
+        .crossJoin(broadcast(rarr))
+        .withColumn("codes", V.quantizeInt8(col("v_n"), col("rgs")))
+        .withColumn("oob", quantOutOfBounds(col("v_n"), col("rgs")))
+        .select("n_id", "v_n", "nrm_n", "codes", "oob", "cell")
+        .withColumn("epoch", lit(e))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$indexPath/${m.tables("assignments")}")
+      MaintenanceIo.publish(indexPath, m.copy(epoch = e))
     }
 
   /** PROVABLY-EXACT quantized search (the filter-and-refine pattern with
@@ -524,8 +600,15 @@ object Similarity {
       .withColumn("c2", V.dot(col("cen"), col("cen")))
     // tombstone-aware, like the plain IVF path: the quantized index
     // shares the assignment layout, so deleteFromIvfIndex /
-    // compactIvfIndex maintain it too (codes column carried through)
-    val asg = liveIvfAssignments(spark, indexPath)
+    // compactIvfIndex maintain it too (codes column carried through).
+    // An index built before the oob column existed has every row
+    // bound-valid by construction (appends are what introduce movers,
+    // and appendToQuantizedIndex always writes the column) — default it
+    // rather than force a rebuild of a correct artifact
+    val asgRaw = liveIvfAssignments(spark, indexPath)
+    val asg =
+      if (asgRaw.columns.contains("oob")) asgRaw
+      else asgRaw.withColumn("oob", lit(false))
     // dim-row ranges → driver literals (boundary scalar, dim values)
     val rng = spark.read.parquet(s"$indexPath/ranges.parquet")
       .orderBy("pos").select("lo", "hi").collect()
@@ -550,8 +633,12 @@ object Similarity {
       .select(col("q_id"), col("ce.n_id").cast("int").as("cell"))
     val q = qBase.join(qCells, Seq("q_id"))
       .select("q_id", "cell", "nrm_q", "qa", "w", "qeps")
-    // FILTER pass: codes only — the double vectors stay unread here
-    val approx = asg.select("cell", "n_id", "nrm_n", "codes")
+    // FILTER pass: codes only — the double vectors stay unread here.
+    // `oob` rows (appended values that broke a degenerate dimension's
+    // bound — see quantOutOfBounds) carry lying code estimates: they are
+    // EXCLUDED from the threshold and ALWAYS survive to the exact
+    // re-rank, so the filter-refine equality proof never leans on them.
+    val approx = asg.select("cell", "n_id", "nrm_n", "codes", "oob")
       .join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("dhat", col("qa") + aggregate(
@@ -559,13 +646,21 @@ object Similarity {
         lit(0.0), _ + _))
       .withColumn("chat", col("dhat") / (col("nrm_q") * col("nrm_n")))
       .withColumn("err", col("qeps") / (col("nrm_q") * col("nrm_n")))
-    val thr = approx.groupBy("q_id")
+    // t = k-th largest LOWER bound among bound-valid candidates; with
+    // FEWER than k of them the k-th best true similarity may sit below
+    // every collected bound, so pruning is disabled outright (t = −2 <
+    // any cosine) rather than pruning against a threshold the proof
+    // does not cover
+    val thr = approx.filter(!col("oob")).groupBy("q_id")
       .agg(AggFunctions.topKByScore(col("chat") - col("err"),
         col("n_id").cast("long"), k).as("h"))
       .select(col("q_id"),
-        element_at(col("h"), size(col("h"))).getField("sim").as("t"))
-    val surv = approx.join(broadcast(thr), Seq("q_id"))
-      .filter(col("chat") + col("err") >= col("t"))
+        when(size(col("h")) >= k,
+          element_at(col("h"), size(col("h"))).getField("sim"))
+          .otherwise(lit(-2.0)).as("t"))
+    val surv = approx.join(broadcast(thr), Seq("q_id"), "left")
+      .filter(col("oob") ||
+        coalesce(col("chat") + col("err") >= col("t"), lit(false)))
       .select("q_id", "cell", "n_id")
     // REFINE pass: full vectors for survivors only
     val scored = asg.select(col("cell"), col("n_id"), col("v_n"),

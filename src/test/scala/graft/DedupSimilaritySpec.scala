@@ -693,6 +693,58 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res() == pre, "compaction changed the quantized result")
   }
 
+  test("quantized index APPEND: stored ranges/centroids reused, " +
+      "bound-breaking rows flagged, result still equals brute force") {
+    // pin dimension 0 to a constant so the fitted range is DEGENERATE
+    // there (Δ=0): an appended vector that moves on that dim is exactly
+    // the case where the code-level bound is a lie — it must be flagged
+    // oob, skip the prune, and the refine must still equal brute force
+    val embRaw = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
+          .as("embedding"))
+    val pin = (d: org.apache.spark.sql.Column) =>
+      transform(d, (x, i) => when(i === 0, lit(0.5)).otherwise(x))
+    val base = embRaw.filter(col("vec_id") % 10 =!= 3)
+      .select(col("vec_id"), pin(col("embedding")).as("embedding"))
+    // shard A: in-distribution rows (dim 0 at the pinned constant);
+    // shard B: rows that MOVE on the degenerate dim AND scale 1.5x past
+    // the fitted per-dim ranges (out-of-range on normal dims is fine —
+    // unclamped codes — but dim 0 forces the oob path)
+    val shardA = embRaw.filter(col("vec_id") % 10 === 3 &&
+        col("vec_id") % 20 === 3)
+      .select(col("vec_id"), pin(col("embedding")).as("embedding"))
+    val shardB = embRaw.filter(col("vec_id") % 20 === 13)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, lit(0.9)).otherwise(x * 1.5)).as("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("pq_append").toString
+    Similarity.buildQuantizedIndex(base, idx, nLists = 8)
+    Similarity.appendToQuantizedIndex(shardA, idx)
+    Similarity.appendToQuantizedIndex(shardB, idx)
+    val stored = spark.read.parquet(
+      graft.operators.MaintenanceIo.snapshot(idx)("assignments"))
+    assert(stored.filter(col("oob")).select("n_id").distinct().count() ==
+      shardB.count(), "every degenerate-dim mover must be flagged oob")
+    assert(stored.filter(col("oob") && col("n_id") % 20 =!= 13).isEmpty,
+      "no in-distribution row may be flagged oob")
+    val combined = base.unionByName(shardA).unionByName(shardB)
+    val queries = combined.filter(col("vec_id") < 5 ||
+      col("vec_id") % 20 === 13 && col("vec_id") < 200)
+    val got = Similarity.quantizedRefineTopK(idx, queries, k = 5,
+        nProbe = 8)
+      .orderBy("q_id", "rn").collect().toSeq
+    val exact = Similarity.bruteForceTopK(combined, queries, k = 5)
+      .orderBy("q_id", "rn").collect().toSeq
+    assert(got == exact,
+      "quantized search after appends must equal brute force")
+    // and a plain-IVF append into a quantized index is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(shardA, idx)
+    }
+    assert(e.getMessage.contains("appendToQuantizedIndex"))
+  }
+
   test("LSH band-index maintenance: tombstones prune candidates, " +
       "compaction folds them in") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
