@@ -1935,6 +1935,40 @@ object SparkEntry {
         .orderBy("q_id", "rn")
     }),
 
+    // ---- North-star: MERGEABLE distinct-count sketch (HLL on the FNV
+    // stream). The corpus-card primitive at 100 TB: per-source register
+    // tables (≤ 2^10 rows each) come out of ONE narrow pass with a
+    // map-side-combined max — the keys themselves never shuffle — and the
+    // __all__ row is estimated from a max-MERGE of the per-source
+    // sketches, NOT from the raw data, so the result itself witnesses
+    // that sketch union is lossless. The exact_distinct column (a real
+    // key shuffle — the cost the sketch exists to avoid) is the
+    // verification yardstick: SketchesSpec bounds |est−exact| at HLL's
+    // ±3σ. Registers, merge, and estimator are all integer state, so the
+    // DuckDB oracle re-derives the ENTIRE sketch pipeline bit-for-bit
+    // from the same FNV octet fold — hash-gated, not rows-gated, unlike
+    // engine-opaque sketches (DataSketches HLL) which admit no oracle.
+    "q125_hll_card" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // registers are ≤ 1024 × |sources| rows: pin them (tiny) so the
+      // doc scan + hash kernel runs once, not once per consumer.
+      val perSource = operators.Sketches
+        .hllRegisters(docs, col("text"), Seq("source")).localCheckpoint()
+      val bySource = operators.Sketches.hllEstimate(perSource, Seq("source"))
+      val global = operators.Sketches.hllEstimate(
+          operators.Sketches.mergeRegisters(perSource, Seq.empty), Seq.empty)
+        .withColumn("source", lit("__all__"))
+      val h = docs.select(col("source"),
+        TextFunctions.fnvMixed64(col("text")).as("h"))
+      val exact = h.groupBy("source").agg(countDistinct(col("h")).as("exact_distinct"))
+        .unionByName(h.agg(countDistinct(col("h")).as("exact_distinct"))
+          .withColumn("source", lit("__all__")))
+      bySource.unionByName(global)
+        .join(exact, Seq("source"))
+        .select("source", "est_distinct", "exact_distinct")
+        .orderBy("source")
+    }),
+
     // ---- LSH ANN, recall-sized to reproduce the exact top-k ------------
     // OR-amplified hyperplane LSH with `tables` sized by lshTablesFor so a
     // neighbor at the fixture's 5th-neighbor similarity FLOOR (measured:
@@ -4652,6 +4686,67 @@ object SparkEntry {
     // the true top-k, and the refine pass is the brute-force scoring.
     "q99_quantized_refine" -> exactTopKSql,
     "q124_quantized_append" -> exactTopKSql,
+    // q125: the oracle re-derives the whole HLL pipeline — registers from
+    // the same FNV-1a octet fold finished with murmur3's fmix64 (three
+    // xorshift-multiply rounds as UHUGEINT mod-2^64 arithmetic; `// 2^33`
+    // is the unsigned 33-bit shift), bucket = low 10 bits, ρ = 55 −
+    // length(bin(w)) on minimal binary strings (Java toBinaryString and
+    // DuckDB bin() agree), the per-source→global max-merge, and the
+    // estimator on the exact scaled-integer Z (Σ 2^(55−ρ) — no float-sum
+    // order anywhere). α_m is the same literal arithmetic in both
+    // engines; the only non-integral steps are one division and the ln()
+    // of the linear-counting branch, erased by the whole-count round.
+    // exact_distinct = COUNT(DISTINCT h) over the same hashes, so est
+    // and exact measure the same population (hash collisions cancel).
+    "q125_hll_card" ->
+      (s"""WITH h0 AS (
+           SELECT source, ${fnvOctetsSql("text")} AS u FROM documents),
+         h1 AS (SELECT source, xor(u, u // 8589934592) AS u FROM h0),
+         h2 AS (SELECT source,
+                  CAST((CAST(u AS UHUGEINT) * 18397679294719823053)
+                       % 18446744073709551616 AS UBIGINT) AS u FROM h1),
+         h3 AS (SELECT source, xor(u, u // 8589934592) AS u FROM h2),
+         h4 AS (SELECT source,
+                  CAST((CAST(u AS UHUGEINT) * 14181476777654086739)
+                       % 18446744073709551616 AS UBIGINT) AS u FROM h3),
+         h AS (SELECT source, xor(u, u // 8589934592) AS u FROM h4),
+         b AS (
+           SELECT source, u % 1024 AS bucket, u // 1024 AS w FROM h),
+         reg AS (
+           SELECT source, bucket,
+                  MAX(CASE WHEN w = 0 THEN 55
+                           ELSE 55 - length(bin(w)) END) AS rho
+           FROM b GROUP BY source, bucket),
+         regall AS (SELECT bucket, MAX(rho) AS rho FROM reg GROUP BY bucket),
+         est AS (
+           SELECT source, 1024 - COUNT(*) AS v,
+                  SUM(CAST(CAST(1 AS UBIGINT) << (55 - rho) AS HUGEINT)) AS zs
+           FROM reg GROUP BY source
+           UNION ALL
+           SELECT '__all__', 1024 - COUNT(*),
+                  SUM(CAST(CAST(1 AS UBIGINT) << (55 - rho) AS HUGEINT))
+           FROM regall),
+         fin AS (
+           SELECT source,
+             CASE WHEN v > 0 AND
+                    (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+                      * 36028797018963968.0
+                      / CAST(CAST(v AS HUGEINT) * 36028797018963968 + zs
+                             AS DOUBLE) <= 2560.0
+                  THEN 1024.0 * ln(1024.0 / v)
+                  ELSE (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+                      * 36028797018963968.0
+                      / CAST(CAST(v AS HUGEINT) * 36028797018963968 + zs
+                             AS DOUBLE) END AS e
+           FROM est),
+         ex AS (
+           SELECT source, COUNT(DISTINCT u) AS exact_distinct FROM h
+           GROUP BY source
+           UNION ALL
+           SELECT '__all__', COUNT(DISTINCT u) FROM h)
+         SELECT f.source, CAST(round(f.e) AS BIGINT) AS est_distinct,
+                ex.exact_distinct
+         FROM fin f JOIN ex USING (source) ORDER BY f.source"""),
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

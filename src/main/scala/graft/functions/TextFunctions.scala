@@ -116,6 +116,12 @@ object TextFunctions {
     */
   def fnv64(c: Column): Column = toCol(expressions.Fnv64(toExpr(c)))
 
+  /** Avalanche-corrected FNV (fmix64 finalizer) for bit-position consumers
+    * — see [[expressions.FnvMixed64]].
+    */
+  def fnvMixed64(c: Column): Column =
+    toCol(expressions.FnvMixed64(toExpr(c)))
+
   /** Unicode NFC canonical normalization (expressions.NfcNormalize) — the
     * ingest-time canonicalizer that makes byte-keyed operators (exact
     * dedup, shingle hashes, content-hash splits) see canonically-equivalent

@@ -48,6 +48,25 @@ object HashUtil {
     h
   }
 
+  /** MurmurHash3's 64-bit finalizer (fmix64) over the FNV fold: FNV alone
+    * is NOT avalanche-complete — on structured key families (sequential
+    * ids, short prefixed strings) its high bits are visibly biased, which
+    * breaks estimators that read bit POSITIONS rather than bucket by
+    * equality (HLL's ρ was ~2× off on `k0..k79999`; measured in
+    * SketchesSpec's regime test). fmix64 is three xorshift-multiply
+    * rounds, each reproducible in DuckDB as UHUGEINT mod-2^64 arithmetic —
+    * see the q125 oracle's fmixSql twin.
+    */
+  def fnvMixed64(bytes: Array[Byte]): Long = {
+    var h = fnv1a64(bytes)
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
   /** Distinct, sorted 64-bit hashes of the w-token shingles. */
   def shingleHashSet(toks: ArrayData, w: Int): ArrayData = {
     val n = toks.numElements()
@@ -251,6 +270,22 @@ case class Fnv64(child: Expression)
   override def dataType: DataType = LongType
   override def nullSafeEval(s: Any): Any =
     HashUtil.fnv1a64(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** [[HashUtil.fnvMixed64]] as an expression: the avalanche-corrected FNV
+  * stream for operators that consume bit POSITIONS (HLL ρ), not equality
+  * buckets. Kept separate from [[Fnv64]] so the plain-FNV consumers'
+  * oracles and persisted artifacts (fingerprints, band keys) are
+  * untouched.
+  */
+case class FnvMixed64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any): Any =
+    HashUtil.fnvMixed64(
       s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

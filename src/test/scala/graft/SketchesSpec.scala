@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** The mergeable-HLL contract behind q125: register tables are bounded,
+  * union is a lossless max-merge over ANY partitioning of the data, the
+  * integral estimator state makes estimates bit-reproducible regardless of
+  * physical layout, and the estimate tracks exact distinct within the
+  * sketch's error bound across both estimator regimes (linear counting at
+  * low load, raw HLL at high load).
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keys(n: Int, salt: String) =
+    spark.range(n.toLong).select(
+      concat(lit(s"k$salt"), col("id")).as("k"),
+      (col("id") % 4).cast("int").as("shard"))
+
+  test("register table is bounded at 2^lgK rows per group, rho in [1, 55]") {
+    val reg = Sketches.hllRegisters(keys(200000, "a"), col("k"), Seq("shard"))
+    val perGroup = reg.groupBy("shard").agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect()
+    assert(perGroup.nonEmpty && perGroup.forall(_ <= 1024L))
+    val (lo, hi) = reg.agg(min("rho"), max("rho")).as[(Int, Int)].head()
+    assert(lo >= 1 && hi <= 55)
+  }
+
+  test("sketch union is lossless: per-shard registers max-merge to the " +
+    "whole-frame registers, for any shard assignment") {
+    val df = keys(50000, "b")
+    val whole = Sketches.hllRegisters(df, col("k"), Seq.empty)
+    val merged = Sketches.mergeRegisters(
+      Sketches.hllRegisters(df, col("k"), Seq("shard")), Seq.empty)
+    assert(whole.except(merged).isEmpty && merged.except(whole).isEmpty)
+    // and therefore the estimates agree exactly
+    val a = Sketches.hllEstimate(whole, Seq.empty).as[Long].head()
+    val b = Sketches.hllEstimate(merged, Seq.empty).as[Long].head()
+    assert(a == b)
+  }
+
+  test("estimate is layout-independent: repartitioned input gives the " +
+    "bit-identical estimate (integral sketch state, no float-sum order)") {
+    val df = keys(30000, "c")
+    def est(d: org.apache.spark.sql.DataFrame): Long =
+      Sketches.hllEstimate(
+        Sketches.hllRegisters(d, col("k"), Seq.empty), Seq.empty)
+        .as[Long].head()
+    assert(est(df) == est(df.repartition(17, col("k"))))
+    assert(est(df) == est(df.orderBy(col("k").desc)))
+  }
+
+  test("estimate tracks exact distinct within the sketch bound in both " +
+    "regimes (duplicates collapse first)") {
+    // raw-HLL regime: 80k distinct, each key duplicated 3x
+    val big = keys(80000, "d")
+    val dup = big.union(big).union(big)
+    val estBig = Sketches.hllEstimate(
+      Sketches.hllRegisters(dup, col("k"), Seq.empty), Seq.empty)
+      .as[Long].head()
+    // ±3σ at lgK=10: 3 · 1.04/√1024 ≈ 9.7 %
+    assert(math.abs(estBig - 80000.0) / 80000.0 < 0.1,
+      s"raw-regime estimate $estBig vs 80000")
+    // linear-counting regime: 300 distinct → near-exact
+    val estSmall = Sketches.hllEstimate(
+      Sketches.hllRegisters(keys(300, "e"), col("k"), Seq.empty), Seq.empty)
+      .as[Long].head()
+    assert(math.abs(estSmall - 300.0) / 300.0 < 0.05,
+      s"linear-counting estimate $estSmall vs 300")
+  }
+
+  test("NULL keys are skipped, matching COUNT(DISTINCT) semantics") {
+    val df = keys(1000, "f").union(
+      spark.range(50).select(lit(null: String).as("k"),
+        lit(0).cast("int").as("shard")))
+    val withNulls = Sketches.hllEstimate(
+      Sketches.hllRegisters(df, col("k"), Seq.empty), Seq.empty)
+      .as[Long].head()
+    val without = Sketches.hllEstimate(
+      Sketches.hllRegisters(df.filter(col("k").isNotNull), col("k"),
+        Seq.empty), Seq.empty).as[Long].head()
+    assert(withNulls == without)
+  }
+}
