@@ -1969,6 +1969,35 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- North-star: INCREMENTAL corpus card (persisted HLL artifact).
+    // q125's sketch as a maintained index: build the card on a third of
+    // the corpus, fold the other two thirds in as arriving shards — each
+    // append scans ONLY its shard and max-merges ≤ 2^10 register rows
+    // through the manifest machinery (crash-safe generations, grace GC,
+    // per-root writer lock — the Bloom/LSH/IVF lifecycle). The oracle
+    // recomputes the estimate from the WHOLE corpus from scratch, so a
+    // hash-green row proves incremental maintenance is LOSSLESS — the
+    // standing corpus is never rescanned yet the card cannot drift. The
+    // same merge idempotence makes the card safe under at-least-once
+    // re-delivery (re-appending a shard cannot inflate it — spec'd).
+    "q126_hll_card_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = cachedBuild(dir, "documents.parquet",
+          "target/q126_hll_card") { p =>
+        operators.Sketches.buildHllCard(
+          docs.filter(col("doc_id") % 3 === 0), "text", p)
+        operators.Sketches.appendToHllCard(
+          docs.filter(col("doc_id") % 3 === 1), "text", p)
+        operators.Sketches.appendToHllCard(
+          docs.filter(col("doc_id") % 3 === 2), "text", p)
+      }
+      val exact = docs
+        .select(TextFunctions.fnvMixed64(col("text")).as("h"))
+        .agg(countDistinct(col("h")).as("exact_distinct"))
+      operators.Sketches.hllCardEstimate(s, path).crossJoin(exact)
+        .select("est_distinct", "exact_distinct")
+    }),
+
     // ---- LSH ANN, recall-sized to reproduce the exact top-k ------------
     // OR-amplified hyperplane LSH with `tables` sized by lshTablesFor so a
     // neighbor at the fixture's 5th-neighbor similarity FLOOR (measured:
@@ -2855,6 +2884,25 @@ object SparkEntry {
     * overflow-checked) — the oracle-side twin of the engine's byte-level
     * FNV kernels, byte-faithful on non-ASCII input via [[utf8OctetsSql]].
     */
+  /** Shared q125/q126 oracle head: (source, u) rows over `documents` with
+    * u = fmix64(fnv1a64(utf8(text))) — murmur3's finalizer spelled as
+    * UHUGEINT mod-2^64 arithmetic (`// 2^33` = the unsigned 33-bit
+    * shift), the octet-faithful twin of [[graft.functions.expressions.
+    * FnvMixed64]].
+    */
+  private def fnvMixedDocCtes: String =
+    s"""h0 AS (
+           SELECT source, ${fnvOctetsSql("text")} AS u FROM documents),
+         h1 AS (SELECT source, xor(u, u // 8589934592) AS u FROM h0),
+         h2 AS (SELECT source,
+                  CAST((CAST(u AS UHUGEINT) * 18397679294719823053)
+                       % 18446744073709551616 AS UBIGINT) AS u FROM h1),
+         h3 AS (SELECT source, xor(u, u // 8589934592) AS u FROM h2),
+         h4 AS (SELECT source,
+                  CAST((CAST(u AS UHUGEINT) * 14181476777654086739)
+                       % 18446744073709551616 AS UBIGINT) AS u FROM h3),
+         h AS (SELECT source, xor(u, u // 8589934592) AS u FROM h4)"""
+
   private def fnvOctetsSql(e: String): String =
     s"""list_reduce(
          list_prepend(CAST(14695981039346656037 AS UBIGINT),
@@ -4699,17 +4747,7 @@ object SparkEntry {
     // exact_distinct = COUNT(DISTINCT h) over the same hashes, so est
     // and exact measure the same population (hash collisions cancel).
     "q125_hll_card" ->
-      (s"""WITH h0 AS (
-           SELECT source, ${fnvOctetsSql("text")} AS u FROM documents),
-         h1 AS (SELECT source, xor(u, u // 8589934592) AS u FROM h0),
-         h2 AS (SELECT source,
-                  CAST((CAST(u AS UHUGEINT) * 18397679294719823053)
-                       % 18446744073709551616 AS UBIGINT) AS u FROM h1),
-         h3 AS (SELECT source, xor(u, u // 8589934592) AS u FROM h2),
-         h4 AS (SELECT source,
-                  CAST((CAST(u AS UHUGEINT) * 14181476777654086739)
-                       % 18446744073709551616 AS UBIGINT) AS u FROM h3),
-         h AS (SELECT source, xor(u, u // 8589934592) AS u FROM h4),
+      (s"""WITH $fnvMixedDocCtes,
          b AS (
            SELECT source, u % 1024 AS bucket, u // 1024 AS w FROM h),
          reg AS (
@@ -4747,6 +4785,37 @@ object SparkEntry {
          SELECT f.source, CAST(round(f.e) AS BIGINT) AS est_distinct,
                 ex.exact_distinct
          FROM fin f JOIN ex USING (source) ORDER BY f.source"""),
+    // q126: the oracle recomputes the card estimate from the WHOLE corpus
+    // from scratch (same register/estimator pipeline as q125, global
+    // only); equality with the engine's build-then-append-twice artifact
+    // proves the incremental max-merge path is lossless.
+    "q126_hll_card_ingest" ->
+      (s"""WITH $fnvMixedDocCtes,
+         b AS (SELECT u % 1024 AS bucket, u // 1024 AS w FROM h),
+         reg AS (
+           SELECT bucket,
+                  MAX(CASE WHEN w = 0 THEN 55
+                           ELSE 55 - length(bin(w)) END) AS rho
+           FROM b GROUP BY bucket),
+         est AS (
+           SELECT 1024 - COUNT(*) AS v,
+                  SUM(CAST(CAST(1 AS UBIGINT) << (55 - rho) AS HUGEINT)) AS zs
+           FROM reg),
+         fin AS (
+           SELECT CASE WHEN v > 0 AND
+                    (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+                      * 36028797018963968.0
+                      / CAST(CAST(v AS HUGEINT) * 36028797018963968 + zs
+                             AS DOUBLE) <= 2560.0
+                  THEN 1024.0 * ln(1024.0 / v)
+                  ELSE (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+                      * 36028797018963968.0
+                      / CAST(CAST(v AS HUGEINT) * 36028797018963968 + zs
+                             AS DOUBLE) END AS e
+           FROM est)
+         SELECT CAST(round(e) AS BIGINT) AS est_distinct,
+                (SELECT COUNT(DISTINCT u) FROM h) AS exact_distinct
+         FROM fin"""),
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -123,5 +123,65 @@ object Sketches {
       .otherwise(raw)
     grouped.select(dims.map(col) :+
       round(est).cast("long").as("est_distinct"): _*)
+  }
+
+  // ---- Persisted corpus-card artifact (the nightly-ingest shape) --------
+  // The register table as a versioned on-disk artifact behind the same
+  // MANIFEST-pointer machinery as the Bloom / LSH / IVF indexes: build
+  // once over the standing corpus, then each arriving shard folds in with
+  // ONE scan of the new rows and a ≤ 2^lgK-row max-merge — the standing
+  // corpus is never rescanned, and a crash at any instant leaves the
+  // previous (complete, still-correct) generation published. Because the
+  // merge is idempotent, re-appending a shard after a crash-and-retry
+  // cannot inflate the estimate — the card is safe under at-least-once
+  // delivery, which neither a raw count nor a sum-shaped stat survives.
+
+  /** Build the card artifact: one `registers` generation plus a `meta`
+    * generation pinning lgK (the probe contract — an append at a
+    * different geometry would silently corrupt every register, so
+    * appends READ the geometry rather than accept it as a parameter;
+    * the Bloom artifact's nfc/sizing pin, same reasoning).
+    */
+  def buildHllCard(corpus: DataFrame, keyCol: String, path: String,
+                   lgK: Int = DefaultLgK): Unit =
+    MaintenanceIo.withMaintenanceLock(path) {
+      val sp = corpus.sparkSession
+      import sp.implicits._
+      val regGen = MaintenanceIo.nextGen(path, "registers")
+      hllRegisters(corpus, col(keyCol), Seq.empty, lgK)
+        .coalesce(1).write.parquet(s"$path/$regGen")
+      val metaGen = MaintenanceIo.nextGen(path, "meta")
+      Seq(lgK).toDF("lg_k").coalesce(1).write.parquet(s"$path/$metaGen")
+      MaintenanceIo.publish(path, MaintenanceIo.Manifest(0L,
+        Map("registers" -> regGen, "meta" -> metaGen)))
+    }
+
+  /** Fold a new shard into the card: one narrow scan of the SHARD only,
+    * register-wise max against the standing generation, publish as a new
+    * generation. Cost is independent of standing-corpus size.
+    */
+  def appendToHllCard(shard: DataFrame, keyCol: String, path: String): Unit =
+    MaintenanceIo.withMaintenanceLock(path) {
+      val sp = shard.sparkSession
+      val m = MaintenanceIo.requireManifest(path)
+      val snap = MaintenanceIo.snapshot(path)
+      val lgK = sp.read.parquet(snap("meta")).head().getAs[Int]("lg_k")
+      val merged = mergeRegisters(
+        sp.read.parquet(snap("registers")).unionByName(
+          hllRegisters(shard, col(keyCol), Seq.empty, lgK)), Seq.empty)
+      val gen = MaintenanceIo.nextGen(path, "registers")
+      merged.coalesce(1).write.parquet(s"$path/$gen")
+      MaintenanceIo.publish(path, MaintenanceIo.Manifest(m.epoch + 1,
+        m.tables + ("registers" -> gen)))
+    }
+
+  /** Distinct-count estimate from the persisted card (one ≤ 2^lgK-row
+    * read through the manifest — a consistent snapshot even while an
+    * append publishes the next generation).
+    */
+  def hllCardEstimate(sp: SparkSession, path: String): DataFrame = {
+    val snap = MaintenanceIo.snapshot(path)
+    val lgK = sp.read.parquet(snap("meta")).head().getAs[Int]("lg_k")
+    hllEstimate(sp.read.parquet(snap("registers")), Seq.empty, lgK)
   }
 }

@@ -71,6 +71,48 @@ class SketchesSpec extends SparkSpec {
       s"linear-counting estimate $estSmall vs 300")
   }
 
+  test("persisted card: build + shard appends == scratch rebuild, and " +
+    "re-appending a shard (at-least-once redelivery) changes nothing") {
+    val root = "target/tmp/sketches_spec/card"
+    operators.MaintenanceIo.deleteDir(root)
+    val df = keys(20000, "g")
+    operators.Sketches.buildHllCard(df.filter(col("shard") === 0), "k", root)
+    (1 to 3).foreach { sh =>
+      operators.Sketches.appendToHllCard(
+        df.filter(col("shard") === sh), "k", root)
+    }
+    val incremental = operators.Sketches.hllCardEstimate(spark, root)
+      .as[Long].head()
+    val scratch = operators.Sketches.hllEstimate(
+      operators.Sketches.hllRegisters(df, col("k"), Seq.empty), Seq.empty)
+      .as[Long].head()
+    assert(incremental == scratch)
+    // idempotent merge: replaying an already-folded shard is a no-op
+    operators.Sketches.appendToHllCard(
+      df.filter(col("shard") === 2), "k", root)
+    assert(operators.Sketches.hllCardEstimate(spark, root)
+      .as[Long].head() == scratch)
+  }
+
+  test("persisted card pins its geometry: appends honor the built lgK") {
+    val root = "target/tmp/sketches_spec/card_lgk"
+    operators.MaintenanceIo.deleteDir(root)
+    val df = keys(5000, "h")
+    operators.Sketches.buildHllCard(df.filter(col("shard") === 0), "k",
+      root, lgK = 8)
+    operators.Sketches.appendToHllCard(
+      df.filter(col("shard") =!= 0), "k", root)
+    val snap = operators.MaintenanceIo.snapshot(root)
+    val regs = spark.read.parquet(snap("registers"))
+    assert(regs.count() <= 256L) // 2^8 — the append did NOT write at 2^10
+    val incremental = operators.Sketches.hllCardEstimate(spark, root)
+      .as[Long].head()
+    val scratch = operators.Sketches.hllEstimate(
+      operators.Sketches.hllRegisters(df, col("k"), Seq.empty, lgK = 8),
+      Seq.empty, lgK = 8).as[Long].head()
+    assert(incremental == scratch)
+  }
+
   test("NULL keys are skipped, matching COUNT(DISTINCT) semantics") {
     val df = keys(1000, "f").union(
       spark.range(50).select(lit(null: String).as("k"),
