@@ -133,7 +133,13 @@ object IngestStream {
     * only), and duplicate band rows only re-generate candidate pairs
     * the probe distinct()s away — admission semantics are unchanged, so
     * the per-batch overwrite keeps the OUTPUT exactly-once even though
-    * the sketch appends are at-least-once. Within-batch exact dups are
+    * the sketch appends are at-least-once. With `cardPath` set, each
+    * batch also folds its admissions into the persisted HLL corpus card
+    * ([[graft.operators.Sketches.appendToHllCard]]) — the one side
+    * effect that is fully idempotent under replay (register max-merge),
+    * so the running distinct-count telemetry stays EXACTLY equal to a
+    * from-scratch batch computation across any kill/replay schedule.
+    * Within-batch exact dups are
     * collapsed (keep smallest id); within-batch NEAR-dups are the one
     * admitted-twice window, bounded by a single trigger's contents —
     * documented, and closable by sizing triggers.
@@ -142,7 +148,8 @@ object IngestStream {
                       idCol: String, textCol: String,
                       bloomPath: String, lshIndexPath: String,
                       threshold: Double, outPath: String,
-                      checkpoint: String)
+                      checkpoint: String,
+                      cardPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = stream.schema
     stream.writeStream
@@ -189,6 +196,16 @@ object IngestStream {
             .appendToExactBloom(admitted, textCol, bloomPath)
           graft.operators.Dedup
             .appendToLshBandIndex(admitted, idCol, textCol, lshIndexPath)
+          // corpus-card telemetry (q126's artifact): fold this batch's
+          // admissions into the distinct-count sketch. Alone among the
+          // three side-effect appends, this one is fully IDEMPOTENT
+          // (register max-merge), so a replayed batch leaves the card
+          // bit-identical — the estimate never drifts under the
+          // at-least-once delivery foreachBatch gives side effects,
+          // where a count-shaped stat would inflate on every replay.
+          cardPath.foreach { cp =>
+            graft.operators.Sketches.appendToHllCard(admitted, textCol, cp)
+          }
         }
         ()
       }

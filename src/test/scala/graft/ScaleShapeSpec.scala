@@ -567,4 +567,29 @@ class ScaleShapeSpec extends SparkSpec {
       "q97 vocab lookup must broadcast")
     assert(!q97.contains("CartesianProduct"))
   }
+
+  test("round-13 sketch plan shapes: HLL registers map-side combine, " +
+      "no windows, nothing wider than the register table on the shuffle") {
+    // The whole 100 TB claim of the corpus card rests on the register
+    // aggregation being PARTIAL: each task folds its rows into ≤ 2^lgK
+    // local registers and only those cross the wire. A final-only
+    // aggregate (or a window over the hash stream) would shuffle the
+    // corpus and the sketch would save nothing.
+    val reg = operators.Sketches.hllRegisters(
+      Tables.documents(spark, sf0001), col("text"), Seq("source"))
+    val plan = reg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"),
+      "register max must map-side combine")
+    assert(!plan.contains("windowspecdefinition"),
+      "registers must never window over the hash stream")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "registers shuffle by hash, never by range sort")
+    // the estimator adds one bounded (≤ m-row input) aggregate and no
+    // extra scan of anything row-sized
+    val est = operators.Sketches.hllEstimate(reg, Seq("source"))
+    val eplan = est.queryExecution.executedPlan.toString
+    assert(eplan.contains("partial_count") || eplan.contains("partial_sum"),
+      "estimator aggregate must have a partial phase")
+    assert(!eplan.contains("CartesianProduct"))
+  }
 }

@@ -913,6 +913,62 @@ class StreamingEtlSpec extends SparkSpec {
       s"band index must hold corpus+admitted docs: $bandIds")
   }
 
+  test("selfDedupIngest card telemetry: the streaming HLL card equals the " +
+      "batch scratch card across a kill/restart (idempotent side effect)") {
+    // The q126 artifact maintained FROM the stream: each batch folds its
+    // admissions into the card. foreachBatch side effects are
+    // at-least-once, so a count-shaped stat would drift on replay — the
+    // register max-merge cannot. Truth: a from-scratch card over
+    // corpus ∪ (everything the stream actually admitted).
+    import java.nio.file.Files
+    def toks(p: String) = (1 to 30).map(i => s"${p}w$i").mkString(" ")
+    val corpus = Seq((1L, toks("e1")), (2L, toks("e2"))).toDF("doc_id", "text")
+    val bloomPath = Files.createTempDirectory("cd_bloom").toString
+    val lshPath = Files.createTempDirectory("cd_lsh").toString
+    val cardPath = Files.createTempDirectory("cd_card").toString
+    graft.operators.Dedup.buildExactBloom(corpus, "text", bloomPath)
+    graft.operators.Dedup.writeLshBandIndex(corpus, "doc_id", "text",
+      lshPath)
+    graft.operators.Sketches.buildHllCard(corpus, "text", cardPath)
+    val stageDir = Files.createTempDirectory("cd_stage")
+    val ckpt = Files.createTempDirectory("cd_ckpt").toString
+    val outDir = Files.createTempDirectory("cd_out").toString
+    var staged = 0
+    def stage(rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"cd_tmp_$staged")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, stageDir.resolve(f"s$staged%02d.parquet"))
+      staged += 1
+    }
+    def start() = graft.streaming.IngestStream.selfDedupIngest(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString),
+      corpus, "doc_id", "text", bloomPath, lshPath, threshold = 0.8,
+      outDir, ckpt, cardPath = Some(cardPath))
+    stage(Seq(101L -> toks("e3"), 102L -> toks("e3"), 103L -> toks("e1"))) // dup pair + corpus dup
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // dies mid-crawl
+    stage(Seq(111L -> toks("e3"), 112L -> toks("e4"))) // self-dup + fresh
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val admitted = spark.read.parquet(outDir).select("doc_id", "text")
+    val streamedEst = graft.operators.Sketches
+      .hllCardEstimate(spark, cardPath).as[Long].head()
+    val scratchEst = graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllRegisters(
+        corpus.unionByName(admitted), col("text"), Seq.empty),
+      Seq.empty).as[Long].head()
+    assert(streamedEst == scratchEst,
+      s"card drifted: streamed $streamedEst vs scratch $scratchEst")
+    // 4 distinct texts total (e1, e2, e3, e4) — LC regime is near-exact
+    assert(streamedEst == 4L, s"expected 4 distinct texts, got $streamedEst")
+  }
+
   test("writeShards: export is identical under input repartitioning") {
     // the bit-reproducibility claim: shard membership, global positions,
     // and in-file order are pure functions of (ids, seed) — independent
