@@ -1998,6 +1998,68 @@ object SparkEntry {
         .select("est_distinct", "exact_distinct")
     }),
 
+    // ---- North-star: MERGEABLE quantile sketch (HDR log histogram).
+    // Completes the sketch family's quantile member (membership = Bloom,
+    // distinct = q125/q126 HLL): per-priority histograms bucketed by the
+    // value's top 6 significant bits (≤ 2^-5 relative error at every
+    // magnitude, ≤ 3.8k buckets total), the __all__ row derived by
+    // bucket-wise SUM of the per-priority sketches — never from the raw
+    // rows — and every quantile read off a bounded window over the
+    // bucket frame: a global p999 with NO global sort and ≤ 3.8k rows
+    // per group on the shuffle. All integer arithmetic (length(bin),
+    // shifts, counts), so the oracle reproduces the estimates
+    // bit-for-bit. Deterministic cents via round(price·100) — cast
+    // truncation of a double product is engine-dependent; round is not.
+    "q127_quantile_sketch" -> ((s, dir) => {
+      val cents = Tables.orders(s, dir).select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // the histogram is ≤ 3.8k × 5 rows: pin it (tiny) so the order
+      // scan runs once for the per-priority and merged consumers
+      val perPrio = operators.Sketches.logHistogram(cents, col("cents"),
+        Seq("o_orderpriority")).localCheckpoint()
+      val qs = Seq(0.5, 0.9, 0.99, 0.999)
+      val byPrio = operators.Sketches.histQuantiles(perPrio,
+        Seq("o_orderpriority"), qs)
+      val global = operators.Sketches.histQuantiles(
+          operators.Sketches.mergeHistograms(perPrio, Seq.empty),
+          Seq.empty, qs)
+        .withColumn("o_orderpriority", lit("__all__"))
+      byPrio.unionByName(global)
+        .select(col("o_orderpriority"), col("quantile"),
+          col("est").as("est_cents"))
+        .orderBy("o_orderpriority", "quantile")
+    }),
+
+    // ---- North-star: MERGEABLE frequency sketch (count-min). The
+    // family's last member (membership = Bloom, distinct = HLL,
+    // quantiles = q127): per-source 4×4096 counter sketches over the
+    // token stream, bucket-wise-SUM-merged into the probed sketch —
+    // token COUNTS at any corpus size with only d·w rows per source on
+    // the shuffle. The d row-hashes derive from ONE fnvMixed64 call
+    // (Kirsch–Mitzenmacher double hashing), the probe side (exact
+    // top-20 tokens — the verification yardstick, a real key shuffle)
+    // broadcasts, and est ≥ exact always (CM overestimates only). All
+    // integer state, so the oracle reproduces the ESTIMATES bit-for-bit
+    // — the sketch's collision behavior itself is gated, not just its
+    // inputs.
+    "q128_cms_heavyhitters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      // per-source sketches merged — the nightly shape; the merged frame
+      // is ≤ d·w rows, pinned so both probe joins read one build
+      val sk = operators.Sketches.mergeCms(
+        operators.Sketches.cmsSketch(toks, col("tok"), Seq("source")),
+        Seq.empty).localCheckpoint()
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+        .localCheckpoint() // 20 rows, two consumers
+      operators.Sketches.cmsEstimate(sk, top.select("tok"), "tok")
+        .join(top, Seq("tok"))
+        .select(col("tok"), col("est_cnt"), col("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok"))
+    }),
+
     // ---- LSH ANN, recall-sized to reproduce the exact top-k ------------
     // OR-amplified hyperplane LSH with `tables` sized by lshTablesFor so a
     // neighbor at the fixture's 5th-neighbor similarity FLOOR (measured:
@@ -2890,18 +2952,26 @@ object SparkEntry {
     * shift), the octet-faithful twin of [[graft.functions.expressions.
     * FnvMixed64]].
     */
+  /** murmur3 fmix64 over a CTE `base`'s column `u`, carrying `carry`
+    * through: CTEs m1..m4 and `mx` (the finalized hash). UHUGEINT
+    * mod-2^64 multiplies; `// 2^33` is the unsigned 33-bit shift.
+    */
+  private def fmix64Ctes(base: String, carry: String): String =
+    s"""m1 AS (SELECT $carry, xor(u, u // 8589934592) AS u FROM $base),
+         m2 AS (SELECT $carry,
+                  CAST((CAST(u AS UHUGEINT) * 18397679294719823053)
+                       % 18446744073709551616 AS UBIGINT) AS u FROM m1),
+         m3 AS (SELECT $carry, xor(u, u // 8589934592) AS u FROM m2),
+         m4 AS (SELECT $carry,
+                  CAST((CAST(u AS UHUGEINT) * 14181476777654086739)
+                       % 18446744073709551616 AS UBIGINT) AS u FROM m3),
+         mx AS (SELECT $carry, xor(u, u // 8589934592) AS u FROM m4)"""
+
   private def fnvMixedDocCtes: String =
     s"""h0 AS (
            SELECT source, ${fnvOctetsSql("text")} AS u FROM documents),
-         h1 AS (SELECT source, xor(u, u // 8589934592) AS u FROM h0),
-         h2 AS (SELECT source,
-                  CAST((CAST(u AS UHUGEINT) * 18397679294719823053)
-                       % 18446744073709551616 AS UBIGINT) AS u FROM h1),
-         h3 AS (SELECT source, xor(u, u // 8589934592) AS u FROM h2),
-         h4 AS (SELECT source,
-                  CAST((CAST(u AS UHUGEINT) * 14181476777654086739)
-                       % 18446744073709551616 AS UBIGINT) AS u FROM h3),
-         h AS (SELECT source, xor(u, u // 8589934592) AS u FROM h4)"""
+         ${fmix64Ctes("h0", "source")},
+         h AS (SELECT source, u FROM mx)"""
 
   private def fnvOctetsSql(e: String): String =
     s"""list_reduce(
@@ -4816,6 +4886,82 @@ object SparkEntry {
          SELECT CAST(round(e) AS BIGINT) AS est_distinct,
                 (SELECT COUNT(DISTINCT u) FROM h) AS exact_distinct
          FROM fin"""),
+    // q127: the oracle re-derives the log-histogram sketch pipeline —
+    // bucket = me·64 + (v >> me) with me = max(length(bin v)−1−5, 0),
+    // the per-priority→__all__ bucket-wise SUM merge, the cumulative
+    // walk, ceil(q·N) targets, and the range-midpoint representative —
+    // all integer arithmetic, bit-for-bit. Quantile literals are cast
+    // to DOUBLE (DuckDB parses bare 0.5 as DECIMAL, which would change
+    // the q·N product Spark computes in double).
+    "q127_quantile_sketch" ->
+      raw"""WITH src AS (
+           SELECT o_orderpriority AS g,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+         hist AS (
+           SELECT g,
+                  GREATEST(length(bin(v)) - 1 - 5, 0) * 64
+                    + (v >> CAST(GREATEST(length(bin(v)) - 1 - 5, 0)
+                                 AS INTEGER)) AS bucket,
+                  COUNT(*) AS cnt
+           FROM src GROUP BY 1, 2),
+         hist2 AS (
+           SELECT g, bucket, cnt FROM hist
+           UNION ALL
+           SELECT '__all__', bucket, SUM(cnt) FROM hist GROUP BY bucket),
+         cum AS (
+           SELECT g, bucket,
+                  SUM(cnt) OVER (PARTITION BY g ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS c,
+                  SUM(cnt) OVER (PARTITION BY g) AS n
+           FROM hist2),
+         qv AS (SELECT unnest([0.5, 0.9, 0.99, 0.999]::DOUBLE[])
+                  AS quantile),
+         pick AS (
+           SELECT g, quantile, MIN(bucket) AS bk
+           FROM cum CROSS JOIN qv
+           WHERE c >= CAST(CEIL(quantile * n) AS BIGINT)
+           GROUP BY g, quantile)
+         SELECT g AS o_orderpriority, quantile,
+                CAST(CASE WHEN bk // 64 = 0 THEN bk % 64
+                     ELSE (2 * (bk % 64) + 1) << (CAST(bk // 64 AS INTEGER) - 1)
+                     END AS BIGINT) AS est_cents
+         FROM pick ORDER BY o_orderpriority, quantile""",
+    // q128: the oracle re-derives the CM sketch bit-for-bit — the token
+    // stream (q96's split parity), ONE fmix64(fnv64) per distinct token
+    // (weights folded by count — the same cells the per-occurrence
+    // engine pass sums), Kirsch–Mitzenmacher cells (h1 + r·h2) mod w,
+    // bucket-wise-summed counters, and min-over-cells estimates for the
+    // exact top-20 (count DESC, token tiebreak — both engines).
+    "q128_cms_heavyhitters" ->
+      (raw"""WITH toks AS (
+           SELECT unnest(string_split_regex(trim(text), '[$WS]+')) AS tok
+           FROM documents),
+         tfreq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+         t0 AS (SELECT tok, cnt, """ + fnvOctetsSql("tok") + raw""" AS u
+                FROM tfreq),
+         """ + fmix64Ctes("t0", "tok, cnt") + raw""",
+         rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         cells AS (
+           SELECT r, CAST((u % 4294967296 + r * (u // 4294967296)) % 4096
+                          AS BIGINT) AS idx,
+                  SUM(cnt) AS c
+           FROM mx CROSS JOIN rr GROUP BY 1, 2),
+         top AS (SELECT tok, cnt AS exact_cnt, u FROM mx
+                 ORDER BY cnt DESC, tok LIMIT 20),
+         probe AS (
+           SELECT tok, exact_cnt, r,
+                  CAST((u % 4294967296 + r * (u // 4294967296)) % 4096
+                       AS BIGINT) AS idx
+           FROM top CROSS JOIN rr),
+         est AS (
+           SELECT tok, exact_cnt, MIN(COALESCE(c, 0)) AS est_cnt
+           FROM probe LEFT JOIN cells USING (r, idx)
+           GROUP BY tok, exact_cnt)
+         SELECT tok, CAST(est_cnt AS BIGINT) AS est_cnt,
+                CAST(exact_cnt AS BIGINT) AS exact_cnt
+         FROM est ORDER BY exact_cnt DESC, tok"""),
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

@@ -184,4 +184,151 @@ object Sketches {
     val lgK = sp.read.parquet(snap("meta")).head().getAs[Int]("lg_k")
     hllEstimate(sp.read.parquet(snap("registers")), Seq.empty, lgK)
   }
+
+  // ---- Mergeable quantile sketch (HDR-style log histogram) --------------
+  // The quantile member of the sketch family (membership = Bloom,
+  // distinct = HLL registers, quantiles = this): bucket a non-negative
+  // integer value by its top b+1 significant bits — exponent e =
+  // floor(log2 v) via length(bin v), mantissa slice v >> max(e−b, 0) —
+  // giving ≤ (64−b)·2^(b+1) buckets total (≈ 3.8k at b = 5) with
+  // RELATIVE error ≤ 2^−b at every magnitude (HdrHistogram's public
+  // scheme). Counts are plain integers, so per-shard histograms merge by
+  // bucket-wise SUM — associative, order-free, and (unlike the HLL max)
+  // requiring exactly-once folding, which is why the streaming card uses
+  // HLL and this one belongs to batch/nightly jobs. Everything —
+  // bucketing, merge, CDF walk, representative value — is integer
+  // arithmetic on `length(bin(…))` and shifts, so the DuckDB oracle
+  // reproduces estimates bit-for-bit (q127), exactly like the HLL card.
+  //
+  // At 100 TB: the histogram extraction is one narrow pass with a
+  // map-side-combined count; only ≤ 3.8k rows per group ever shuffle,
+  // and the quantile walk is a bounded window over that bucket frame
+  // (the shuffleIndex bounded class) — a global percentile without a
+  // global sort.
+
+  /** Sub-bucket precision bits: relative error ≤ 2^−5 ≈ 3.1 %. */
+  val DefaultHistBits = 5
+
+  /** One log-histogram per `dims` group: (dims…, bucket, cnt) with
+    * bucket = me·2^(b+1) + (v >> me), me = max(floor(log2 v) − b, 0).
+    * Values must be non-negative (callers scale/offset first — q127
+    * uses deterministic cents via round(price·100)).
+    */
+  def logHistogram(df: DataFrame, value: Column, dims: Seq[String],
+                   b: Int = DefaultHistBits): DataFrame = {
+    require(b >= 1 && b <= 16, s"logHistogram: b in [1,16], got $b")
+    df.select(dims.map(col) :+ value.cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .withColumn("__e", (length(bin(col("__v"))) - 1).cast("int"))
+      .withColumn("__me", greatest(col("__e") - lit(b), lit(0)))
+      .select(dims.map(col) :+
+        (col("__me").cast("long") * lit((1L << (b + 1))) +
+          expr("shiftrightunsigned(__v, __me)")).as("bucket"): _*)
+      .groupBy(dims.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Lossless histogram union: bucket-wise sum over any partitioning. */
+  def mergeHistograms(hist: DataFrame, dims: Seq[String]): DataFrame =
+    hist.groupBy(dims.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Discrete quantile estimates from a histogram: for each q, the
+    * representative (range midpoint) of the first bucket whose
+    * cumulative count reaches ceil(q·N). The cumulative walk is a
+    * window over the bucket order — bounded at the bucket-count frame
+    * (≤ 3.8k rows at b = 5), never over row-sized data.
+    */
+  def histQuantiles(hist: DataFrame, dims: Seq[String], qs: Seq[Double],
+                    b: Int = DefaultHistBits): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = hist.sparkSession
+    import sp.implicits._
+    val wCum = Window.partitionBy(dims.map(col): _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(dims.map(col): _*)
+    val sub = 1L << (b + 1)
+    hist
+      .withColumn("__cum", sum(col("cnt")).over(wCum))
+      .withColumn("__n", sum(col("cnt")).over(wAll))
+      .crossJoin(broadcast(qs.toDF("quantile")))
+      .filter(col("__cum") >= ceil(col("quantile") * col("__n")))
+      .groupBy(dims.map(col) :+ col("quantile"): _*)
+      .agg(min(col("bucket")).as("__bk"))
+      .withColumn("__me", expr(s"__bk DIV $sub"))
+      .withColumn("__sub", col("__bk") % lit(sub))
+      .withColumn("est", when(col("__me") === 0L, col("__sub"))
+        .otherwise(expr(s"shiftleft(2 * __sub + 1, CAST(__me AS INT) - 1)")))
+      .select(dims.map(col) :+ col("quantile") :+ col("est"): _*)
+  }
+
+  // ---- Mergeable frequency sketch (count-min) ---------------------------
+  // The frequency member of the sketch family: d × w integer counters,
+  // point estimate = min over the d probed cells, overestimate bounded
+  // by εN (ε = e/w) with probability 1 − e^−d. The d row-hashes derive
+  // from ONE fnvMixed64 evaluation via Kirsch–Mitzenmacher double
+  // hashing (h1 + i·h2 — published to preserve CM guarantees), so the
+  // per-row cost is a single hash kernel call, and every step is
+  // integer arithmetic the DuckDB oracle reproduces bit-for-bit (q128).
+  // Counters are plain sums, so per-shard sketches merge bucket-wise —
+  // associative and exact, the same nightly-merge shape as the log
+  // histogram (and like it, sum-merge wants exactly-once folding; the
+  // idempotent streaming slot stays with the HLL card).
+  //
+  // At 100 TB: one narrow pass, a d× bounded fan-out, a map-side-
+  // combined sum — only d·w rows (64 KB-ish) per group ever shuffle.
+  // Heavy-hitter COUNTS without shuffling the keys; producing the
+  // candidate keys themselves pairs it with a per-partition top-k or an
+  // exact pass over a candidate slice (q128 uses the exact pass as its
+  // verification yardstick).
+
+  val DefaultCmsWidth = 4096
+  val DefaultCmsDepth = 4
+
+  private def cmsCells(h: Column, w: Int, d: Int): Column = {
+    val h1 = pmod(h, lit(1L << 32))
+    val h2 = shiftrightunsigned(h, 32)
+    transform(sequence(lit(0), lit(d - 1)),
+      i => pmod(h1 + i.cast("long") * h2, lit(w.toLong)))
+  }
+
+  /** One CM sketch per `dims` group: (dims…, row, idx, c). */
+  def cmsSketch(df: DataFrame, key: Column, dims: Seq[String],
+                w: Int = DefaultCmsWidth, d: Int = DefaultCmsDepth)
+      : DataFrame = {
+    require(w >= 2 && d >= 1, s"cmsSketch: w >= 2, d >= 1, got ($w, $d)")
+    df.select(dims.map(col) :+
+        TextFunctions.fnvMixed64(key).as("__h"): _*)
+      .filter(col("__h").isNotNull)
+      .select(dims.map(col) :+
+        posexplode(cmsCells(col("__h"), w, d)): _*)
+      .withColumnRenamed("pos", "row").withColumnRenamed("col", "idx")
+      .groupBy(dims.map(col) :+ col("row") :+ col("idx"): _*)
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Lossless sketch union: bucket-wise sum over any partitioning. */
+  def mergeCms(sketch: DataFrame, dims: Seq[String]): DataFrame =
+    sketch.groupBy(dims.map(col) :+ col("row") :+ col("idx"): _*)
+      .agg(sum(col("c")).as("c"))
+
+  /** Point estimates for `keys` (one column `keyCol`) against a single
+    * (dims-free) sketch: min over the d probed cells; a cell absent from
+    * the sketch frame counts 0. The keys side is broadcast — the probe
+    * is the tiny side by design (candidate heavy hitters, a watchlist),
+    * the sketch is ≤ d·w rows, and nothing row-sized shuffles.
+    */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                  w: Int = DefaultCmsWidth, d: Int = DefaultCmsDepth)
+      : DataFrame = {
+    val probes = keys
+      .withColumn("__cells", cmsCells(
+        TextFunctions.fnvMixed64(col(keyCol)), w, d))
+      .select(col(keyCol), posexplode(col("__cells")))
+      .withColumnRenamed("pos", "row").withColumnRenamed("col", "idx")
+    broadcast(probes)
+      .join(sketch, Seq("row", "idx"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_cnt"))
+  }
 }

@@ -113,6 +113,58 @@ class SketchesSpec extends SparkSpec {
     assert(incremental == scratch)
   }
 
+  test("log histogram: bounded buckets, lossless sum-merge, quantiles " +
+    "within the 2^-b relative bound of the exact discrete quantile") {
+    // skewed long-tailed values exercise many magnitudes
+    val vals = (1 to 50000).map(i => (i.toLong * i.toLong % 999983L) + 1L)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (v, i % 4) }.toDF("v", "shard")
+    val hist = operators.Sketches.logHistogram(df, col("v"), Seq.empty)
+    assert(hist.count() <= (64 - 5) * 64L, "bucket space must be bounded")
+    // merge over an arbitrary sharding == scratch
+    val merged = operators.Sketches.mergeHistograms(
+      operators.Sketches.logHistogram(df, col("v"), Seq("shard")),
+      Seq.empty)
+    assert(hist.except(merged).isEmpty && merged.except(hist).isEmpty)
+    // every estimate within 2^-5 of the exact discrete quantile
+    val qs = Seq(0.5, 0.9, 0.99, 0.999)
+    val est = operators.Sketches.histQuantiles(hist, Seq.empty, qs)
+      .select("quantile", "est").as[(Double, Long)].collect().toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val exact = sorted(math.ceil(q * sorted.size).toInt - 1)
+      val rel = math.abs(est(q) - exact).toDouble / exact
+      assert(rel <= 1.0 / 32 + 1e-9,
+        s"q=$q est=${est(q)} exact=$exact rel=$rel")
+    }
+  }
+
+  test("count-min: est >= exact for every key, lossless sum-merge, " +
+    "never-seen keys read their collision floor only") {
+    // zipf-ish: key j appears ~ 2000/j times
+    val rows = (1 to 200).flatMap(j => Seq.fill(2000 / j)(s"t$j"))
+    val df = rows.zipWithIndex.map { case (k, i) => (k, i % 4) }
+      .toDF("k", "shard")
+    val sk = operators.Sketches.mergeCms(
+      operators.Sketches.cmsSketch(df, col("k"), Seq("shard")), Seq.empty)
+    val scratch = operators.Sketches.cmsSketch(df, col("k"), Seq.empty)
+    assert(sk.except(scratch).isEmpty && scratch.except(sk).isEmpty,
+      "per-shard sketches must sum-merge to the scratch sketch")
+    val exact = df.groupBy("k").agg(count(lit(1)).as("exact"))
+    val est = operators.Sketches.cmsEstimate(sk, exact.select("k"), "k")
+      .join(exact, Seq("k"))
+      .select("k", "est_cnt", "exact").as[(String, Long, Long)].collect()
+    assert(est.nonEmpty && est.forall { case (_, e, x) => e >= x },
+      "CM must never underestimate")
+    // a key never inserted estimates at most the collision floor eps*N
+    val n = rows.size
+    val ghost = operators.Sketches.cmsEstimate(sk,
+      Seq("never-inserted-key").toDF("k"), "k")
+      .select("est_cnt").as[Long].head()
+    assert(ghost <= math.ceil(math.E / 4096 * n).toLong * 4 + 1,
+      s"ghost estimate $ghost exceeds the collision bound at N=$n")
+  }
+
   test("NULL keys are skipped, matching COUNT(DISTINCT) semantics") {
     val df = keys(1000, "f").union(
       spark.range(50).select(lit(null: String).as("k"),
