@@ -66,6 +66,9 @@ object Explain {
         // q99: the same coarse-probe cross of queries x the nLists-row
         // stored centroid table as q52/q92.
         "q99_quantized_refine" -> Set("BroadcastNestedLoopJoin"),
+        // q124: q99's probe shape exactly — the appended index is read
+        // through the same quantizedRefineTopK coarse-probe cross.
+        "q124_quantized_append" -> Set("BroadcastNestedLoopJoin"),
         "q69_bm25_search" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         "q70_unigram_surprisal" ->
@@ -121,6 +124,29 @@ object Explain {
         // global approx-percentile aggregate — its final merge is one
         // row through one task, the q03/q17/q82#pass1 shape.
         "q114_value_drift#cuts" -> Set("SinglePartition-exchange"),
+        // q125: the merged-__all__ sketch is a GLOBAL aggregate over the
+        // ≤ 1024-row register frame (the q03/q17 bounded class), and the
+        // global exact_distinct yardstick merges through one task the
+        // same way. Nothing row-sized crosses a SinglePartition.
+        "q125_hll_card" -> Set("SinglePartition-exchange"),
+        // q126: crossJoin(broadcast(1-row exact-count frame)) onto the
+        // 1-row card estimate — the q69/q70 1-row-frame shape; the
+        // SinglePartition exchanges are those frames' own global
+        // aggregates (≤ 1024 register rows / 1 count row through one
+        // task).
+        "q126_hll_card_ingest" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q127: crossJoin(broadcast(4-row quantile frame)) onto the
+        // bucket frame, and the merged-__all__ cumulative walk is the
+        // q74/q107-class BOUNDED partition-less window over ≤ 3.8k
+        // bucket rows. The orders scan itself shuffles only bucket
+        // rows.
+        "q127_quantile_sketch" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q128: the merged sketch is a global aggregate over the
+        // ≤ 16k-cell counter frame, and the exact-top-20 yardstick ends
+        // in a TakeOrdered + 20-row frames — all q03/q17-bounded.
+        "q128_cms_heavyhitters" -> Set("SinglePartition-exchange"),
         // q116: the profiler IS one global aggregate — its final merge of
         // the per-partition partials is one row through one task, the
         // q03/q17 class; everything upstream is the map-side Expand+
