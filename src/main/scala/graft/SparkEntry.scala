@@ -2060,6 +2060,31 @@ object SparkEntry {
         .orderBy(col("exact_cnt").desc, col("tok"))
     }),
 
+    // ---- Pure range join, binned rewrite --------------------------------
+    // Point-in-interval with NO equi key: every lineitem price probed
+    // against every order's ±0.1 % price band. Spark's native plan for
+    // this predicate is BroadcastNestedLoopJoin (O(n·m) comparisons —
+    // dead at 100 TB); binnedRangeJoin turns it into ONE shuffled
+    // equi-join on floor(price/250) with the exact BETWEEN re-filter
+    // (plan-asserted: no BNLJ, no cartesian). binWidth 250 ≈ the P95
+    // band width (bands span 2–1000), so the interval side replicates
+    // ≤ 5× worst-case and the point side not at all. Oracle is the plain
+    // inequality join — DuckDB's IEJoin computes the same pairs its way.
+    "q129_range_join_bands" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_extendedprice"), col("l_returnflag"), col("l_quantity"))
+      val bands = Tables.orders(s, dir).select(
+        (col("o_totalprice") * lit(0.999)).as("band_lo"),
+        (col("o_totalprice") * lit(1.001)).as("band_hi"),
+        col("o_orderpriority"))
+      Relational.binnedRangeJoin(li, bands,
+          "l_extendedprice", "band_lo", "band_hi", binWidth = 250.0)
+        .groupBy("l_returnflag", "o_orderpriority")
+        .agg(count(lit(1)).as("n_pairs"),
+          Relational.decSum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag", "o_orderpriority")
+    }),
+
     // ---- LSH ANN, recall-sized to reproduce the exact top-k ------------
     // OR-amplified hyperplane LSH with `tables` sized by lshTablesFor so a
     // neighbor at the fixture's 5th-neighbor similarity FLOOR (measured:
@@ -4962,6 +4987,21 @@ object SparkEntry {
          SELECT tok, CAST(est_cnt AS BIGINT) AS est_cnt,
                 CAST(exact_cnt AS BIGINT) AS exact_cnt
          FROM est ORDER BY exact_cnt DESC, tok"""),
+    // q129: the oracle states the range join declaratively (DuckDB plans
+    // it as IEJoin); the engine's binned equi-join rewrite must produce
+    // the identical pair set. Bounds are the same double products in
+    // both engines (IEEE multiply is deterministic).
+    "q129_range_join_bands" ->
+      """SELECT l_returnflag, o_orderpriority,
+                COUNT(*) AS n_pairs,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(28, 4))) AS DOUBLE)
+                  AS sum_qty
+         FROM lineitem l
+         JOIN orders o
+           ON l.l_extendedprice >= o.o_totalprice * 0.999
+          AND l.l_extendedprice <= o.o_totalprice * 1.001
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

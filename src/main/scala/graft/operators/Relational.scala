@@ -788,6 +788,51 @@ object Relational {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Pure range join (point-in-interval, NO equi key) as a bin-bucketed
+    * equi-join — the rewrite Spark itself lacks: `points JOIN intervals ON
+    * p BETWEEN lo AND hi` plans as BroadcastNestedLoopJoin (small side
+    * replicated, O(|points|·|intervals|) comparisons) or, unbroadcastable,
+    * a CartesianProduct — both dead at 100 TB.
+    *
+    * Rewrite: pick a bin width `w`; each interval is exploded to every bin
+    * it overlaps (`floor(lo/w) .. floor(hi/w)`), each point maps to its one
+    * bin (`floor(p/w)`), the join becomes a plain shuffled equi-join on the
+    * bin id, and the exact `lo <= p <= hi` predicate re-filters the
+    * candidates. floor(x/w) is monotonic in IEEE doubles, so every true
+    * match lands in a shared bin — the rewrite is lossless (spec-checked
+    * against the nested-loop plan at fixture scale).
+    *
+    * Scale contract: shuffle volume is |points| + Σ(spanᵢ/w + 1) rows of
+    * fixed width — choose `w` ≈ the P95 interval width so the interval side
+    * replicates ≤ 2× (the classic bin-join sizing rule; spatial engines and
+    * Flink's interval join do the same). Comparisons per bin are
+    * |points∩bin| · |intervals∩bin| — local, AQE-splittable, no nested loop
+    * over the whole table. Intervals with hi < lo are dropped (empty range;
+    * SQL BETWEEN agrees). Column names must be disjoint across the two
+    * inputs; both bound columns must be non-NULL (NULL never matches
+    * BETWEEN — filtered, matching SQL).
+    */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, loCol: String, hiCol: String,
+                      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binnedRangeJoin: binWidth > 0, got $binWidth")
+    val dup = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(dup.isEmpty, s"binnedRangeJoin: overlapping columns $dup")
+    val p = col(pointCol)
+    val pb = points
+      .filter(p.isNotNull)
+      .withColumn("__bin", floor(p / binWidth).cast("long"))
+    val ib = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) <= col(hiCol))
+      .withColumn("__bin", explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    pb.join(ib, Seq("__bin"))
+      .filter(p >= col(loCol) && p <= col(hiCol))
+      .drop("__bin")
+  }
+
   /** Explode a delimited string column and count tokens, top-k.
     * Ref: als_clustering_analysis.py:138-144 (genre split/explode/count).
     */

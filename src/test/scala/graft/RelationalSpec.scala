@@ -292,6 +292,41 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.ksBucketCount(Long.MaxValue / 4, 65536L, 32) == 65536)
   }
 
+  test("binnedRangeJoin: lossless vs the nested-loop join, NULL/empty laws") {
+    val points = Seq((1L, 0.5), (2L, 3.0), (3L, 7.25), (4L, 10.0),
+      (5L, -2.5), (6L, 249.99), (7L, 250.0), (8L, 1e6))
+      .toDF("pid", "p")
+      .unionByName(Seq(Tuple1(9L)).toDF("pid")
+        .withColumn("p", lit(null).cast("double")))
+    val ivals = Seq(
+      (10L, 0.0, 3.0),      // spans bins {0} at w=250; matches p=0.5, 3.0
+      (11L, -5.0, -1.0),    // negative range: floor bins are negative
+      (12L, 7.25, 7.25),    // degenerate single point, inclusive both ends
+      (13L, 240.0, 260.0),  // straddles the w=250 bin boundary
+      (14L, 5.0, 2.0),      // empty (hi < lo): must vanish, not throw
+      (15L, 0.0, 2000.0))   // wide interval exploded across 9 bins
+      .toDF("iid", "lo", "hi")
+      .unionByName(Seq(Tuple1(16L)).toDF("iid")
+        .withColumn("lo", lit(null).cast("double"))
+        .withColumn("hi", lit(100.0)))
+    val got = Relational.binnedRangeJoin(points, ivals, "p", "lo", "hi", 250.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    // ground truth from the naive predicate join (cross + filter)
+    val want = points.filter(col("p").isNotNull).crossJoin(
+        ivals.filter(col("lo").isNotNull))
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == want, s"binned != nested-loop: got $got want $want")
+    assert(want.contains((5L, 11L)), "negative-domain bins must work")
+    assert(want.contains((3L, 12L)), "degenerate interval is inclusive")
+    assert(got.forall(_._2 != 14L) && got.forall(_._2 != 16L))
+    // plan law: the rewrite must be an equi-join — never a nested loop
+    val plan = Relational.binnedRangeJoin(points, ivals, "p", "lo", "hi", 250.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("profile: null handling, exact distincts, and non-numeric slots") {
     val df = Seq(
       (Some(1L), Some("a"), Some(2.5)),

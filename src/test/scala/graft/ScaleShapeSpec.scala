@@ -592,4 +592,22 @@ class ScaleShapeSpec extends SparkSpec {
       "estimator aggregate must have a partial phase")
     assert(!eplan.contains("CartesianProduct"))
   }
+
+  test("q129 range join plans as a binned equi-join, never a nested loop") {
+    // The whole point of binnedRangeJoin: the inequality predicate that
+    // Spark would execute as BroadcastNestedLoopJoin (per-row probes of
+    // the entire interval table — O(n·m) at 100 TB) must instead be ONE
+    // shuffled equi-join on the bin id with the BETWEEN as a post-filter.
+    val plan = SparkEntry.queries("q129_range_join_bands")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "q129 must not nested-loop the range predicate")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+        || plan.contains("BroadcastHashJoin"),
+      "q129 must join hash/sort-merge on the bin id")
+    // and the pair aggregate must map-side combine before the final group
+    assert(plan.contains("partial_count"),
+      "q129 pair counts must partial-aggregate")
+  }
 }
