@@ -2085,6 +2085,30 @@ object SparkEntry {
         .orderBy("l_returnflag", "o_orderpriority")
     }),
 
+    // ---- PERSISTED INVERTED INDEX: build + append + BM25 query ---------
+    // q69 recomputes BM25 from raw text every call; this is the stored-
+    // artifact shape — postings (tok, doc_id, tf, dl) bucket-partitioned
+    // by hash(tok) so the term probe statically prunes the scan, df and
+    // corpus stats as ADDITIVE side tables. Index built on doc_id%3!=2,
+    // the %3==2 shard APPENDED (shard-only pass, standing corpus never
+    // re-read — the q89/q93 nightly cadence), then a 4-term BM25 query
+    // answered ENTIRELY from the artifact must hash-match the
+    // full-corpus from-scratch recompute oracle: every posting, df
+    // increment, and stats row survived the build+append round trip.
+    "q130_inverted_index_bm25" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = cachedBuild(dir, "documents.parquet",
+          "target/q130_inv_index") { p =>
+        operators.InvertedIndex.buildIndex(
+          docs.filter(col("doc_id") % 3 =!= 2), p)
+        operators.InvertedIndex.appendToIndex(
+          docs.filter(col("doc_id") % 3 === 2), p)
+      }
+      operators.InvertedIndex.bm25FromIndex(s, idx, indexTerms)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // ---- LSH ANN, recall-sized to reproduce the exact top-k ------------
     // OR-amplified hyperplane LSH with `tables` sized by lshTablesFor so a
     // neighbor at the fixture's 5th-neighbor similarity FLOOR (measured:
@@ -3244,13 +3268,25 @@ object SparkEntry {
     */
   private val bm25Terms: Seq[String] = Seq("spark", "stream", "merge")
 
-  /** q69 oracle: BM25 re-derived in DuckDB with the SAME double-op order
-    * and literals (2.2 = k1+1 and 0.25 = 1-b are literals on BOTH sides —
-    * recomputing them could differ in the last ulp), per-term rounding to
-    * 6 dp, and the same DECIMAL sum so addition order cannot matter.
+  /** q130 query terms — a DIFFERENT fixture-vocabulary set from q69's, so
+    * the stored-index path is exercised on terms whose df/tf profile the
+    * q69 gate never covered. Single source for the engine's index probe
+    * AND the oracle's IN list.
     */
-  private def bm25OracleSql: String = {
-    val terms = bm25Terms.map(t => s"'${t.replace("'", "''")}'")
+  private val indexTerms: Seq[String] = Seq("join", "scan", "vector", "window")
+
+  /** q69/q130 oracle: BM25 re-derived in DuckDB with the SAME double-op
+    * order and literals (2.2 = k1+1 and 0.25 = 1-b are literals on BOTH
+    * sides — recomputing them could differ in the last ulp), per-term
+    * rounding to 6 dp, and the same DECIMAL sum so addition order cannot
+    * matter. Always the FULL-corpus from-scratch recompute: when the
+    * engine side answers from the stored index (q130), a hash-green row
+    * proves build + append lost no posting, df, or stats row.
+    */
+  private def bm25OracleSql: String = bm25OracleSqlFor(bm25Terms)
+
+  private def bm25OracleSqlFor(termSeq: Seq[String]): String = {
+    val terms = termSeq.map(t => s"'${t.replace("'", "''")}'")
       .mkString(",")
     raw"""WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
@@ -5002,6 +5038,10 @@ object SparkEntry {
           AND l.l_extendedprice <= o.o_totalprice * 1.001
          GROUP BY 1, 2
          ORDER BY 1, 2""",
+    // q130: identical from-scratch BM25 recompute as q69's oracle, on the
+    // q130 term set — the engine side must reproduce it from the stored
+    // postings/df/stats artifact after a build + append.
+    "q130_inverted_index_bm25" -> bm25OracleSqlFor(indexTerms),
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

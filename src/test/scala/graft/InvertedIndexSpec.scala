@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.InvertedIndex
+
+/** Laws of the persisted inverted index (q130's operator): the
+  * build+append round trip is lossless, the term probe statically prunes
+  * the bucket-partitioned postings scan, and the scoring plan stays in
+  * the broadcast regime.
+  */
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("build+append over a split equals one fresh build, score for score") {
+    val docs = Tables.documents(spark, sf0001)
+    val terms = Seq("spark", "join", "filter")
+    val whole = freshDir("inv_whole")
+    InvertedIndex.buildIndex(docs, whole)
+    val split = freshDir("inv_split")
+    InvertedIndex.buildIndex(docs.filter(col("doc_id") % 4 =!= 1), split)
+    InvertedIndex.appendToIndex(docs.filter(col("doc_id") % 4 === 1), split)
+    def top(p: String) =
+      InvertedIndex.bm25FromIndex(spark, p, terms)
+        .orderBy(col("score").desc, col("doc_id"))
+        .as[(Long, Double, Long)].collect().toSeq
+    val a = top(whole)
+    val b = top(split)
+    assert(a.nonEmpty, "fixture must score at least one doc")
+    assert(a == b, s"append drifted from fresh build: ${a.take(3)} vs ${b.take(3)}")
+    // append bumped the epoch; build starts at 0
+    assert(graft.operators.MaintenanceIo.requireManifest(whole).epoch == 0L)
+    assert(graft.operators.MaintenanceIo.requireManifest(split).epoch == 1L)
+  }
+
+  test("term probe statically prunes the postings scan to probed buckets") {
+    val docs = Tables.documents(spark, sf0001)
+    val idx = freshDir("inv_prune")
+    InvertedIndex.buildIndex(docs, idx)
+    val df = InvertedIndex.bm25FromIndex(spark, idx, Seq("spark"))
+    df.write.format("noop").mode("overwrite").save()
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("postings"))
+      .getOrElse(fail("no postings scan in the plan"))
+    // one term -> exactly one pb literal in the partition filter; the
+    // scan must carry it as a PartitionFilters entry (static pruning —
+    // no job reads the other 63 buckets' files)
+    assert(scan.contains("PartitionFilters") && scan.contains("pb"),
+      s"postings scan lost its partition filter:\n$scan")
+    // and the plan joins df/stats via broadcast, never an exchange of
+    // the postings side for those lookups
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "df/stats lookups must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("NULL-text docs contribute no postings and no stats row") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq(Tuple1(3L)).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
+    val idx = freshDir("inv_null")
+    InvertedIndex.buildIndex(docs, idx)
+    val snap = graft.operators.MaintenanceIo.snapshot(idx)
+    val stats = spark.read.parquet(snap("stats"))
+      .as[(Long, Long)].collect().head
+    assert(stats == ((2L, 4L)), s"stats must skip NULL text: $stats")
+    val post = spark.read.parquet(snap("postings"))
+      .select("tok", "doc_id", "tf", "dl")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(post == Set(("alpha", 1L, 2L, 3L), ("beta", 1L, 1L, 3L),
+      ("beta", 2L, 1L, 1L)))
+  }
+}
