@@ -103,9 +103,10 @@ object SparkEntry {
           .map(deepSig).mkString(",")
       else s"${f.getName}:${f.length}:${f.lastModified}"
     // the layout salt invalidates artifacts written under a superseded
-    // on-disk contract (v2 = MANIFEST-versioned index generations) even
-    // when the source fixture is unchanged
-    val sig = "v2:" + deepSig(new java.io.File(s"$dir/$srcRel"))
+    // on-disk contract (v3 = epoch-stamped inverted-index postings;
+    // v2 = MANIFEST-versioned index generations) even when the source
+    // fixture is unchanged
+    val sig = "v3:" + deepSig(new java.io.File(s"$dir/$srcRel"))
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
@@ -2109,6 +2110,35 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ---- INVERTED INDEX DELETE: the takedown path -----------------------
+    // Completes q130's lifecycle: build on 2/3, append the last third,
+    // then tombstone every doc_id%7==5 document — no rebuild; the
+    // deleted docs' df and (n_docs, tot_dl) contributions land as
+    // NEGATIVE delta rows in the additive side tables, so idf and avgdl
+    // reflect the shrunken live corpus immediately. The query
+    // epoch-shadows tombstoned postings (broadcast sliver) and must
+    // hash-match the from-scratch recompute over ONLY the live docs —
+    // deleted docs never surface, every surviving score uses live-corpus
+    // statistics. InvertedIndexSpec proves compaction leaves the result
+    // byte-identical while retiring the tombstone join and the delta
+    // rows, and that re-append-after-delete resurrects a doc without
+    // compacting (the epoch rule).
+    "q131_inverted_index_delete" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = cachedBuild(dir, "documents.parquet",
+          "target/q131_inv_delete") { p =>
+        operators.InvertedIndex.buildIndex(
+          docs.filter(col("doc_id") % 3 =!= 2), p)
+        operators.InvertedIndex.appendToIndex(
+          docs.filter(col("doc_id") % 3 === 2), p)
+        operators.InvertedIndex.deleteFromIndex(
+          docs.filter(col("doc_id") % 7 === 5).select("doc_id"), p)
+      }
+      operators.InvertedIndex.bm25FromIndex(s, idx, indexTerms)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // ---- LSH ANN, recall-sized to reproduce the exact top-k ------------
     // OR-amplified hyperplane LSH with `tables` sized by lshTablesFor so a
     // neighbor at the fixture's 5th-neighbor similarity FLOOR (measured:
@@ -3285,12 +3315,17 @@ object SparkEntry {
     */
   private def bm25OracleSql: String = bm25OracleSqlFor(bm25Terms)
 
-  private def bm25OracleSqlFor(termSeq: Seq[String]): String = {
+  /** `docsWhere` restricts the oracle's corpus to the LIVE documents
+    * (q131: everything the engine side tombstoned is simply absent from
+    * the recompute — df, avgdl, and n_docs all shrink accordingly).
+    */
+  private def bm25OracleSqlFor(termSeq: Seq[String],
+                               docsWhere: String = "TRUE"): String = {
     val terms = termSeq.map(t => s"'${t.replace("'", "''")}'")
       .mkString(",")
     raw"""WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
-           FROM documents),
+           FROM documents WHERE $docsWhere),
          dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
          tf AS (
            SELECT doc_id, tok, COUNT(*) AS tf
@@ -5042,6 +5077,11 @@ object SparkEntry {
     // q130 term set — the engine side must reproduce it from the stored
     // postings/df/stats artifact after a build + append.
     "q130_inverted_index_bm25" -> bm25OracleSqlFor(indexTerms),
+    // q131: the recompute simply never sees the tombstoned docs — df,
+    // n_docs, and avgdl all derive from the live corpus, which is
+    // exactly what the engine's negative-delta side tables must yield.
+    "q131_inverted_index_delete" ->
+      bm25OracleSqlFor(indexTerms, docsWhere = "doc_id % 7 <> 5"),
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

@@ -69,10 +69,11 @@ object InvertedIndex {
       .select(size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
 
-  /** Build the index from scratch: postings (bucket-partitioned), per-
-    * shard df, per-shard stats, all published in one manifest. The df
-    * table derives from the postings frame pinned once (localCheckpoint)
-    * so the tokenize+count kernel runs a single time.
+  /** Build the index from scratch: postings (bucket-partitioned,
+    * epoch-stamped 0), per-shard df, per-shard stats, all published in
+    * one manifest. The df table derives from the postings frame pinned
+    * once (localCheckpoint) so the tokenize+count kernel runs a single
+    * time.
     */
   def buildIndex(docs: DataFrame, indexPath: String,
                  buckets: Int = DefaultBuckets,
@@ -80,8 +81,8 @@ object InvertedIndex {
     MaintenanceIo.withMaintenanceLock(indexPath) {
       val post = postingsOf(docs, idCol, textCol, buckets).localCheckpoint()
       val pGen = MaintenanceIo.nextGen(indexPath, "postings")
-      post.repartition(col("pb")).write.partitionBy("pb")
-        .parquet(s"$indexPath/$pGen")
+      post.withColumn("epoch", lit(0L)).repartition(col("pb"))
+        .write.partitionBy("pb").parquet(s"$indexPath/$pGen")
       val dGen = MaintenanceIo.nextGen(indexPath, "df")
       post.groupBy("tok").agg(count(lit(1)).as("df"))
         .write.parquet(s"$indexPath/$dGen")
@@ -92,27 +93,130 @@ object InvertedIndex {
         Map("postings" -> pGen, "df" -> dGen, "stats" -> sGen)))
     }
 
-  /** Append a NEW-docs shard (disjoint doc_ids — the nightly-crawl
-    * contract; same as every other index append here). One shard-sized
-    * pass: postings rows land in the live partitioned table, the shard's
-    * (tok, df) and (n_docs, tot_dl) rows append to the additive side
-    * tables, and the manifest epoch bumps. The standing corpus is never
-    * read.
+  /** Append a NEW-docs shard (doc_ids not currently LIVE — re-appending
+    * a tombstoned id is the takedown-then-recrawl path and works because
+    * postings are epoch-stamped past the tombstone; re-appending a LIVE
+    * id is the caller's bug, exactly as in the IVF/LSH appends). One
+    * shard-sized pass: postings rows land in the live partitioned table,
+    * the shard's (tok, df) and (n_docs, tot_dl) rows append to the
+    * additive side tables, and the manifest epoch bumps. The standing
+    * corpus is never read.
     */
   def appendToIndex(shard: DataFrame, indexPath: String,
                     buckets: Int = DefaultBuckets,
                     idCol: String = "doc_id", textCol: String = "text"): Unit =
     MaintenanceIo.withMaintenanceLock(indexPath) {
       val m = MaintenanceIo.requireManifest(indexPath)
+      val e = m.epoch + 1
       val post = postingsOf(shard, idCol, textCol, buckets).localCheckpoint()
-      post.repartition(col("pb")).write.partitionBy("pb").mode("append")
+      post.withColumn("epoch", lit(e)).repartition(col("pb"))
+        .write.partitionBy("pb").mode("append")
         .parquet(s"$indexPath/${m.tables("postings")}")
       post.groupBy("tok").agg(count(lit(1)).as("df"))
         .write.mode("append").parquet(s"$indexPath/${m.tables("df")}")
       statsOf(shard, idCol, textCol).coalesce(1)
         .write.mode("append").parquet(s"$indexPath/${m.tables("stats")}")
-      MaintenanceIo.publish(indexPath, m.copy(epoch = m.epoch + 1))
+      MaintenanceIo.publish(indexPath, m.copy(epoch = e))
     }
+
+  /** Tombstone DELETE of documents — the takedown path completing the
+    * lifecycle (build/append/query/delete/compact, the same contract as
+    * the IVF index). Two writes: the epoch-stamped tombstone ids, and
+    * the deleted docs' df / stats contributions as NEGATIVE delta rows
+    * in the additive side tables — so BM25's idf and avgdl immediately
+    * reflect the shrunken live corpus with no rebuild (sums are
+    * order-independent, so deletes, appends, and re-appends compose in
+    * any order). Deltas derive from the docs' LIVE postings: one
+    * postings scan per delete batch (doc-id filters can't bucket-prune a
+    * token-partitioned layout — the honest cost, amortized over rare
+    * takedown batches), while the tombstone write itself is O(|ids|).
+    * A row is live iff its epoch is LATER than the newest tombstone for
+    * its doc — ties favor the delete (the IVF rule: dead-stays-dead
+    * until re-appended at a later epoch).
+    */
+  def deleteFromIndex(ids: DataFrame, indexPath: String,
+                      idCol: String = "doc_id"): Unit =
+    MaintenanceIo.withMaintenanceLock(indexPath) {
+      val spark = ids.sparkSession
+      val m = MaintenanceIo.requireManifest(indexPath)
+      val e = m.epoch + 1
+      val doomedIds = ids.select(col(idCol).as("doc_id")).distinct()
+      val doomed = livePostings(spark, indexPath)
+        .join(broadcast(doomedIds), Seq("doc_id"))
+        .localCheckpoint() // two delta consumers, one scan
+      doomed.groupBy("tok")
+        .agg((count(lit(1)) * lit(-1L)).as("df"))
+        .write.mode("append").parquet(s"$indexPath/${m.tables("df")}")
+      doomed.select("doc_id", "dl").distinct()
+        .agg((count(lit(1)) * lit(-1L)).as("n_docs"),
+          (coalesce(sum("dl"), lit(0L)) * lit(-1L)).as("tot_dl"))
+        .coalesce(1)
+        .write.mode("append").parquet(s"$indexPath/${m.tables("stats")}")
+      val ts = m.tables.getOrElse("tombstones",
+        MaintenanceIo.nextGen(indexPath, "tombstones"))
+      doomedIds.withColumn("epoch", lit(e))
+        .write.mode("append").parquet(s"$indexPath/$ts")
+      MaintenanceIo.publish(indexPath,
+        MaintenanceIo.Manifest(e, m.tables + ("tombstones" -> ts)))
+    }
+
+  /** Fold tombstones into the stored tables: rewrite live postings
+    * (bucket-partitioned as built — the post-compact query plan is
+    * byte-identical to a fresh build's), collapse df to its merged
+    * positive sums and stats to one merged row, retire the tombstone
+    * table. All three land as NEW generations in one manifest swap —
+    * a concurrent reader sees the old consistent view or the new one,
+    * never a mix (MaintenanceIo grace contract). Query cost returns to
+    * the fresh-build baseline: no tombstone join, no delta rows.
+    */
+  def compactIndex(spark: SparkSession, indexPath: String): Unit =
+    MaintenanceIo.withMaintenanceLock(indexPath) {
+      val m = MaintenanceIo.requireManifest(indexPath)
+      if (!m.tables.contains("tombstones")) return
+      val pGen = MaintenanceIo.nextGen(indexPath, "postings")
+      livePostings(spark, indexPath).repartition(col("pb"))
+        .write.partitionBy("pb").parquet(s"$indexPath/$pGen")
+      val dGen = MaintenanceIo.nextGen(indexPath, "df")
+      spark.read.parquet(s"$indexPath/${m.tables("df")}")
+        .groupBy("tok").agg(sum("df").as("df"))
+        .filter(col("df") > 0L)
+        .write.parquet(s"$indexPath/$dGen")
+      val sGen = MaintenanceIo.nextGen(indexPath, "stats")
+      spark.read.parquet(s"$indexPath/${m.tables("stats")}")
+        .agg(sum("n_docs").as("n_docs"), sum("tot_dl").as("tot_dl"))
+        .coalesce(1)
+        .write.parquet(s"$indexPath/$sGen")
+      MaintenanceIo.publish(indexPath, MaintenanceIo.Manifest(m.epoch,
+        m.tables - "tombstones" ++
+          Map("postings" -> pGen, "df" -> dGen, "stats" -> sGen)))
+    }
+
+  /** Stored postings minus tombstone-shadowed rows: left-join the
+    * broadcast-sized (doc_id, max epoch) tombstone sliver, keep rows
+    * whose own epoch is strictly later. No tombstone table -> the
+    * stored rows verbatim.
+    */
+  private def livePostings(spark: SparkSession, indexPath: String): DataFrame =
+    livePostings(spark, MaintenanceIo.snapshot(indexPath))
+
+  /** Snapshot-taking overload: callers that read other tables too must
+    * pass ONE snapshot for all of them (two manifest reads could
+    * straddle a compaction and mix generations).
+    */
+  private def livePostings(spark: SparkSession,
+                           snap: Map[String, String]): DataFrame = {
+    val post = spark.read.parquet(snap("postings"))
+    snap.get("tombstones") match {
+      case None => post
+      case Some(tp) =>
+        val dead = spark.read.parquet(tp)
+          .groupBy("doc_id").agg(max("epoch").as("__del_epoch"))
+        post.join(broadcast(dead), Seq("doc_id"), "left")
+          .filter(col("__del_epoch").isNull ||
+            col("epoch") > col("__del_epoch"))
+          .drop("__del_epoch")
+    }
+  }
 
   /** BM25 (k1 = 1.2, b = 0.75) over the STORED index for a fixed term
     * set — same arithmetic, literals, op order, and 6-dp per-term
@@ -132,12 +236,13 @@ object InvertedIndex {
     // construction; LocalTableScan, no cluster job)
     val pbs = terms.toDF("tok")
       .select(termBucket(col("tok"), buckets)).as[Int].collect().distinct
-    val post = spark.read.parquet(snap("postings"))
+    val post = livePostings(spark, snap)
       .filter(col("pb").isin(pbs.map(Integer.valueOf).toIndexedSeq: _*) &&
         col("tok").isin(terms: _*))
     val dfq = spark.read.parquet(snap("df"))
       .filter(col("tok").isin(terms: _*))
       .groupBy("tok").agg(sum("df").as("df"))
+      .filter(col("df") > 0L)
     val stats = spark.read.parquet(snap("stats"))
       .agg(sum("n_docs").as("n_docs"), sum("tot_dl").as("tot_dl"))
     post.crossJoin(broadcast(stats)).join(broadcast(dfq), Seq("tok"))

@@ -59,6 +59,47 @@ class InvertedIndexSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("delete shadows docs and live-corpus stats; compact is a no-op " +
+      "on results; re-append-after-delete resurrects without compacting") {
+    val docs = Tables.documents(spark, sf0001)
+    val terms = Seq("spark", "join")
+    def top(p: String) =
+      InvertedIndex.bm25FromIndex(spark, p, terms)
+        .orderBy(col("score").desc, col("doc_id"))
+        .as[(Long, Double, Long)].collect().toSeq
+    // ground truth: an index built on the live subset only
+    val truth = freshDir("inv_truth")
+    InvertedIndex.buildIndex(docs.filter(col("doc_id") % 5 =!= 2), truth)
+    val want = top(truth)
+    // lifecycle: full build, then tombstone the %5==2 docs
+    val idx = freshDir("inv_del")
+    InvertedIndex.buildIndex(docs, idx)
+    InvertedIndex.deleteFromIndex(
+      docs.filter(col("doc_id") % 5 === 2).select("doc_id"), idx)
+    assert(top(idx) == want,
+      "tombstoned index must score exactly like a live-only build")
+    // compact: same result, tombstones and delta rows retired
+    InvertedIndex.compactIndex(spark, idx)
+    assert(top(idx) == want, "compaction changed scores")
+    val snap = graft.operators.MaintenanceIo.snapshot(idx)
+    assert(!snap.contains("tombstones"), "compact must retire tombstones")
+    val dfRows = spark.read.parquet(snap("df"))
+    assert(dfRows.filter(col("df") <= 0L).count() == 0,
+      "compact must fold negative df deltas away")
+    assert(spark.read.parquet(snap("stats")).count() == 1,
+      "compact must collapse stats to one row")
+    // re-append a deleted doc WITHOUT compacting: epoch beats tombstone
+    val idx2 = freshDir("inv_reapp")
+    InvertedIndex.buildIndex(docs, idx2)
+    InvertedIndex.deleteFromIndex(
+      docs.filter(col("doc_id") % 5 === 2).select("doc_id"), idx2)
+    InvertedIndex.appendToIndex(docs.filter(col("doc_id") % 5 === 2), idx2)
+    val full = freshDir("inv_full")
+    InvertedIndex.buildIndex(docs, full)
+    assert(top(idx2) == top(full),
+      "re-appended docs must score exactly like a never-deleted corpus")
+  }
+
   test("NULL-text docs contribute no postings and no stats row") {
     val docs = Seq((1L, "alpha beta alpha"), (2L, "beta"))
       .toDF("doc_id", "text")
