@@ -2061,6 +2061,49 @@ object SparkEntry {
         .orderBy(col("exact_cnt").desc, col("tok"))
     }),
 
+    // ---- North-star: HLL SET ALGEBRA — snapshot-overlap estimate.
+    // The sketch family's composition payoff: two crawl snapshots (A =
+    // doc_id%3!=2, B = doc_id%2==0 — overlapping by construction, like
+    // consecutive crawl generations sharing standing docs) each reduce
+    // to a ≤ 2^10-row register table; union = register-wise max,
+    // intersection = inclusion-exclusion est_a + est_b − est_union.
+    // "How much of crawl B is already in crawl A" at 100 TB costs two
+    // 4 KB sketches and LONG arithmetic — no key shuffle, and the same
+    // register tables the q126 card already maintains answer it for
+    // free. All components are the bit-exact q125 estimator, so the
+    // DERIVED overlap (including its inclusion-exclusion noise) is
+    // oracle-gated bit-for-bit; exact_overlap (a real distinct-key
+    // join) is the yardstick carried alongside, q125-style.
+    "q132_hll_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tagged = docs.filter(col("doc_id") % 3 =!= 2)
+        .withColumn("snap", lit("a"))
+        .unionByName(docs.filter(col("doc_id") % 2 === 0)
+          .withColumn("snap", lit("b")))
+      // ≤ 2 × 2^10 register rows: pin so the scan+hash kernel runs once
+      val reg = operators.Sketches.hllRegisters(tagged, col("text"),
+        Seq("snap")).localCheckpoint()
+      val bySnap = operators.Sketches.hllEstimate(reg, Seq("snap"))
+      val estA = bySnap.filter(col("snap") === "a")
+        .select(col("est_distinct").as("est_a"))
+      val estB = bySnap.filter(col("snap") === "b")
+        .select(col("est_distinct").as("est_b"))
+      val estU = operators.Sketches.hllEstimate(
+          operators.Sketches.mergeRegisters(reg, Seq.empty), Seq.empty)
+        .select(col("est_distinct").as("est_union"))
+      val ha = docs.filter(col("doc_id") % 3 =!= 2)
+        .select(TextFunctions.fnvMixed64(col("text")).as("u")).distinct()
+      val hb = docs.filter(col("doc_id") % 2 === 0)
+        .select(TextFunctions.fnvMixed64(col("text")).as("u")).distinct()
+      val exact = ha.join(hb, Seq("u"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      estA.crossJoin(estB).crossJoin(estU).crossJoin(exact)
+        .withColumn("est_overlap",
+          col("est_a") + col("est_b") - col("est_union"))
+        .select("est_a", "est_b", "est_union", "est_overlap",
+          "exact_overlap")
+    }),
+
     // ---- Pure range join, binned rewrite --------------------------------
     // Point-in-interval with NO equi key: every lineitem price probed
     // against every order's ±0.1 % price band. Spark's native plan for
@@ -5058,6 +5101,57 @@ object SparkEntry {
          SELECT tok, CAST(est_cnt AS BIGINT) AS est_cnt,
                 CAST(exact_cnt AS BIGINT) AS exact_cnt
          FROM est ORDER BY exact_cnt DESC, tok"""),
+    // q132: the oracle re-derives BOTH snapshot sketches and their
+    // max-merged union through the q125 register/estimator pipeline
+    // (bit-exact integer state), then the same long-arithmetic
+    // inclusion-exclusion — so even the overlap estimate's sketch noise
+    // must match bit-for-bit. exact_overlap is a plain distinct-hash
+    // join, the yardstick column.
+    "q132_hll_overlap" ->
+      (s"""WITH d0 AS (
+           SELECT 'a' AS snap, text FROM documents WHERE doc_id % 3 <> 2
+           UNION ALL
+           SELECT 'b' AS snap, text FROM documents WHERE doc_id % 2 = 0),
+         h0 AS (SELECT snap, ${fnvOctetsSql("text")} AS u FROM d0),
+         ${fmix64Ctes("h0", "snap")},
+         h AS (SELECT snap, u FROM mx),
+         b AS (SELECT snap, u % 1024 AS bucket, u // 1024 AS w FROM h),
+         reg AS (
+           SELECT snap, bucket,
+                  MAX(CASE WHEN w = 0 THEN 55
+                           ELSE 55 - length(bin(w)) END) AS rho
+           FROM b GROUP BY snap, bucket),
+         regu AS (SELECT bucket, MAX(rho) AS rho FROM reg GROUP BY bucket),
+         est AS (
+           SELECT snap, 1024 - COUNT(*) AS v,
+                  SUM(CAST(CAST(1 AS UBIGINT) << (55 - rho) AS HUGEINT)) AS zs
+           FROM reg GROUP BY snap
+           UNION ALL
+           SELECT '__u__', 1024 - COUNT(*),
+                  SUM(CAST(CAST(1 AS UBIGINT) << (55 - rho) AS HUGEINT))
+           FROM regu),
+         fin AS (
+           SELECT snap, CAST(round(
+             CASE WHEN v > 0 AND
+                    (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+                      * 36028797018963968.0
+                      / CAST(CAST(v AS HUGEINT) * 36028797018963968 + zs
+                             AS DOUBLE) <= 2560.0
+                  THEN 1024.0 * ln(1024.0 / v)
+                  ELSE (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+                      * 36028797018963968.0
+                      / CAST(CAST(v AS HUGEINT) * 36028797018963968 + zs
+                             AS DOUBLE) END) AS BIGINT) AS e
+           FROM est),
+         ex AS (
+           SELECT COUNT(*) AS exact_overlap FROM
+             (SELECT DISTINCT u FROM h WHERE snap = 'a') x
+             JOIN (SELECT DISTINCT u FROM h WHERE snap = 'b') y USING (u))
+         SELECT a.e AS est_a, b2.e AS est_b, u2.e AS est_union,
+                a.e + b2.e - u2.e AS est_overlap, ex.exact_overlap
+         FROM (SELECT e FROM fin WHERE snap = 'a') a,
+              (SELECT e FROM fin WHERE snap = 'b') b2,
+              (SELECT e FROM fin WHERE snap = '__u__') u2, ex"""),
     // q129: the oracle states the range join declaratively (DuckDB plans
     // it as IEJoin); the engine's binned equi-join rewrite must produce
     // the identical pair set. Bounds are the same double products in

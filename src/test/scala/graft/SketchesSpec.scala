@@ -165,6 +165,35 @@ class SketchesSpec extends SparkSpec {
       s"ghost estimate $ghost exceeds the collision bound at N=$n")
   }
 
+  test("set algebra: inclusion-exclusion overlap tracks exact within the " +
+      "sketch bound across disjoint, identical, and partial overlaps") {
+    // q132's derivation: est_overlap = est_a + est_b - est_union, with
+    // union = register max-merge. Identical sets must overlap at exactly
+    // the per-set estimate (union registers == each set's registers, so
+    // the longs cancel algebraically); disjoint and partial overlaps
+    // land within the compounded ±3σ bound (3 estimates, each
+    // σ ≈ 1.04/√1024 ≈ 3.3 %).
+    def est(df: org.apache.spark.sql.DataFrame): Long =
+      Sketches.hllEstimate(
+        Sketches.hllRegisters(df, col("k"), Seq.empty), Seq.empty)
+        .as[Long].head()
+    def overlap(a: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame): Long =
+      est(a) + est(b) - est(a.unionByName(b))
+    val xs = keys(4000, "s")      // ids 0..3999
+    val lo = xs.filter(col("k") < "ks2")  // lexicographic split, disjoint
+    val hi = xs.filter(col("k") >= "ks2")
+    assert(overlap(xs, xs) == est(xs),
+      "identical sets must overlap at exactly the set estimate")
+    val tol = (3 * 3 * 0.033 * 4000).toLong // 3 ests x 3 sigma x n
+    assert(math.abs(overlap(lo, hi)) <= tol,
+      s"disjoint overlap must be ~0, got ${overlap(lo, hi)}")
+    val mid = xs.filter(col("k") >= "ks1" && col("k") < "ks3")
+    val exactMid = mid.intersect(lo).count()
+    assert(math.abs(overlap(mid, lo) - exactMid) <= tol,
+      s"partial overlap ${overlap(mid, lo)} vs exact $exactMid")
+  }
+
   test("NULL keys are skipped, matching COUNT(DISTINCT) semantics") {
     val df = keys(1000, "f").union(
       spark.range(50).select(lit(null: String).as("k"),
