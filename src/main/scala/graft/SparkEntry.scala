@@ -2129,6 +2129,32 @@ object SparkEntry {
         .orderBy("l_returnflag", "o_orderpriority")
     }),
 
+    // ---- Interval-overlap join, binned with ownership dedup -------------
+    // Two interval sets (lineitem ±0.05 % price bands × order ±0.1 %
+    // bands), joined on OVERLAP — also a nested loop in native Spark.
+    // The binned rewrite surfaces a pair in every shared bin; instead of
+    // a distinct pass (a second corpus-wide shuffle), each pair is
+    // emitted only in its OWNED bin floor(max(lo_l, lo_r)/w) — provably
+    // shared and unique, so the join is duplicate-free by construction
+    // (the operator scaladoc carries the proof; the spec exercises
+    // pairs sharing many bins).
+    "q133_interval_overlap_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_extendedprice") * lit(0.9995)).as("li_lo"),
+        (col("l_extendedprice") * lit(1.0005)).as("li_hi"),
+        col("l_returnflag"), col("l_quantity"))
+      val bands = Tables.orders(s, dir).select(
+        (col("o_totalprice") * lit(0.999)).as("band_lo"),
+        (col("o_totalprice") * lit(1.001)).as("band_hi"),
+        col("o_orderpriority"))
+      Relational.binnedIntervalJoin(li, bands,
+          "li_lo", "li_hi", "band_lo", "band_hi", binWidth = 250.0)
+        .groupBy("l_returnflag", "o_orderpriority")
+        .agg(count(lit(1)).as("n_pairs"),
+          Relational.decSum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag", "o_orderpriority")
+    }),
+
     // ---- PERSISTED INVERTED INDEX: build + append + BM25 query ---------
     // q69 recomputes BM25 from raw text every call; this is the stored-
     // artifact shape — postings (tok, doc_id, tf, dl) bucket-partitioned
@@ -5165,6 +5191,21 @@ object SparkEntry {
          JOIN orders o
            ON l.l_extendedprice >= o.o_totalprice * 0.999
           AND l.l_extendedprice <= o.o_totalprice * 1.001
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
+    // q133: the overlap predicate stated declaratively; the engine's
+    // owned-bin rewrite must produce the identical pair multiset —
+    // a double-counted pair (one emitted in two shared bins) breaks
+    // n_pairs and the hash.
+    "q133_interval_overlap_join" ->
+      """SELECT l_returnflag, o_orderpriority,
+                COUNT(*) AS n_pairs,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(28, 4))) AS DOUBLE)
+                  AS sum_qty
+         FROM lineitem l
+         JOIN orders o
+           ON l.l_extendedprice * 0.9995 <= o.o_totalprice * 1.001
+          AND o.o_totalprice * 0.999 <= l.l_extendedprice * 1.0005
          GROUP BY 1, 2
          ORDER BY 1, 2""",
     // q130: identical from-scratch BM25 recompute as q69's oracle, on the

@@ -811,10 +811,19 @@ object Relational {
     * SQL BETWEEN agrees). Column names must be disjoint across the two
     * inputs; both bound columns must be non-NULL (NULL never matches
     * BETWEEN — filtered, matching SQL).
+    *
+    * `maxBinsPerInterval` fails FAST (a clear per-row error, not a
+    * disk-filling explode) when one interval would fan out past the cap —
+    * a mis-sized binWidth against a wide-interval tail quietly multiplies
+    * the shuffle by span/w, and the first symptom at 100 TB is an
+    * executor-disk blowout three stages later (measured: the scale-note's
+    * offset-before-band bug produced exactly that). Raise binWidth or
+    * pre-split the offending intervals.
     */
   def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
                       pointCol: String, loCol: String, hiCol: String,
-                      binWidth: Double): DataFrame = {
+                      binWidth: Double,
+                      maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binWidth > 0, s"binnedRangeJoin: binWidth > 0, got $binWidth")
     val dup = points.columns.toSet.intersect(intervals.columns.toSet)
     require(dup.isEmpty, s"binnedRangeJoin: overlapping columns $dup")
@@ -827,9 +836,64 @@ object Relational {
         col(loCol) <= col(hiCol))
       .withColumn("__bin", explode(sequence(
         floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+        guardedBinHi(loCol, hiCol, binWidth, maxBinsPerInterval,
+          "binnedRangeJoin"))))
     pb.join(ib, Seq("__bin"))
       .filter(p >= col(loCol) && p <= col(hiCol))
+      .drop("__bin")
+  }
+
+  /** The explode's upper bin bound, guarded: raises a clear error when
+    * the interval would fan out to more than `maxBins` bins.
+    */
+  private def guardedBinHi(loCol: String, hiCol: String, binWidth: Double,
+                           maxBins: Int, op: String): Column = {
+    val binLo = floor(col(loCol) / binWidth).cast("long")
+    val binHi = floor(col(hiCol) / binWidth).cast("long")
+    when(binHi - binLo >= lit(maxBins.toLong),
+      raise_error(format_string(
+        s"$op: interval [%s, %s] spans >= $maxBins bins at " +
+          s"binWidth=$binWidth — raise binWidth (rule: ~ the P95 " +
+          "interval width) or pre-split wide intervals",
+        col(loCol), col(hiCol))).cast("long"))
+      .otherwise(binHi)
+  }
+
+  /** Interval-OVERLAP join (two interval sets, NO equi key) — the
+    * two-sided sibling of [[binnedRangeJoin]]: `[lLo,lHi] OVERLAPS
+    * [rLo,rHi]` (iff lLo <= rHi AND rLo <= lHi), which Spark also plans
+    * as a nested loop. Both sides explode to their bins; the equi-join
+    * on the bin id finds every overlapping pair in each SHARED bin — so
+    * a pair spanning several shared bins would surface several times.
+    * Rather than a distinct pass (a second corpus-wide shuffle), each
+    * pair is OWNED by exactly one bin: b0 = floor(max(lLo,rLo)/w).
+    * Proof b0 is shared: overlap gives max(lLo,rLo) <= min(lHi,rHi), so
+    * lLo <= max(lLo,rLo) <= lHi and likewise for the right — and
+    * max(floor(x/w), floor(y/w)) = floor(max(x,y)/w) because floor of a
+    * monotone map commutes with max. Emitting only where
+    * `__bin = greatest(floor(lLo/w), floor(rLo/w))` therefore yields
+    * every overlapping pair exactly once, duplicate-free by
+    * construction. Same sizing rule, NULL/empty semantics, and
+    * wide-interval fan-out guard as [[binnedRangeJoin]].
+    */
+  def binnedIntervalJoin(left: DataFrame, right: DataFrame,
+                         lLo: String, lHi: String, rLo: String, rHi: String,
+                         binWidth: Double,
+                         maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0, s"binnedIntervalJoin: binWidth > 0, got $binWidth")
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"binnedIntervalJoin: overlapping columns $dup")
+    def binned(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+      .withColumn("__bin", explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        guardedBinHi(lo, hi, binWidth, maxBinsPerInterval,
+          "binnedIntervalJoin"))))
+    binned(left, lLo, lHi).join(binned(right, rLo, rHi), Seq("__bin"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bin") === greatest(
+        floor(col(lLo) / binWidth).cast("long"),
+        floor(col(rLo) / binWidth).cast("long")))
       .drop("__bin")
   }
 

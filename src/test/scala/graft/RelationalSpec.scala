@@ -327,6 +327,63 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("binned joins fail FAST on a wide-interval fan-out, not by " +
+      "exploding the shuffle") {
+    // one pathological interval (span/w = 40k bins) must raise a clear
+    // error naming the fix — the alternative at 100 TB is a quiet
+    // billions-of-rows explode and an executor-disk blowout
+    val points = Seq((1L, 5.0)).toDF("pid", "p")
+    val ivals = Seq((1L, 0.0, 10000.0)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      Relational.binnedRangeJoin(points, ivals, "p", "lo", "hi",
+        binWidth = 0.25, maxBinsPerInterval = 1024).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (t.getMessage + Option(t.getCause).map(rootMsg).getOrElse(""))
+    assert(rootMsg(e).contains("raise binWidth"), rootMsg(e))
+    // under the cap the same join runs fine
+    val ok = Relational.binnedRangeJoin(points, ivals, "p", "lo", "hi",
+      binWidth = 250.0, maxBinsPerInterval = 1024)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(ok == Seq((1L, 1L)))
+  }
+
+  test("binnedIntervalJoin: exactly-once pairs via bin ownership, " +
+      "vs the nested-loop ground truth") {
+    // wide intervals sharing MANY bins are the duplicate hazard: without
+    // the owned-bin filter, (20, 30) would surface once per shared bin
+    val lefts = Seq(
+      (1L, 0.0, 2000.0),   // spans 9 bins at w=250
+      (2L, 100.0, 120.0),
+      (3L, -600.0, -100.0),
+      (4L, 500.0, 400.0))  // empty: must vanish
+      .toDF("lid", "l_lo", "l_hi")
+    val rights = Seq(
+      (20L, 900.0, 1900.0),  // overlaps lid=1 across 5 shared bins
+      (21L, 110.0, 115.0),   // nested inside lid=2
+      (22L, -50.0, 150.0),   // crosses zero, overlaps 2 and 3? (-50>-100)
+      (23L, 3000.0, 4000.0)) // disjoint from everything
+      .toDF("rid", "r_lo", "r_hi")
+    val got = Relational.binnedIntervalJoin(lefts, rights,
+        "l_lo", "l_hi", "r_lo", "r_hi", 250.0)
+      .groupBy("lid", "rid").count()
+      .as[(Long, Long, Long)].collect().toSet
+    val want = lefts.filter(col("l_lo") <= col("l_hi")).crossJoin(rights)
+      .filter(col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got.map { case (l, r, _) => (l, r) } == want,
+      s"pair sets differ: $got vs $want")
+    assert(got.forall(_._3 == 1L),
+      s"a pair surfaced in more than one bin: $got")
+    assert(want.contains((1L, 20L)), "the many-shared-bin case must match")
+    assert(!want.exists(_._1 == 4L))
+    val plan = Relational.binnedIntervalJoin(lefts, rights,
+        "l_lo", "l_hi", "r_lo", "r_hi", 250.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("profile: null handling, exact distincts, and non-numeric slots") {
     val df = Seq(
       (Some(1L), Some("a"), Some(2.5)),
