@@ -71,6 +71,24 @@ object Explain {
         "q124_quantized_append" -> Set("BroadcastNestedLoopJoin"),
         "q69_bm25_search" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q130/q131: the q69 shape from the STORED index —
+        // crossJoin(broadcast(1-row merged stats)), and the
+        // SinglePartition exchanges are that frame's own global
+        // aggregate plus the top-20 TakeOrdered merge. The postings
+        // side reads only the probed buckets (PartitionFilters pinned
+        // by InvertedIndexSpec) and never crosses a SinglePartition.
+        "q130_inverted_index_bm25" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        "q131_inverted_index_delete" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        "q134_inverted_index_stream_gens" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q132: three 1-row estimate frames and the 1-row exact-overlap
+        // count cross-joined (the q69/q126 1-row-frame shape); the
+        // SinglePartition exchanges are those frames' own global
+        // aggregates over ≤ 2^10-row register tables.
+        "q132_hll_overlap" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         "q70_unigram_surprisal" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         // q102: the q70 shape exactly — crossJoin(broadcast(1-row corpus

@@ -2102,6 +2102,7 @@ object SparkEntry {
           col("est_a") + col("est_b") - col("est_union"))
         .select("est_a", "est_b", "est_union", "est_overlap",
           "exact_overlap")
+        .orderBy("est_a") // 1 row; pins order for the determinism lint
     }),
 
     // ---- Pure range join, binned rewrite --------------------------------
@@ -2173,6 +2174,35 @@ object SparkEntry {
           docs.filter(col("doc_id") % 3 =!= 2), p)
         operators.InvertedIndex.appendToIndex(
           docs.filter(col("doc_id") % 3 === 2), p)
+      }
+      operators.InvertedIndex.bm25FromIndex(s, idx, indexTerms)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // ---- INVERTED INDEX micro-batch generations (stream maintenance) ---
+    // q130's artifact maintained the way the ingest STREAM maintains it:
+    // batches land as their own generation triples (exactly-once under
+    // replay — the epoch-pinned overwrite), readers union main + batch
+    // generations through one snapshot. The build sequence here replays
+    // batch 1 deliberately: foreachBatch redelivers side effects
+    // at-least-once, and the hash-green oracle (a from-scratch
+    // full-corpus recompute) proves the replay changed NOTHING — tf, df,
+    // and stats all exactly-once. StreamingEtlSpec drives the same path
+    // from a real checkpointed stream with a mid-stream kill.
+    "q134_inverted_index_stream_gens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = cachedBuild(dir, "documents.parquet",
+          "target/q134_inv_gens") { p =>
+        operators.InvertedIndex.buildIndex(
+          docs.filter(col("doc_id") % 3 === 0), p)
+        operators.InvertedIndex.appendBatchToIndex(
+          docs.filter(col("doc_id") % 3 === 1), p, batchId = 0L)
+        operators.InvertedIndex.appendBatchToIndex(
+          docs.filter(col("doc_id") % 3 === 2), p, batchId = 1L)
+        // deliberate replay of batch 1 — must be byte-idempotent
+        operators.InvertedIndex.appendBatchToIndex(
+          docs.filter(col("doc_id") % 3 === 2), p, batchId = 1L)
       }
       operators.InvertedIndex.bm25FromIndex(s, idx, indexTerms)
         .orderBy(col("score").desc, col("doc_id"))
@@ -5217,6 +5247,10 @@ object SparkEntry {
     // exactly what the engine's negative-delta side tables must yield.
     "q131_inverted_index_delete" ->
       bm25OracleSqlFor(indexTerms, docsWhere = "doc_id % 7 <> 5"),
+    // q134: identical full-corpus recompute as q130's oracle — the
+    // engine side must reproduce it from main + batch generations,
+    // WITH one batch deliberately replayed (exactly-once proof).
+    "q134_inverted_index_stream_gens" -> bm25OracleSqlFor(indexTerms),
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

@@ -119,6 +119,49 @@ object InvertedIndex {
       MaintenanceIo.publish(indexPath, m.copy(epoch = e))
     }
 
+  /** Micro-batch append with EXACTLY-ONCE replay semantics — the
+    * streaming-maintenance writer ([[graft.streaming.IngestStream
+    * .selfDedupIngest]]'s search-index side effect). foreachBatch side
+    * effects are at-least-once; the plain [[appendToIndex]] would
+    * double-count tf/df/stats on a crash-replay. This writer instead
+    * lands batch `batchId` as its OWN generation triple
+    * (`postings.b<id>.e<epoch>` / `df.b<id>.e<epoch>` /
+    * `stats.b<id>.e<epoch>`), written with OVERWRITE — a replayed batch
+    * rewrites its directories byte-for-byte (the epoch is pinned in the
+    * dir name and reused on replay, so even the epoch column is
+    * identical) and re-publishes an identical manifest: the file-sink
+    * exactly-once trick applied to index maintenance. Readers union the
+    * main tables with every batch generation through one snapshot;
+    * [[compactIndex]] folds batch generations back into singles.
+    */
+  def appendBatchToIndex(shard: DataFrame, indexPath: String, batchId: Long,
+                         buckets: Int = DefaultBuckets,
+                         idCol: String = "doc_id", textCol: String = "text"): Unit =
+    MaintenanceIo.withMaintenanceLock(indexPath) {
+      val m = MaintenanceIo.requireManifest(indexPath)
+      val pKey = s"postings.b$batchId"
+      // replay reuses the epoch pinned in the existing dir name; a first
+      // attempt claims the next epoch
+      val e = m.tables.get(pKey) match {
+        case Some(dir) => dir.substring(dir.lastIndexOf(".e") + 2).toLong
+        case None      => m.epoch + 1
+      }
+      val dKey = s"df.b$batchId"
+      val sKey = s"stats.b$batchId"
+      val (pDir, dDir, sDir) = (s"$pKey.e$e", s"$dKey.e$e", s"$sKey.e$e")
+      val post = postingsOf(shard, idCol, textCol, buckets).localCheckpoint()
+      post.withColumn("epoch", lit(e)).repartition(col("pb"))
+        .write.partitionBy("pb").mode("overwrite")
+        .parquet(s"$indexPath/$pDir")
+      post.groupBy("tok").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$indexPath/$dDir")
+      statsOf(shard, idCol, textCol).coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexPath/$sDir")
+      MaintenanceIo.publish(indexPath,
+        MaintenanceIo.Manifest(math.max(m.epoch, e),
+          m.tables ++ Map(pKey -> pDir, dKey -> dDir, sKey -> sDir)))
+    }
+
   /** Tombstone DELETE of documents — the takedown path completing the
     * lifecycle (build/append/query/delete/compact, the same contract as
     * the IVF index). Two writes: the epoch-stamped tombstone ids, and
@@ -172,24 +215,37 @@ object InvertedIndex {
   def compactIndex(spark: SparkSession, indexPath: String): Unit =
     MaintenanceIo.withMaintenanceLock(indexPath) {
       val m = MaintenanceIo.requireManifest(indexPath)
-      if (!m.tables.contains("tombstones")) return
+      val batchKeys = m.tables.keySet.filter(_.contains(".b"))
+      if (!m.tables.contains("tombstones") && batchKeys.isEmpty) return
+      val snap = MaintenanceIo.snapshot(indexPath)
       val pGen = MaintenanceIo.nextGen(indexPath, "postings")
-      livePostings(spark, indexPath).repartition(col("pb"))
+      livePostings(spark, snap).repartition(col("pb"))
         .write.partitionBy("pb").parquet(s"$indexPath/$pGen")
       val dGen = MaintenanceIo.nextGen(indexPath, "df")
-      spark.read.parquet(s"$indexPath/${m.tables("df")}")
+      readAll(spark, snap, "df")
         .groupBy("tok").agg(sum("df").as("df"))
         .filter(col("df") > 0L)
         .write.parquet(s"$indexPath/$dGen")
       val sGen = MaintenanceIo.nextGen(indexPath, "stats")
-      spark.read.parquet(s"$indexPath/${m.tables("stats")}")
+      readAll(spark, snap, "stats")
         .agg(sum("n_docs").as("n_docs"), sum("tot_dl").as("tot_dl"))
         .coalesce(1)
         .write.parquet(s"$indexPath/$sGen")
       MaintenanceIo.publish(indexPath, MaintenanceIo.Manifest(m.epoch,
-        m.tables - "tombstones" ++
+        m.tables - "tombstones" -- batchKeys ++
           Map("postings" -> pGen, "df" -> dGen, "stats" -> sGen)))
     }
+
+  /** One table's stored rows across the main generation AND every batch
+    * generation, from ONE snapshot. `table` is the bare name; batch
+    * generations are manifest keys `<table>.b<id>`.
+    */
+  private def readAll(spark: SparkSession, snap: Map[String, String],
+                      table: String): DataFrame =
+    snap.collect {
+      case (k, p) if k == table || k.startsWith(table + ".b") =>
+        spark.read.parquet(p)
+    }.reduce(_.unionByName(_))
 
   /** Stored postings minus tombstone-shadowed rows: left-join the
     * broadcast-sized (doc_id, max epoch) tombstone sliver, keep rows
@@ -205,7 +261,7 @@ object InvertedIndex {
     */
   private def livePostings(spark: SparkSession,
                            snap: Map[String, String]): DataFrame = {
-    val post = spark.read.parquet(snap("postings"))
+    val post = readAll(spark, snap, "postings")
     snap.get("tombstones") match {
       case None => post
       case Some(tp) =>
@@ -239,11 +295,11 @@ object InvertedIndex {
     val post = livePostings(spark, snap)
       .filter(col("pb").isin(pbs.map(Integer.valueOf).toIndexedSeq: _*) &&
         col("tok").isin(terms: _*))
-    val dfq = spark.read.parquet(snap("df"))
+    val dfq = readAll(spark, snap, "df")
       .filter(col("tok").isin(terms: _*))
       .groupBy("tok").agg(sum("df").as("df"))
       .filter(col("df") > 0L)
-    val stats = spark.read.parquet(snap("stats"))
+    val stats = readAll(spark, snap, "stats")
       .agg(sum("n_docs").as("n_docs"), sum("tot_dl").as("tot_dl"))
     post.crossJoin(broadcast(stats)).join(broadcast(dfq), Seq("tok"))
       .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))

@@ -139,6 +139,14 @@ object IngestStream {
     * effect that is fully idempotent under replay (register max-merge),
     * so the running distinct-count telemetry stays EXACTLY equal to a
     * from-scratch batch computation across any kill/replay schedule.
+    * With `searchIndexPath` set, each batch also appends its admissions
+    * to the persisted inverted index — via [[graft.operators
+    * .InvertedIndex.appendBatchToIndex]], whose per-batch generation
+    * overwrite makes THAT side effect exactly-once too (a replayed
+    * batch rewrites its own generation byte-for-byte instead of
+    * double-counting tf/df/stats), so the corpus is BM25-searchable as
+    * it streams in and the index equals a from-scratch build at every
+    * trigger boundary.
     * Within-batch exact dups are
     * collapsed (keep smallest id); within-batch NEAR-dups are the one
     * admitted-twice window, bounded by a single trigger's contents —
@@ -149,7 +157,8 @@ object IngestStream {
                       bloomPath: String, lshIndexPath: String,
                       threshold: Double, outPath: String,
                       checkpoint: String,
-                      cardPath: Option[String] = None)
+                      cardPath: Option[String] = None,
+                      searchIndexPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = stream.schema
     stream.writeStream
@@ -205,6 +214,16 @@ object IngestStream {
           // where a count-shaped stat would inflate on every replay.
           cardPath.foreach { cp =>
             graft.operators.Sketches.appendToHllCard(admitted, textCol, cp)
+          }
+          // search-index maintenance (q130's artifact): each batch's
+          // admissions land as their OWN generation triple keyed by
+          // batchId — a replayed batch overwrites its directories
+          // byte-for-byte (epoch pinned in the dir name), so the index
+          // stays exactly-once under at-least-once side-effect delivery
+          // where the plain append would double-count tf/df/stats.
+          searchIndexPath.foreach { ip =>
+            graft.operators.InvertedIndex.appendBatchToIndex(
+              admitted, ip, batchId, idCol = idCol, textCol = textCol)
           }
         }
         ()

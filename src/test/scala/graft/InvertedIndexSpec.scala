@@ -100,6 +100,47 @@ class InvertedIndexSpec extends SparkSpec {
       "re-appended docs must score exactly like a never-deleted corpus")
   }
 
+  test("batch generations: replay is byte-idempotent, compact folds them, " +
+      "and deletes compose with batch-appended docs") {
+    val docs = Tables.documents(spark, sf0001)
+    val terms = Seq("spark", "join")
+    def top(p: String) =
+      InvertedIndex.bm25FromIndex(spark, p, terms)
+        .orderBy(col("score").desc, col("doc_id"))
+        .as[(Long, Double, Long)].collect().toSeq
+    val full = freshDir("inv_bfull")
+    InvertedIndex.buildIndex(docs, full)
+    val want = top(full)
+    val idx = freshDir("inv_bgen")
+    InvertedIndex.buildIndex(docs.filter(col("doc_id") % 3 === 0), idx)
+    InvertedIndex.appendBatchToIndex(
+      docs.filter(col("doc_id") % 3 === 1), idx, batchId = 0L)
+    InvertedIndex.appendBatchToIndex(
+      docs.filter(col("doc_id") % 3 === 2), idx, batchId = 1L)
+    assert(top(idx) == want, "batch-gen build must equal a fresh build")
+    val manifestBefore = graft.operators.MaintenanceIo.requireManifest(idx)
+    // replay batch 1: identical manifest, identical scores (tf/df/stats
+    // must NOT double-count — the at-least-once hazard)
+    InvertedIndex.appendBatchToIndex(
+      docs.filter(col("doc_id") % 3 === 2), idx, batchId = 1L)
+    assert(graft.operators.MaintenanceIo.requireManifest(idx)
+      == manifestBefore, "replay must republish an identical manifest")
+    assert(top(idx) == want, "replay drifted the scores")
+    // a delete layered over batch generations sees batch-appended docs
+    InvertedIndex.deleteFromIndex(
+      docs.filter(col("doc_id") % 5 === 2).select("doc_id"), idx)
+    val liveOnly = freshDir("inv_blive")
+    InvertedIndex.buildIndex(docs.filter(col("doc_id") % 5 =!= 2), liveOnly)
+    assert(top(idx) == top(liveOnly),
+      "delete must shadow batch-gen docs and shrink stats")
+    // compact: batch + tombstone entries fold away, result identical
+    InvertedIndex.compactIndex(spark, idx)
+    val m = graft.operators.MaintenanceIo.requireManifest(idx)
+    assert(m.tables.keySet == Set("postings", "df", "stats"),
+      s"compact must retire batch gens and tombstones: ${m.tables.keySet}")
+    assert(top(idx) == top(liveOnly), "compaction changed scores")
+  }
+
   test("NULL-text docs contribute no postings and no stats row") {
     val docs = Seq((1L, "alpha beta alpha"), (2L, "beta"))
       .toDF("doc_id", "text")

@@ -593,21 +593,24 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!eplan.contains("CartesianProduct"))
   }
 
-  test("q129 range join plans as a binned equi-join, never a nested loop") {
-    // The whole point of binnedRangeJoin: the inequality predicate that
+  test("q129/q133 range joins plan as binned equi-joins, never a nested loop") {
+    // The whole point of the binned rewrites: the inequality predicates
     // Spark would execute as BroadcastNestedLoopJoin (per-row probes of
     // the entire interval table — O(n·m) at 100 TB) must instead be ONE
-    // shuffled equi-join on the bin id with the BETWEEN as a post-filter.
-    val plan = SparkEntry.queries("q129_range_join_bands")(spark, sf0001)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      "q129 must not nested-loop the range predicate")
-    assert(!plan.contains("CartesianProduct"))
-    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
-        || plan.contains("BroadcastHashJoin"),
-      "q129 must join hash/sort-merge on the bin id")
-    // and the pair aggregate must map-side combine before the final group
-    assert(plan.contains("partial_count"),
-      "q129 pair counts must partial-aggregate")
+    // shuffled equi-join on the bin id with the exact predicate as a
+    // post-filter.
+    for (name <- Seq("q129_range_join_bands", "q133_interval_overlap_join")) {
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must not nested-loop the range predicate")
+      assert(!plan.contains("CartesianProduct"), name)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+          || plan.contains("BroadcastHashJoin"),
+        s"$name must join hash/sort-merge on the bin id")
+      // and the pair aggregate must map-side combine before the final group
+      assert(plan.contains("partial_count"),
+        s"$name pair counts must partial-aggregate")
+    }
   }
 }

@@ -969,6 +969,64 @@ class StreamingEtlSpec extends SparkSpec {
     assert(streamedEst == 4L, s"expected 4 distinct texts, got $streamedEst")
   }
 
+  test("selfDedupIngest search index: the stream-maintained inverted index " +
+      "equals a from-scratch build across a kill/restart") {
+    // q134's writer driven from a real checkpointed stream: each batch
+    // appends its admissions as a generation triple; the kill/restart
+    // replays side effects at-least-once, and the per-batch overwrite
+    // must keep the index equal to a from-scratch build over
+    // corpus ∪ admitted — tf, df, and stats all exactly-once.
+    import java.nio.file.Files
+    def toks(p: String) = (1 to 30).map(i => s"${p}w$i").mkString(" ")
+    val corpus = Seq((1L, toks("s1")), (2L, toks("s2"))).toDF("doc_id", "text")
+    val bloomPath = Files.createTempDirectory("si_bloom").toString
+    val lshPath = Files.createTempDirectory("si_lsh").toString
+    val idxPath = Files.createTempDirectory("si_idx").toString
+    graft.operators.Dedup.buildExactBloom(corpus, "text", bloomPath)
+    graft.operators.Dedup.writeLshBandIndex(corpus, "doc_id", "text",
+      lshPath)
+    graft.operators.InvertedIndex.buildIndex(corpus, idxPath)
+    val stageDir = Files.createTempDirectory("si_stage")
+    val ckpt = Files.createTempDirectory("si_ckpt").toString
+    val outDir = Files.createTempDirectory("si_out").toString
+    var staged = 0
+    def stage(rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"si_tmp_$staged")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, stageDir.resolve(f"s$staged%02d.parquet"))
+      staged += 1
+    }
+    def start() = graft.streaming.IngestStream.selfDedupIngest(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString),
+      corpus, "doc_id", "text", bloomPath, lshPath, threshold = 0.8,
+      outDir, ckpt, searchIndexPath = Some(idxPath))
+    stage(Seq(101L -> toks("s3"), 102L -> toks("s3"), 103L -> toks("s1")))
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // dies mid-crawl
+    stage(Seq(111L -> toks("s3"), 112L -> toks("s4")))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val admitted = spark.read.parquet(outDir).select("doc_id", "text")
+    // truth: a from-scratch index over what the stream actually admitted
+    val scratch = Files.createTempDirectory("si_scratch").toString
+    graft.operators.InvertedIndex.buildIndex(
+      corpus.unionByName(admitted), scratch)
+    val terms = Seq("s1w1", "s3w5", "s4w9")
+    def top(p: String) = graft.operators.InvertedIndex
+      .bm25FromIndex(spark, p, terms)
+      .orderBy(col("score").desc, col("doc_id"))
+      .as[(Long, Double, Long)].collect().toSeq
+    val streamed = top(idxPath)
+    assert(streamed.nonEmpty && streamed == top(scratch),
+      s"stream-maintained index drifted: $streamed vs ${top(scratch)}")
+  }
+
   test("writeShards: export is identical under input repartitioning") {
     // the bit-reproducibility claim: shard membership, global positions,
     // and in-file order are pure functions of (ids, seed) — independent
