@@ -83,6 +83,12 @@ object Explain {
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         "q134_inverted_index_stream_gens" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q135: crossJoin(broadcast(1-row total-weight frame)) — the
+        // q69/q126 1-row-frame shape; the SinglePartition exchange is
+        // that frame's own global aggregate. The corpus side is a
+        // codegen'd scalar filter, never shuffled.
+        "q135_weighted_sample" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         // q132: three 1-row estimate frames and the 1-row exact-overlap
         // count cross-joined (the q69/q126 1-row-frame shape); the
         // SinglePartition exchanges are those frames' own global

@@ -2130,6 +2130,35 @@ object SparkEntry {
         .orderBy("l_returnflag", "o_orderpriority")
     }),
 
+    // ---- Weighted PPS sample + Horvitz-Thompson report ------------------
+    // Probability-proportional-to-size Poisson sampling over the corpus
+    // (long docs proportionally likelier; expected sample ~ k docs) with
+    // the keep decision on the shared FNV ppm stream and EXACT integer
+    // thresholds — no float compare, so the oracle replays membership
+    // bit-for-bit. The report: per-source sampled count and the
+    // Horvitz-Thompson token-total estimate Σ w/π from the SAMPLE alone,
+    // against the exact total — the unbiased-estimation machinery a
+    // data team uses to audit weighted subsamples. Zero corpus shuffle:
+    // one 1-row W aggregate broadcast back, then a codegen'd filter.
+    "q135_weighted_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("w"))
+      val sampled = Relational.weightedPoissonSample(
+        docs, "doc_id", "w", k = 40L, seed = 29L)
+      val grouped = sampled
+        .withColumn("ht", round(
+          col("w").cast("double") * lit(1000000.0) / col("__t"), 6))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("ht").cast(DecimalType(18, 6))).cast("double")
+            .as("ht_tokens"))
+      grouped
+        .join(docs.groupBy("source").agg(sum("w").as("exact_tokens")),
+          Seq("source"))
+        .orderBy("source")
+    }),
+
     // ---- Interval-overlap join, binned with ownership dedup -------------
     // Two interval sets (lineitem ±0.05 % price bands × order ±0.1 %
     // bands), joined on OVERLAP — also a nested loop in native Spark.
@@ -3629,6 +3658,37 @@ object SparkEntry {
                     THEN 1 ELSE 0 END) AS BIGINT) AS kept
          FROM s GROUP BY source ORDER BY source"""
   }
+
+  /** q135 oracle: replays the PPS sampler exactly — the shared FNV ppm
+    * bucket (seed 29), the exact integer threshold
+    * t = least(10⁶, (w·k·10⁶) // W) (DuckDB `//` == Spark `div` on
+    * non-negative operands), strict b < t membership, then the same
+    * 6-dp-rounded DECIMAL-summed Horvitz-Thompson fold and exact
+    * per-source totals.
+    */
+  private def weightedSampleOracleSql: String =
+    fnvBucketCtes("documents", "doc_id", 29) + raw""",
+         w0 AS (
+           SELECT source, doc_id, b,
+             CAST(len(string_split_regex(trim(text), '[$WS]+')) AS BIGINT)
+               AS w
+           FROM s),
+         tot AS (SELECT SUM(w) AS wtot FROM w0),
+         t0 AS (
+           SELECT source, doc_id, b, w,
+             LEAST(1000000, (w * 40000000) // wtot) AS t
+           FROM w0 CROSS JOIN tot),
+         sel AS (SELECT * FROM t0 WHERE w > 0 AND b < t),
+         g AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             CAST(SUM(CAST(round(CAST(w AS DOUBLE) * 1000000.0 / t, 6)
+                           AS DECIMAL(18, 6))) AS DOUBLE) AS ht_tokens
+           FROM sel GROUP BY source),
+         ex AS (
+           SELECT source, CAST(SUM(w) AS BIGINT) AS exact_tokens
+           FROM w0 GROUP BY source)
+         SELECT g.source, g.n_sampled, g.ht_tokens, ex.exact_tokens
+         FROM g JOIN ex USING (source) ORDER BY g.source"""
 
   /** q68 oracle: re-derives the packing spans — FNV bucket (the q62
     * stream, mod 8), within-bucket running token offset as the same
@@ -5251,6 +5311,7 @@ object SparkEntry {
     // engine side must reproduce it from main + batch generations,
     // WITH one batch deliberately replayed (exactly-once proof).
     "q134_inverted_index_stream_gens" -> bm25OracleSqlFor(indexTerms),
+    "q135_weighted_sample" -> weightedSampleOracleSql,
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

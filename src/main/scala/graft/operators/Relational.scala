@@ -859,6 +859,47 @@ object Relational {
       .otherwise(binHi)
   }
 
+  /** Weighted (probability-proportional-to-size) Poisson sample: row i
+    * is kept with inclusion probability π_i = min(1, k·wᵢ/W) quantized
+    * to exact ppm — the PPS sampler behind weighted corpus subsampling
+    * (long documents proportionally likelier, expected sample ≈ k rows)
+    * and Horvitz-Thompson estimation from the sample alone.
+    *
+    * Determinism contract: the keep decision rides the SAME
+    * [[fnvBucket]] ppm stream as every splitter here (pure function of
+    * (id, seed)), and the per-row threshold t = min(10⁶, ⌊wᵢ·k·10⁶/W⌋)
+    * is EXACT integer arithmetic — no float compare anywhere, so
+    * membership is partition-independent, re-run-stable, and a SQL
+    * oracle re-derives it bit-for-bit. π_i = t/10⁶ exactly; the ppm
+    * quantization means rows with wᵢ·k < W/10⁶ get t = 0 and can never
+    * be sampled (the standard fixed-point PPS floor — at k ≥ 1 those
+    * rows carry < 1 ppm of the weight each). Rows with NULL or
+    * non-positive weight are never sampled.
+    *
+    * Scale shape: ONE 1-row total-weight aggregate broadcast back
+    * (crossJoin of the q69/q17 bounded class); the keep decision is a
+    * codegen'd scalar filter on the scan — the corpus itself never
+    * shuffles. Returns the sampled rows plus `__t` (ppm threshold: the
+    * exact π in ppm, for HT weighting w/π = w·10⁶/t).
+    *
+    * Caller contract: `weightCol` is an integral column;
+    * wᵢ·k·10⁶ must fit a long (w ≤ 10⁵ tokens and k ≤ 10⁶ leave an
+    * order of magnitude of headroom).
+    */
+  def weightedPoissonSample(df: DataFrame, idCol: String, weightCol: String,
+                            k: Long, seed: Long): DataFrame = {
+    require(k > 0, s"weightedPoissonSample: k > 0, got $k")
+    require(!df.columns.contains("__t") && !df.columns.contains("__W"),
+      "weightedPoissonSample: input must not carry __t/__W")
+    val tot = df.agg(sum(col(weightCol)).cast("long").as("__W"))
+    df.crossJoin(broadcast(tot))
+      .withColumn("__t", least(lit(1000000L),
+        expr(s"($weightCol * ${k * 1000000L}L) div __W")))
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0L &&
+        fnvBucket(col(idCol), seed) < col("__t"))
+      .drop("__W")
+  }
+
   /** Interval-OVERLAP join (two interval sets, NO equi key) — the
     * two-sided sibling of [[binnedRangeJoin]]: `[lLo,lHi] OVERLAPS
     * [rLo,rHi]` (iff lLo <= rHi AND rLo <= lHi), which Spark also plans

@@ -327,6 +327,42 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("weightedPoissonSample: exact-π laws, HT exactness at π=1, " +
+      "weight edge cases, and partition independence") {
+    // all-heavy fixture: every w·k ≥ W so every π = 1 — the sample IS
+    // the population and the HT estimate must equal the exact total
+    val heavy = (1L to 20L).map(i => (i, 100L)).toDF("id", "w")
+    val allIn = Relational.weightedPoissonSample(heavy, "id", "w",
+      k = 20L, seed = 7L)
+    assert(allIn.count() == 20L)
+    assert(allIn.select("__t").distinct().as[Long].collect().toSeq
+      == Seq(1000000L), "π must cap at exactly 1")
+    val ht = allIn.select(sum(col("w").cast("double") * 1000000.0
+      / col("__t"))).as[Double].head()
+    assert(ht == 2000.0, s"HT at π=1 must equal the exact total, got $ht")
+    // zero/negative/NULL weights are never sampled
+    val mixed = Seq((1L, 50L), (2L, 0L), (3L, -5L)).toDF("id", "w")
+      .unionByName(Seq(Tuple1(4L)).toDF("id")
+        .withColumn("w", lit(null).cast("long")))
+    val keptIds = Relational.weightedPoissonSample(mixed, "id", "w",
+        k = 100L, seed = 7L).select("id").as[Long].collect().toSet
+    assert(keptIds == Set(1L), s"only the positive-weight row: $keptIds")
+    // membership is a pure (id, seed, weights) function — layout-free
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"),
+      length(col("text")).cast("long").as("w"))
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Relational.weightedPoissonSample(d, "doc_id", "w", k = 10L, seed = 3L)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+    val base = ids(docs)
+    assert(base.nonEmpty && base == ids(docs.repartition(13)))
+    // heavier rows can only RAISE inclusion: every sampled doc's bucket
+    // is under its own threshold by construction; spot the monotonicity
+    // by doubling all weights (π doubles pre-cap, so the set can only
+    // grow — W doubles too, thresholds identical... so assert equality)
+    assert(ids(docs.withColumn("w", col("w") * 2L)) == base,
+      "uniform weight scaling must not change membership (t is scale-free)")
+  }
+
   test("binned joins fail FAST on a wide-interval fan-out, not by " +
       "exploding the shuffle") {
     // one pathological interval (span/w = 40k bins) must raise a clear
