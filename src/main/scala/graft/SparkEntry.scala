@@ -2159,6 +2159,22 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- Sequential Poisson: EXACTLY-k weighted sample ------------------
+    // q135's fixed-budget companion (Ohlsson's design): rank on u/w —
+    // one IEEE double division of exactly-representable integers, so
+    // membership AND order replay bit-for-bit in the oracle (the reason
+    // this is u/w and not a -ln(u)/w exponential key: libm ln differs
+    // across engines by ulps; division does not). TakeOrdered plan —
+    // bottom-k per partition, no global sort, the q75 class.
+    "q136_sequential_poisson" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("w"))
+      Relational.sequentialPoissonSample(docs, "doc_id", "w",
+          k = 120, seed = 43L)
+        .orderBy("doc_id")
+    }),
+
     // ---- Interval-overlap join, binned with ownership dedup -------------
     // Two interval sets (lineitem ±0.05 % price bands × order ±0.1 %
     // bands), joined on OVERLAP — also a nested loop in native Spark.
@@ -3689,6 +3705,23 @@ object SparkEntry {
            FROM w0 GROUP BY source)
          SELECT g.source, g.n_sampled, g.ht_tokens, ex.exact_tokens
          FROM g JOIN ex USING (source) ORDER BY g.source"""
+
+  /** q136 oracle: replays the sequential Poisson rank — the shared ppm
+    * bucket (seed 43), priority = CAST(b+1 AS DOUBLE)/w (one IEEE
+    * division, bit-identical), doc_id tiebreak, bottom 120.
+    */
+  private def sequentialPoissonOracleSql: String =
+    fnvBucketCtes("documents", "doc_id", 43) + raw""",
+         w0 AS (
+           SELECT doc_id, source, b,
+             CAST(len(string_split_regex(trim(text), '[$WS]+')) AS BIGINT)
+               AS w
+           FROM s),
+         sel AS (
+           SELECT doc_id, source, w FROM w0
+           WHERE w > 0
+           ORDER BY CAST(b + 1 AS DOUBLE) / w, doc_id LIMIT 120)
+         SELECT doc_id, source, w FROM sel ORDER BY doc_id"""
 
   /** q68 oracle: re-derives the packing spans — FNV bucket (the q62
     * stream, mod 8), within-bucket running token offset as the same
@@ -5312,6 +5345,7 @@ object SparkEntry {
     // WITH one batch deliberately replayed (exactly-once proof).
     "q134_inverted_index_stream_gens" -> bm25OracleSqlFor(indexTerms),
     "q135_weighted_sample" -> weightedSampleOracleSql,
+    "q136_sequential_poisson" -> sequentialPoissonOracleSql,
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

@@ -900,6 +900,41 @@ object Relational {
       .drop("__W")
   }
 
+  /** Sequential Poisson sample (Ohlsson): the EXACTLY-k weighted
+    * companion to [[weightedPoissonSample]] (which is expected-k) —
+    * rank every row by priority uᵢ/wᵢ and keep the bottom k, so heavier
+    * rows sort earlier in probability and the sample size is exact: the
+    * production-standard PPS-approximating design for fixed-budget
+    * weighted subsampling.
+    *
+    * Determinism: uᵢ = (fnvBucket + 1)/10⁶ — the shared ppm stream
+    * (+1 keeps bucket 0 from flattening every weight to priority 0) —
+    * and the rank key is ONE IEEE double division of two exactly-
+    * representable integers: bit-identical in any engine (unlike a
+    * -ln(u)/w exponential key, whose libm ln differs across platforms
+    * by ulps — why this design uses Ohlsson's u/w, not Sunter/A-ES).
+    * Ties (exact rational collisions like 2/4 = 1/2) break by id.
+    * Rows with NULL or non-positive weight are never sampled.
+    *
+    * Scale shape: TakeOrdered — each partition keeps its local bottom-k
+    * of a codegen'd scalar key, k rows per partition merge on the
+    * driver; no global sort, no shuffle of the corpus (the q75 plan
+    * class, plan-asserted there).
+    */
+  def sequentialPoissonSample(df: DataFrame, idCol: String,
+                              weightCol: String, k: Int,
+                              seed: Long): DataFrame = {
+    require(k >= 0, s"sequentialPoissonSample: k >= 0, got $k")
+    requireFresh(df, "sequentialPoissonSample", Seq("__sp"))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0L)
+      .withColumn("__sp",
+        (fnvBucket(col(idCol), seed) + lit(1L)).cast("double")
+          / col(weightCol))
+      .orderBy(col("__sp"), col(idCol))
+      .limit(k)
+      .drop("__sp")
+  }
+
   /** Interval-OVERLAP join (two interval sets, NO equi key) — the
     * two-sided sibling of [[binnedRangeJoin]]: `[lLo,lHi] OVERLAPS
     * [rLo,rHi]` (iff lLo <= rHi AND rLo <= lHi), which Spark also plans

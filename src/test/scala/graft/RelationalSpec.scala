@@ -363,6 +363,36 @@ class RelationalSpec extends SparkSpec {
       "uniform weight scaling must not change membership (t is scale-free)")
   }
 
+  test("sequentialPoissonSample: exactly k, weight-monotone, " +
+      "layout-independent, degenerate weights excluded") {
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"),
+      length(col("text")).cast("long").as("w"))
+    def ids(d: org.apache.spark.sql.DataFrame, k: Int, seed: Long) =
+      Relational.sequentialPoissonSample(d, "doc_id", "w", k, seed)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+    val base = ids(docs, 15, 9L)
+    assert(base.size == 15, "exactly k rows")
+    assert(base == ids(docs.repartition(13), 15, 9L), "layout-free")
+    // weight monotone: boost one unsampled doc's weight to astronomically
+    // heavy — its priority -> ~0, it MUST enter the sample
+    val out = docs.filter(!col("doc_id").isin(base: _*))
+      .select("doc_id").as[Long].head()
+    val boosted = docs.withColumn("w",
+      when(col("doc_id") === out, lit(1000000000L)).otherwise(col("w")))
+    assert(ids(boosted, 15, 9L).contains(out),
+      "an overwhelming weight must win a slot")
+    // zero/negative/NULL weights never sampled, even at k > population
+    val mixed = Seq((1L, 5L), (2L, 0L), (3L, -1L)).toDF("doc_id", "w")
+      .unionByName(Seq(Tuple1(4L)).toDF("doc_id")
+        .withColumn("w", lit(null).cast("long")))
+    assert(ids(mixed, 10, 9L) == Seq(1L))
+    // the plan is a bounded partial top-k, never a global sort
+    val plan = Relational.sequentialPoissonSample(docs, "doc_id", "w",
+      15, 9L).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"),
+      s"must select via bounded partial top-k:\n$plan")
+  }
+
   test("binned joins fail FAST on a wide-interval fan-out, not by " +
       "exploding the shuffle") {
     // one pathological interval (span/w = 40k bins) must raise a clear
