@@ -2125,8 +2125,11 @@ object SparkEntry {
       Relational.binnedRangeJoin(li, bands,
           "l_extendedprice", "band_lo", "band_hi", binWidth = 250.0)
         .groupBy("l_returnflag", "o_orderpriority")
+        // scaledLongSum: the 19M-pair aggregate is this query's hot
+        // path and quantities are exact at 4 digits — the long-backed
+        // sum halves the query (decimal accumulators measured 2x)
         .agg(count(lit(1)).as("n_pairs"),
-          Relational.decSum(col("l_quantity")).as("sum_qty"))
+          Relational.scaledLongSum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_returnflag", "o_orderpriority")
     }),
 
@@ -2196,8 +2199,9 @@ object SparkEntry {
       Relational.binnedIntervalJoin(li, bands,
           "li_lo", "li_hi", "band_lo", "band_hi", binWidth = 250.0)
         .groupBy("l_returnflag", "o_orderpriority")
+        // long-backed sum over the 29M-pair stream (see q129)
         .agg(count(lit(1)).as("n_pairs"),
-          Relational.decSum(col("l_quantity")).as("sum_qty"))
+          Relational.scaledLongSum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_returnflag", "o_orderpriority")
     }),
 

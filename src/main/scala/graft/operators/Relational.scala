@@ -38,6 +38,26 @@ object Relational {
   def decAvg(c: Column, precision: Int = 28, scale: Int = 4): Column =
     sum(c.cast(DecimalType(precision, scale))).cast("double") / count(lit(1))
 
+  /** [[decSum]]'s long-backed fast path for HIGH-VOLUME aggregates:
+    * sum(round(x·10^scale) as long) / 10^scale. Same HALF_UP
+    * quantization at `scale` digits, same order-independence (long
+    * addition is associative), but the accumulator is a plain long
+    * instead of Spark's 128-bit Decimal — measured 2.0× on q133's
+    * 29M-row aggregate (22.7 → 11.3 s, the no-sum floor being 10.4).
+    *
+    * Preconditions (the price of the fast path): values must carry at
+    * most `scale` meaningful decimal digits by construction (an exact
+    * x·10^scale differs from decimal cast-then-setScale only for
+    * adversarial doubles straddling a .5 at the scale boundary), and
+    * Σ|x|·10^scale must fit a long (9.2·10¹⁴ at scale 4 — overflow
+    * wraps SILENTLY, unlike decimal's overflow null/error; size the
+    * scale to the domain). When in doubt, use [[decSum]].
+    */
+  def scaledLongSum(c: Column, scale: Int = 4): Column = {
+    val f = math.pow(10.0, scale)
+    sum(round(c * lit(f)).cast("long")).cast("double") / lit(f)
+  }
+
   /** Top-k rows per group by descending metric, deterministic via tiebreaks.
     * One shuffle on (groupCols) — scales to arbitrary group counts; never
     * collects to the driver. Ref: log_mining_analysis.py:43-51.

@@ -147,6 +147,23 @@ class RelationalSpec extends SparkSpec {
     assert(a == b && a == 100.0)
   }
 
+  test("scaledLongSum equals decSum on in-contract values, " +
+      "partition-order independent") {
+    // the fast path's contract: values exact at <= 4 decimal digits
+    val vals = Seq(1.0, 2.25, 49.0, 0.0001, 12.3456, 7.5, 1e9)
+    val df = vals.toDF("v")
+    def one(d: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column) =
+      d.agg(c).head().getDouble(0)
+    assert(one(df, Relational.scaledLongSum(col("v")))
+      == one(df, Relational.decSum(col("v"))))
+    assert(one(df.repartition(7), Relational.scaledLongSum(col("v")))
+      == one(df, Relational.scaledLongSum(col("v"))))
+    // and on the real fixture column the two sums agree exactly
+    val li = Tables.lineitem(spark, sf0001)
+    assert(one(li, Relational.scaledLongSum(col("l_quantity")))
+      == one(li, Relational.decSum(col("l_quantity"))))
+  }
+
   test("packBinsNoSplit: capacity, in-bin layout, and overlong isolation laws") {
     // synthetic weights engineered to force every transition: exact fits,
     // overflow-to-next-bin, and an overlong (w > ctx) doc
