@@ -188,7 +188,14 @@ object Explain {
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         // q121: three global roll-ups of per-key count frames — each
         // final merge is one row through one task, the q03/q17 class.
-        "q121_key_uniqueness" -> Set("SinglePartition-exchange"))
+        "q121_key_uniqueness" -> Set("SinglePartition-exchange"),
+        // q138's per-iteration pass (construction-time, between
+        // checkpoints): crossJoin(broadcast(1-row dangling-mass frame)) —
+        // the q69/q126 1-row-frame shape; the SinglePartition exchange is
+        // that frame's own global aggregate. Rank rows themselves move
+        // only through node-keyed hash exchanges.
+        "q138_pagerank_centrality#iter" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"))
       // construction-time plans (driver-collected passes) audit alongside
       // the returned frames — restricted to the selected queries' passes
       val auditTargets = names.map(n =>

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.functions.TextFunctions.WS
-import graft.operators.{Dedup, MaintenanceIo, Relational, Similarity}
+import graft.operators.{Dedup, Graph, Linkage, MaintenanceIo, Relational, Similarity}
 import graft.sources.Sources
 import graft.streaming.EventStream
 
@@ -199,6 +199,18 @@ object SparkEntry {
             sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
             sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb")),
         "value", 32)),
+    // q138's per-iteration plan (construction-time: every round runs
+    // between localCheckpoints, so the returned query's plan shows only
+    // the final checkpoint scan): one node-keyed join + map-side-combined
+    // sum; the 1-row dangling aggregate crosses back via broadcast.
+    "q138_pagerank_centrality#iter" -> ((s, dir) => {
+      val ol = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      operators.Graph.iterationFrame(
+        ol.select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst")),
+        "src", "dst")
+    }),
     // q110's band-index build (cachedBuild pass): the ONE corpus
     // sketch+explode pass every later ingest amortizes — narrow kernels,
     // no shuffle at all (the write is partition-local).
@@ -3104,6 +3116,66 @@ object SparkEntry {
         Tables.part(s, dir).withColumnRenamed("p_partkey", "item"),
         "item", "p_name", " ", minRatings = 2, topItems = 10, topTokens = 10)
     }),
+
+    // ---- RECORD LINKAGE: edit-distance similarity join ------------------
+    // Entity resolution: a dirty catalog (deterministically corrupted
+    // part labels — delete / substitute / two-edit, keyed by partkey)
+    // matched against the canonical catalog at levenshtein <= 2. The
+    // operator never forms the probe x catalog product: candidates come
+    // from an equi-join on PassJoin segment-hash keys (recall-exact by
+    // pigeonhole — Linkage.editDistanceJoin scaladoc carries the proof)
+    // and only survivors pay the banded O(k·len) verify. The oracle IS
+    // the quadratic join (length-filtered brute levenshtein in DuckDB),
+    // so a hash-green row proves the blocking lost no pair.
+    "q137_editdist_linkage" -> ((s, dir) => {
+      val cat = Tables.part(s, dir).select(
+        col("p_partkey").as("cat_id"),
+        concat(col("p_brand"), lit(" "), col("p_name"), lit(" #"),
+          col("p_partkey").cast("string")).as("s"))
+      val lab = cat.select(col("cat_id").as("dirty_id"), col("s"),
+        (col("cat_id") % (length(col("s")) - 6) + 2).cast("int").as("p"))
+      val dirty = lab.select(col("dirty_id"),
+        expr("""CASE dirty_id % 4
+          WHEN 0 THEN s
+          WHEN 1 THEN concat(substring(s, 1, p-1), substring(s, p+1))
+          WHEN 2 THEN concat(substring(s, 1, p-1), 'x', substring(s, p+1))
+          ELSE concat(substring(s, 1, p-1), 'x', substring(s, p+1, 1),
+                      substring(s, p+3))
+          END""").as("d"))
+      Linkage.editDistanceJoin(dirty, "dirty_id", "d", cat, "cat_id", "s",
+          k = 2)
+        .select(col("dirty_id"), col("cat_id"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("dirty_id", "cat_id")
+    }),
+
+    // ---- LINK-GRAPH CENTRALITY: fixed-point PageRank --------------------
+    // The web-curation centrality signal as iterative graph analytics
+    // over the order graph: customer -> supplier edges from fulfilled
+    // lines, supplier -> customer back-edges from returns. Ranks are
+    // integer fixed-point (parts-per-10^12, Graph.RankScale) so all ten
+    // synchronous iterations — damping, per-edge split, uniform dangling
+    // redistribution — replay bit-for-bit in the oracle's generated
+    // 10-stage CTE chain. Per-iteration cost is one node-keyed join +
+    // one map-side-combined sum; lineage is localCheckpoint-pinned per
+    // round (the componentIds discipline).
+    "q138_pagerank_centrality" -> ((s, dir) => {
+      val ol = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      val fwd = ol.select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(10000000L)).as("dst"))
+      val ret = ol.filter(col("l_returnflag") === "R")
+        .select((col("l_suppkey") + lit(10000000L)).as("src"),
+          col("o_custkey").as("dst"))
+      Graph.pageRankFixedPoint(fwd.unionByName(ret), "src", "dst",
+          iters = 10)
+        .select(col("node"),
+          when(col("node") >= 10000000L, lit("supplier"))
+            .otherwise(lit("customer")).as("kind"),
+          col("rank_ppt"))
+        .orderBy(col("rank_ppt").desc, col("node"))
+        .limit(25)
+    }),
   )
 
   /** Exact brute-force cosine top-5 for queries vec_id < 5 — the shared
@@ -3726,6 +3798,98 @@ object SparkEntry {
            WHERE w > 0
            ORDER BY CAST(b + 1 AS DOUBLE) / w, doc_id LIMIT 120)
          SELECT doc_id, source, w FROM sel ORDER BY doc_id"""
+
+  /** q137 oracle: THE QUADRATIC JOIN the operator exists to avoid — same
+    * label + corruption derivation (pure substring/concat ops, exact in
+    * both engines), then brute levenshtein over the length-filtered
+    * probe x catalog product. Hash-green proves the segment blocking
+    * recall-exact.
+    */
+  private val editDistOracleSql: String =
+    """WITH cat AS (
+         SELECT p_partkey AS cat_id,
+           concat(p_brand, ' ', p_name, ' #', CAST(p_partkey AS VARCHAR))
+             AS s
+         FROM part),
+       lab AS (
+         SELECT cat_id AS dirty_id, s,
+           CAST(cat_id % (length(s) - 6) + 2 AS INT) AS p
+         FROM cat),
+       dirty AS (
+         SELECT dirty_id,
+           CASE dirty_id % 4
+             WHEN 0 THEN s
+             WHEN 1 THEN concat(substring(s, 1, p-1), substring(s, p+1))
+             WHEN 2 THEN concat(substring(s, 1, p-1), 'x',
+                                substring(s, p+1))
+             ELSE concat(substring(s, 1, p-1), 'x', substring(s, p+1, 1),
+                         substring(s, p+3))
+           END AS d
+         FROM lab)
+       SELECT d.dirty_id, c.cat_id,
+         CAST(levenshtein(d.d, c.s) AS BIGINT) AS dist
+       FROM dirty d, cat c
+       WHERE abs(length(d.d) - length(c.s)) <= 2
+         AND levenshtein(d.d, c.s) <= 2
+       ORDER BY dirty_id, cat_id"""
+
+  /** q138 oracle: the integer fixed-point recurrence unrolled into a
+    * generated 10-stage MATERIALIZED CTE chain (materialization keeps
+    * DuckDB's inliner from exponentially duplicating the per-iteration
+    * subplans). Every op is `//` on nonneg integers — identical to
+    * Spark's `div` — so the final ranks match bit-for-bit.
+    */
+  private val pageRankOracleSql: String = {
+    val iters = 10
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH eraw AS (
+           SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           UNION ALL
+           SELECT l_suppkey + 10000000 AS src, o_custkey AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           WHERE l.l_returnflag = 'R'),
+         edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw),
+         nodes AS MATERIALIZED (
+           SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+         nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+         spine AS MATERIALIZED (
+           SELECT nd.node, COALESCE(o.d, 0) AS d
+           FROM nodes nd LEFT JOIN
+             (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1) o
+             ON nd.node = o.node),
+         r0 AS MATERIALIZED (
+           SELECT node, ${Graph.RankScale} // (SELECT n FROM nn) AS rank
+           FROM nodes)""")
+    for (i <- 0 until iters) {
+      sb.append(s""",
+         m$i AS MATERIALIZED (
+           SELECT s.node, s.d, (r.rank * 85) // 100 AS m
+           FROM r$i r JOIN spine s ON r.node = s.node),
+         g$i AS MATERIALIZED (
+           SELECT COALESCE(SUM(CASE WHEN d = 0 THEN m END), 0)
+                    // (SELECT n FROM nn) AS share
+           FROM m$i),
+         i$i AS MATERIALIZED (
+           SELECT e.dst AS node, SUM(m.m // m.d) AS s
+           FROM edges e JOIN m$i m ON e.src = m.node
+           WHERE m.d > 0 GROUP BY 1),
+         r${i + 1} AS MATERIALIZED (
+           SELECT nd.node,
+             CAST((SELECT ${15L * Graph.RankScale} // (100 * n) FROM nn)
+                  + (SELECT share FROM g$i) + COALESCE(i.s, 0) AS BIGINT)
+               AS rank
+           FROM nodes nd LEFT JOIN i$i i ON nd.node = i.node)""")
+    }
+    sb.append(s"""
+       SELECT node,
+         CASE WHEN node >= 10000000 THEN 'supplier' ELSE 'customer' END
+           AS kind,
+         rank AS rank_ppt
+       FROM r$iters ORDER BY rank_ppt DESC, node LIMIT 25""")
+    sb.toString
+  }
 
   /** q68 oracle: re-derives the packing spans — FNV bucket (the q62
     * stream, mod 8), within-bucket running token offset as the same
@@ -5350,6 +5514,8 @@ object SparkEntry {
     "q134_inverted_index_stream_gens" -> bm25OracleSqlFor(indexTerms),
     "q135_weighted_sample" -> weightedSampleOracleSql,
     "q136_sequential_poisson" -> sequentialPoissonOracleSql,
+    "q137_editdist_linkage" -> editDistOracleSql,
+    "q138_pagerank_centrality" -> pageRankOracleSql,
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents
