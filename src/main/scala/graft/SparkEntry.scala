@@ -3176,6 +3176,18 @@ object SparkEntry {
         .orderBy(col("rank_ppt").desc, col("node"))
         .limit(25)
     }),
+
+    // ---- EXACT-recall Jaccard similarity join ----------------------------
+    // q22/q80's LSH blocking misses a boundary pair with probability
+    // ~4e-8; when recall must be PROVABLE (legal dedup, decontamination
+    // audits) the prefix-filter join loses no pair by theorem
+    // (Dedup.exactJaccardJoin scaladoc carries the proof). The oracle IS
+    // the quadratic shingle-set join, so hash-green proves exact recall
+    // AND precision at this threshold.
+    "q139_exact_jaccard_join" -> ((s, dir) =>
+      Dedup.exactJaccardJoin(Tables.documents(s, dir), "doc_id", "text",
+          threshold = 0.7)
+        .orderBy("id_a", "id_b")),
   )
 
   /** Exact brute-force cosine top-5 for queries vec_id < 5 — the shared
@@ -3890,6 +3902,32 @@ object SparkEntry {
        FROM r$iters ORDER BY rank_ppt DESC, node LIMIT 25""")
     sb.toString
   }
+
+  /** q139 oracle: THE QUADRATIC JOIN the prefix filter exists to avoid —
+    * the q64 string-shingle derivation, full cross product (id_a < id_b),
+    * exact ratio. Raw-string sets vs the engine's 64-bit shingle hashes:
+    * parity = collision-freedom, the established q24/q66 argument. The
+    * jaccard value is the same int÷int IEEE division in both engines.
+    */
+  private val exactJaccardOracleSql: String =
+    raw"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM toks),
+         nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+           FROM nz a, nz b WHERE a.doc_id < b.doc_id)
+       SELECT id_a, id_b, jaccard FROM prs
+       WHERE jaccard >= 0.7 ORDER BY id_a, id_b"""
 
   /** q68 oracle: re-derives the packing spans — FNV bucket (the q62
     * stream, mod 8), within-bucket running token offset as the same
@@ -5516,6 +5554,7 @@ object SparkEntry {
     "q136_sequential_poisson" -> sequentialPoissonOracleSql,
     "q137_editdist_linkage" -> editDistOracleSql,
     "q138_pagerank_centrality" -> pageRankOracleSql,
+    "q139_exact_jaccard_join" -> exactJaccardOracleSql,
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

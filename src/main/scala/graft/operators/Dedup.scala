@@ -216,6 +216,87 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** EXACT-recall n-gram-Jaccard similarity join: every pair (id_a < id_b)
+    * with exact shingle-set Jaccard ≥ `threshold` — recall by THEOREM, not
+    * by band geometry. [[jaccardPairs]]'s LSH blocking misses a
+    * threshold-boundary pair with small probability (~4e-8 at its default
+    * geometry); when recall must be provable (legal dedup, eval
+    * decontamination), this operator's prefix-filter blocking loses no
+    * pair, and q139's quadratic DuckDB oracle verifies exactly that.
+    *
+    * Blocking (prefix filtering, the AllPairs/PPJoin family): order every
+    * doc's shingle set by GLOBAL rarity (document frequency asc, hash
+    * tiebreak — one total order shared by all docs) and key each doc only
+    * by its first p = |X| − ⌈t'·|X|⌉ + 1 shingles. Soundness: a pair with
+    * J ≥ t' has overlap o ≥ t'·|A∪B|, so o ≥ ⌈t'·|A|⌉ =: α_A and
+    * o ≥ α_B. Let a*, b* be the largest prefix elements; WLOG a* ≤ b*.
+    * Common shingles beyond a* sit in A's suffix (α_A − 1 < o of them),
+    * so some common x ≤ a* exists; sorted order puts x in A's prefix, and
+    * x ≤ a* ≤ b* puts it in B's too — the equi-join on (rare) prefix
+    * shingles finds every qualifying pair. Candidates are 16-byte
+    * (hash, id) rows; the exact verify runs only on survivors.
+    *
+    * Threshold arithmetic is integer-exact: t' = floor(threshold·10⁶)/10⁶
+    * (≤ the verify threshold, so blocking is a sound superset), prefix
+    * bound via (T6·sz + 999999) div 10⁶, length filter sz_b·10⁶ ≥ T6·sz_a
+    * — no float in any pruning decision, so candidate membership is
+    * partition- and platform-independent.
+    *
+    * Scale: df-ordering is the skew defense — boilerplate shingles shared
+    * by half the corpus have HIGH df and fall to suffixes, so the
+    * candidate join keys on rare shingles (AQE splits residual hot keys).
+    * One text-kernel pass (pinned); the per-doc rank window is bounded by
+    * the doc's own shingle count (uniform doc_id key, never the gram-hash
+    * skew the q94 de-skew eliminated). Degenerate regime: a corpus of
+    * near-identical docs makes even rare-shingle blocks quadratic in
+    * PAIRS — that cost is inherent to emitting the pairs themselves.
+    */
+  def exactJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleWidth: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"exactJaccardJoin: threshold in (0,1], got $threshold")
+    val t6 = math.floor(threshold * 1e6).toLong
+    require(t6 >= 1, s"exactJaccardJoin: threshold too small ($threshold)")
+    import org.apache.spark.sql.expressions.Window
+
+    // one text-kernel pass: (id, distinct shingle hashes, set size), pinned
+    // — consumed by the df-count, the prefix stream, and both verify sides
+    val sets = df.select(col(idCol).as("__id"),
+        T.shingleHashSet(col(textCol), shingleWidth).as("__hs"))
+      .withColumn("__sz", size(col("__hs")).cast("long"))
+      .filter(col("__sz") > 0)
+      .localCheckpoint()
+
+    val sh = sets.select(col("__id"), col("__sz"), explode(col("__hs")).as("__h"))
+    // global rarity: document frequency per shingle (map-side combined)
+    val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+    // per-doc rank in (df, hash) order — the shared total order; group
+    // size bounded by the doc's own shingle count
+    val wDoc = Window.partitionBy("__id").orderBy(col("__df"), col("__h"))
+    val prefix = sh.join(dfreq, "__h")
+      .withColumn("__rk", row_number().over(wDoc))
+      // p = sz - ceil(t'*sz) + 1, all integer math
+      .filter(col("__rk") <=
+        col("__sz") - expr(s"(($t6 * __sz + 999999) div 1000000)") + 1)
+      .select(col("__h"), col("__id"), col("__sz"))
+      .localCheckpoint() // consumed twice (both sides of the self-join)
+
+    val a = prefix.select(col("__h"), col("__id").as("id_a"), col("__sz").as("__sa"))
+    val b = prefix.select(col("__h"), col("__id").as("id_b"), col("__sz").as("__sb"))
+    val cands = a.join(b, Seq("__h"))
+      .filter(col("id_a") < col("id_b") &&
+        col("__sb") * 1000000L >= lit(t6) * col("__sa") &&
+        col("__sa") * 1000000L >= lit(t6) * col("__sb"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__hs").as("__ha")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__hs").as("__hb")), Seq("id_b"))
+      .withColumn("jaccard", T.jaccard(col("__ha"), col("__hb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** The end-to-end dedup semantics: drop every document that
     * near-duplicates (n-gram Jaccard ≥ threshold) a smaller-id document —
     * the standard keep-first policy of corpus pipelines. One anti-join

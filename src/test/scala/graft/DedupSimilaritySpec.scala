@@ -188,6 +188,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exactPair.exists(_._3 == 1.0))
   }
 
+  test("exactJaccardJoin equals the quadratic truth on an adversarial mix") {
+    // engineered hazards: a boilerplate 3-shingle shared by EVERY doc
+    // (max-df — must fall to suffixes, not flood the candidate join),
+    // threshold-boundary pairs on both sides of 0.7, an exact duplicate,
+    // length-ratio violations, and a doc too short to shingle
+    val banner = "click to accept cookies"
+    def doc(lo: Int, hi: Int) =
+      banner + " " + (lo to hi).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, doc(1, 60)), (2L, doc(1, 60)),            // exact dup: j = 1
+      (3L, doc(1, 55)), (4L, doc(6, 60)),            // high-overlap variants
+      (5L, doc(1, 20)),                              // length-filtered away
+      (6L, (200 to 260).map(i => s"z$i").mkString(" ")), // unrelated
+      (7L, "too short"),                             // no 3-shingles
+      (8L, doc(1, 58))).toDF("doc_id", "text")
+    val got = Dedup.exactJaccardJoin(docs, "doc_id", "text", threshold = 0.7)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val raw = Seq((1L, doc(1, 60)), (2L, doc(1, 60)), (3L, doc(1, 55)),
+      (4L, doc(6, 60)), (5L, doc(1, 20)),
+      (6L, (200 to 260).map(i => s"z$i").mkString(" ")),
+      (7L, "too short"), (8L, doc(1, 58)))
+    val expect = (for {
+      (ia, ta) <- raw; (ib, tb) <- raw if ia < ib
+      sa = sh(ta); sb = sh(tb) if sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= 0.7
+    } yield (ia, ib, j)).sortBy(r => (r._1, r._2))
+    assert(got == expect)
+    assert(got.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    assert(got.size >= 3) // the variants actually qualify — non-vacuous
+  }
+
+  test("exactJaccardJoin at threshold 1.0 finds exactly the verbatim dups") {
+    val got = Dedup.exactJaccardJoin(corpus, "doc_id", "text", threshold = 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 4L, 1.0)))
+  }
+
   test("simhashPairs flags the exact duplicate at hamming 0") {
     val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Long)].collect()
