@@ -57,8 +57,13 @@ object HashUtil {
     * rounds, each reproducible in DuckDB as UHUGEINT mod-2^64 arithmetic —
     * see the q125 oracle's fmixSql twin.
     */
-  def fnvMixed64(bytes: Array[Byte]): Long = {
-    var h = fnv1a64(bytes)
+  def fnvMixed64(bytes: Array[Byte]): Long = fmix64(fnv1a64(bytes))
+
+  /** The bare fmix64 finalizer, for kernels whose pre-mix fold is not FNV
+    * (DeletionHashUtil's polynomial prefix hashes).
+    */
+  def fmix64(v: Long): Long = {
+    var h = v
     h ^= h >>> 33
     h *= 0xff51afd7ed558ccdL
     h ^= h >>> 33

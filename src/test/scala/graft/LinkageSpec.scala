@@ -7,8 +7,13 @@ import graft.operators.Linkage
 class LinkageSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Driver-side reference: plain Levenshtein DP. */
-  private def lev(a: String, b: String): Int = {
+  /** Driver-side reference: plain Levenshtein DP over CODE POINTS (the
+    * unit Spark's levenshtein counts — a UTF-16 DP would disagree on
+    * astral chars).
+    */
+  private def lev(as: String, bs: String): Int = {
+    val a = as.codePoints().toArray
+    val b = bs.codePoints().toArray
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
     }
@@ -60,6 +65,43 @@ class LinkageSpec extends SparkSpec {
     val cat = (0L until 60L).map(i => i -> s"acme part $i")
     val probe = (0L until 60L).map(i => (1000 + i) -> s"acme prt $i")
     assert(run(probe, cat, 2) == bruteForce(probe, cat, 2))
+  }
+
+  test("length classes overlap: pairs straddling shortLen are never lost") {
+    // shortLen = 16: pairs with one side <= 16 and the other > 16 must be
+    // caught by the k-wide class overlap (FastSS on one side only would
+    // lose them); repetitive LONG strings exercise the marker sliver
+    val cat = Seq(
+      1L -> "abcdefghijklmnop",    // len 16 (SHORT boundary)
+      2L -> "abcdefghijklmnopqr",  // len 18 (LONG)
+      3L -> "aaaaaaaaaaaaaaaaaaaa", // len 20 repetitive (degenerate LONG)
+      4L -> "abcdefghijklm")       // len 13 (SHORT)
+    val probe = Seq(
+      101L -> "abcdefghijklmnopq",  // len 17: within 1 of ids 1 and 2
+      102L -> "aaaaaaaaaaaaaaaaaa", // len 18: within 2 of id 3
+      103L -> "abcdefghijklmn")     // len 14: within 1 of id 4
+    val got = Linkage.editDistanceJoin(
+        probe.toDF("pid", "ps"), "pid", "ps",
+        cat.toDF("cid", "cs"), "cid", "cs", k = 2, shortLen = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == bruteForce(probe, cat, 2))
+    assert(got.contains((101L, 1L, 1)) && got.contains((101L, 2L, 1)) &&
+      got.contains((102L, 3L, 2)))
+  }
+
+  test("deletion keys are code-point exact: non-BMP and multibyte text") {
+    // an astral emoji (surrogate pair in UTF-16, 4 bytes in UTF-8) and
+    // accented chars — byte- or unit-level deletion keys would miss these
+    val cat = Seq(1L -> "héllo wörld 🚀 x", 2L -> "наш дом 好", 3L -> "zzz")
+    val probe = Seq(
+      101L -> "héllo wörld 🚀 x",   // exact
+      102L -> "héllo wörld x",      // emoji + space deleted (2 edits)
+      103L -> "héllo wörld 🚀xx",   // sub space -> x, append x
+      104L -> "наш дом 好好",       // insert one CJK char
+      105L -> "наша дом")           // insert + delete the CJK tail
+    for (k <- 1 to 2)
+      assert(run(probe, cat, k) == bruteForce(probe, cat, k),
+        s"mismatch at k=$k")
   }
 
   test("q137 fixture slice: blocking equals brute force at sf0.001") {
