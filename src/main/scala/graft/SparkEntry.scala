@@ -211,6 +211,20 @@ object SparkEntry {
           (col("l_suppkey") + lit(10000000L)).as("dst")),
         "src", "dst")
     }),
+    // q140's per-round peel (round-1 shape, construction-time between
+    // checkpoints): two node-keyed semi-joins + one map-side-combined
+    // degree count — survivor rows only, never edge-sized state.
+    "q140_graph_kcore#round" -> ((s, dir) => {
+      val ol = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      val e0 = ol.select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(10000000L)).as("dst"))
+      val e = e0.unionByName(e0.select(col("dst").as("src"),
+          col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).dropDuplicates("src", "dst")
+      val alive = e.select(col("src").as("node")).dropDuplicates("node")
+      operators.Graph.kCoreRound(e, alive, 30)
+    }),
     // q110's band-index build (cachedBuild pass): the ONE corpus
     // sketch+explode pass every later ingest amortizes — narrow kernels,
     // no shuffle at all (the write is partition-local).
@@ -3188,6 +3202,27 @@ object SparkEntry {
       Dedup.exactJaccardJoin(Tables.documents(s, dir), "doc_id", "text",
           threshold = 0.7)
         .orderBy("id_a", "id_b")),
+
+    // ---- GRAPH K-CORE: dense-subgraph curation signal --------------------
+    // Connected components chain weak links; the k-core keeps only nodes
+    // with >= k surviving neighbors — the dense-cluster (template-farm /
+    // hub) signal. Bounded synchronous peels over the order graph, pure
+    // integer set arithmetic, so the oracle replays the same 4 rounds as
+    // a generated CTE chain bit-for-bit (per-round cascade semantics are
+    // spec-proven on engineered graphs; convergence at this fixture is
+    // asserted in GraphSpec).
+    "q140_graph_kcore" -> ((s, dir) => {
+      val ol = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      Graph.kCore(ol.select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst")),
+          "src", "dst", k = 30, rounds = 4)
+        .select(col("node"),
+          when(col("node") >= 10000000L, lit("supplier"))
+            .otherwise(lit("customer")).as("kind"),
+          col("degree"))
+        .orderBy("node")
+    }),
   )
 
   /** Exact brute-force cosine top-5 for queries vec_id < 5 — the shared
@@ -3900,6 +3935,44 @@ object SparkEntry {
            AS kind,
          rank AS rank_ppt
        FROM r$iters ORDER BY rank_ppt DESC, node LIMIT 25""")
+    sb.toString
+  }
+
+  /** q140 oracle: the same `rounds` synchronous peels as a generated CTE
+    * chain — degree counts over the surviving induced subgraph, drop
+    * < k, repeat; final degrees over the last survivor set. All integer
+    * set arithmetic, bit-replayable.
+    */
+  private val kCoreOracleSql: String = {
+    val (k, rounds) = (30, 4)
+    val sb = new StringBuilder
+    sb.append(
+      """WITH eraw AS (
+           SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         e AS MATERIALIZED (
+           SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM eraw
+             UNION ALL SELECT dst AS src, src AS dst FROM eraw)
+           WHERE src <> dst),
+         a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)""")
+    for (i <- 0 until rounds)
+      sb.append(s""",
+         d$i AS MATERIALIZED (
+           SELECT e.src AS node, COUNT(*) AS c FROM e
+           JOIN a$i x ON e.src = x.node JOIN a$i y ON e.dst = y.node
+           GROUP BY 1),
+         a${i + 1} AS MATERIALIZED (SELECT node FROM d$i WHERE c >= $k)""")
+    sb.append(s"""
+       SELECT a.node AS node,
+         CASE WHEN a.node >= 10000000 THEN 'supplier' ELSE 'customer' END
+           AS kind,
+         COALESCE(d.c, 0) AS degree
+       FROM a$rounds a LEFT JOIN (
+         SELECT e.src AS node, COUNT(*) AS c FROM e
+         JOIN a$rounds x ON e.src = x.node JOIN a$rounds y ON e.dst = y.node
+         GROUP BY 1) d ON a.node = d.node
+       ORDER BY a.node""")
     sb.toString
   }
 
@@ -5555,6 +5628,7 @@ object SparkEntry {
     "q137_editdist_linkage" -> editDistOracleSql,
     "q138_pagerank_centrality" -> pageRankOracleSql,
     "q139_exact_jaccard_join" -> exactJaccardOracleSql,
+    "q140_graph_kcore" -> kCoreOracleSql,
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

@@ -102,6 +102,63 @@ object Graph {
     ranks.select(col("node"), col("rank").as("rank_ppt"))
   }
 
+  /** k-core of an UNDIRECTED graph by bounded-round peeling: repeatedly
+    * drop every node whose degree in the surviving induced subgraph is
+    * < k. Returns the survivors of `rounds` synchronous peels with their
+    * degree in the FINAL induced subgraph — (node, degree).
+    *
+    * Curation use: over a near-dup similarity graph ([[Dedup
+    * .exactJaccardJoin]] edges), connected components chain A–B–C through
+    * weak links, but the k-core keeps only docs similar to ≥ k OTHER
+    * survivors — the dense template-farm / spam-cluster signal.
+    *
+    * Determinism contract: pure set/count arithmetic — no floats, no
+    * ordering sensitivity — so q140's oracle replays the same `rounds`
+    * peels as a generated CTE chain and matches bit-for-bit, converged or
+    * not. Convergence at a given fixture is a SPEC assertion (rounds and
+    * rounds+1 agree), mirroring [[pageRankFixedPoint]]'s bounded-iteration
+    * contract; a production driver loops until the survivor count is
+    * stable (one node-sized count per round).
+    *
+    * Scale: the symmetrized edge list is pinned once; each round is two
+    * node-keyed LEFT SEMI joins (edge ∩ survivors on each end) plus one
+    * map-side-combined degree count, and the per-round survivor frame is
+    * node-sized and localCheckpoint-pinned — lineage stays flat. A
+    * deployment that pre-partitions edges by src reuses the layout every
+    * round. Self-loops are dropped; direction is erased (both (u,v) and
+    * (v,u) may appear in the input).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            rounds: Int): DataFrame = {
+    require(k >= 1, s"kCore: k >= 1, got $k")
+    require(rounds >= 1 && rounds <= 50, s"kCore: rounds in [1,50]")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = e0.unionByName(e0.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst").localCheckpoint()
+    var alive = e.select(col("src").as("node")).dropDuplicates("node")
+      .localCheckpoint()
+    for (_ <- 1 to rounds)
+      alive = kCoreRound(e, alive, k).localCheckpoint()
+    val induced = e
+      .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+    alive.join(induced.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree")), Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("degree"), lit(0L)).as("degree"))
+  }
+
+  /** One peel: survivors of `alive` with induced degree ≥ k. Exposed (via
+    * SparkEntry.auditPlans) so the plan audit sees the per-round shape.
+    */
+  def kCoreRound(e: DataFrame, alive: DataFrame, k: Int): DataFrame =
+    e.join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).select("node")
+
   /** The per-iteration plan, UNPINNED, for the plan audit: what every
     * round executes between checkpoints (the returned query's own plan
     * shows only the final checkpoint scan).

@@ -54,6 +54,83 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  /** Driver-side reference: synchronous bounded-round peeling. Returns
+    * (survivors after `rounds`, degree in the final induced subgraph).
+    */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int,
+                       rounds: Int): Map[Long, Long] = {
+    val e = (edges ++ edges.map(_.swap)).distinct.filter(p => p._1 != p._2)
+    var alive = e.map(_._1).toSet
+    def degrees(a: Set[Long]): Map[Long, Long] =
+      e.filter(p => a(p._1) && a(p._2)).groupBy(_._1)
+        .map { case (n, es) => n -> es.size.toLong }
+    for (_ <- 1 to rounds) {
+      val d = degrees(alive)
+      alive = alive.filter(n => d.getOrElse(n, 0L) >= k)
+    }
+    val fin = degrees(alive)
+    alive.map(n => n -> fin.getOrElse(n, 0L)).toMap
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int,
+                       rounds: Int): Map[Long, Long] =
+    Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore peels a path one layer per round — per-round semantics") {
+    // path v0-…-v9, k=2: endpoints (deg 1) die each round, two per peel
+    val path = (0L until 9L).map(i => (i, i + 1))
+    assert(runKCore(path, 2, 1) == refKCore(path, 2, 1))
+    assert(runKCore(path, 2, 1).keySet == (1L to 8L).toSet)
+    assert(runKCore(path, 2, 3).keySet == (3L to 6L).toSet)
+    assert(runKCore(path, 2, 5) == Map.empty) // a path has no 2-core
+  }
+
+  test("kCore: cascade stops at the dense subgraph; pendant dies") {
+    // triangle {1,2,3} + pendant chain 3-4-5: 2-core = exactly the
+    // triangle, every survivor at degree 2
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val got = runKCore(g, 2, 5)
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(got == refKCore(g, 2, 5))
+  }
+
+  test("kCore is partition-order independent and matches the reference " +
+      "on a mixed graph") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (5L, 1L), (5L, 2L), (6L, 5L), (7L, 7L), (8L, 4L), (2L, 1L))
+    for (k <- 1 to 3; r <- Seq(1, 2, 6)) {
+      assert(runKCore(g, k, r) == refKCore(g, k, r), s"k=$k rounds=$r")
+    }
+    val df = g.toDF("src", "dst")
+    assert(Graph.kCore(df.repartition(5), "src", "dst", 2, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      runKCore(g, 2, 4))
+  }
+
+  test("q140 fixture slice: core matches the reference and has CONVERGED " +
+      "at the gated round count") {
+    val ol = Tables.orders(spark, sf0001).join(Tables.lineitem(spark, sf0001),
+      col("o_orderkey") === col("l_orderkey"))
+    val edges = ol.select(col("o_custkey"),
+        (col("l_suppkey") + lit(10000000L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // sf0.001 degrees are ~10x smaller than sf0.01's — probe the same
+    // PROPORTIONAL cut the q140 gate uses (k=30 at sf0.01)
+    val k = 3
+    val got = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k,
+        rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refKCore(edges, k, 4) && got.nonEmpty)
+    // the gate's bounded rounds suffice: one more peel changes nothing
+    assert(refKCore(edges, k, 4) == refKCore(edges, k, 5),
+      "fixture did not converge within the gated rounds")
+    // q140's own query executes and labels kinds across the id offset
+    val q = SparkEntry.queries("q140_graph_kcore")(spark, sf0001).collect()
+    assert(q.forall(r => r.getString(1) ==
+      (if (r.getLong(0) >= 10000000L) "supplier" else "customer")))
+  }
+
   test("q138 fixture slice: ranks match the driver recurrence at sf0.001") {
     val ol = Tables.orders(spark, sf0001).join(Tables.lineitem(spark, sf0001),
       col("o_orderkey") === col("l_orderkey"))
