@@ -95,13 +95,37 @@ object Linkage {
     // optimizer only sees the (small) pre-explode checkpoint stats and
     // would try to BROADCAST one side — measured OOM at x10. Sort-merge
     // spills and scales on the 8-byte keys.
+    //
+    // Partition count: C(n,k) fanout makes the key stream ~350× the
+    // input at n≈38, k=2, so the session's shuffle.partitions (sized for
+    // corpus-shaped frames) under-partitions the join — measured 2×
+    // super-linear x10→x100 at 32 partitions (47M-row sort runs per
+    // partition, all spill). Both sides repartition on __k to a count
+    // derived from the measured inputs (one count+avg(len) agg per
+    // PINNED side — driver-sized), targeting ~8M key rows per sort
+    // partition; the join then reuses that partitioning, so the total
+    // shuffle count is unchanged.
+    def keyRowEstimate(side: DataFrame): Double = {
+      val r = side.filter(col("__len") <= shortLen)
+        .agg(count(lit(1)), avg(col("__len"))).head()
+      val rows = r.getLong(0).toDouble
+      val len = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+      rows * (1.0 + len + (if (k >= 2) len * (len - 1) / 2.0 else 0.0))
+    }
     val shortCands =
       if (!useFastSS) None
-      else Some(delKeys(p).select(col("__k"), col("__id").as("__pid"))
-        .hint("MERGE")
-        .join(delKeys(c).select(col("__k"), col("__id").as("__cid"))
-          .hint("MERGE"), Seq("__k"))
-        .select("__pid", "__cid"))
+      else {
+        val est = keyRowEstimate(p) + keyRowEstimate(c)
+        val sessionParts = p.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt
+        val parts = math.min(1024,
+          math.max(sessionParts, math.ceil(est / 8e6).toInt))
+        Some(delKeys(p).select(col("__k"), col("__id").as("__pid"))
+          .repartition(parts, col("__k")).hint("MERGE")
+          .join(delKeys(c).select(col("__k"), col("__id").as("__cid"))
+            .repartition(parts, col("__k")).hint("MERGE"), Seq("__k"))
+          .select("__pid", "__cid"))
+      }
 
     // ---- LONG class: rarest-gram prefix join ---------------------------
     // (everything, when k > 2; otherwise only len > shortLen - k, with
