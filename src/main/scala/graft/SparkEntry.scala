@@ -3214,13 +3214,23 @@ object SparkEntry {
     "q140_graph_kcore" -> ((s, dir) => {
       val ol = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
         col("o_orderkey") === col("l_orderkey"))
-      Graph.kCore(ol.select(col("o_custkey").as("src"),
-          (col("l_suppkey") + lit(10000000L)).as("dst")),
-          "src", "dst", k = 30, rounds = 4)
+      val edges = ol.select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(10000000L)).as("dst"))
+      val core = Graph.kCore(edges, "src", "dst", k = 30, rounds = 4)
+      // membership REPORT, not just the survivors: every node with its
+      // in-core flag and core degree (-1 outside) — the shape a curation
+      // pipeline consumes (which hosts sit in the dense cluster), and
+      // non-empty at any fixture scale even when the core itself is
+      // empty (sf0.001's thin graph at k=30)
+      val spine = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .filter(col("node").isNotNull).dropDuplicates("node")
+      spine.join(core, Seq("node"), "left_outer")
         .select(col("node"),
           when(col("node") >= 10000000L, lit("supplier"))
             .otherwise(lit("customer")).as("kind"),
-          col("degree"))
+          col("degree").isNotNull.as("in_core"),
+          coalesce(col("degree"), lit(-1L)).as("core_degree"))
         .orderBy("node")
     }),
   )
@@ -3963,16 +3973,26 @@ object SparkEntry {
            JOIN a$i x ON e.src = x.node JOIN a$i y ON e.dst = y.node
            GROUP BY 1),
          a${i + 1} AS MATERIALIZED (SELECT node FROM d$i WHERE c >= $k)""")
-    sb.append(s"""
-       SELECT a.node AS node,
-         CASE WHEN a.node >= 10000000 THEN 'supplier' ELSE 'customer' END
+    sb.append(s""",
+         core AS MATERIALIZED (
+           SELECT a.node AS node, COALESCE(d.c, 0) AS degree
+           FROM a$rounds a LEFT JOIN (
+             SELECT e.src AS node, COUNT(*) AS c FROM e
+             JOIN a$rounds x ON e.src = x.node
+             JOIN a$rounds y ON e.dst = y.node
+             GROUP BY 1) d ON a.node = d.node),
+         spine AS MATERIALIZED (
+           SELECT DISTINCT node FROM (
+             SELECT src AS node FROM eraw
+             UNION ALL SELECT dst AS node FROM eraw)
+           WHERE node IS NOT NULL)
+       SELECT s.node AS node,
+         CASE WHEN s.node >= 10000000 THEN 'supplier' ELSE 'customer' END
            AS kind,
-         COALESCE(d.c, 0) AS degree
-       FROM a$rounds a LEFT JOIN (
-         SELECT e.src AS node, COUNT(*) AS c FROM e
-         JOIN a$rounds x ON e.src = x.node JOIN a$rounds y ON e.dst = y.node
-         GROUP BY 1) d ON a.node = d.node
-       ORDER BY a.node""")
+         c.node IS NOT NULL AS in_core,
+         COALESCE(c.degree, -1) AS core_degree
+       FROM spine s LEFT JOIN core c ON s.node = c.node
+       ORDER BY s.node""")
     sb.toString
   }
 
