@@ -90,7 +90,16 @@ object Graph {
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
                          iters: Int = 10): DataFrame = {
     require(iters >= 1 && iters <= 50, s"pageRank: iters in [1,50]")
-    val e = edgeFrame(edges, srcCol, dstCol).localCheckpoint()
+    // The edge list is pinned ONCE, hash-partitioned by src, via
+    // persist — cache (InMemoryRelation) PRESERVES outputPartitioning
+    // where localCheckpoint (LogicalRDD) drops it, so every iteration's
+    // src-keyed join reuses the layout and only the NODE-sized rank
+    // frame crosses an exchange (plus the per-dst partial-sum exchange).
+    // Measured at x100 with the checkpoint variant: the 10 iterations
+    // re-shuffled the ~100M-row edge list every round.
+    val e = edgeFrame(edges, srcCol, dstCol)
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spine = spineFrame(e).localCheckpoint()
     val n = spine.count() // the one driver action: |V|
     require(n > 0, "pageRank: empty graph")
@@ -99,6 +108,7 @@ object Graph {
       lit(RankScale / n).as("rank")).localCheckpoint()
     for (_ <- 1 to iters)
       ranks = step(e, spine, ranks, n, base).localCheckpoint()
+    e.unpersist() // ranks are checkpoint-materialized; e is done
     ranks.select(col("node"), col("rank").as("rank_ppt"))
   }
 
@@ -134,10 +144,16 @@ object Graph {
     require(rounds >= 1 && rounds <= 50, s"kCore: rounds in [1,50]")
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // pinned ONCE, hash-partitioned by src via persist (cache preserves
+    // outputPartitioning; localCheckpoint drops it) — each peel's degree
+    // count then aggregates IN PLACE and only node-sized survivor frames
+    // cross exchanges
     val e = e0.unionByName(e0.select(col("dst").as("src"),
         col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .dropDuplicates("src", "dst").localCheckpoint()
+      .dropDuplicates("src", "dst")
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var alive = e.select(col("src").as("node")).dropDuplicates("node")
       .localCheckpoint()
     for (_ <- 1 to rounds)
@@ -145,9 +161,12 @@ object Graph {
     val induced = e
       .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
-    alive.join(induced.groupBy(col("src").as("node"))
+    val result = alive.join(induced.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("degree")), Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("degree"), lit(0L)).as("degree"))
+      .localCheckpoint() // materialize before releasing the edge cache
+    e.unpersist()
+    result
   }
 
   /** One peel: survivors of `alive` with induced degree ≥ k. Exposed (via
