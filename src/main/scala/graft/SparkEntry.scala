@@ -3233,6 +3233,43 @@ object SparkEntry {
           coalesce(col("degree"), lit(-1L)).as("core_degree"))
         .orderBy("node")
     }),
+
+    // ---- TRIANGLE COUNTS / CLUSTERING COEFFICIENT ------------------------
+    // The ring-vs-star signal: a spam ring's members interlink (high
+    // clustering), a legitimate hub's neighbors don't — components and
+    // k-core can't tell them apart. Graph: customer—supplier incidence
+    // plus supplier—supplier edges that co-occur in >= 2 distinct orders
+    // (the threshold keeps the co-occurrence subgraph sparse as orders
+    // grow — raw pairs saturate C(|S|,2) and the triangle count itself
+    // would explode quadratically; a generator artifact, not a workload).
+    // Degree-orientation algorithm: per-key wedge fanout bounded by the
+    // oriented out-degree (O(sqrt m)); hot hubs generate ZERO wedges.
+    "q141_triangle_clustering" -> ((s, dir) => {
+      val ol = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      val cs = ol.select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(10000000L)).as("dst"))
+      val lo = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"),
+          (col("l_suppkey") + lit(10000000L)).as("sk"))
+        .dropDuplicates("ok", "sk")
+      val ss = lo.select(col("ok"), col("sk").as("sa"))
+        .join(lo.select(col("ok"), col("sk").as("sb")), Seq("ok"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("sa").as("src"), col("sb").as("dst"))
+      Graph.triangleCounts(cs.unionByName(ss), "src", "dst")
+        .select(col("node"),
+          when(col("node") >= 10000000L, lit("supplier"))
+            .otherwise(lit("customer")).as("kind"),
+          col("degree"), col("triangles"),
+          when(col("degree") >= 2,
+            (col("triangles") * 2).cast("double") /
+              (col("degree") * (col("degree") - 1)).cast("double"))
+            .otherwise(lit(0.0)).as("clustering"))
+        .orderBy("node")
+    }),
   )
 
   /** Exact brute-force cosine top-5 for queries vec_id < 5 — the shared
@@ -3995,6 +4032,60 @@ object SparkEntry {
        ORDER BY s.node""")
     sb.toString
   }
+
+  /** q141 oracle: the same degree-orientation derivation — orient
+    * small→large in (degree, id) order, wedge-join on the low endpoint,
+    * close with the oriented edge in either direction, count corners.
+    * Pure integer arithmetic except the final clustering division
+    * (identical int÷int IEEE op both engines).
+    */
+  private val triangleOracleSql: String =
+    """WITH cs AS (
+         SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       lo AS (
+         SELECT DISTINCT l_orderkey AS ok, l_suppkey + 10000000 AS sk
+         FROM lineitem),
+       ss AS (
+         SELECT a.sk AS src, b.sk AS dst
+         FROM lo a JOIN lo b ON a.ok = b.ok AND a.sk < b.sk
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       eraw AS (SELECT src, dst FROM cs UNION ALL SELECT src, dst FROM ss),
+       und AS MATERIALIZED (
+         SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM eraw
+           UNION ALL SELECT dst AS src, src AS dst FROM eraw)
+         WHERE src <> dst),
+       deg AS MATERIALIZED (
+         SELECT src AS node, COUNT(*) AS degree FROM und GROUP BY 1),
+       orient AS MATERIALIZED (
+         SELECT u.src AS lo, u.dst AS hi FROM und u
+         JOIN deg ds ON u.src = ds.node JOIN deg dd ON u.dst = dd.node
+         WHERE ds.degree < dd.degree
+            OR (ds.degree = dd.degree AND u.src < u.dst)),
+       closing AS MATERIALIZED (
+         SELECT lo AS v, hi AS w FROM orient
+         UNION ALL SELECT hi AS v, lo AS w FROM orient),
+       tris AS MATERIALIZED (
+         SELECT a.lo AS x, a.hi AS v, b.hi AS w
+         FROM orient a JOIN orient b ON a.lo = b.lo AND a.hi < b.hi
+         JOIN closing c ON c.v = a.hi AND c.w = b.hi),
+       pn AS (
+         SELECT node, COUNT(*) AS triangles FROM (
+           SELECT x AS node FROM tris
+           UNION ALL SELECT v AS node FROM tris
+           UNION ALL SELECT w AS node FROM tris) GROUP BY 1)
+     SELECT d.node AS node,
+       CASE WHEN d.node >= 10000000 THEN 'supplier' ELSE 'customer' END
+         AS kind,
+       d.degree AS degree,
+       COALESCE(p.triangles, 0) AS triangles,
+       CASE WHEN d.degree >= 2 THEN
+         CAST(COALESCE(p.triangles, 0) * 2 AS DOUBLE)
+           / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+         ELSE 0.0 END AS clustering
+     FROM deg d LEFT JOIN pn p ON d.node = p.node
+     ORDER BY d.node"""
 
   /** q139 oracle: THE QUADRATIC JOIN the prefix filter exists to avoid —
     * the q64 string-shingle derivation, full cross product (id_a < id_b),
@@ -5649,6 +5740,7 @@ object SparkEntry {
     "q138_pagerank_centrality" -> pageRankOracleSql,
     "q139_exact_jaccard_join" -> exactJaccardOracleSql,
     "q140_graph_kcore" -> kCoreOracleSql,
+    "q141_triangle_clustering" -> triangleOracleSql,
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

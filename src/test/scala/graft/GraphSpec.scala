@@ -131,6 +131,70 @@ class GraphSpec extends SparkSpec {
       (if (r.getLong(0) >= 10000000L) "supplier" else "customer")))
   }
 
+  /** Driver-side reference: brute-force triangle enumeration. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val und = (edges ++ edges.map(_.swap)).distinct.filter(p => p._1 != p._2)
+    val adj = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val nodes = adj.keySet
+    val triCount = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for (x <- nodes; y <- adj(x) if y > x; z <- adj(x) if z > y
+         if adj(y)(z)) {
+      triCount(x) += 1; triCount(y) += 1; triCount(z) += 1
+    }
+    nodes.map(n => n -> (adj(n).size.toLong, triCount(n))).toMap
+  }
+
+  private def runTriangles(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("triangleCounts: K4, star, and a hub with a pendant ring") {
+    // K4: every node in C(3,2)=3 triangles at degree 3
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(runTriangles(k4) == (0L to 3L).map(n => n -> (3L, 3L)).toMap)
+    // star: hub degree n, ZERO triangles (and zero wedges by orientation)
+    val star = (1L to 6L).map(i => (0L, i))
+    assert(runTriangles(star) ==
+      (Map(0L -> (6L, 0L)) ++ (1L to 6L).map(_ -> (1L, 0L))))
+    // ring-of-3 hanging off a hub: only the ring members triangle
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (0L, 10L))
+    assert(runTriangles(g) == refTriangles(g))
+  }
+
+  test("triangleCounts equals brute force on a mixed random graph, " +
+      "partition-order independent") {
+    val rnd = new scala.util.Random(42)
+    val g = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+    assert(runTriangles(g) == refTriangles(g))
+    val df = g.toDF("src", "dst")
+    assert(Graph.triangleCounts(df.repartition(7), "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      == refTriangles(g))
+  }
+
+  test("q141 fixture slice: triangles match brute force at sf0.001") {
+    val ol = Tables.orders(spark, sf0001).join(Tables.lineitem(spark, sf0001),
+      col("o_orderkey") === col("l_orderkey"))
+    val cs = ol.select(col("o_custkey"), (col("l_suppkey") + lit(10000000L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lo = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), (col("l_suppkey") + lit(10000000L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val ss = lo.groupBy(_._1).values.toSeq.flatMap { g =>
+      val sks = g.map(_._2).sorted
+      for (i <- sks.indices; j <- (i + 1) until sks.size)
+        yield (sks(i), sks(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val ref = refTriangles((cs ++ ss).distinct)
+    val got = SparkEntry.queries("q141_triangle_clustering")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == ref && got.values.exists(_._2 > 0),
+      "expected at least one triangle in the fixture")
+  }
+
   test("q138 fixture slice: ranks match the driver recurrence at sf0.001") {
     val ol = Tables.orders(spark, sf0001).join(Tables.lineitem(spark, sf0001),
       col("o_orderkey") === col("l_orderkey"))
