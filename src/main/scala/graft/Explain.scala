@@ -71,6 +71,16 @@ object Explain {
         "q124_quantized_append" -> Set("BroadcastNestedLoopJoin"),
         "q69_bm25_search" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q143: the q69 shape — crossJoin(broadcast(1-row n_tok/n_bg
+        // stats)); the SinglePartition exchanges are those frames' own
+        // global counts plus the top-50 TakeOrdered merge.
+        "q143_pmi_collocations" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q145: the three per-step user counts are 1-row global
+        // aggregates crossed into the 3-row report — the q17/q69 shape;
+        // everything upstream is user-keyed map-side-combined mins.
+        "q145_funnel" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         // q130/q131: the q69 shape from the STORED index —
         // crossJoin(broadcast(1-row merged stats)), and the
         // SinglePartition exchanges are that frame's own global

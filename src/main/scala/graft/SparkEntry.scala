@@ -235,7 +235,11 @@ object SparkEntry {
         "doc_id", "text", shingleWidth = 3, bands = 32, rowsPerBand = 4,
         normalize = false)))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ eventAnalyticsQueries
+
+  private def baseQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Aggregations (SURVEY §2.4) ------------------------------------
     // TPC-H-Q1-shaped pricing summary: groupBy + sum/avg/count with derived
@@ -3270,7 +3274,194 @@ object SparkEntry {
             .otherwise(lit(0.0)).as("clustering"))
         .orderBy("node")
     }),
+
+    // ---- PER-DOMAIN CAP: C4/CCNet-style host capping ----------------------
+    // Keep at most `domainCap` docs per source (a crawl pipeline caps
+    // documents per registered domain so mega-hosts can't dominate the
+    // mixture). Selection is an exact deterministic bottom-k on the
+    // shared FNV stream (pure function of (doc_id, seed) — partition-
+    // independent, re-run-stable). Scale shape: the keep set comes from
+    // the bounded-heap TopKByScore partial aggregate — each input
+    // partition contributes <= cap entries per source to the shuffle, so
+    // a billion-doc host costs the same exchange bytes as a ten-doc one
+    // (a row_number window would sort the WHOLE hot domain through one
+    // reducer); the |sources|·cap keep set then broadcasts back as a
+    // left-semi-shaped flag join. No corpus-sized exchange anywhere.
+    "q142_domain_cap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(col("doc_id"), col("source"),
+        Relational.fnvBucket(col("doc_id"), 57L).as("b"))
+      // bottom-k on (b, doc_id) == top-k on (-b DESC, doc_id ASC): the
+      // heap's (score DESC, id ASC) order matches the keep rule exactly
+      val kept = scored.groupBy("source")
+        .agg(graft.functions.AggFunctions.topKByScore(
+          negate(col("b").cast("double")), col("doc_id"), domainCap)
+          .as("ks"))
+        .select(explode(col("ks")).as("e"))
+        .select(col("e.n_id").as("doc_id"), lit(true).as("kept"))
+      scored.join(broadcast(kept), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("source"), col("b").as("priority"),
+          coalesce(col("kept"), lit(false)).as("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- PMI COLLOCATIONS: corpus-level phrase mining ---------------------
+    // Pointwise mutual information over adjacent token pairs — the
+    // collocation/phrase-detection primitive (word2vec-phrases, boilerplate
+    // phrase discovery). Scale shape: one bigram agg and one unigram agg,
+    // both map-side-combined (shuffle rows = distinct grams, not corpus
+    // tokens); the min-count filter lands ON the combined bigram agg
+    // before any join, so only frequent bigrams reach the two vocab-keyed
+    // hash joins; corpus totals are a broadcast 1-row frame; final top-50
+    // is a TakeOrdered, never a global sort. PMI doubles are computed in
+    // one fixed left-assoc expression and rounded to 6 dp so the oracle
+    // replays them bit-for-bit.
+    "q143_pmi_collocations" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val withToks = docs.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("t"))
+      val toks = withToks.select(explode(col("t")).as("tok"))
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+      val bg = withToks.filter(size(col("t")) >= 2)
+        .select(explode(arrays_zip(
+            slice(col("t"), lit(1), size(col("t")) - 1).as("v"),
+            slice(col("t"), lit(2), size(col("t")) - 1).as("w"))).as("p"))
+        .select(col("p.v").as("v"), col("p.w").as("w"))
+      val cb = bg.groupBy("v", "w").agg(count(lit(1)).as("cvw"))
+        .filter(col("cvw") >= pmiMinCount)
+      val stats = toks.agg(count(lit(1)).as("n_tok"))
+        .crossJoin(bg.agg(count(lit(1)).as("n_bg")))
+      cb.join(uni.select(col("tok").as("v"), col("c1").as("cv")), Seq("v"))
+        .join(uni.select(col("tok").as("w"), col("c1").as("cw")), Seq("w"))
+        .crossJoin(broadcast(stats))
+        .select(col("v"), col("w"), col("cvw"),
+          round(log(col("cvw").cast("double") * col("n_tok") / col("cv")
+            / col("cw") * col("n_tok") / col("n_bg")), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("v"), col("w"))
+        .limit(50)
+    }),
+
+    // ---- LABEL-PROPAGATION COMMUNITIES ------------------------------------
+    // The fourth graph signal: components say "connected", k-core says
+    // "dense enough", triangles say "interlinked" — LPA says WHICH dense
+    // region claims each node (mirror-site clusters / topic communities in
+    // a link graph). Same graph as q141 (customer–supplier incidence plus
+    // >= 2-order co-supplier edges), 4 synchronous rounds, self-vote
+    // damping, (count DESC, label ASC) tie-break — fully integer, so the
+    // oracle replays the identical recurrence as a generated CTE chain.
+    "q144_label_propagation" -> ((s, dir) => {
+      val ol = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      val cs = ol.select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(10000000L)).as("dst"))
+      val lo = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"),
+          (col("l_suppkey") + lit(10000000L)).as("sk"))
+        .dropDuplicates("ok", "sk")
+      val ss = lo.select(col("ok"), col("sk").as("sa"))
+        .join(lo.select(col("ok"), col("sk").as("sb")), Seq("ok"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("sa").as("src"), col("sb").as("dst"))
+      val comm = Graph.labelPropagation(cs.unionByName(ss), "src", "dst",
+        rounds = lpaRounds)
+      val sizes = comm.groupBy("community").agg(count(lit(1)).as("csize"))
+      comm.join(sizes, Seq("community"))
+        .select(col("node"),
+          when(col("node") >= 10000000L, lit("supplier"))
+            .otherwise(lit("customer")).as("kind"),
+          col("community"), col("csize"))
+        .orderBy("node")
+    }),
   )
+
+  /** q144's synchronous LPA round count — single source for the engine
+    * call and the oracle's generated CTE chain.
+    */
+  private val lpaRounds = 4
+
+  /** Event-analytics additions (funnel + cohort retention) — appended
+    * outside the literal Map to keep the single Map.apply call under
+    * scalac's method-size comfort zone.
+    */
+  private def eventAnalyticsQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- ORDERED FUNNEL: view -> click -> purchase ------------------------
+    // The product-analytics conversion primitive: users whose first view
+    // precedes a click that precedes a purchase, each step STRICTLY after
+    // the previous step's first qualifying instant. Scale shape: each
+    // step is one map-side-combined min() per user over a type-pruned
+    // scan (the event_type filter pushes into parquet), chained through
+    // user-keyed joins of user-sized frames — no windows, no per-user
+    // event sorting; the three step counts are 1-row frames crossed into
+    // the 3-row report. Conversion is exact integer ppm.
+    "q145_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("tus"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tus").as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id")).filter(col("tus") > col("t1"))
+        .groupBy("user_id").agg(min("tus").as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id")).filter(col("tus") > col("t2"))
+        .groupBy("user_id").agg(min("tus").as("t3"))
+      val counts = t1.agg(count(lit(1)).as("u1"))
+        .crossJoin(t2.agg(count(lit(1)).as("u2")))
+        .crossJoin(t3.agg(count(lit(1)).as("u3")))
+      counts.select(explode(array(
+          struct(lit(1L).as("step"), lit("view").as("stage"),
+            col("u1").as("users"), lit(1000000L).as("conv_ppm")),
+          struct(lit(2L).as("step"), lit("click_after_view").as("stage"),
+            col("u2").as("users"),
+            when(col("u1") > 0, expr("u2 * 1000000 div u1"))
+              .otherwise(lit(0L)).as("conv_ppm")),
+          struct(lit(3L).as("step"), lit("purchase_after_click").as("stage"),
+            col("u3").as("users"),
+            when(col("u2") > 0, expr("u3 * 1000000 div u2"))
+              .otherwise(lit(0L)).as("conv_ppm")))).as("r"))
+        .select(col("r.step").as("step"), col("r.stage").as("stage"),
+          col("r.users").as("users"), col("r.conv_ppm").as("conv_ppm"))
+        .orderBy("step")
+    }),
+
+    // ---- COHORT RETENTION MATRIX ------------------------------------------
+    // Week-of-first-event cohorts x week offset -> distinct active users,
+    // with exact ppm retention against the cohort size. Weeks are pure
+    // integer arithmetic on microsecond epochs (no calendar/timezone
+    // semantics to drift between engines). Scale shape: the first-seen
+    // frame is one map-side-combined min per user; the activity matrix is
+    // a (cohort, offset)-keyed countDistinct (Spark's two-level internal
+    // expansion); cohort sizes are a cohort-count-sized broadcast.
+    "q146_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("wk"))
+      val first = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val sizes = first.groupBy("cohort_wk")
+        .agg(count(lit(1)).as("cohort_users"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk"))
+          .as("week_offset"))
+        .agg(countDistinct("user_id").as("active_users"))
+        .join(broadcast(sizes), Seq("cohort_wk"))
+        .select(col("cohort_wk"), col("week_offset"), col("active_users"),
+          col("cohort_users"),
+          expr("active_users * 1000000 div cohort_users")
+            .as("retention_ppm"))
+        .orderBy("cohort_wk", "week_offset")
+    }),
+  )
+
+  /** q142's per-source document cap — single source for the engine's
+    * bounded-heap k and the oracle's row_number cut.
+    */
+  private val domainCap = 8
+
+  /** q143's bigram min-count — applied on the map-side-combined bigram
+    * aggregate, single-sourced into the oracle.
+    */
+  private val pmiMinCount = 5
 
   /** Exact brute-force cosine top-5 for queries vec_id < 5 — the shared
     * oracle for every ANN variant (q26 brute-force, q52 IVF-exhaustive,
@@ -3893,6 +4084,48 @@ object SparkEntry {
            ORDER BY CAST(b + 1 AS DOUBLE) / w, doc_id LIMIT 120)
          SELECT doc_id, source, w FROM sel ORDER BY doc_id"""
 
+  /** q142 oracle: the same FNV priority stream (seed 57), replayed as a
+    * plain row_number cut per source — the window the engine's bounded
+    * heap exists to avoid at scale, exact at fixture scale.
+    */
+  private def domainCapOracleSql: String =
+    fnvBucketCtes("documents", "doc_id", 57) + s""",
+         r AS (
+           SELECT doc_id, source, b,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY b, doc_id)
+               AS rn
+           FROM s)
+         SELECT doc_id, source, CAST(b AS BIGINT) AS priority,
+           rn <= $domainCap AS kept
+         FROM r ORDER BY doc_id"""
+
+  /** q143 oracle: identical tokenization (q102's split), identical
+    * left-assoc double chain inside ln, identical (pmi, v, w) cut.
+    */
+  private def pmiOracleSql: String =
+    raw"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         tr AS (SELECT unnest(t) AS tok FROM toks),
+         uni AS (SELECT tok, COUNT(*) AS c1 FROM tr GROUP BY tok),
+         bgl AS (
+           SELECT list_transform(range(1, len(t)),
+               i -> struct_pack(v := t[i], w := t[i+1])) AS ps
+           FROM toks WHERE len(t) >= 2),
+         bg AS (SELECT p.v AS v, p.w AS w
+                FROM (SELECT unnest(ps) AS p FROM bgl)),
+         cb AS (SELECT v, w, COUNT(*) AS cvw FROM bg GROUP BY v, w
+                HAVING COUNT(*) >= $pmiMinCount),
+         stats AS (SELECT (SELECT COUNT(*) FROM tr) AS n_tok,
+                          (SELECT COUNT(*) FROM bg) AS n_bg)
+         SELECT b.v, b.w, b.cvw,
+           round(ln(CAST(b.cvw AS DOUBLE) * s.n_tok / uv.c1 / uw.c1
+             * s.n_tok / s.n_bg), 6) AS pmi
+         FROM cb b JOIN uni uv ON b.v = uv.tok
+         JOIN uni uw ON b.w = uw.tok
+         CROSS JOIN stats s
+         ORDER BY pmi DESC, v, w LIMIT 50"""
+
   /** q137 oracle: THE QUADRATIC JOIN the operator exists to avoid — same
     * label + corruption derivation (pure substring/concat ops, exact in
     * both engines), then brute levenshtein over the length-filtered
@@ -4086,6 +4319,109 @@ object SparkEntry {
          ELSE 0.0 END AS clustering
      FROM deg d LEFT JOIN pn p ON d.node = p.node
      ORDER BY d.node"""
+
+  /** q144 oracle: the same `lpaRounds` synchronous LPA rounds as a
+    * generated MATERIALIZED CTE chain — neighbor votes + self-vote,
+    * exact integer counts, (count DESC, label ASC) argmax replayed as a
+    * row_number cut. Same edge derivation as q141's oracle.
+    */
+  private val lpaOracleSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH cs AS (
+           SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         lo AS (
+           SELECT DISTINCT l_orderkey AS ok, l_suppkey + 10000000 AS sk
+           FROM lineitem),
+         ss AS (
+           SELECT a.sk AS src, b.sk AS dst
+           FROM lo a JOIN lo b ON a.ok = b.ok AND a.sk < b.sk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         eraw AS (SELECT src, dst FROM cs UNION ALL SELECT src, dst FROM ss),
+         und AS MATERIALIZED (
+           SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM eraw
+             UNION ALL SELECT dst AS src, src AS dst FROM eraw)
+           WHERE src <> dst),
+         r0 AS MATERIALIZED (
+           SELECT DISTINCT src AS node, src AS lab FROM und)""")
+    for (i <- 0 until lpaRounds) {
+      sb.append(s""",
+         v$i AS MATERIALIZED (
+           SELECT e.dst AS node, l.lab FROM und e JOIN r$i l ON e.src = l.node
+           UNION ALL SELECT node, lab FROM r$i),
+         c$i AS MATERIALIZED (
+           SELECT node, lab, COUNT(*) AS c FROM v$i GROUP BY 1, 2),
+         r${i + 1} AS MATERIALIZED (
+           SELECT node, lab FROM (
+             SELECT node, lab, ROW_NUMBER() OVER (
+               PARTITION BY node ORDER BY c DESC, lab) AS rn
+             FROM c$i) WHERE rn = 1)""")
+    }
+    sb.append(s"""
+       , sz AS (SELECT lab, COUNT(*) AS csize FROM r$lpaRounds GROUP BY lab)
+       SELECT r.node,
+         CASE WHEN r.node >= 10000000 THEN 'supplier' ELSE 'customer' END
+           AS kind,
+         r.lab AS community, s.csize AS csize
+       FROM r$lpaRounds r JOIN sz s ON r.lab = s.lab
+       ORDER BY r.node""")
+    sb.toString
+  }
+
+  /** q145 oracle: the same strictly-ordered step chain — first view,
+    * first click after it, first purchase after that — with the same
+    * exact integer ppm conversions.
+    */
+  private val funnelOracleSql: String =
+    """WITH t1 AS (
+         SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+         WHERE event_type = 'view' GROUP BY 1),
+       t2 AS (
+         SELECT e.user_id, MIN(epoch_us(ts)) AS t2
+         FROM events e JOIN t1 ON e.user_id = t1.user_id
+         WHERE e.event_type = 'click' AND epoch_us(ts) > t1 GROUP BY 1),
+       t3 AS (
+         SELECT e.user_id, MIN(epoch_us(ts)) AS t3
+         FROM events e JOIN t2 ON e.user_id = t2.user_id
+         WHERE e.event_type = 'purchase' AND epoch_us(ts) > t2 GROUP BY 1),
+       c AS (
+         SELECT (SELECT COUNT(*) FROM t1) AS u1,
+                (SELECT COUNT(*) FROM t2) AS u2,
+                (SELECT COUNT(*) FROM t3) AS u3)
+       SELECT * FROM (
+         SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage,
+           CAST(u1 AS BIGINT) AS users, CAST(1000000 AS BIGINT) AS conv_ppm
+         FROM c
+         UNION ALL
+         SELECT 2, 'click_after_view', u2,
+           CASE WHEN u1 > 0 THEN u2 * 1000000 // u1 ELSE 0 END FROM c
+         UNION ALL
+         SELECT 3, 'purchase_after_click', u3,
+           CASE WHEN u2 > 0 THEN u3 * 1000000 // u2 ELSE 0 END FROM c)
+       ORDER BY step"""
+
+  /** q146 oracle: identical integer week arithmetic on microsecond
+    * epochs — floor division on non-negative values, so DuckDB's `//`
+    * equals Spark's `div`.
+    */
+  private val cohortOracleSql: String =
+    """WITH ev AS (
+         SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+       first AS (
+         SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1),
+       sizes AS (
+         SELECT cohort_wk, COUNT(*) AS cohort_users FROM first GROUP BY 1),
+       act AS (
+         SELECT f.cohort_wk, e.wk - f.cohort_wk AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+         FROM ev e JOIN first f ON e.user_id = f.user_id
+         GROUP BY 1, 2)
+       SELECT a.cohort_wk, a.week_offset, a.active_users, s.cohort_users,
+         a.active_users * 1000000 // s.cohort_users AS retention_ppm
+       FROM act a JOIN sizes s ON a.cohort_wk = s.cohort_wk
+       ORDER BY a.cohort_wk, a.week_offset"""
 
   /** q139 oracle: THE QUADRATIC JOIN the prefix filter exists to avoid —
     * the q64 string-shingle derivation, full cross product (id_a < id_b),
@@ -5741,6 +6077,11 @@ object SparkEntry {
     "q139_exact_jaccard_join" -> exactJaccardOracleSql,
     "q140_graph_kcore" -> kCoreOracleSql,
     "q141_triangle_clustering" -> triangleOracleSql,
+    "q142_domain_cap" -> domainCapOracleSql,
+    "q143_pmi_collocations" -> pmiOracleSql,
+    "q144_label_propagation" -> lpaOracleSql,
+    "q145_funnel" -> funnelOracleSql,
+    "q146_cohort_retention" -> cohortOracleSql,
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

@@ -234,6 +234,69 @@ object Graph {
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /** Synchronous label propagation over an UNDIRECTED graph — the
+    * community-detection signal components/k-core/triangles don't give:
+    * components answer "connected at all", LPA answers "which dense
+    * region claims this node" (mirror-site clusters, topic communities
+    * in a link graph). `rounds` synchronous updates; each node adopts
+    * the most frequent label among its neighbors PLUS ITSELF (the
+    * self-vote is the standard damping that keeps bipartite subgraphs —
+    * like the customer–supplier incidence edges — from oscillating
+    * under synchronous updates), ties broken toward the SMALLEST label.
+    * Labels start as node ids. Returns (node, community) after the last
+    * round — deterministic at any parallelism: vote counts are exact
+    * integers, the argmax is a total order (count DESC, label ASC), so
+    * q144's oracle replays the identical recurrence as a CTE chain.
+    *
+    * Scale design: the symmetrized edge list is pinned ONCE,
+    * hash-partitioned by src via persist (cache preserves
+    * outputPartitioning), so each round's gather join aggregates in
+    * place on the edge layout; the (node, label) vote pairs are the one
+    * per-round exchange and they map-side combine (shuffle rows =
+    * distinct (node, label) pairs, not edges). Per-round label frames
+    * are node-sized and localCheckpoint-pinned — flat lineage, exactly
+    * the [[pageRankFixedPoint]] discipline. The argmax is
+    * max(struct(count, -label)) — a partial-aggregating max, never a
+    * window over a hot node's votes.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"labelPropagation: rounds in [1,50]")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = e0.unionByName(e0.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("src").as("node"))
+      .dropDuplicates("node")
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds)
+      labels = lpaRound(e, labels).localCheckpoint()
+    val result = labels.localCheckpoint() // materialize before unpersist
+    e.unpersist()
+    result.select(col("node"), col("lab").as("community"))
+  }
+
+  /** One synchronous LPA round: neighbor labels (gathered on the pinned
+    * src layout) plus the self-vote, map-side-combined counts, then the
+    * (count DESC, label ASC) argmax as a struct max. Exposed so the plan
+    * audit sees the per-round shape.
+    */
+  def lpaRound(e: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = e.join(labels.select(col("node").as("src"), col("lab")),
+        Seq("src"))
+      .select(col("dst").as("node"), col("lab"))
+      .unionByName(labels.select(col("node"), col("lab")))
+    votes.groupBy("node", "lab").agg(count(lit(1)).as("c"))
+      .groupBy("node")
+      .agg(max(struct(col("c"), negate(col("lab")).as("nl"))).as("m"))
+      .select(col("node"), negate(col("m.nl")).as("lab"))
+  }
+
   /** One peel: survivors of `alive` with induced degree ≥ k. Exposed (via
     * SparkEntry.auditPlans) so the plan audit sees the per-round shape.
     */

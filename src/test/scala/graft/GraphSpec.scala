@@ -218,4 +218,89 @@ class GraphSpec extends SparkSpec {
     assert(top.forall(r => r.getString(1) ==
       (if (r.getLong(0) >= 10000000L) "supplier" else "customer")))
   }
+
+  /** Driver-side reference: synchronous LPA with self-vote, ties to the
+    * smallest label — the exact q144 recurrence.
+    */
+  private def refLpa(edges: Seq[(Long, Long)],
+                     rounds: Int): Map[Long, Long] = {
+    val und = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+    val adj = und.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val nodes = adj.keySet.toSeq.sorted
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lab = nodes.map { u =>
+        val votes = (adj(u).map(lab) :+ lab(u)).groupBy(identity)
+          .map { case (l, vs) => l -> vs.size }
+        u -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    lab
+  }
+
+  test("labelPropagation: two cliques joined by a bridge resolve to two " +
+      "communities labeled by their minimum ids") {
+    // K4 {1..4} — bridge 4–10 — K4 {10..13}
+    val k = (for {
+      base <- Seq(1L, 10L); a <- 0 to 3; b <- 0 to 3 if a < b
+    } yield (base + a, base + b)) :+ (4L, 10L)
+    val got = Graph.labelPropagation(k.toDF("src", "dst"), "src", "dst",
+        rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refLpa(k, 4))
+    assert(Seq(1L, 2L, 3L).forall(n => got(n) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(n => got(n) == 10L))
+  }
+
+  test("labelPropagation: the self-vote keeps a bipartite star stable " +
+      "(synchronous LPA without it oscillates)") {
+    // star: hub 1, leaves 2..6 — round 1: leaves adopt 1 (neighbor 1 +
+    // self ties toward smallest), hub stays 1 (5 distinct leaf votes +
+    // self-vote, all count 1, min label is 1); converged thereafter
+    val star = (2L to 6L).map(l => (1L, l))
+    val got = Graph.labelPropagation(star.toDF("src", "dst"), "src", "dst",
+        rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refLpa(star, 4))
+    assert(got.values.forall(_ == 1L), s"star should collapse to hub: $got")
+  }
+
+  test("labelPropagation is partition-order independent and matches the " +
+      "reference on a mixed graph") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (7L, 7L), (2L, 1L), (1L, 2L)) // dups + self-loop dropped
+    val df = g.toDF("src", "dst")
+    val a = Graph.labelPropagation(df, "src", "dst", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(df.repartition(7), "src", "dst",
+        rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b && a == refLpa(g, 3))
+  }
+
+  test("q144 fixture slice: communities match the driver recurrence at " +
+      "sf0.001, sizes consistent") {
+    val rows = SparkEntry.queries("q144_label_propagation")(spark, sf0001)
+      .collect()
+    val got = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // rebuild the same edge set driver-side
+    val ol = Tables.orders(spark, sf0001).join(Tables.lineitem(spark, sf0001),
+      col("o_orderkey") === col("l_orderkey"))
+    val cs = ol.select(col("o_custkey").as("src"),
+      (col("l_suppkey") + lit(10000000L)).as("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lo = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) + 10000000L))
+      .distinct.toSeq
+    val ss = lo.groupBy(_._1).values.toSeq
+      .flatMap(g => for { a <- g; b <- g if a._2 < b._2 } yield (a._2, b._2))
+      .groupBy(identity).collect { case (p, os) if os.size >= 2 => p }.toSeq
+    assert(got == refLpa(cs ++ ss, 4))
+    // csize column is the exact community cardinality
+    val sizes = rows.map(r => (r.getLong(2), r.getLong(3))).distinct.toMap
+    val counted = got.values.groupBy(identity).map { case (c, vs) =>
+      c -> vs.size.toLong }
+    assert(sizes == counted)
+  }
 }
