@@ -236,7 +236,7 @@ object SparkEntry {
         normalize = false)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ eventAnalyticsQueries
+    baseQueries ++ analyticsExtraQueries
 
   private def baseQueries
       : Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3239,40 +3239,41 @@ object SparkEntry {
     }),
 
     // ---- TRIANGLE COUNTS / CLUSTERING COEFFICIENT ------------------------
-    // The ring-vs-star signal: a spam ring's members interlink (high
-    // clustering), a legitimate hub's neighbors don't — components and
-    // k-core can't tell them apart. Graph: customer—supplier incidence
-    // plus supplier—supplier edges that co-occur in >= 2 distinct orders
-    // (the threshold keeps the co-occurrence subgraph sparse as orders
-    // grow — raw pairs saturate C(|S|,2) and the triangle count itself
-    // would explode quadratically; a generator artifact, not a workload).
+    // The ring-vs-star signal over the NEAR-DUP SIMILARITY GRAPH: a
+    // template farm's documents interlink pairwise (high clustering), a
+    // hub that merely quotes many sources doesn't — components and
+    // k-core can't tell them apart. Edges are q139's exact-recall
+    // Jaccard >= 0.7 pairs, whose density tracks TRUE near-dup density
+    // (linear at any corpus scale), so the exact triangle count is
+    // scale-sane. The first cut of this query counted triangles on the
+    // order co-occurrence graph instead — at sf0.1 that graph is a
+    // near-complete K_1000 (343k of 499k possible supplier pairs pass
+    // the >= 2-order threshold: 1000 suppliers x 600k lineitems saturate
+    // EVERY co-occurrence relation), ~54M triangles per copy, OOM at
+    // x10 — dense-substrate triangle counting is Θ(m^1.5) for ANY exact
+    // algorithm; the fix is the substrate, not the operator.
     // Degree-orientation algorithm: per-key wedge fanout bounded by the
     // oriented out-degree (O(sqrt m)); hot hubs generate ZERO wedges.
     "q141_triangle_clustering" -> ((s, dir) => {
-      val ol = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
-        col("o_orderkey") === col("l_orderkey"))
-      val cs = ol.select(col("o_custkey").as("src"),
-        (col("l_suppkey") + lit(10000000L)).as("dst"))
-      val lo = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"),
-          (col("l_suppkey") + lit(10000000L)).as("sk"))
-        .dropDuplicates("ok", "sk")
-      val ss = lo.select(col("ok"), col("sk").as("sa"))
-        .join(lo.select(col("ok"), col("sk").as("sb")), Seq("ok"))
-        .filter(col("sa") < col("sb"))
-        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_ord"))
-        .filter(col("n_ord") >= 2)
-        .select(col("sa").as("src"), col("sb").as("dst"))
-      Graph.triangleCounts(cs.unionByName(ss), "src", "dst")
-        .select(col("node"),
-          when(col("node") >= 10000000L, lit("supplier"))
-            .otherwise(lit("customer")).as("kind"),
-          col("degree"), col("triangles"),
-          when(col("degree") >= 2,
-            (col("triangles") * 2).cast("double") /
+      val docs = Tables.documents(s, dir)
+      val edges = Dedup.exactJaccardJoin(docs, "doc_id", "text",
+          threshold = 0.7)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val tri = Graph.triangleCounts(edges, "src", "dst")
+        .withColumnRenamed("node", "doc_id")
+      // per-document report over the WHOLE corpus (isolated docs score
+      // 0/0/0.0) — the shape a curation filter consumes, and non-empty
+      // at any fixture scale even when the similarity graph is thin
+      docs.select(col("doc_id"))
+        .join(tri, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("degree"), lit(0L)).as("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"),
+          when(coalesce(col("degree"), lit(0L)) >= 2,
+            (coalesce(col("triangles"), lit(0L)) * 2).cast("double") /
               (col("degree") * (col("degree") - 1)).cast("double"))
             .otherwise(lit(0.0)).as("clustering"))
-        .orderBy("node")
+        .orderBy("doc_id")
     }),
 
     // ---- PER-DOMAIN CAP: C4/CCNet-style host capping ----------------------
@@ -3385,7 +3386,7 @@ object SparkEntry {
     * outside the literal Map to keep the single Map.apply call under
     * scalac's method-size comfort zone.
     */
-  private def eventAnalyticsQueries
+  private def analyticsExtraQueries
       : Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- ORDERED FUNNEL: view -> click -> purchase ------------------------
     // The product-analytics conversion primitive: users whose first view
@@ -3451,6 +3452,27 @@ object SparkEntry {
             .as("retention_ppm"))
         .orderBy("cohort_wk", "week_offset")
     }),
+
+    // ---- CUBE / GROUPING(id) ----------------------------------------------
+    // The last multi-dim aggregate shape (rollup q41 / pivot q50 landed
+    // earlier): all four (status, priority) grouping combinations in ONE
+    // pass — Spark expands the cube BEFORE the partial aggregate, so the
+    // shuffle carries (groups x 4) combined rows, not the fact table four
+    // times. Grouping indicators emitted as separate per-column flags
+    // (bit-order-free, engine-independent); rolled-up dims surface as
+    // 'ALL' (status domain is F/O/P — no collision).
+    "q147_cube_grouping" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(28, 4))).cast("double")
+            .as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("g_status"), col("g_priority"), col("n"), col("total"))
+        .orderBy("g_status", "g_priority", "status", "priority")),
   )
 
   /** q142's per-source document cap — single source for the engine's
@@ -4266,24 +4288,33 @@ object SparkEntry {
     sb.toString
   }
 
-  /** q141 oracle: the same degree-orientation derivation — orient
-    * small→large in (degree, id) order, wedge-join on the low endpoint,
-    * close with the oriented edge in either direction, count corners.
-    * Pure integer arithmetic except the final clustering division
-    * (identical int÷int IEEE op both engines).
+  /** q141 oracle: q139's quadratic exact-Jaccard pair derivation (the
+    * join the prefix filter exists to avoid) feeding the same
+    * degree-orientation triangle derivation — orient small→large in
+    * (degree, id) order, wedge-join on the low endpoint, close with the
+    * oriented edge in either direction, count corners, report over the
+    * full document spine. Pure integer arithmetic except the final
+    * clustering division (identical int÷int IEEE op both engines).
     */
   private val triangleOracleSql: String =
-    """WITH cs AS (
-         SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
-         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-       lo AS (
-         SELECT DISTINCT l_orderkey AS ok, l_suppkey + 10000000 AS sk
-         FROM lineitem),
-       ss AS (
-         SELECT a.sk AS src, b.sk AS dst
-         FROM lo a JOIN lo b ON a.ok = b.ok AND a.sk < b.sk
-         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-       eraw AS (SELECT src, dst FROM cs UNION ALL SELECT src, dst FROM ss),
+    raw"""WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+           END AS s
+         FROM toks),
+       nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       prs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         FROM nz a, nz b WHERE a.doc_id < b.doc_id),
+       eraw AS MATERIALIZED (
+         SELECT id_a AS src, id_b AS dst FROM prs WHERE jaccard >= 0.7),
        und AS MATERIALIZED (
          SELECT DISTINCT src, dst FROM (
            SELECT src, dst FROM eraw
@@ -4308,17 +4339,16 @@ object SparkEntry {
            SELECT x AS node FROM tris
            UNION ALL SELECT v AS node FROM tris
            UNION ALL SELECT w AS node FROM tris) GROUP BY 1)
-     SELECT d.node AS node,
-       CASE WHEN d.node >= 10000000 THEN 'supplier' ELSE 'customer' END
-         AS kind,
-       d.degree AS degree,
+     SELECT dd.doc_id AS doc_id,
+       COALESCE(d.degree, 0) AS degree,
        COALESCE(p.triangles, 0) AS triangles,
-       CASE WHEN d.degree >= 2 THEN
+       CASE WHEN COALESCE(d.degree, 0) >= 2 THEN
          CAST(COALESCE(p.triangles, 0) * 2 AS DOUBLE)
            / CAST(d.degree * (d.degree - 1) AS DOUBLE)
          ELSE 0.0 END AS clustering
-     FROM deg d LEFT JOIN pn p ON d.node = p.node
-     ORDER BY d.node"""
+     FROM documents dd LEFT JOIN deg d ON dd.doc_id = d.node
+     LEFT JOIN pn p ON dd.doc_id = p.node
+     ORDER BY dd.doc_id"""
 
   /** q144 oracle: the same `lpaRounds` synchronous LPA rounds as a
     * generated MATERIALIZED CTE chain — neighbor votes + self-vote,
@@ -6082,6 +6112,16 @@ object SparkEntry {
     "q144_label_propagation" -> lpaOracleSql,
     "q145_funnel" -> funnelOracleSql,
     "q146_cohort_retention" -> cohortOracleSql,
+    "q147_cube_grouping" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+             AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY g_status, g_priority, status, priority""",
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

@@ -175,24 +175,29 @@ class GraphSpec extends SparkSpec {
       == refTriangles(g))
   }
 
-  test("q141 fixture slice: triangles match brute force at sf0.001") {
-    val ol = Tables.orders(spark, sf0001).join(Tables.lineitem(spark, sf0001),
-      col("o_orderkey") === col("l_orderkey"))
-    val cs = ol.select(col("o_custkey"), (col("l_suppkey") + lit(10000000L)))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val lo = Tables.lineitem(spark, sf0001)
-      .select(col("l_orderkey"), (col("l_suppkey") + lit(10000000L)))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
-    val ss = lo.groupBy(_._1).values.toSeq.flatMap { g =>
-      val sks = g.map(_._2).sorted
-      for (i <- sks.indices; j <- (i + 1) until sks.size)
-        yield (sks(i), sks(j))
-    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
-    val ref = refTriangles((cs ++ ss).distinct)
-    val got = SparkEntry.queries("q141_triangle_clustering")(spark, sf0001)
-      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
-    assert(got == ref && got.values.exists(_._2 > 0),
-      "expected at least one triangle in the fixture")
+  test("q141 fixture slice: triangles over the near-dup graph match " +
+      "brute force at sf0.001, full-spine report") {
+    // the same edge set the query builds, collected driver-side
+    val edges = graft.operators.Dedup
+      .exactJaccardJoin(Tables.documents(spark, sf0001), "doc_id", "text",
+        threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ref = refTriangles(edges.distinct)
+    val rows = SparkEntry.queries("q141_triangle_clustering")(spark, sf0001)
+      .collect()
+    // one row per DOCUMENT (isolated docs report 0/0/0.0)
+    assert(rows.length ==
+      Tables.documents(spark, sf0001).count().toInt)
+    val got = rows.map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    ref.foreach { case (node, dt) => assert(got(node) == dt,
+      s"node $node: got ${got(node)}, ref $dt") }
+    // every node outside the similarity graph scores zero
+    rows.foreach { r =>
+      if (!ref.contains(r.getLong(0)))
+        assert(r.getLong(1) == 0L && r.getLong(2) == 0L &&
+          r.getDouble(3) == 0.0)
+    }
   }
 
   test("q138 fixture slice: ranks match the driver recurrence at sf0.001") {
