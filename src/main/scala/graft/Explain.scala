@@ -81,6 +81,10 @@ object Explain {
         // everything upstream is user-keyed map-side-combined mins.
         "q145_funnel" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q148: crossJoin(broadcast(1-row corpus-max-week frame)) — the
+        // q17/q69 scalar-stats shape; the per-type agg map-side combines.
+        "q148_decayed_activity" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         // q130/q131: the q69 shape from the STORED index —
         // crossJoin(broadcast(1-row merged stats)), and the
         // SinglePartition exchanges are that frame's own global

@@ -3473,6 +3473,40 @@ object SparkEntry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("g_status"), col("g_priority"), col("n"), col("total"))
         .orderBy("g_status", "g_priority", "status", "priority")),
+
+    // ---- RECENCY-DECAYED ACTIVITY -------------------------------------------
+    // Half-life-weighted per-type activity: each event contributes
+    // 0.5^(weeks before the corpus's newest week) — the freshness signal
+    // a mixing pipeline feeds into source weights (stale domains decay,
+    // active ones dominate). Deterministic across engines because
+    // 0.5^k is a power of two (exact in IEEE double for any k here) and
+    // the per-event terms DECIMAL-sum order-independently. Scale shape:
+    // one integer-week projection, a broadcast 1-row max, one map-side-
+    // combined agg — no windows, no corpus-sized exchange.
+    "q148_decayed_activity" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("unix_micros(ts) div 604800000000").as("wk"))
+      val latest = ev.agg(max("wk").as("max_wk"))
+      ev.crossJoin(broadcast(latest))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          max("wk").as("latest_wk"),
+          sum(round(pow(lit(0.5), col("max_wk") - col("wk")), 6)
+              .cast(DecimalType(18, 6))).cast("double")
+            .as("decayed_score"))
+        .orderBy("event_type")
+    }),
+
+    // ---- CONTAINMENT JOIN: quote / subsumption detection -------------------
+    // The asymmetric near-dup relation Jaccard misses: a short doc quoted
+    // inside a much longer one scores near-zero Jaccard (the union is
+    // dominated by the container) but containment ~1. Exact recall via
+    // probe-side-only prefix filtering (the index side must stay full —
+    // containment puts no ceiling on the container's extra content).
+    "q149_containment_join" -> ((s, dir) =>
+      Dedup.exactContainmentJoin(Tables.documents(s, dir), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("id_a", "id_b")),
   )
 
   /** q142's per-source document cap — single source for the engine's
@@ -4287,6 +4321,31 @@ object SparkEntry {
        ORDER BY s.node""")
     sb.toString
   }
+
+  /** q149 oracle: the quadratic containment join — all ORDERED pairs
+    * (containment is asymmetric), raw-string shingle sets vs the
+    * engine's 64-bit hashes (parity = collision-freedom, the q24/q66
+    * argument), identical int÷int IEEE division.
+    */
+  private val containmentOracleSql: String =
+    raw"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM toks),
+         nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+               AS containment
+           FROM nz a, nz b WHERE a.doc_id != b.doc_id)
+       SELECT id_a, id_b, containment FROM prs
+       WHERE containment >= 0.8 ORDER BY id_a, id_b"""
 
   /** q141 oracle: q139's quadratic exact-Jaccard pair derivation (the
     * join the prefix filter exists to avoid) feeding the same
@@ -6122,6 +6181,17 @@ object SparkEntry {
              AS total
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY g_status, g_priority, status, priority""",
+    "q148_decayed_activity" ->
+      """WITH ev AS (
+           SELECT event_type, epoch_us(ts) // 604800000000 AS wk
+           FROM events),
+         mx AS (SELECT MAX(wk) AS max_wk FROM ev)
+         SELECT event_type, COUNT(*) AS n_events, MAX(wk) AS latest_wk,
+           CAST(SUM(CAST(round(power(0.5, max_wk - wk), 6)
+             AS DECIMAL(18,6))) AS DOUBLE) AS decayed_score
+         FROM ev CROSS JOIN mx
+         GROUP BY event_type ORDER BY event_type""",
+    "q149_containment_join" -> containmentOracleSql,
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

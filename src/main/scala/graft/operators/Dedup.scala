@@ -297,6 +297,75 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact-recall CONTAINMENT join: all ordered pairs (a, b) with
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ threshold — the
+    * ASYMMETRIC near-dup relation Jaccard misses: a short document
+    * quoted/subsumed by a much longer one scores near-zero Jaccard (the
+    * union is dominated by b's extra content) but containment ~1. The
+    * quote/subsumption detector of a curation stack.
+    *
+    * Prefix filtering adapts to the asymmetry: only the PROBE side (a)
+    * has a prefix bound — if containment ≥ t, a shares at least one of
+    * its p = |a| − ceil(t·|a|) + 1 rarest shingles (global (df, hash)
+    * order) with b — while the INDEX side (b) must stay FULL, because
+    * containment puts no ceiling on b's extra shingles (this is the
+    * standard probe-prefix/index-full result; a b-side prefix would
+    * break exact recall). Consequence for scale: candidate volume is
+    * Σ_prefix-shingle df(h), kept small by rare-first ordering but
+    * linear in a genuinely-hot shingle's df — inherent to EXACT
+    * containment, and the reason the probe prefix takes the RAREST
+    * shingles rather than any fixed positional slice (the q137 blocking-
+    * entropy lesson). The size filter is one-sided: |b| ≥ t·|a|.
+    * Verification is the compiled set kernel on the pinned hash sets;
+    * containment is one int÷int IEEE division, oracle-replayable.
+    */
+  def exactContainmentJoin(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double,
+                           shingleWidth: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"exactContainmentJoin: threshold in (0,1], got $threshold")
+    val t6 = math.floor(threshold * 1e6).toLong
+    require(t6 >= 1, s"exactContainmentJoin: threshold too small ($threshold)")
+    import org.apache.spark.sql.expressions.Window
+
+    val sets = df.select(col(idCol).as("__id"),
+        T.shingleHashSet(col(textCol), shingleWidth).as("__hs"))
+      .withColumn("__sz", size(col("__hs")).cast("long"))
+      .filter(col("__sz") > 0)
+      .localCheckpoint()
+
+    val sh = sets.select(col("__id"), col("__sz"),
+      explode(col("__hs")).as("__h"))
+    val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy("__id").orderBy(col("__df"), col("__h"))
+    // probe prefix: the doc's p rarest shingles; the index side is the
+    // FULL shingle stream (sh), re-derived from the pinned sets — no
+    // second kernel pass, no checkpoint of a corpus×shingle frame
+    val prefix = sh.join(dfreq, "__h")
+      .withColumn("__rk", row_number().over(wDoc))
+      .filter(col("__rk") <=
+        col("__sz") - expr(s"(($t6 * __sz + 999999) div 1000000)") + 1)
+      .select(col("__h"), col("__id").as("id_a"), col("__sz").as("__sa"))
+
+    val idx = sh.select(col("__h"), col("__id").as("id_b"),
+      col("__sz").as("__sb"))
+    val cands = prefix.join(idx, Seq("__h"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("__sb") * 1000000L >= lit(t6) * col("__sa"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__hs").as("__ha"),
+        col("__sz").as("__sa")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__hs").as("__hb")),
+        Seq("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
+          col("__sa"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** The end-to-end dedup semantics: drop every document that
     * near-duplicates (n-gram Jaccard ≥ threshold) a smaller-id document —
     * the standard keep-first policy of corpus pipelines. One anti-join

@@ -291,7 +291,16 @@ object Graph {
         Seq("src"))
       .select(col("dst").as("node"), col("lab"))
       .unionByName(labels.select(col("node"), col("lab")))
-    votes.groupBy("node", "lab").agg(count(lit(1)).as("c"))
+    // ONE edge-sized exchange per round, not two: hash the raw votes by
+    // node once — HashPartitioning(node) satisfies the clustered
+    // distribution of BOTH downstream aggregates ((node,lab) counts and
+    // the per-node argmax), so they pipeline exchange-free on this
+    // layout in a single stage. The alternative (groupBy(node,lab)
+    // straight off the join) pays a second distinct-pair-sized exchange
+    // for the argmax, and its map-side combine is worthless in the
+    // dominant first round, where neighbor labels are all-distinct.
+    votes.repartition(col("node"))
+      .groupBy("node", "lab").agg(count(lit(1)).as("c"))
       .groupBy("node")
       .agg(max(struct(col("c"), negate(col("lab")).as("nl"))).as("m"))
       .select(col("node"), negate(col("m.nl")).as("lab"))

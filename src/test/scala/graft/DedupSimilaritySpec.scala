@@ -220,6 +220,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.size >= 3) // the variants actually qualify — non-vacuous
   }
 
+  test("exactContainmentJoin equals the quadratic truth and catches the " +
+      "quote pair Jaccard misses") {
+    // doc 11 is VERBATIM-quoted inside doc 12's much longer text: its
+    // shingles are a subset (containment 1.0) but Jaccard is tiny —
+    // the asymmetric relation the operator exists for. Plus boundary
+    // pairs, an exact dup (contained both ways), and a short doc.
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (11L, quote),
+      (12L, quote + " " + (100 to 220).map(i => s"f$i").mkString(" ")),
+      (13L, (1 to 12).map(i => s"q$i").mkString(" ")), // exact dup of 11
+      (14L, (1 to 9).map(i => s"q$i").mkString(" ") + " x y z"), // partial
+      (15L, "too short"),
+      (16L, (300 to 360).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val raw = Seq((11L, quote),
+      (12L, quote + " " + (100 to 220).map(i => s"f$i").mkString(" ")),
+      (13L, (1 to 12).map(i => s"q$i").mkString(" ")),
+      (14L, (1 to 9).map(i => s"q$i").mkString(" ") + " x y z"),
+      (15L, "too short"),
+      (16L, (300 to 360).map(i => s"u$i").mkString(" ")))
+    val expect = (for {
+      (ia, ta) <- raw; (ib, tb) <- raw if ia != ib
+      sa = sh(ta); sb = sh(tb) if sa.nonEmpty && sb.nonEmpty
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= 0.8
+    } yield (ia, ib, c)).sortBy(r => (r._1, r._2))
+    val got = Dedup.exactContainmentJoin(docs, "doc_id", "text",
+        threshold = 0.8)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == expect)
+    // the quote pair is DIRECTED: 11-in-12 qualifies, 12-in-11 doesn't
+    assert(got.exists { case (a, b, c) => a == 11L && b == 12L && c == 1.0 })
+    assert(!got.exists { case (a, b, _) => a == 12L && b == 11L })
+    // ...and Jaccard at the same 0.8 misses it entirely
+    val jac = Dedup.exactJaccardJoin(docs, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists { case (a, b, _) =>
+      (a == 11L && b == 12L) || (a == 12L && b == 11L) })
+    // partition-order independence
+    val got7 = Dedup.exactContainmentJoin(docs.repartition(7), "doc_id",
+        "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got7 == got)
+  }
+
   test("exactJaccardJoin at threshold 1.0 finds exactly the verbatim dups") {
     val got = Dedup.exactJaccardJoin(corpus, "doc_id", "text", threshold = 1.0)
       .as[(Long, Long, Double)].collect().toSet
