@@ -85,6 +85,11 @@ object Explain {
         // q17/q69 scalar-stats shape; the per-type agg map-side combines.
         "q148_decayed_activity" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q150: crossJoin(broadcast(1-row m2 edge-count frame)) — the
+        // same scalar-stats shape; all community tallies are map-side-
+        // combined aggs over the pinned tag join.
+        "q150_modularity" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         // q130/q131: the q69 shape from the STORED index —
         // crossJoin(broadcast(1-row merged stats)), and the
         // SinglePartition exchanges are that frame's own global

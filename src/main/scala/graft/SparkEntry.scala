@@ -3345,35 +3345,32 @@ object SparkEntry {
     // ---- LABEL-PROPAGATION COMMUNITIES ------------------------------------
     // The fourth graph signal: components say "connected", k-core says
     // "dense enough", triangles say "interlinked" — LPA says WHICH dense
-    // region claims each node (mirror-site clusters / topic communities in
-    // a link graph). Same graph as q141 (customer–supplier incidence plus
-    // >= 2-order co-supplier edges), 4 synchronous rounds, self-vote
-    // damping, (count DESC, label ASC) tie-break — fully integer, so the
-    // oracle replays the identical recurrence as a generated CTE chain.
+    // region claims each node (mirror-site / template-farm clusters).
+    // Substrate: the q139/q141 near-dup similarity graph — the one
+    // fixture graph with REAL cluster structure (the order co-occurrence
+    // graph, tried first, is one dense blob at every threshold: LPA
+    // correctly collapses it to a single community, a vacuous report).
+    // 4 synchronous rounds, self-vote damping, (count DESC, label ASC)
+    // tie-break — fully integer, so the oracle replays the identical
+    // recurrence as a generated CTE chain. Report over the full document
+    // spine: docs outside the graph are their own singleton community.
     "q144_label_propagation" -> ((s, dir) => {
-      val ol = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
-        col("o_orderkey") === col("l_orderkey"))
-      val cs = ol.select(col("o_custkey").as("src"),
-        (col("l_suppkey") + lit(10000000L)).as("dst"))
-      val lo = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"),
-          (col("l_suppkey") + lit(10000000L)).as("sk"))
-        .dropDuplicates("ok", "sk")
-      val ss = lo.select(col("ok"), col("sk").as("sa"))
-        .join(lo.select(col("ok"), col("sk").as("sb")), Seq("ok"))
-        .filter(col("sa") < col("sb"))
-        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_ord"))
-        .filter(col("n_ord") >= 2)
-        .select(col("sa").as("src"), col("sb").as("dst"))
-      val comm = Graph.labelPropagation(cs.unionByName(ss), "src", "dst",
+      val docs = Tables.documents(s, dir)
+      val edges = Dedup.exactJaccardJoin(docs, "doc_id", "text",
+          threshold = 0.7)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val comm = Graph.labelPropagation(edges, "src", "dst",
         rounds = lpaRounds)
-      val sizes = comm.groupBy("community").agg(count(lit(1)).as("csize"))
-      comm.join(sizes, Seq("community"))
-        .select(col("node"),
-          when(col("node") >= 10000000L, lit("supplier"))
-            .otherwise(lit("customer")).as("kind"),
-          col("community"), col("csize"))
-        .orderBy("node")
+      val full = docs.select(col("doc_id"))
+        .join(comm.withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("community"), col("doc_id")).as("community"))
+      val sizes = full.groupBy("community").agg(count(lit(1)).as("csize"))
+      full.join(sizes, Seq("community"))
+        .select(col("doc_id"), col("community"), col("csize"),
+          (col("csize") > 1).as("in_cluster"))
+        .orderBy("doc_id")
     }),
   )
 
@@ -3381,6 +3378,7 @@ object SparkEntry {
     * call and the oracle's generated CTE chain.
     */
   private val lpaRounds = 4
+
 
   /** Event-analytics additions (funnel + cohort retention) — appended
     * outside the literal Map to keep the single Map.apply call under
@@ -3507,6 +3505,85 @@ object SparkEntry {
       Dedup.exactContainmentJoin(Tables.documents(s, dir), "doc_id", "text",
           threshold = 0.8)
         .orderBy("id_a", "id_b")),
+
+    // ---- MODULARITY of the LPA partition ------------------------------------
+    // The quality metric for q144's communities (Newman Q): per community,
+    // internal-edge fraction minus the degree-squared null expectation —
+    // the number that says whether the partition found real structure or
+    // noise (the order-graph experiment that moved this family onto the
+    // similarity graph was decided BY this metric: one community, Q = 0).
+    // All counts integer off the SAME symmetrized frame the LPA rounds
+    // walk (Graph.undirected — 2 directed rows per undirected edge), one
+    // edge-sized community-tag join pinned for its two consumers; the Q
+    // terms are one fixed double chain rounded to 6 dp. Graph communities
+    // only (singleton spine docs have no edges — zero Q contribution by
+    // convention).
+    "q150_modularity" -> ((s, dir) => {
+      val raw = Dedup.exactJaccardJoin(Tables.documents(s, dir), "doc_id",
+          "text", threshold = 0.7)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .localCheckpoint() // consumed by the LPA AND the modularity tally
+      val comm = Graph.labelPropagation(raw, "src", "dst",
+        rounds = lpaRounds)
+      val und = Graph.undirected(raw, "src", "dst")
+      val j = und
+        .join(comm.select(col("node").as("src"),
+          col("community").as("c_src")), Seq("src"))
+        .join(comm.select(col("node").as("dst"),
+          col("community").as("c_dst")), Seq("dst"))
+        .select("c_src", "c_dst")
+        .localCheckpoint() // two consumers (degree sums, internal counts)
+      val m2f = j.agg(count(lit(1)).as("m2"))
+      val dsum = j.groupBy(col("c_src").as("community"))
+        .agg(count(lit(1)).as("d2"))
+      val inner = j.filter(col("c_src") === col("c_dst"))
+        .groupBy(col("c_src").as("community")).agg(count(lit(1)).as("x2"))
+      val sz = comm.groupBy("community").agg(count(lit(1)).as("csize"))
+      sz.join(dsum, Seq("community"))
+        .join(inner, Seq("community"), "left_outer")
+        .crossJoin(broadcast(m2f))
+        .select(col("community"), col("csize"),
+          expr("coalesce(x2, 0) div 2").as("internal_edges"),
+          col("d2").as("degree_sum"),
+          round(coalesce(col("x2"), lit(0L)).cast("double") / col("m2")
+            - (col("d2").cast("double") / col("m2"))
+              * (col("d2").cast("double") / col("m2")), 6).as("q_term"))
+        .orderBy("community")
+    }),
+
+    // ---- SUBSUMPTION DEDUP POLICY -------------------------------------------
+    // The end-to-end composition over q149 (the dropNearDuplicates of
+    // containment): drop every document >= 80 % contained in a STRICTLY
+    // LARGER document (shingle-set size, id tiebreak) — keep the
+    // container, drop the quote. The strict order makes the policy
+    // coherent (mutual containment — near-identical docs — keeps the
+    // larger/smaller-id one; no drop cycles). Report: per-source kept /
+    // dropped counts. One anti-join against the small dropped-id set.
+    "q151_subsumption_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.exactContainmentJoin(docs, "doc_id", "text",
+        threshold = 0.8)
+      val sizes = docs.select(col("doc_id"),
+        size(graft.functions.TextFunctions.shingleHashSet(col("text"), 3))
+          .cast("long").as("__sz"))
+      val dropped = pairs
+        .join(sizes.select(col("doc_id").as("id_a"), col("__sz").as("sa")),
+          Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("__sz").as("sb")),
+          Seq("id_b"))
+        .filter(col("sb") > col("sa") ||
+          (col("sb") === col("sa") && col("id_b") < col("id_a")))
+        .select(col("id_a").as("doc_id")).distinct()
+      // no forced broadcast: the dropped-id set sizes with true quote
+      // density — AQE broadcasts it when it is actually small
+      docs.join(dropped.withColumn("__drop", lit(true)),
+          Seq("doc_id"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("__drop"), 0L).otherwise(1L)).as("n_kept"))
+        .orderBy("source")
+    }),
   )
 
   /** q142's per-source document cap — single source for the engine's
@@ -4347,6 +4424,38 @@ object SparkEntry {
        SELECT id_a, id_b, containment FROM prs
        WHERE containment >= 0.8 ORDER BY id_a, id_b"""
 
+  /** q151 oracle: the quadratic containment pairs with the same strict
+    * (size, id) drop order, folded to per-source kept/dropped counts.
+    * Set sizes are raw-string shingle-set cardinalities == the engine's
+    * hash-set sizes (collision-freedom parity).
+    */
+  private val subsumptionOracleSql: String =
+    raw"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM toks),
+         nz AS (SELECT doc_id, s, len(s) AS sz FROM sh WHERE len(s) > 0),
+         dropped AS (
+           SELECT DISTINCT a.doc_id
+           FROM nz a, nz b
+           WHERE a.doc_id != b.doc_id
+             AND (b.sz > a.sz OR (b.sz = a.sz AND b.doc_id < a.doc_id))
+             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / a.sz
+                 >= 0.8)
+         SELECT d.source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept
+         FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+         GROUP BY d.source ORDER BY d.source"""
+
   /** q141 oracle: q139's quadratic exact-Jaccard pair derivation (the
     * join the prefix filter exists to avoid) feeding the same
     * degree-orientation triangle derivation — orient small→large in
@@ -4355,7 +4464,12 @@ object SparkEntry {
     * full document spine. Pure integer arithmetic except the final
     * clustering division (identical int÷int IEEE op both engines).
     */
-  private val triangleOracleSql: String =
+  /** The q141/q144/q150 shared oracle prefix: the quadratic exact-Jaccard
+    * pair derivation (raw-string shingle sets — collision-freedom parity
+    * with the engine's 64-bit hashes) ending in the directed pair list
+    * `eraw` and the symmetrized edge list `und`.
+    */
+  private val jaccardGraphCtes: String =
     raw"""WITH toks AS (
          SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
          FROM documents),
@@ -4378,7 +4492,10 @@ object SparkEntry {
          SELECT DISTINCT src, dst FROM (
            SELECT src, dst FROM eraw
            UNION ALL SELECT dst AS src, src AS dst FROM eraw)
-         WHERE src <> dst),
+         WHERE src <> dst)"""
+
+  private val triangleOracleSql: String =
+    jaccardGraphCtes + raw""",
        deg AS MATERIALIZED (
          SELECT src AS node, COUNT(*) AS degree FROM und GROUP BY 1),
        orient AS MATERIALIZED (
@@ -4409,30 +4526,16 @@ object SparkEntry {
      LEFT JOIN pn p ON dd.doc_id = p.node
      ORDER BY dd.doc_id"""
 
-  /** q144 oracle: the same `lpaRounds` synchronous LPA rounds as a
-    * generated MATERIALIZED CTE chain — neighbor votes + self-vote,
-    * exact integer counts, (count DESC, label ASC) argmax replayed as a
-    * row_number cut. Same edge derivation as q141's oracle.
+  /** The shared q144/q150 LPA CTE chain: the q141 similarity-graph
+    * derivation + `lpaRounds` synchronous rounds (neighbor votes +
+    * self-vote, exact integer counts, (count DESC, label ASC) argmax as
+    * a row_number cut), ending with labels in `r<lpaRounds>` and the
+    * symmetrized edge list in `und`.
     */
-  private val lpaOracleSql: String = {
+  private val lpaChainCtes: String = {
     val sb = new StringBuilder
-    sb.append(
-      """WITH cs AS (
-           SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
-           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-         lo AS (
-           SELECT DISTINCT l_orderkey AS ok, l_suppkey + 10000000 AS sk
-           FROM lineitem),
-         ss AS (
-           SELECT a.sk AS src, b.sk AS dst
-           FROM lo a JOIN lo b ON a.ok = b.ok AND a.sk < b.sk
-           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         eraw AS (SELECT src, dst FROM cs UNION ALL SELECT src, dst FROM ss),
-         und AS MATERIALIZED (
-           SELECT DISTINCT src, dst FROM (
-             SELECT src, dst FROM eraw
-             UNION ALL SELECT dst AS src, src AS dst FROM eraw)
-           WHERE src <> dst),
+    sb.append(jaccardGraphCtes)
+    sb.append(""",
          r0 AS MATERIALIZED (
            SELECT DISTINCT src AS node, src AS lab FROM und)""")
     for (i <- 0 until lpaRounds) {
@@ -4448,16 +4551,49 @@ object SparkEntry {
                PARTITION BY node ORDER BY c DESC, lab) AS rn
              FROM c$i) WHERE rn = 1)""")
     }
-    sb.append(s"""
-       , sz AS (SELECT lab, COUNT(*) AS csize FROM r$lpaRounds GROUP BY lab)
-       SELECT r.node,
-         CASE WHEN r.node >= 10000000 THEN 'supplier' ELSE 'customer' END
-           AS kind,
-         r.lab AS community, s.csize AS csize
-       FROM r$lpaRounds r JOIN sz s ON r.lab = s.lab
-       ORDER BY r.node""")
     sb.toString
   }
+
+  private val lpaOracleSql: String =
+    lpaChainCtes + s"""
+       , lab AS (SELECT node, lab FROM r$lpaRounds),
+       full_ AS (
+         SELECT d.doc_id, COALESCE(l.lab, d.doc_id) AS community
+         FROM documents d LEFT JOIN lab l ON d.doc_id = l.node),
+       sz AS (SELECT community, COUNT(*) AS csize FROM full_ GROUP BY 1)
+       SELECT f.doc_id, f.community, s.csize, s.csize > 1 AS in_cluster
+       FROM full_ f JOIN sz s ON f.community = s.community
+       ORDER BY f.doc_id"""
+
+  /** q150 oracle: the same LPA chain, then each community's modularity
+    * contribution from DIRECTED-row counts over `und` (x_c = within-
+    * community directed rows = 2·e_c, m2 = all directed rows = 2m,
+    * d_c = directed rows with src in c): term = x/m2 − (d/m2)², with
+    * the identical double op order and 6-dp rounding.
+    */
+  private val modularityOracleSql: String =
+    lpaChainCtes + s"""
+       , lab AS (SELECT node, lab FROM r$lpaRounds),
+       m2 AS (SELECT COUNT(*) AS m2 FROM und),
+       j AS (
+         SELECT ls.lab AS c_src, ld.lab AS c_dst
+         FROM und e JOIN lab ls ON e.src = ls.node
+         JOIN lab ld ON e.dst = ld.node),
+       dsum AS (SELECT c_src AS community, COUNT(*) AS d2 FROM j GROUP BY 1),
+       inner_ AS (
+         SELECT c_src AS community, COUNT(*) AS x2
+         FROM j WHERE c_src = c_dst GROUP BY 1),
+       sz AS (SELECT lab AS community, COUNT(*) AS csize FROM lab GROUP BY 1)
+       SELECT s.community, s.csize,
+         COALESCE(i.x2, 0) // 2 AS internal_edges,
+         d.d2 AS degree_sum,
+         round(CAST(COALESCE(i.x2, 0) AS DOUBLE) / m.m2
+           - (CAST(d.d2 AS DOUBLE) / m.m2) * (CAST(d.d2 AS DOUBLE) / m.m2),
+           6) AS q_term
+       FROM sz s JOIN dsum d ON s.community = d.community
+       LEFT JOIN inner_ i ON s.community = i.community
+       CROSS JOIN m2 m
+       ORDER BY s.community"""
 
   /** q145 oracle: the same strictly-ordered step chain — first view,
     * first click after it, first purchase after that — with the same
@@ -6192,6 +6328,8 @@ object SparkEntry {
          FROM ev CROSS JOIN mx
          GROUP BY event_type ORDER BY event_type""",
     "q149_containment_join" -> containmentOracleSql,
+    "q150_modularity" -> modularityOracleSql,
+    "q151_subsumption_dedup" -> subsumptionOracleSql,
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents

@@ -31,6 +31,21 @@ object Graph {
     edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).dropDuplicates("src", "dst")
 
+  /** Symmetrized undirected edge list: both directions of every edge,
+    * self-loops dropped, duplicates collapsed — each undirected edge
+    * appears as exactly TWO directed rows. The canonical frame the
+    * undirected operators (LPA, modularity) agree on, so the engine and
+    * a SQL oracle count the identical rows.
+    */
+  def undirected(edges: DataFrame, srcCol: String,
+                 dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
+  }
+
   /** Node spine (node, outdeg — 0 for dangling): the per-iteration join
     * frame.
     */
@@ -262,12 +277,7 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 50, s"labelPropagation: rounds in [1,50]")
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    val e = e0.unionByName(e0.select(col("dst").as("src"),
-        col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .dropDuplicates("src", "dst")
+    val e = undirected(edges, srcCol, dstCol)
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("src").as("node"))

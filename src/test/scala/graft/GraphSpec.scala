@@ -283,29 +283,61 @@ class GraphSpec extends SparkSpec {
     assert(a == b && a == refLpa(g, 3))
   }
 
-  test("q144 fixture slice: communities match the driver recurrence at " +
-      "sf0.001, sizes consistent") {
+  test("q144 fixture slice: near-dup-graph communities match the driver " +
+      "recurrence at sf0.001, full spine, sizes consistent") {
+    val edges = graft.operators.Dedup
+      .exactJaccardJoin(Tables.documents(spark, sf0001), "doc_id", "text",
+        threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ref = refLpa(edges, 4)
     val rows = SparkEntry.queries("q144_label_propagation")(spark, sf0001)
       .collect()
-    val got = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
-    // rebuild the same edge set driver-side
-    val ol = Tables.orders(spark, sf0001).join(Tables.lineitem(spark, sf0001),
-      col("o_orderkey") === col("l_orderkey"))
-    val cs = ol.select(col("o_custkey").as("src"),
-      (col("l_suppkey") + lit(10000000L)).as("dst"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val lo = Tables.lineitem(spark, sf0001)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .collect().map(r => (r.getLong(0), r.getLong(1) + 10000000L))
-      .distinct.toSeq
-    val ss = lo.groupBy(_._1).values.toSeq
-      .flatMap(g => for { a <- g; b <- g if a._2 < b._2 } yield (a._2, b._2))
-      .groupBy(identity).collect { case (p, os) if os.size >= 2 => p }.toSeq
-    assert(got == refLpa(cs ++ ss, 4))
-    // csize column is the exact community cardinality
-    val sizes = rows.map(r => (r.getLong(2), r.getLong(3))).distinct.toMap
+    // one row per DOCUMENT; graph nodes carry the LPA label, isolated
+    // docs are their own singleton community
+    assert(rows.length == Tables.documents(spark, sf0001).count().toInt)
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ref.foreach { case (node, lab) => assert(got(node) == lab) }
+    rows.foreach { r =>
+      if (!ref.contains(r.getLong(0)))
+        assert(got(r.getLong(0)) == r.getLong(0), "singleton = own id")
+    }
+    // csize column is the exact community cardinality over the spine,
+    // and in_cluster == (csize > 1)
+    val sizes = rows.map(r => (r.getLong(1), r.getLong(2))).distinct.toMap
     val counted = got.values.groupBy(identity).map { case (c, vs) =>
       c -> vs.size.toLong }
     assert(sizes == counted)
+    rows.foreach(r => assert(r.getBoolean(3) == (r.getLong(2) > 1L)))
+    assert(rows.exists(_.getBoolean(3)), "fixture has at least one cluster")
+  }
+
+  test("q150 fixture slice: modularity terms match a driver computation " +
+      "at sf0.001 and the partition beats the null model") {
+    val edges = graft.operators.Dedup
+      .exactJaccardJoin(Tables.documents(spark, sf0001), "doc_id", "text",
+        threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lab = refLpa(edges, 4)
+    val und = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+    val m2 = und.size.toLong
+    val byC = und.groupBy(e => lab(e._1))
+    val refTerms = byC.map { case (c, es) =>
+      val x2 = es.count(e => lab(e._2) == c).toLong
+      val d2 = es.size.toLong
+      val t = x2.toDouble / m2 - (d2.toDouble / m2) * (d2.toDouble / m2)
+      c -> (x2 / 2, d2, t)
+    }
+    val got = SparkEntry.queries("q150_modularity")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == refTerms.keySet)
+    refTerms.foreach { case (c, (x, d, t)) =>
+      val (gx, gd, gt) = got(c)
+      assert(gx == x && gd == d, s"community $c integer parts")
+      // engine rounds half-up at 6 dp; driver ref is unrounded
+      assert(math.abs(gt - t) < 1e-6, s"community $c q_term: $gt vs $t")
+    }
+    // real cluster structure: summed Q is strictly positive
+    assert(got.values.map(_._3).sum > 0.1, s"Q too low: $got")
   }
 }
