@@ -613,4 +613,53 @@ class ScaleShapeSpec extends SparkSpec {
         s"$name pair counts must partial-aggregate")
     }
   }
+
+  test("round-13 analytics plan shapes: q142 bounded heap, q143/q145 no " +
+      "windows, LPA round single-exchange aggs") {
+    // q142: the per-source cap must be the bounded-heap partial aggregate
+    // (<= cap rows per source per partition on the shuffle), NEVER a
+    // row_number window over the hot domain
+    val q142 = SparkEntry.queries("q142_domain_cap")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(q142.contains("partial_topkbyscore"),
+      "q142 keep set must come from the bounded-heap partial aggregate")
+    assert(!q142.contains("windowspecdefinition"),
+      "q142 must not window over a domain's documents")
+    // q143: gram aggregates must map-side combine; no cartesian (the only
+    // cross is the broadcast 1-row totals frame); top-50 must be a
+    // bounded TakeOrdered, not a global sort
+    val q143 = SparkEntry.queries("q143_pmi_collocations")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(q143.contains("partial_count"),
+      "q143 gram counts must partial-aggregate")
+    assert(q143.contains("TakeOrderedAndProject"),
+      "q143 top-50 must be TakeOrdered")
+    assert(!q143.contains("CartesianProduct"))
+    // q145: the funnel must be min-aggregates + user-keyed joins — no
+    // per-user window sort of the event stream
+    val q145 = SparkEntry.queries("q145_funnel")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!q145.contains("windowspecdefinition"),
+      "q145 must not window-sort per user")
+    assert(q145.contains("partial_min"),
+      "q145 step instants must map-side combine")
+    assert(!q145.contains("CartesianProduct"))
+    // the LPA round: votes repartitioned by node once, then BOTH
+    // aggregates run on that layout — no exchange between the (node,lab)
+    // count and the per-node argmax
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+      .repartition(col("src"))
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "lab")
+    val round = graft.operators.Graph.lpaRound(e, labels)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(round).size
+    // one for the label gather join (node-sized), one for the vote
+    // repartition (edge-sized); a third would be the fused aggregates
+    // splitting apart — the regression this test exists to catch
+    assert(exchanges <= 2,
+      s"lpaRound must not re-exchange between its aggregates:\n$round")
+    assert(round.contains("partial_count"),
+      "lpa vote counts must partial-aggregate")
+  }
 }
