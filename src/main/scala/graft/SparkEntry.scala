@@ -3256,10 +3256,8 @@ object SparkEntry {
     // oriented out-degree (O(sqrt m)); hot hubs generate ZERO wedges.
     "q141_triangle_clustering" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val edges = Dedup.exactJaccardJoin(docs, "doc_id", "text",
-          threshold = 0.7)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val tri = Graph.triangleCounts(edges, "src", "dst")
+      val tri = Graph.triangleCounts(similarityGraphEdges(s, dir),
+          "src", "dst")
         .withColumnRenamed("node", "doc_id")
       // per-document report over the WHOLE corpus (isolated docs score
       // 0/0/0.0) — the shape a curation filter consumes, and non-empty
@@ -3356,11 +3354,8 @@ object SparkEntry {
     // spine: docs outside the graph are their own singleton community.
     "q144_label_propagation" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val edges = Dedup.exactJaccardJoin(docs, "doc_id", "text",
-          threshold = 0.7)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val comm = Graph.labelPropagation(edges, "src", "dst",
-        rounds = lpaRounds)
+      val comm = Graph.labelPropagation(similarityGraphEdges(s, dir),
+        "src", "dst", rounds = lpaRounds)
       val full = docs.select(col("doc_id"))
         .join(comm.withColumnRenamed("node", "doc_id"),
           Seq("doc_id"), "left_outer")
@@ -3378,6 +3373,27 @@ object SparkEntry {
     * call and the oracle's generated CTE chain.
     */
   private val lpaRounds = 4
+
+  /** The q139 exact-Jaccard ≥ 0.7 similarity graph as a PERSISTED
+    * artifact: built once per corpus (cachedBuild — cross-process
+    * lock-protected, fixture-signature invalidated, the q92/q110 index
+    * pattern) and read by every graph-analytics consumer (q141
+    * triangles, q144 communities, q150 modularity). The 100 TB contract:
+    * the similarity join is the corpus-scale kernel and runs once per
+    * snapshot; graph analytics then query an edge list sized by TRUE
+    * near-dup density. q139 itself stays the direct operator — it IS
+    * the gate on the join's exactness.
+    */
+  private def similarityGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    val path = cachedBuild(dir, "documents.parquet", "target/simgraph") {
+      p =>
+        Dedup.exactJaccardJoin(Tables.documents(s, dir), "doc_id", "text",
+            threshold = 0.7)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+          .write.mode("overwrite").parquet(s"$p/edges.parquet")
+    }
+    s.read.parquet(s"$path/edges.parquet")
+  }
 
 
   /** Event-analytics additions (funnel + cohort retention) — appended
@@ -3519,10 +3535,9 @@ object SparkEntry {
     // only (singleton spine docs have no edges — zero Q contribution by
     // convention).
     "q150_modularity" -> ((s, dir) => {
-      val raw = Dedup.exactJaccardJoin(Tables.documents(s, dir), "doc_id",
-          "text", threshold = 0.7)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-        .localCheckpoint() // consumed by the LPA AND the modularity tally
+      // the persisted edge artifact IS the pin — both consumers (the LPA
+      // and the modularity tally) scan the same tiny parquet
+      val raw = similarityGraphEdges(s, dir)
       val comm = Graph.labelPropagation(raw, "src", "dst",
         rounds = lpaRounds)
       val und = Graph.undirected(raw, "src", "dst")
