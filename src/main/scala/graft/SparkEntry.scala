@@ -3566,6 +3566,31 @@ object SparkEntry {
         .orderBy("community")
     }),
 
+    // ---- DUP-CLUSTER REPORT over the persisted similarity graph -------------
+    // What a data team actually publishes from the graph artifact: one
+    // row per near-dup CLUSTER (connected component of the q139 edges) —
+    // size, canonical id (the component label IS the min id by the
+    // pointer-jumping convergence), total bytes, and how many sources it
+    // spans (a cluster crossing many sources is syndication; one source
+    // is a template). Pointer-jumping components over the tiny edge
+    // artifact; the per-cluster aggregate map-side combines.
+    "q152_dup_cluster_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = similarityGraphEdges(s, dir)
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+      val comp = Dedup.componentIds(docs.select("doc_id"), "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      docs.select(col("doc_id"), col("source"),
+          octet_length(col("text")).cast("long").as("blen"))
+        .join(comp, Seq("doc_id"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("csize"),
+          sum("blen").as("total_octets"),
+          countDistinct("source").as("n_sources"))
+        .filter(col("csize") >= 2)
+        .orderBy("cluster")
+    }),
+
     // ---- SUBSUMPTION DEDUP POLICY -------------------------------------------
     // The end-to-end composition over q149 (the dropNearDuplicates of
     // containment): drop every document >= 80 % contained in a STRICTLY
@@ -4967,7 +4992,9 @@ object SparkEntry {
     * symmetric edges, recursive reachability, component = MIN reachable
     * id. Callers embed after `WITH RECURSIVE`.
     */
-  private def componentClosureBody(base: String): String = raw"""toks AS (
+  private def componentClosureBody(base: String,
+                                   threshold: Double = 0.8): String =
+    raw"""toks AS (
            SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
            FROM $base),
          sh AS (
@@ -4982,7 +5009,7 @@ object SparkEntry {
            FROM sh a, sh b
            WHERE a.doc_id < b.doc_id
              AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+                 / len(list_distinct(list_concat(a.s, b.s))) >= $threshold),
          edges AS (
            SELECT id_a AS u, id_b AS v FROM prs
            UNION
@@ -6345,6 +6372,16 @@ object SparkEntry {
     "q149_containment_join" -> containmentOracleSql,
     "q150_modularity" -> modularityOracleSql,
     "q151_subsumption_dedup" -> subsumptionOracleSql,
+    // q152: the q64/q81 RECURSIVE closure at the artifact's 0.7 threshold,
+    // folded to per-cluster size/bytes/source-spread (strlen = DuckDB
+    // byte length, matching octet_length — the q81 parity).
+    "q152_dup_cluster_report" ->
+      ("WITH RECURSIVE " + componentClosureBody("documents", 0.7) + raw"""
+         SELECT c.component AS cluster, COUNT(*) AS csize,
+           SUM(CAST(strlen(d.text) AS BIGINT)) AS total_octets,
+           CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources
+         FROM comp c JOIN documents d USING (doc_id)
+         GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY cluster"""),
     "q53_corpus_filter" ->
       raw"""WITH q AS (
            SELECT * FROM documents
