@@ -15,6 +15,15 @@ are scheduler noise at this suite's scale) AND its median regressed >2x.
 semantics change); they print as ALLOWED instead of failing. New queries,
 removed queries, and failures are always listed. Exit 1 on any
 non-allowed alarm or any newly-failing query.
+
+Persistent adjudications live in bench/ADJUDICATIONS.json — a list of
+{"query", "base_round", "reason"} records. A record applies ONLY when the
+comparison base is that round's artifact (bench_r<N>.json / BENCH_r<N>
+.json), so an adjudicated one-off (say, a noise-band inflation whose MIN
+is byte-identical across rounds) is green as committed for exactly the
+artifact pair it was judged on, and the alarm re-arms the moment the base
+moves to the next round. This keeps the red tool meaningful: nobody has
+to remember a manual --allow, and nothing is exempted forever.
 """
 import glob, json, os, re, signal, sys
 
@@ -85,6 +94,17 @@ def main():
     cur_path = pos[0] if pos else os.path.join(ROOT, "bench/bench_latest.json")
     prev_path = pos[1] if len(pos) > 1 else newest_round_artifact()
     cur, prev = load(cur_path), load(prev_path)
+    # fold in on-file adjudications scoped to this comparison's base round
+    m = re.search(r"r(\d+)(?:_[a-z0-9]+)?\.json$",
+                  os.path.basename(prev_path), re.IGNORECASE)
+    base_round = int(m.group(1)) if m else None
+    adj_path = os.path.join(ROOT, "bench/ADJUDICATIONS.json")
+    if base_round is not None and os.path.exists(adj_path):
+        for rec in json.load(open(adj_path)):
+            if rec.get("base_round") == base_round:
+                allow.add(rec["query"])
+                print(f"adjudicated vs r{base_round}: {rec['query']} — "
+                      f"{rec.get('reason', '')}")
     # median-to-median by construction (round-11 verdict #5): the gate
     # writes its median-of-3 run to an explicit path and passes
     # --require-median, so a stray repeat-1 artifact (one cold pass vs a

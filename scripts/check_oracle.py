@@ -47,8 +47,15 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
         fails += 1
         continue
+    # Dtype mismatch is a FAIL, not a warning: the driver's comparator
+    # hashes materialized values, and int64 vs float64 (e.g. a DuckDB
+    # SUM(BIGINT) surfacing as HUGEINT -> float64) hash-differs even when
+    # Python `==` says 1234 == 1234.0 — exactly the r13 q152 miss. Local
+    # green must predict driver green.
     if [str(t) for t in got.dtypes] != [str(t) for t in exp.dtypes]:
-        print(f"WARN {name}: dtypes {list(map(str,got.dtypes))} != {list(map(str,exp.dtypes))}")
+        print(f"FAIL {name}: dtypes {list(map(str,got.dtypes))} != {list(map(str,exp.dtypes))}")
+        fails += 1
+        continue
     g = got.sort_values(by=list(got.columns), ignore_index=True)
     e = exp.sort_values(by=list(exp.columns), ignore_index=True)
     if len(g) != len(e):

@@ -36,3 +36,15 @@ echo "mixed corpus OK: $got documents ($non_ascii non-ASCII)"
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
   sbt -batch "runMain graft.Verify $MIXED $VERIFY_OUT"
 python3 scripts/check_oracle.py "$MIXED" "$VERIFY_OUT"
+
+# The no_oracle ML queries: their inputs are byte-copied into the mixed
+# fixture, so under the same Verify config the mixed dump must equal the
+# base dump cell-for-cell (scripts/check_mixed_ml.py). Requires a base
+# Verify dump — the full gate produces one at target/verify_out.
+BASE_OUT=${4:-target/verify_out}
+if [ -d "$BASE_OUT/q29_ml_rf_confusion" ]; then
+  python3 scripts/check_mixed_ml.py "$BASE_OUT" "$VERIFY_OUT"
+else
+  echo "FAIL: no base Verify dump at $BASE_OUT — run the full gate first" >&2
+  exit 1
+fi
