@@ -257,7 +257,6 @@ object Dedup {
       s"exactJaccardJoin: threshold in (0,1], got $threshold")
     val t6 = math.floor(threshold * 1e6).toLong
     require(t6 >= 1, s"exactJaccardJoin: threshold too small ($threshold)")
-    import org.apache.spark.sql.expressions.Window
 
     // one text-kernel pass: (id, distinct shingle hashes, set size), pinned
     // — consumed by the df-count, the prefix stream, and both verify sides
@@ -266,7 +265,16 @@ object Dedup {
       .withColumn("__sz", size(col("__hs")).cast("long"))
       .filter(col("__sz") > 0)
       .localCheckpoint()
+    exactJaccardJoinFromSets(sets, t6, threshold)
+  }
 
+  /** The prefix-filter join over an ALREADY-pinned sets frame
+    * (`__id`, `__hs`, `__sz`) — shared with [[SimGraphIndex.build]],
+    * whose one kernel pass also feeds the artifact tables.
+    */
+  private[operators] def exactJaccardJoinFromSets(
+      sets: DataFrame, t6: Long, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = sets.select(col("__id"), col("__sz"), explode(col("__hs")).as("__h"))
     // global rarity: document frequency per shingle (map-side combined)
     val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("__df"))

@@ -77,4 +77,33 @@ class CachedBuildSpec extends AnyFunSuite {
     assert(run() == out && builds.get() == 3,
       "after a crashed build the next caller must rebuild")
   }
+
+  test("changed build params self-invalidate; stale output is cleared") {
+    val src = newSrc()
+    val outBase = Files.createTempDirectory("cb_out3").toString
+    val builds = new AtomicInteger(0)
+    def run(params: String): String =
+      SparkEntry.cachedBuild(src.toString, "fixture.txt", outBase, params) {
+        p =>
+          builds.incrementAndGet()
+          Files.createDirectories(Paths.get(p))
+          Files.writeString(Paths.get(p, s"data-${builds.get()}.txt"),
+            params)
+      }
+    val out = run("jaccard=0.7:w=3")
+    assert(builds.get() == 1)
+    assert(run("jaccard=0.7:w=3") == out && builds.get() == 1,
+      "same params + same fixture must stay cached")
+    // an operator-parameter change (the round-13 simgraph hazard: edit
+    // the Jaccard threshold, forget the salt) must rebuild by itself...
+    val out2 = run("jaccard=0.8:w=3")
+    assert(builds.get() == 2, "changed params must self-invalidate")
+    assert(out2 == out, "params do not move the artifact path")
+    // ...and the rebuild must CLEAR the previous build's output first —
+    // a mixed-generation dir would serve build-1 files alongside build-2
+    assert(!Files.exists(Paths.get(out2, "data-1.txt")),
+      "stale output from the previous params must be cleared on rebuild")
+    assert(Files.readString(Paths.get(out2, "data-2.txt")) ==
+      "jaccard=0.8:w=3")
+  }
 }

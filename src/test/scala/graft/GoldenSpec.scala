@@ -77,6 +77,7 @@ class GoldenSpec extends SparkSpec {
   test("golden: q33_ml_kmeans_embed exact rows at sf0.01")(check("q33_ml_kmeans_embed"))
   test("golden: q34_ml_cv_best_params exact rows at sf0.01")(check("q34_ml_cv_best_params"))
   test("golden: q35_ml_cluster_tokens exact rows at sf0.01")(check("q35_ml_cluster_tokens"))
+  test("golden: q153_ml_gbt_cv_best_params exact rows at sf0.01")(check("q153_ml_gbt_cv_best_params"))
   // STREAMING-side pins for the q18/q48/q56 twins: the stream==batch specs
   // prove equivalence, but both sides could co-drift; these freeze the
   // streaming output itself (same shared session config as StreamGoldenGen)
