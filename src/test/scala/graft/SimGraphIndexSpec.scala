@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, MaintenanceIo, SimGraphIndex}
+
+/** SimGraphIndex contract: build + disjoint appends must reproduce the
+  * full-corpus [[Dedup.exactJaccardJoin]] edge set EXACTLY (the q154
+  * oracle proves this on the fixtures; these cases pin the tricky
+  * boundaries on constructed docs), the artifact's side tables must stay
+  * additive, and the append must take its geometry from the built meta —
+  * never from the caller.
+  */
+class SimGraphIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // near-dup families engineered across the build/append boundary:
+  //  - 1 & 2: exact dups inside the build corpus
+  //  - 3: unique standing doc
+  //  - 10: exact dup of 1 arriving in shard A (new-old edge, J = 1)
+  //  - 11 & 12: exact dups of each other inside shard B (new-new edge)
+  //  - 13: near-dup of 3 (one token changed) in shard B
+  //  - 20: a 2-token doc (empty shingle set at w=3 — must be inert)
+  //  - 21: NULL text (inert)
+  private def docs: DataFrame = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (3L, "one two three four five six seven eight nine"),
+    (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (11L, "red orange yellow green blue indigo violet"),
+    (12L, "red orange yellow green blue indigo violet"),
+    (13L, "one two three four five six seven eight ten"),
+    (20L, "too short"),
+    (21L, null)
+  ).toDF("doc_id", "text")
+
+  private def edgeSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("build + two appends == full-corpus exact join (boundary families)") {
+    val path = Files.createTempDirectory("simidx").toString
+    val standing = docs.filter(col("doc_id") < 10)
+    SimGraphIndex.build(standing, "doc_id", "text", path,
+      threshold = 0.6, shingleWidth = 3)
+    SimGraphIndex.append(docs.filter(col("doc_id") === 10L),
+      "doc_id", "text", path)
+    SimGraphIndex.append(
+      docs.filter(col("doc_id") >= 11L), "doc_id", "text", path)
+
+    val got = edgeSet(SimGraphIndex.edges(spark, path))
+    val want = edgeSet(
+      Dedup.exactJaccardJoin(docs, "doc_id", "text", 0.6, 3))
+    assert(got == want, s"incremental $got != full $want")
+    // the engineered families actually exercised the boundaries
+    assert(want.exists { case (a, b, j) => a == 1L && b == 10L && j == 1.0 },
+      "new-old exact-dup edge missing from the full join itself")
+    assert(want.exists { case (a, b, _) => a == 11L && b == 12L },
+      "new-new within-shard edge missing")
+    assert(want.exists { case (a, b, j) => a == 3L && b == 13L && j < 1.0 },
+      "near-dup (non-1.0) edge missing")
+    assert(!want.exists { case (a, b, _) => a == 20L || b == 20L || b == 21L },
+      "sub-width/NULL docs must be inert")
+  }
+
+  test("df side table stays additive across appends") {
+    val path = Files.createTempDirectory("simidx2").toString
+    SimGraphIndex.build(docs.filter(col("doc_id") < 10), "doc_id", "text",
+      path, threshold = 0.6)
+    SimGraphIndex.append(docs.filter(col("doc_id") >= 10L),
+      "doc_id", "text", path)
+    val snap = MaintenanceIo.snapshot(path)
+    val stored = spark.read.parquet(snap("dfreq"))
+      .groupBy("h").agg(sum("df").as("df"))
+    val truth = spark.read.parquet(snap("postings"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    assert(stored.join(truth, Seq("h"), "full_outer")
+      .filter(!(stored("df") <=> truth("df"))).isEmpty,
+      "summed dfreq rows must equal postings-derived document frequency")
+  }
+
+  test("append geometry comes from the built meta, epoch advances") {
+    val path = Files.createTempDirectory("simidx3").toString
+    SimGraphIndex.build(docs.filter(col("doc_id") < 10), "doc_id", "text",
+      path, threshold = 0.9, shingleWidth = 4)
+    val m0 = MaintenanceIo.requireManifest(path)
+    val meta = spark.read.parquet(s"$path/${m0.tables("meta")}").head()
+    assert(meta.getAs[Long]("t6") == 900000L && meta.getAs[Int]("w") == 4)
+    SimGraphIndex.append(docs.filter(col("doc_id") === 10L),
+      "doc_id", "text", path)
+    assert(MaintenanceIo.requireManifest(path).epoch == m0.epoch + 1)
+    // at w=4 and t=0.9 the 1~10 exact-dup edge must still appear — i.e.
+    // the append really shingled at the BUILT width, not a default
+    val got = edgeSet(SimGraphIndex.edges(spark, path))
+    assert(got.exists { case (a, b, j) => a == 1L && b == 10L && j == 1.0 })
+  }
+}
