@@ -3483,7 +3483,7 @@ object SparkEntry {
   private def simGraphIndexArtifact(s: SparkSession, dir: String): String = {
     val docs = Tables.documents(s, dir)
     cachedBuild(dir, "documents.parquet", "target/q154_simgraph_idx",
-        params = s"simidx:jaccard=$simGraphThreshold" +
+        params = s"simidx.v2:jaccard=$simGraphThreshold" +
           s":w=$simGraphShingleWidth:split=m10e6x2") { p =>
       operators.SimGraphIndex.build(docs.filter(col("doc_id") % 10 =!= 6),
         "doc_id", "text", p, simGraphThreshold, simGraphShingleWidth)
@@ -3726,6 +3726,29 @@ object SparkEntry {
         .groupBy("csize").agg(count(lit(1)).as("n_clusters"),
           (col("csize") * count(lit(1))).as("n_docs"))
         .orderBy("csize")
+    }),
+
+    // Takedown over the maintained graph: tombstone-delete a doc subset,
+    // read the LIVE edge set. Oracle re-derives the full graph on the
+    // surviving docs from scratch — hash-green proves delete removes
+    // exactly the dead docs' incident edges and nothing else. (Physical
+    // drop + re-append-after-compact are spec'd in SimGraphIndexSpec —
+    // compaction output is layout, not query-observable.)
+    "q157_simgraph_delete" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = cachedBuild(dir, "documents.parquet",
+          "target/q157_simgraph_del",
+          params = s"simidx.v2:jaccard=$simGraphThreshold" +
+            s":w=$simGraphShingleWidth:split=m10e6:del=m7e2") { p =>
+        operators.SimGraphIndex.build(docs.filter(col("doc_id") % 10 =!= 6),
+          "doc_id", "text", p, simGraphThreshold, simGraphShingleWidth)
+        operators.SimGraphIndex.append(
+          docs.filter(col("doc_id") % 10 === 6), "doc_id", "text", p)
+        operators.SimGraphIndex.delete(
+          docs.filter(col("doc_id") % 7 === 2).select("doc_id"),
+          "doc_id", p)
+      }
+      operators.SimGraphIndex.edges(s, idx).orderBy("id_a", "id_b")
     }),
 
     // ---- SUBSUMPTION DEDUP POLICY -------------------------------------------
@@ -4831,10 +4854,16 @@ object SparkEntry {
     * parity = collision-freedom, the established q24/q66 argument. The
     * jaccard value is the same int÷int IEEE division in both engines.
     */
-  private val exactJaccardOracleSql: String =
+  private val exactJaccardOracleSql: String = exactJaccardOracleSqlOn("")
+
+  /** The q139 oracle over an optionally-restricted document spine —
+    * `where` is an empty string or a full "WHERE ..." clause (q157 uses
+    * the live-docs restriction to re-derive a post-takedown graph).
+    */
+  private def exactJaccardOracleSqlOn(where: String): String =
     raw"""WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
-           FROM documents),
+           FROM documents $where),
          sh AS (
            SELECT doc_id,
              CASE WHEN len(t) < 3 THEN []::VARCHAR[]
@@ -6511,6 +6540,8 @@ object SparkEntry {
     "q139_exact_jaccard_join" -> exactJaccardOracleSql,
     // the incremental index must reproduce the SAME full-corpus edge set
     "q154_simgraph_incremental" -> exactJaccardOracleSql,
+    "q157_simgraph_delete" ->
+      exactJaccardOracleSqlOn("WHERE doc_id % 7 <> 2"),
     "q155_simgraph_incr_components" ->
       ("WITH RECURSIVE " + componentClosureBody("documents",
         simGraphThreshold) + raw"""

@@ -95,9 +95,15 @@ object SimGraphIndex {
             col("sz").as("__sz")),
           t6, threshold)
         .write.parquet(s"$path/$eGen")
+      val tGen = MaintenanceIo.nextGen(path, "tombstones")
+      sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType))))
+        .coalesce(1).write.parquet(s"$path/$tGen")
       MaintenanceIo.publish(path, MaintenanceIo.Manifest(0L,
         Map("meta" -> mGen, "sets" -> sGen, "postings" -> pGen,
-          "dfreq" -> dGen, "edges" -> eGen)))
+          "dfreq" -> dGen, "edges" -> eGen, "tombstones" -> tGen)))
     }
 
   /** Append a shard of NEW documents (ids disjoint from the standing
@@ -146,7 +152,12 @@ object SimGraphIndex {
           col("sz") - expr(s"(($t6 * sz + 999999) div 1000000)") + 1)
         .select(col("h"), col("doc_id").as("id_p"), col("sz").as("sz_p"))
 
+      // dead docs can neither gain nor lend edges: drop their postings
+      // from the probe target (tombstones are takedown-sized — broadcast
+      // anti-join) so the appended edge stream stays dead-free
+      val dead = sp.read.parquet(s"$path/${m.tables("tombstones")}")
       val target = sp.read.parquet(s"$path/${m.tables("postings")}")
+        .join(broadcast(dead), Seq("doc_id"), "left_anti")
         .unionByName(newPost)
         .select(col("h"), col("doc_id").as("id_t"), col("sz").as("sz_t"))
 
@@ -176,11 +187,78 @@ object SimGraphIndex {
       MaintenanceIo.publish(path, m.copy(epoch = e))
     }
 
-  /** Current edge set (id_a, id_b, jaccard), id_a < id_b, one manifest
-    * snapshot — the frame every downstream graph analytic consumes.
+  /** Tombstone DELETE — the takedown path completing the lifecycle
+    * (build/append/read/delete/compact, the IVF/inverted-index
+    * contract). O(|ids|): one append into the tombstones table; every
+    * reader anti-joins both edge endpoints against it, and subsequent
+    * appends drop dead postings from their probe target. Dead stays
+    * dead until [[compact]] physically drops the rows — RE-APPENDING a
+    * tombstoned id is NOT supported before a compact (this index has no
+    * per-row epochs; the inverted index demonstrates the epoch rule
+    * where takedown-then-recrawl must compose without compaction).
     */
-  def edges(sp: SparkSession, path: String): DataFrame =
-    sp.read.parquet(MaintenanceIo.snapshot(path)("edges"))
+  def delete(ids: DataFrame, idCol: String, path: String): Unit =
+    MaintenanceIo.withMaintenanceLock(path) {
+      val m = MaintenanceIo.requireManifest(path)
+      ids.select(col(idCol).as("doc_id")).distinct()
+        .write.mode("append").parquet(s"$path/${m.tables("tombstones")}")
+      MaintenanceIo.publish(path, m.copy(epoch = m.epoch + 1))
+    }
+
+  /** Physically drop tombstoned rows: every table rewrites into a fresh
+    * generation minus the dead docs (dfreq recomputed from the surviving
+    * postings — subtracting dead contributions and recounting agree, and
+    * recounting cannot drift), tombstones reset to empty, one manifest
+    * swap publishes all of it atomically. Query cost returns to the
+    * fresh-build baseline; the grace generation keeps in-flight readers
+    * consistent (the IVF compact contract).
+    */
+  def compact(sp: SparkSession, path: String): Unit =
+    MaintenanceIo.withMaintenanceLock(path) {
+      val m = MaintenanceIo.requireManifest(path)
+      val dead = sp.read.parquet(s"$path/${m.tables("tombstones")}")
+        .localCheckpoint()
+      val sGen = MaintenanceIo.nextGen(path, "sets")
+      sp.read.parquet(s"$path/${m.tables("sets")}")
+        .join(broadcast(dead), Seq("doc_id"), "left_anti")
+        .write.parquet(s"$path/$sGen")
+      val pGen = MaintenanceIo.nextGen(path, "postings")
+      val livePost = sp.read.parquet(s"$path/$sGen")
+        .select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+      livePost.write.parquet(s"$path/$pGen")
+      val dGen = MaintenanceIo.nextGen(path, "dfreq")
+      sp.read.parquet(s"$path/$pGen").groupBy("h")
+        .agg(count(lit(1)).as("df"))
+        .write.parquet(s"$path/$dGen")
+      val eGen = MaintenanceIo.nextGen(path, "edges")
+      liveEdges(sp.read.parquet(s"$path/${m.tables("edges")}"), dead)
+        .write.parquet(s"$path/$eGen")
+      val tGen = MaintenanceIo.nextGen(path, "tombstones")
+      dead.limit(0).coalesce(1).write.parquet(s"$path/$tGen")
+      MaintenanceIo.publish(path, MaintenanceIo.Manifest(m.epoch + 1,
+        m.tables ++ Map("sets" -> sGen, "postings" -> pGen,
+          "dfreq" -> dGen, "edges" -> eGen, "tombstones" -> tGen)))
+    }
+
+  /** Current LIVE edge set (id_a, id_b, jaccard), id_a < id_b, one
+    * manifest snapshot — the frame every downstream graph analytic
+    * consumes. Tombstoned endpoints are filtered here (broadcast
+    * anti-joins against the takedown-sized dead set); after a compact
+    * the filter is a no-op on an empty table.
+    */
+  def edges(sp: SparkSession, path: String): DataFrame = {
+    val snap = MaintenanceIo.snapshot(path)
+    liveEdges(sp.read.parquet(snap("edges")),
+      sp.read.parquet(snap("tombstones")))
+  }
+
+  private def liveEdges(edges: DataFrame, dead: DataFrame): DataFrame =
+    edges
+      .join(broadcast(dead.select(col("doc_id").as("id_a"))),
+        Seq("id_a"), "left_anti")
+      .join(broadcast(dead.select(col("doc_id").as("id_b"))),
+        Seq("id_b"), "left_anti")
+      .select("id_a", "id_b", "jaccard")
 
   /** (doc_id, distinct shingle-hash set, size), empty sets dropped — the
     * one text-kernel pass everything else derives from (matching

@@ -98,4 +98,45 @@ class SimGraphIndexSpec extends SparkSpec {
     val got = edgeSet(SimGraphIndex.edges(spark, path))
     assert(got.exists { case (a, b, j) => a == 1L && b == 10L && j == 1.0 })
   }
+
+  test("delete hides incident edges; compact drops rows; re-append works") {
+    val path = Files.createTempDirectory("simidx4").toString
+    SimGraphIndex.build(docs.filter(col("doc_id") < 10), "doc_id", "text",
+      path, threshold = 0.6)
+    SimGraphIndex.append(docs.filter(col("doc_id") >= 10L),
+      "doc_id", "text", path)
+    val before = edgeSet(SimGraphIndex.edges(spark, path))
+    assert(before.exists { case (a, b, _) => a == 1L && b == 10L })
+
+    // takedown doc 10: every incident edge disappears, others survive
+    SimGraphIndex.delete(Seq(10L).toDF("doc_id"), "doc_id", path)
+    val after = edgeSet(SimGraphIndex.edges(spark, path))
+    assert(after == before.filterNot { case (a, b, _) =>
+      a == 10L || b == 10L })
+    assert(after.exists { case (a, b, _) => a == 11L && b == 12L },
+      "unrelated edges must survive the takedown")
+
+    // compact: physically dropped, reader unchanged, tombstones empty,
+    // dfreq re-agrees with surviving postings
+    SimGraphIndex.compact(spark, path)
+    assert(edgeSet(SimGraphIndex.edges(spark, path)) == after)
+    val snap = MaintenanceIo.snapshot(path)
+    assert(spark.read.parquet(snap("tombstones")).isEmpty)
+    assert(spark.read.parquet(snap("sets"))
+      .filter(col("doc_id") === 10L).isEmpty,
+      "compacted sets must not carry the dead doc")
+    val stored = spark.read.parquet(snap("dfreq"))
+      .groupBy("h").agg(sum("df").as("df"))
+    val truth = spark.read.parquet(snap("postings"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    assert(stored.join(truth, Seq("h"), "full_outer")
+      .filter(!(stored("df") <=> truth("df"))).isEmpty)
+
+    // the recrawl: after compact the id is physically gone, so
+    // re-appending it is a plain new-doc append — edges come back
+    SimGraphIndex.append(docs.filter(col("doc_id") === 10L),
+      "doc_id", "text", path)
+    assert(edgeSet(SimGraphIndex.edges(spark, path)) == before,
+      "re-append after compact must restore the original graph")
+  }
 }
