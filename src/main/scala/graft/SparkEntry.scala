@@ -177,6 +177,12 @@ object SparkEntry {
     */
   def auditPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_heavy_hitters#pass1" -> ((s, dir) => q82Pass1(s, dir)),
+    // the SimGraphIndex append's construction-time plan (probe-prefix vs
+    // stored postings) — the artifact's cachedBuild runs first if needed
+    "q154_simgraph_incremental#append" -> ((s, dir) =>
+      operators.SimGraphIndex.auditAppendPlan(s, simGraphIndexArtifact(s, dir),
+        Tables.documents(s, dir).filter(col("doc_id") % 20 === 16),
+        "doc_id", "text")),
     // q95's per-round construction-time passes: the vocab-bounded
     // pair-count aggregate every round argmaxes (1-row driver collect),
     // scanned here in its round-1 shape — later rounds differ only in the

@@ -129,56 +129,9 @@ object SimGraphIndex {
       val newSets = setsOf(shard, idCol, textCol, w).localCheckpoint()
       val newPost = newSets.select(col("doc_id"), col("sz"),
         explode(col("hs")).as("h")).localCheckpoint()
-
-      // merged rarity = standing df (possibly several append generations
-      // of rows per shingle — additive) + this shard's delta. Ordering-
-      // only (recall never depends on it): a join keyed on the shard's
-      // own shingles, so the standing df table is touched only at those
-      // keys.
       val delta = newPost.groupBy("h").agg(count(lit(1)).as("df"))
-      val mergedDf = sp.read.parquet(s"$path/${m.tables("dfreq")}")
-        .join(newPost.select("h").distinct(), Seq("h"), "left_semi")
-        .unionByName(delta)
-        .groupBy("h").agg(sum("df").as("df"))
-
-      // probe prefix: p = sz - ceil(t*sz) + 1 rarest shingles per shard
-      // doc under (df, h) order — single-sided, so only the SHARD ranks
-      import org.apache.spark.sql.expressions.Window
-      val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
-      val probe = newPost
-        .join(mergedDf, Seq("h"))
-        .withColumn("__rk", row_number().over(wDoc))
-        .filter(col("__rk") <=
-          col("sz") - expr(s"(($t6 * sz + 999999) div 1000000)") + 1)
-        .select(col("h"), col("doc_id").as("id_p"), col("sz").as("sz_p"))
-
-      // dead docs can neither gain nor lend edges: drop their postings
-      // from the probe target (tombstones are takedown-sized — broadcast
-      // anti-join) so the appended edge stream stays dead-free
-      val dead = sp.read.parquet(s"$path/${m.tables("tombstones")}")
-      val target = sp.read.parquet(s"$path/${m.tables("postings")}")
-        .join(broadcast(dead), Seq("doc_id"), "left_anti")
-        .unionByName(newPost)
-        .select(col("h"), col("doc_id").as("id_t"), col("sz").as("sz_t"))
-
-      val cands = probe.join(target, Seq("h"))
-        .filter(col("id_p") =!= col("id_t") &&
-          col("sz_t") * 1000000L >= lit(t6) * col("sz_p") &&
-          col("sz_p") * 1000000L >= lit(t6) * col("sz_t"))
-        .select(least(col("id_p"), col("id_t")).as("id_a"),
-          greatest(col("id_p"), col("id_t")).as("id_b"))
-        .dropDuplicates("id_a", "id_b")
-
-      val allSets = sp.read.parquet(s"$path/${m.tables("sets")}")
-        .unionByName(newSets)
-      val newEdges = cands
-        .join(allSets.select(col("doc_id").as("id_a"), col("hs").as("__ha")),
-          Seq("id_a"))
-        .join(allSets.select(col("doc_id").as("id_b"), col("hs").as("__hb")),
-          Seq("id_b"))
-        .withColumn("jaccard", T.jaccard(col("__ha"), col("__hb")))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+      val newEdges = appendEdgesPlan(sp, path, m, newSets, newPost, delta,
+        t6, threshold)
 
       newEdges.write.mode("append").parquet(s"$path/${m.tables("edges")}")
       newSets.write.mode("append").parquet(s"$path/${m.tables("sets")}")
@@ -186,6 +139,82 @@ object SimGraphIndex {
       delta.write.mode("append").parquet(s"$path/${m.tables("dfreq")}")
       MaintenanceIo.publish(path, m.copy(epoch = e))
     }
+
+  /** The append's new-edge derivation as a FRAME (exposed so the plan-
+    * smell audit can scan the construction-time plan the append
+    * executes — [[graft.SparkEntry.auditPlans]]).
+    */
+  private[graft] def appendEdgesPlan(sp: SparkSession, path: String,
+                                     m: MaintenanceIo.Manifest,
+                                     newSets: DataFrame, newPost: DataFrame,
+                                     delta: DataFrame, t6: Long,
+                                     threshold: Double): DataFrame = {
+    // merged rarity = standing df (possibly several append generations
+    // of rows per shingle — additive) + this shard's delta. Ordering-
+    // only (recall never depends on it): a join keyed on the shard's
+    // own shingles, so the standing df table is touched only at those
+    // keys.
+    val mergedDf = sp.read.parquet(s"$path/${m.tables("dfreq")}")
+      .join(newPost.select("h").distinct(), Seq("h"), "left_semi")
+      .unionByName(delta)
+      .groupBy("h").agg(sum("df").as("df"))
+
+    // probe prefix: p = sz - ceil(t*sz) + 1 rarest shingles per shard
+    // doc under (df, h) order — single-sided, so only the SHARD ranks
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val probe = newPost
+      .join(mergedDf, Seq("h"))
+      .withColumn("__rk", row_number().over(wDoc))
+      .filter(col("__rk") <=
+        col("sz") - expr(s"(($t6 * sz + 999999) div 1000000)") + 1)
+      .select(col("h"), col("doc_id").as("id_p"), col("sz").as("sz_p"))
+
+    // dead docs can neither gain nor lend edges: drop their postings
+    // from the probe target (tombstones are takedown-sized — broadcast
+    // anti-join) so the appended edge stream stays dead-free
+    val dead = sp.read.parquet(s"$path/${m.tables("tombstones")}")
+    val target = sp.read.parquet(s"$path/${m.tables("postings")}")
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      .unionByName(newPost)
+      .select(col("h"), col("doc_id").as("id_t"), col("sz").as("sz_t"))
+
+    val cands = probe.join(target, Seq("h"))
+      .filter(col("id_p") =!= col("id_t") &&
+        col("sz_t") * 1000000L >= lit(t6) * col("sz_p") &&
+        col("sz_p") * 1000000L >= lit(t6) * col("sz_t"))
+      .select(least(col("id_p"), col("id_t")).as("id_a"),
+        greatest(col("id_p"), col("id_t")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val allSets = sp.read.parquet(s"$path/${m.tables("sets")}")
+      .unionByName(newSets)
+    cands
+      .join(allSets.select(col("doc_id").as("id_a"), col("hs").as("__ha")),
+        Seq("id_a"))
+      .join(allSets.select(col("doc_id").as("id_b"), col("hs").as("__hb")),
+        Seq("id_b"))
+      .withColumn("jaccard", T.jaccard(col("__ha"), col("__hb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The composed append plan for a hypothetical shard against an
+    * EXISTING artifact, derivation identical to [[append]] minus the
+    * checkpoint pins and writes — what Explain --audit scans.
+    */
+  private[graft] def auditAppendPlan(sp: SparkSession, path: String,
+                                     shard: DataFrame, idCol: String,
+                                     textCol: String): DataFrame = {
+    val m = MaintenanceIo.requireManifest(path)
+    val meta = sp.read.parquet(s"$path/${m.tables("meta")}").head()
+    val t6 = meta.getAs[Long]("t6")
+    val newSets = setsOf(shard, idCol, textCol, meta.getAs[Int]("w"))
+    val newPost = newSets.select(col("doc_id"), col("sz"),
+      explode(col("hs")).as("h"))
+    appendEdgesPlan(sp, path, m, newSets, newPost,
+      newPost.groupBy("h").agg(count(lit(1)).as("df")), t6, t6 / 1e6)
+  }
 
   /** Tombstone DELETE — the takedown path completing the lifecycle
     * (build/append/read/delete/compact, the IVF/inverted-index
