@@ -454,6 +454,50 @@ object SparkEntry {
         .orderBy("user_id", "sess")
     }),
 
+    // ---- SCRIPT-MIX PROFILE (multilingual curation signal) --------------
+    // Per-document Unicode-script composition: codepoint counts per
+    // script class (Latin / CJK / Cyrillic / Greek / digit / whitespace /
+    // other), Shannon entropy of the distribution, dominant script, and
+    // a mixed-script flag (second-largest letter script >= 5 chars AND
+    // >= 5 % of the doc) — the signal that catches boilerplate-wrapped
+    // translations, spam stitching, and mojibake before a language-pure
+    // corpus trains on them. Counts come from length-difference over
+    // codegen'd regexp_replace (Java script classes are codepoint-aware,
+    // so supplementary-plane chars count once — verified equal to
+    // DuckDB's RE2 classes on CJK/emoji; the mixed-corpus gate exercises
+    // exactly that). Entropy is ONE fixed left-assoc expression both
+    // engines evaluate in the same term order, 6 dp. Pure per-row map —
+    // no shuffle but the final sort; at 100 TB this is a free rider on
+    // any corpus scan.
+    "q158_script_mix" -> ((s, dir) => {
+      val counted = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .withColumn("n", length(col("text")).cast("long"))
+        .withColumn("n_latin", (col("n") - length(regexp_replace(
+          col("text"), lit("[\\p{IsLatin}]"), lit("")))).cast("long"))
+        .withColumn("n_cjk", (col("n") - length(regexp_replace(col("text"),
+          lit("[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]"),
+          lit("")))).cast("long"))
+        .withColumn("n_cyrillic", (col("n") - length(regexp_replace(
+          col("text"), lit("[\\p{IsCyrillic}]"), lit("")))).cast("long"))
+        .withColumn("n_greek", (col("n") - length(regexp_replace(
+          col("text"), lit("[\\p{IsGreek}]"), lit("")))).cast("long"))
+        .withColumn("n_digit", (col("n") - length(regexp_replace(
+          col("text"), lit("[0-9]"), lit("")))).cast("long"))
+        .withColumn("n_space", (col("n") - length(regexp_replace(
+          col("text"), lit("[\\s]"), lit("")))).cast("long"))
+        .withColumn("n_other", col("n") - col("n_latin") - col("n_cjk") -
+          col("n_cyrillic") - col("n_greek") - col("n_digit") -
+          col("n_space"))
+      counted.select(col("doc_id"), col("n").as("n_chars"),
+          col("n_latin"), col("n_cjk"), col("n_cyrillic"), col("n_greek"),
+          col("n_digit"), col("n_space"), col("n_other"),
+          expr(scriptEntropyExpr).as("script_entropy"),
+          expr(dominantScriptExpr).as("dominant_script"),
+          expr(mixedScriptExpr).as("is_mixed"))
+        .orderBy("doc_id")
+    }),
+
     // ---- SESSION TRANSITION MATRIX (first-order Markov) -----------------
     // Product-analytics companion to q49/q145: within each 30-min
     // session, count (event_type -> next event_type) transitions and the
@@ -5259,6 +5303,31 @@ object SparkEntry {
            FROM events GROUP BY event_type, user_id)
          WHERE rn <= 3 ORDER BY event_type, rn"""
 
+  /** q158's entropy / dominant / mixed arithmetic — ONE textual form
+    * `expr()`-ed on the engine side and interpolated into the DuckDB
+    * oracle, so the two engines cannot drift an operator or a term
+    * order. Operates on the named count columns.
+    */
+  private val scriptEntropyExpr: String = {
+    def t(c: String) =
+      s"(CASE WHEN $c = 0 THEN 0.0 ELSE " +
+        s"(CAST($c AS DOUBLE)/n) * ln(CAST($c AS DOUBLE)/n) END)"
+    "round(-(" + Seq("n_latin", "n_cjk", "n_cyrillic", "n_greek",
+      "n_digit", "n_space", "n_other").map(t).mkString(" + ") + "), 6)"
+  }
+
+  private val dominantScriptExpr: String =
+    """CASE greatest(n_latin, n_cjk, n_cyrillic, n_greek, n_digit,
+                     n_space, n_other)
+         WHEN n_latin THEN 'latin' WHEN n_cjk THEN 'cjk'
+         WHEN n_cyrillic THEN 'cyrillic' WHEN n_greek THEN 'greek'
+         WHEN n_digit THEN 'digit' WHEN n_space THEN 'space'
+         ELSE 'other' END"""
+
+  private val mixedScriptExpr: String =
+    """element_at(array_sort(array(n_latin, n_cjk, n_cyrillic, n_greek)), 3)
+         >= greatest(5, (n + 19) div 20)"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -5381,6 +5450,45 @@ object SparkEntry {
              COUNT(*) AS n_events,
              MAX(tus) - MIN(tus) AS duration_us
          FROM s GROUP BY user_id, sess ORDER BY user_id, sess""",
+    "q158_script_mix" -> {
+      val duckMixed = mixedScriptExpr
+        .replace("element_at(array_sort(array(", "list_sort([")
+        .replace(")), 3)", "])[3]")
+        .replace("(n + 19) div 20", "(n + 19) // 20")
+      raw"""WITH counted AS (
+           SELECT doc_id, length(text) AS n,
+             length(text) - length(regexp_replace(text,
+               '[\p{Latin}]', '', 'g')) AS n_latin,
+             length(text) - length(regexp_replace(text,
+               '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]', '', 'g'))
+               AS n_cjk,
+             length(text) - length(regexp_replace(text,
+               '[\p{Cyrillic}]', '', 'g')) AS n_cyrillic,
+             length(text) - length(regexp_replace(text,
+               '[\p{Greek}]', '', 'g')) AS n_greek,
+             length(text) - length(regexp_replace(text,
+               '[0-9]', '', 'g')) AS n_digit,
+             length(text) - length(regexp_replace(text,
+               '[\s]', '', 'g')) AS n_space
+           FROM documents WHERE length(text) > 0),
+         fullc AS (
+           SELECT *, n - n_latin - n_cjk - n_cyrillic - n_greek
+             - n_digit - n_space AS n_other
+           FROM counted)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n AS BIGINT) AS n_chars,
+           CAST(n_latin AS BIGINT) AS n_latin,
+           CAST(n_cjk AS BIGINT) AS n_cjk,
+           CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+           CAST(n_greek AS BIGINT) AS n_greek,
+           CAST(n_digit AS BIGINT) AS n_digit,
+           CAST(n_space AS BIGINT) AS n_space,
+           CAST(n_other AS BIGINT) AS n_other,
+           $scriptEntropyExpr AS script_entropy,
+           $dominantScriptExpr AS dominant_script,
+           $duckMixed AS is_mixed
+         FROM fullc ORDER BY doc_id"""
+    },
     "q156_session_transitions" ->
       """WITH t AS (
            SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS tus,
