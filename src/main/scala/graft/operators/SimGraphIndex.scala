@@ -140,6 +140,66 @@ object SimGraphIndex {
       MaintenanceIo.publish(path, m.copy(epoch = e))
     }
 
+  /** Micro-batch append with EXACTLY-ONCE replay semantics — the
+    * streaming-maintenance writer ([[graft.streaming.IngestStream
+    * .selfDedupIngest]]'s similarity-graph side effect). foreachBatch
+    * side effects are at-least-once; the plain [[append]] would
+    * duplicate a replayed batch's edge/sets/postings/df rows. This
+    * writer instead lands batch `batchId` as its OWN generation quad
+    * (`sets.b<id>.e<epoch>` etc.) written with OVERWRITE — a replayed
+    * batch recomputes against the SAME standing state (Structured
+    * Streaming replays only the last uncommitted batch, so every
+    * earlier batch's generations are already committed and the edge
+    * derivation is deterministic given them) and rewrites its dirs in
+    * place: the [[InvertedIndex.appendBatchToIndex]] trick applied to
+    * graph maintenance. Readers union the main tables with every batch
+    * generation through one snapshot; [[compact]] folds batch
+    * generations back into singles.
+    */
+  def appendBatch(shard: DataFrame, idCol: String, textCol: String,
+                  path: String, batchId: Long): Unit =
+    MaintenanceIo.withMaintenanceLock(path) {
+      val sp = shard.sparkSession
+      val m = MaintenanceIo.requireManifest(path)
+      val meta = sp.read.parquet(s"$path/${m.tables("meta")}").head()
+      val t6 = meta.getAs[Long]("t6")
+      val w = meta.getAs[Int]("w")
+      val sKey = s"sets.b$batchId"
+      // replay reuses the epoch pinned in the existing dir name; a first
+      // attempt claims the next epoch
+      val e = m.tables.get(sKey) match {
+        case Some(dir) => dir.substring(dir.lastIndexOf(".e") + 2).toLong
+        case None      => m.epoch + 1
+      }
+      val (pKey, dKey, eKey) =
+        (s"postings.b$batchId", s"dfreq.b$batchId", s"edges.b$batchId")
+      val dirOf = Map(sKey -> s"$sKey.e$e", pKey -> s"$pKey.e$e",
+        dKey -> s"$dKey.e$e", eKey -> s"$eKey.e$e")
+      val newSets = setsOf(shard, idCol, textCol, w).localCheckpoint()
+      val newPost = newSets.select(col("doc_id"), col("sz"),
+        explode(col("hs")).as("h")).localCheckpoint()
+      val delta = newPost.groupBy("h").agg(count(lit(1)).as("df"))
+      appendEdgesPlan(sp, path, m, newSets, newPost, delta, t6, t6 / 1e6)
+        .write.mode("overwrite").parquet(s"$path/${dirOf(eKey)}")
+      newSets.write.mode("overwrite").parquet(s"$path/${dirOf(sKey)}")
+      newPost.write.mode("overwrite").parquet(s"$path/${dirOf(pKey)}")
+      delta.write.mode("overwrite").parquet(s"$path/${dirOf(dKey)}")
+      MaintenanceIo.publish(path,
+        MaintenanceIo.Manifest(math.max(m.epoch, e),
+          m.tables ++ dirOf.map { case (k, v) => (k, v) }))
+    }
+
+  /** One logical table = its main generation plus every committed batch
+    * generation, resolved through ONE manifest.
+    */
+  private def readTable(sp: SparkSession, path: String,
+                        m: MaintenanceIo.Manifest, base: String): DataFrame = {
+    val dirs = m.tables.collect {
+      case (k, v) if k == base || k.startsWith(base + ".b") => s"$path/$v"
+    }.toSeq.sorted
+    sp.read.parquet(dirs: _*)
+  }
+
   /** The append's new-edge derivation as a FRAME (exposed so the plan-
     * smell audit can scan the construction-time plan the append
     * executes — [[graft.SparkEntry.auditPlans]]).
@@ -154,7 +214,7 @@ object SimGraphIndex {
     // only (recall never depends on it): a join keyed on the shard's
     // own shingles, so the standing df table is touched only at those
     // keys.
-    val mergedDf = sp.read.parquet(s"$path/${m.tables("dfreq")}")
+    val mergedDf = readTable(sp, path, m, "dfreq")
       .join(newPost.select("h").distinct(), Seq("h"), "left_semi")
       .unionByName(delta)
       .groupBy("h").agg(sum("df").as("df"))
@@ -174,7 +234,7 @@ object SimGraphIndex {
     // from the probe target (tombstones are takedown-sized — broadcast
     // anti-join) so the appended edge stream stays dead-free
     val dead = sp.read.parquet(s"$path/${m.tables("tombstones")}")
-    val target = sp.read.parquet(s"$path/${m.tables("postings")}")
+    val target = readTable(sp, path, m, "postings")
       .join(broadcast(dead), Seq("doc_id"), "left_anti")
       .unionByName(newPost)
       .select(col("h"), col("doc_id").as("id_t"), col("sz").as("sz_t"))
@@ -187,7 +247,7 @@ object SimGraphIndex {
         greatest(col("id_p"), col("id_t")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val allSets = sp.read.parquet(s"$path/${m.tables("sets")}")
+    val allSets = readTable(sp, path, m, "sets")
       .unionByName(newSets)
     cands
       .join(allSets.select(col("doc_id").as("id_a"), col("hs").as("__ha")),
@@ -196,6 +256,11 @@ object SimGraphIndex {
         Seq("id_b"))
       .withColumn("jaccard", T.jaccard(col("__ha"), col("__hb")))
       .filter(col("jaccard") >= threshold)
+      // candidate-set-sized dedupe: on a committed-batch REPLAY the
+      // batch's own generations are already in the standing tables, so
+      // the sets join fans each candidate out once per copy — identical
+      // jaccard, duplicate row. Cheap here, wrong everywhere downstream.
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -248,7 +313,7 @@ object SimGraphIndex {
       val dead = sp.read.parquet(s"$path/${m.tables("tombstones")}")
         .localCheckpoint()
       val sGen = MaintenanceIo.nextGen(path, "sets")
-      sp.read.parquet(s"$path/${m.tables("sets")}")
+      readTable(sp, path, m, "sets")
         .join(broadcast(dead), Seq("doc_id"), "left_anti")
         .write.parquet(s"$path/$sGen")
       val pGen = MaintenanceIo.nextGen(path, "postings")
@@ -260,13 +325,16 @@ object SimGraphIndex {
         .agg(count(lit(1)).as("df"))
         .write.parquet(s"$path/$dGen")
       val eGen = MaintenanceIo.nextGen(path, "edges")
-      liveEdges(sp.read.parquet(s"$path/${m.tables("edges")}"), dead)
+      liveEdges(readTable(sp, path, m, "edges"), dead)
         .write.parquet(s"$path/$eGen")
       val tGen = MaintenanceIo.nextGen(path, "tombstones")
       dead.limit(0).coalesce(1).write.parquet(s"$path/$tGen")
+      // batch generations are folded into the fresh singles — drop their
+      // manifest keys so the dirs GC at publish
       MaintenanceIo.publish(path, MaintenanceIo.Manifest(m.epoch + 1,
-        m.tables ++ Map("sets" -> sGen, "postings" -> pGen,
-          "dfreq" -> dGen, "edges" -> eGen, "tombstones" -> tGen)))
+        m.tables.view.filterKeys(k => !k.contains(".b")).toMap ++
+          Map("sets" -> sGen, "postings" -> pGen,
+            "dfreq" -> dGen, "edges" -> eGen, "tombstones" -> tGen)))
     }
 
   /** Current LIVE edge set (id_a, id_b, jaccard), id_a < id_b, one
@@ -276,9 +344,9 @@ object SimGraphIndex {
     * the filter is a no-op on an empty table.
     */
   def edges(sp: SparkSession, path: String): DataFrame = {
-    val snap = MaintenanceIo.snapshot(path)
-    liveEdges(sp.read.parquet(snap("edges")),
-      sp.read.parquet(snap("tombstones")))
+    val m = MaintenanceIo.requireManifest(path)
+    liveEdges(readTable(sp, path, m, "edges"),
+      sp.read.parquet(s"$path/${m.tables("tombstones")}"))
   }
 
   private def liveEdges(edges: DataFrame, dead: DataFrame): DataFrame =

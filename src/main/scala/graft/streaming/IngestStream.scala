@@ -158,7 +158,8 @@ object IngestStream {
                       threshold: Double, outPath: String,
                       checkpoint: String,
                       cardPath: Option[String] = None,
-                      searchIndexPath: Option[String] = None)
+                      searchIndexPath: Option[String] = None,
+                      simGraphPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = stream.schema
     stream.writeStream
@@ -224,6 +225,15 @@ object IngestStream {
           searchIndexPath.foreach { ip =>
             graft.operators.InvertedIndex.appendBatchToIndex(
               admitted, ip, batchId, idCol = idCol, textCol = textCol)
+          }
+          // similarity-graph maintenance (q154's artifact): the same
+          // per-batch generation-overwrite trick — a replayed batch
+          // recomputes its edges against the identical standing state
+          // and rewrites its own quad, so the maintained graph equals a
+          // from-scratch rebuild at every trigger boundary
+          simGraphPath.foreach { gp =>
+            graft.operators.SimGraphIndex.appendBatch(
+              admitted, idCol, textCol, gp, batchId)
           }
         }
         ()

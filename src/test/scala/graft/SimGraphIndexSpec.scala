@@ -139,4 +139,31 @@ class SimGraphIndexSpec extends SparkSpec {
     assert(edgeSet(SimGraphIndex.edges(spark, path)) == before,
       "re-append after compact must restore the original graph")
   }
+
+  test("appendBatch: replay-idempotent, compact folds batch generations") {
+    val path = Files.createTempDirectory("simidx5").toString
+    SimGraphIndex.build(docs.filter(col("doc_id") < 10), "doc_id", "text",
+      path, threshold = 0.6)
+    SimGraphIndex.appendBatch(docs.filter(col("doc_id") === 10L),
+      "doc_id", "text", path, batchId = 0L)
+    SimGraphIndex.appendBatch(docs.filter(col("doc_id") >= 11L),
+      "doc_id", "text", path, batchId = 1L)
+    val want = edgeSet(
+      Dedup.exactJaccardJoin(docs, "doc_id", "text", 0.6, 3))
+    assert(edgeSet(SimGraphIndex.edges(spark, path)) == want,
+      "batch appends must reproduce the full join")
+    // a committed-batch replay (crash between publish and checkpoint
+    // commit) rewrites its own generations and changes NOTHING
+    SimGraphIndex.appendBatch(docs.filter(col("doc_id") >= 11L),
+      "doc_id", "text", path, batchId = 1L)
+    val e1 = SimGraphIndex.edges(spark, path)
+    assert(edgeSet(e1) == want, "replayed batch must be a no-op")
+    assert(e1.count() == want.size,
+      "replay must not leave duplicate edge ROWS either")
+    // compact folds the batch quads into fresh singles; dirs GC away
+    SimGraphIndex.compact(spark, path)
+    assert(edgeSet(SimGraphIndex.edges(spark, path)) == want)
+    assert(!MaintenanceIo.requireManifest(path).tables.keys
+      .exists(_.contains(".b")), "compact must drop batch generations")
+  }
 }

@@ -1027,6 +1027,70 @@ class StreamingEtlSpec extends SparkSpec {
       s"stream-maintained index drifted: $streamed vs ${top(scratch)}")
   }
 
+  test("selfDedupIngest similarity graph: the stream-maintained edge set " +
+      "equals a from-scratch rebuild across a kill/restart") {
+    // q154's writer driven from a real checkpointed stream: each batch
+    // lands its admissions as a generation quad (appendBatch); the
+    // kill/restart replays side effects at-least-once, and the per-batch
+    // overwrite must keep the maintained graph equal to a from-scratch
+    // exactJaccardJoin over corpus ∪ admitted. Texts are engineered so
+    // admitted docs pass the 0.8 ingest gate but still bind 0.4-edges to
+    // their standing cousins — the graph threshold is the LOOSER one.
+    import java.nio.file.Files
+    def toks(p: String) = (1 to 30).map(i => s"${p}w$i").mkString(" ")
+    def blend(p: String, q: String, k: Int) =
+      ((1 to (30 - k)).map(i => s"${p}w$i") ++
+        (1 to k).map(i => s"${q}x$i")).mkString(" ")
+    val corpus = Seq((1L, toks("a")), (2L, toks("b"))).toDF("doc_id", "text")
+    val bloomPath = Files.createTempDirectory("sg_bloom").toString
+    val lshPath = Files.createTempDirectory("sg_lsh").toString
+    val gPath = Files.createTempDirectory("sg_graph").toString
+    graft.operators.Dedup.buildExactBloom(corpus, "text", bloomPath)
+    graft.operators.Dedup.writeLshBandIndex(corpus, "doc_id", "text",
+      lshPath)
+    graft.operators.SimGraphIndex.build(corpus, "doc_id", "text", gPath,
+      threshold = 0.4)
+    val stageDir = Files.createTempDirectory("sg_stage")
+    val ckpt = Files.createTempDirectory("sg_ckpt").toString
+    val outDir = Files.createTempDirectory("sg_out").toString
+    var staged = 0
+    def stage(rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"sg_tmp_$staged")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, stageDir.resolve(f"s$staged%02d.parquet"))
+      staged += 1
+    }
+    def start() = graft.streaming.IngestStream.selfDedupIngest(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString),
+      corpus, "doc_id", "text", bloomPath, lshPath, threshold = 0.8,
+      outDir, ckpt, simGraphPath = Some(gPath))
+    // 101: half-a half-fresh (admitted; 0.4-edge to doc 1); 102: exact
+    // dup of doc 2 (rejected)
+    stage(Seq(101L -> blend("a", "f", 10), 102L -> toks("b")))
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // dies mid-crawl
+    // 111: half-b half-fresh (admitted; 0.4-edge to doc 2)
+    stage(Seq(111L -> blend("b", "g", 10)))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val admitted = spark.read.parquet(outDir).select("doc_id", "text")
+    assert(admitted.count() == 2, "gate check: both blends must admit")
+    def es(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val got = es(graft.operators.SimGraphIndex.edges(spark, gPath))
+    val want = es(graft.operators.Dedup.exactJaccardJoin(
+      corpus.unionByName(admitted), "doc_id", "text", 0.4))
+    assert(got.nonEmpty && got == want,
+      s"stream-maintained graph drifted: $got vs $want")
+  }
+
   test("writeShards: export is identical under input repartitioning") {
     // the bit-reproducibility claim: shard membership, global positions,
     // and in-file order are pure functions of (ids, seed) — independent
