@@ -2032,6 +2032,32 @@ object SparkEntry {
         .orderBy("q_id", "rn")
     }),
 
+    // ---- RECLUSTER: the recall monitor's actuator -----------------------
+    // Same live set as q122 (build 90 % at a DELIBERATELY coarse
+    // nLists=4, append 10 %, tombstone m7e2) — then reclusterIvfIndex
+    // retrains the quantizer to 8 cells FROM THE INDEX'S OWN stored live
+    // vectors (corpus never re-read), retiring the tombstones and
+    // swapping (centroids, assignments) in one manifest publish. The
+    // oracle is the SAME exact brute-force top-k as q122: hash-green
+    // proves the re-routing lost no vector and the exhaustive-probe
+    // exactness property survives the quantizer swap.
+    "q159_ivf_recluster" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = cachedBuild(dir, "embeddings.parquet",
+          "target/q159_ivf_recluster",
+          params = "ivf:nlists=4to8:app=m10e3:del=m7e2:recluster") { p =>
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 3), p,
+          nLists = 4)
+        Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 3), p)
+        Similarity.deleteFromIvfIndex(emb.filter(col("vec_id") % 7 === 2),
+          p)
+        Similarity.reclusterIvfIndex(s, p, nLists = 8)
+      }
+      Similarity.ivfTopKFromIndex(idx, emb.filter(col("vec_id") < 5),
+          k = 5, nProbe = 8)
+        .orderBy("q_id", "rn")
+    }),
+
     // ---- PROVABLY-EXACT quantized ANN (filter-and-refine) --------------
     // The int8-code filter pass with a rigorous reconstruction-error
     // bound: per-query ε = Σ|q_i|Δ_i/2 gives per-candidate cosine bounds
@@ -6390,6 +6416,8 @@ object SparkEntry {
     // deleted row surfacing as a neighbor, or a live row mis-ranked,
     // breaks the hash.
     "q122_ivf_index_delete" -> exactTopKOracle("c.vec_id % 7 <> 2"),
+    // recluster preserves the live set; only the routing changed
+    "q159_ivf_recluster" -> exactTopKOracle("c.vec_id % 7 <> 2"),
     // The quantized filter-and-refine round trip must reproduce the exact
     // top-k too: the bound argument makes the survivor set a superset of
     // the true top-k, and the refine pass is the brute-force scoring.

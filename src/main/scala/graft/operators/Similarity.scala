@@ -276,10 +276,24 @@ object Similarity {
                        nProbe: Int = 4, idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
-    val cent = spark.read.parquet(s"$indexPath/centroids.parquet")
-    ivfProbe(liveIvfAssignments(spark, indexPath), cent, queries, k,
+    // ONE snapshot resolves centroids AND assignments — a recluster swaps
+    // both in one manifest publish, and reading them from two separate
+    // manifest resolutions could straddle it (new routing over old cells
+    // breaks the exhaustive-probe exactness property)
+    val snap = MaintenanceIo.snapshot(indexPath)
+    ivfProbe(liveIvfAssignmentsFrom(spark, snap),
+      centroidsFrom(spark, indexPath, snap), queries, k,
       nProbe, idCol, vecCol)
   }
+
+  /** Centroids under a manifest snapshot: reclustered artifacts version
+    * them through the manifest; build-time artifacts use the legacy
+    * fixed path (absent manifest key).
+    */
+  private def centroidsFrom(spark: SparkSession, indexPath: String,
+                            snap: Map[String, String]): DataFrame =
+    spark.read.parquet(
+      snap.getOrElse("centroids", s"$indexPath/centroids.parquet"))
 
   /** Tombstone DELETE from a persisted IVF index — the takedown /
     * licence-revocation path completing the build/append/query lifecycle
@@ -337,6 +351,48 @@ object Similarity {
         m.tables - "tombstones" + ("assignments" -> gen)))
     }
 
+  /** RECLUSTER the stored index — the actuator [[ivfRecallAtK]]'s
+    * monitor exists to trigger: when appended-vector drift degrades
+    * recall below the application's floor, retrain the coarse quantizer
+    * FROM THE INDEX'S OWN LIVE VECTORS (the original corpus table is
+    * never re-read — the index is self-contained, same property the
+    * recall probe relies on) and rewrite assignments under the new
+    * centroids. Tombstones retire in the same pass (live-only rewrite).
+    * Centroids land as a VERSIONED generation referenced from the
+    * manifest, so the (centroids, assignments) pair swaps in ONE
+    * publish — a reader resolving one snapshot can never route new
+    * centroids over old cells; pre-recluster artifacts keep the legacy
+    * fixed centroid path until their first recluster. Plain-IVF only:
+    * a quantized index's codes/ranges stay valid under reclustering
+    * (codes are corpus-global, not cell-relative), but its build path
+    * owns range maintenance — recluster it by rebuild.
+    */
+  def reclusterIvfIndex(spark: SparkSession, indexPath: String,
+                        nLists: Int, seed: Long = 40L,
+                        trainSample: Double = Double.NaN,
+                        trainRowBudget: Long = 100000L): Unit =
+    MaintenanceIo.withMaintenanceLock(indexPath) {
+      val m = MaintenanceIo.requireManifest(indexPath)
+      require(!spark.read.parquet(s"$indexPath/${m.tables("assignments")}")
+          .columns.contains("codes"),
+        "quantized index: recluster by buildQuantizedIndex rebuild " +
+          "(its build path owns the ranges table)")
+      val live = liveIvfAssignments(spark, indexPath)
+        .select(col("n_id").as("vec_id"), col("v_n").as("embedding"))
+      val (assigned, cent) =
+        ivfFit(live, nLists, seed, trainSample, trainRowBudget,
+          "vec_id", "embedding")
+      val cGen = MaintenanceIo.nextGen(indexPath, "centroids")
+      cent.coalesce(1).write.parquet(s"$indexPath/$cGen")
+      val aGen = MaintenanceIo.nextGen(indexPath, "assignments")
+      assigned.withColumn("epoch", lit(0L))
+        .write.partitionBy("cell").parquet(s"$indexPath/$aGen")
+      MaintenanceIo.publish(indexPath,
+        MaintenanceIo.Manifest(m.epoch + 1,
+          m.tables - "tombstones" +
+            ("assignments" -> aGen, "centroids" -> cGen)))
+    }
+
   /** Live rows of the stored assignment table: stored rows minus
     * epoch-shadowed ones. The tombstone side collapses to one
     * max-epoch row per deleted id and broadcasts (deletions between
@@ -346,8 +402,11 @@ object Similarity {
     * at-or-after the row's own epoch — see [[deleteFromIvfIndex]].
     */
   private def liveIvfAssignments(spark: SparkSession,
-                                 indexPath: String): DataFrame = {
-    val snap = MaintenanceIo.snapshot(indexPath)
+                                 indexPath: String): DataFrame =
+    liveIvfAssignmentsFrom(spark, MaintenanceIo.snapshot(indexPath))
+
+  private def liveIvfAssignmentsFrom(spark: SparkSession,
+                                     snap: Map[String, String]): DataFrame = {
     val assigned = spark.read.parquet(snap("assignments"))
     snap.get("tombstones") match {
       case None => assigned
@@ -390,7 +449,8 @@ object Similarity {
         .columns.contains("codes"),
       "this is a QUANTIZED index (stored codes would go stale/missing " +
         "on plain rows) — append with appendToQuantizedIndex")
-    val cent = spark.read.parquet(s"$indexPath/centroids.parquet")
+    val cent = centroidsFrom(spark, indexPath,
+        m.tables.view.mapValues(g => s"$indexPath/$g").toMap)
       .withColumn("c2", V.dot(col("cen"), col("cen")))
     val s = shard.select(col(idCol).as("n_id"),
         V.toDoubleArray(col(vecCol)).as("v_n"))

@@ -416,6 +416,57 @@ class DedupSimilaritySpec extends SparkSpec {
       s"approximate-regime recall $r4 outside the expected band")
   }
 
+  test("reclusterIvfIndex: retrains from stored vectors, swaps atomically, " +
+      "append lands on the NEW centroids") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_recluster").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 10 =!= 3)
+    Similarity.buildIvfIndex(base, dir, nLists = 4)
+    // drift the distribution: append rotated copies, then delete a slice
+    val shard = emb.filter(col("vec_id") % 10 === 3)
+      .select((col("vec_id") + 500000L).as("vec_id"),
+        graft.functions.VectorFunctions.toDoubleArray(
+          org.apache.spark.sql.functions.reverse(col("embedding")))
+          .as("embedding"))
+    Similarity.appendToIvfIndex(shard, dir)
+    Similarity.deleteFromIvfIndex(
+      emb.filter(col("vec_id") % 50 === 7).select("vec_id"), dir)
+    val live = base.unionByName(
+        shard.select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding")))
+      .join(emb.filter(col("vec_id") % 50 === 7).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+
+    Similarity.reclusterIvfIndex(spark, dir, nLists = 8)
+    val m = graft.operators.MaintenanceIo.requireManifest(dir)
+    assert(m.tables.contains("centroids"),
+      "recluster must version the centroids through the manifest")
+    assert(!m.tables.contains("tombstones"),
+      "recluster's live-only rewrite must retire the tombstones")
+    assert(spark.read.parquet(s"$dir/${m.tables("centroids")}").count() == 8)
+    // exactness survives: exhaustive probe == brute force over live rows
+    val queries = live.filter(col("vec_id") % 500000 < 3)
+    val exact = Similarity.bruteForceTopK(live, queries, k = 5)
+      .select("q_id", "n_id", "rn").as[(Long, Long, Long)].collect().toSet
+    val viaIndex = Similarity.ivfTopKFromIndex(dir, queries, k = 5,
+        nProbe = 8)
+      .select("q_id", "n_id", "rn").as[(Long, Long, Long)].collect().toSet
+    assert(viaIndex === exact, "reclustered index diverged from brute force")
+    // an append AFTER the recluster must assign on the NEW centroids —
+    // i.e. the combined index still answers exactly at exhaustive probe
+    val shard2 = emb.filter(col("vec_id") % 10 === 3)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(shard2, dir)
+    val live2 = live.unionByName(shard2)
+    val q2 = live2.filter(col("vec_id") % 900000 < 3)
+    val exact2 = Similarity.bruteForceTopK(live2, q2, k = 5)
+      .select("q_id", "n_id", "rn").as[(Long, Long, Long)].collect().toSet
+    val via2 = Similarity.ivfTopKFromIndex(dir, q2, k = 5, nProbe = 8)
+      .select("q_id", "n_id", "rn").as[(Long, Long, Long)].collect().toSet
+    assert(via2 === exact2, "post-recluster append diverged")
+  }
+
   test("lshTopK returns a subset ranking consistent with brute force") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 3)
