@@ -63,6 +63,9 @@ object Explain {
         // nLists-row stored centroid table; the tombstone subtraction is
         // a broadcast ANTI join, not a smell.
         "q122_ivf_index_delete" -> Set("BroadcastNestedLoopJoin"),
+        // q159: q122's probe shape over the RECLUSTERED index — the same
+        // queries x nLists-row stored-centroid broadcast cross.
+        "q159_ivf_recluster" -> Set("BroadcastNestedLoopJoin"),
         // q99: the same coarse-probe cross of queries x the nLists-row
         // stored centroid table as q52/q92.
         "q99_quantized_refine" -> Set("BroadcastNestedLoopJoin"),
