@@ -2058,6 +2058,26 @@ object SparkEntry {
         .orderBy("q_id", "rn")
     }),
 
+    // ---- BATCH kNN SELF-JOIN over the stored index ----------------------
+    // The many-to-many primitive a SemDeDup-style pipeline runs nightly:
+    // EVERY vector's top-5 neighbors (self excluded) answered from the
+    // stored IVF index at exhaustive probe — so the result is exactly
+    // the quadratic brute-force kNN graph, but the plan is the batch
+    // shape that scales: queries route via one broadcast centroid cross,
+    // the corpus side is the cell-partitioned stored table joined
+    // cell-co-located (at production nProbe the scan prunes to probed
+    // cells), and the per-query top-k is the bounded-heap partial
+    // aggregate — no corpus x corpus anything.
+    "q160_knn_join" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = cachedBuild(dir, "embeddings.parquet",
+          "target/q160_knn_idx", params = "ivf:nlists=8:knn") { p =>
+        Similarity.buildIvfIndex(emb, p, nLists = 8)
+      }
+      Similarity.ivfTopKFromIndex(idx, emb, k = 5, nProbe = 8)
+        .orderBy("q_id", "rn")
+    }),
+
     // ---- PROVABLY-EXACT quantized ANN (filter-and-refine) --------------
     // The int8-code filter pass with a rigorous reconstruction-error
     // bound: per-query ε = Σ|q_i|Δ_i/2 gives per-candidate cosine bounds
@@ -3881,6 +3901,13 @@ object SparkEntry {
     * recompute-from-scratch over the LIVE corpus only.
     */
   private def exactTopKOracle(corpusWhere: String): String =
+    exactTopKOracleFull("q.vec_id < 5", corpusWhere)
+
+  /** The brute-force oracle with BOTH sides parameterized — q160's kNN
+    * self-join uses the full query spine.
+    */
+  private def exactTopKOracleFull(queryWhere: String,
+                                  corpusWhere: String): String =
     s"""WITH e AS (
            SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3897,7 +3924,7 @@ object SparkEntry {
                list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])),
                (acc, x) -> acc + x) / (q.nrm * c.nrm), 6) AS sim
            FROM n q, n c
-           WHERE q.vec_id < 5 AND c.vec_id != q.vec_id AND ($corpusWhere))
+           WHERE ($queryWhere) AND c.vec_id != q.vec_id AND ($corpusWhere))
          SELECT q_id, n_id, sim, rn FROM (
            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                        ORDER BY sim DESC, n_id) AS rn
@@ -6418,6 +6445,8 @@ object SparkEntry {
     "q122_ivf_index_delete" -> exactTopKOracle("c.vec_id % 7 <> 2"),
     // recluster preserves the live set; only the routing changed
     "q159_ivf_recluster" -> exactTopKOracle("c.vec_id % 7 <> 2"),
+    // full-spine kNN graph: every vector, brute-force quadratic truth
+    "q160_knn_join" -> exactTopKOracleFull("TRUE", "TRUE"),
     // The quantized filter-and-refine round trip must reproduce the exact
     // top-k too: the bound argument makes the survivor set a superset of
     // the true top-k, and the refine pass is the brute-force scoring.
