@@ -66,6 +66,11 @@ object Explain {
         // q159: q122's probe shape over the RECLUSTERED index — the same
         // queries x nLists-row stored-centroid broadcast cross.
         "q159_ivf_recluster" -> Set("BroadcastNestedLoopJoin"),
+        // q160: the same broadcast centroid cross — here the query side
+        // is the whole corpus, but the broadcast side is still the
+        // nLists-row centroid table (tiny), so the cross is linear in
+        // queries, never corpus x corpus.
+        "q160_knn_join" -> Set("BroadcastNestedLoopJoin"),
         // q99: the same coarse-probe cross of queries x the nLists-row
         // stored centroid table as q52/q92.
         "q99_quantized_refine" -> Set("BroadcastNestedLoopJoin"),
