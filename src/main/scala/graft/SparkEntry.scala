@@ -3847,6 +3847,38 @@ object SparkEntry {
       operators.SimGraphIndex.edges(s, idx).orderBy("id_a", "id_b")
     }),
 
+    // ---- SIMILARITY-GRAPH SNAPSHOT DIFF (release audit) ------------------
+    // q104 diffs the DOCUMENTS between corpus versions; this diffs the
+    // NEAR-DUP STRUCTURE — which edges a release added, removed, or kept
+    // (a sudden burst of added edges = a syndication/boilerplate leak
+    // that per-doc diffs cannot see). Same v1/v2 snapshot pair as
+    // q104/q109. From-scratch derivation on both sides (the release-
+    // audit gate); the PRODUCTION cadence maintains one SimGraphIndex
+    // per snapshot via appendBatch/delete deltas and diffs the edge
+    // artifacts — edges can only change at a changed endpoint, so the
+    // incremental path is delta-sized, not two corpus joins.
+    "q161_simgraph_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+      val v2 = docs.filter(col("doc_id") % 10 =!= 4)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 5,
+            concat(col("text"), lit(" v2edit")))
+            .otherwise(col("text")).as("text"))
+      val e1 = Dedup.exactJaccardJoin(v1, "doc_id", "text",
+          simGraphThreshold, simGraphShingleWidth)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__in1"))
+      val e2 = Dedup.exactJaccardJoin(v2, "doc_id", "text",
+          simGraphThreshold, simGraphShingleWidth)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__in2"))
+      e1.join(e2, Seq("id_a", "id_b"), "full_outer")
+        .select(col("id_a"), col("id_b"),
+          when(col("__in1").isNull, "added")
+            .when(col("__in2").isNull, "removed")
+            .otherwise("kept").as("status"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- SUBSUMPTION DEDUP POLICY -------------------------------------------
     // The end-to-end composition over q149 (the dropNearDuplicates of
     // containment): drop every document >= 80 % contained in a STRICTLY
@@ -6713,6 +6745,46 @@ object SparkEntry {
     "q154_simgraph_incremental" -> exactJaccardOracleSql,
     "q157_simgraph_delete" ->
       exactJaccardOracleSqlOn("WHERE doc_id % 7 <> 2"),
+    // two from-scratch pair derivations (v2 with the q104/q109 text
+    // edits) full-outer'd into the per-edge status
+    "q161_simgraph_snapshot_diff" -> {
+      def pairs(alias: String, docsCte: String) =
+        raw"""toks$alias AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM $docsCte),
+         sh$alias AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM toks$alias),
+         nz$alias AS (SELECT doc_id, s FROM sh$alias WHERE len(s) > 0),
+         prs$alias AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM nz$alias a, nz$alias b
+           WHERE a.doc_id < b.doc_id
+             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s)))
+                 >= $simGraphThreshold)"""
+      raw"""WITH v1 AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 5 THEN text || ' v2edit'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 10 <> 4),
+         """ + pairs("1", "v1") + ",\n         " + pairs("2", "v2") +
+        raw"""
+         SELECT COALESCE(p1.id_a, p2.id_a) AS id_a,
+           COALESCE(p1.id_b, p2.id_b) AS id_b,
+           CASE WHEN p1.id_a IS NULL THEN 'added'
+                WHEN p2.id_a IS NULL THEN 'removed'
+                ELSE 'kept' END AS status
+         FROM prs1 p1 FULL OUTER JOIN prs2 p2
+           ON p1.id_a = p2.id_a AND p1.id_b = p2.id_b
+         ORDER BY id_a, id_b"""
+    },
     "q155_simgraph_incr_components" ->
       ("WITH RECURSIVE " + componentClosureBody("documents",
         simGraphThreshold) + raw"""
