@@ -3579,7 +3579,7 @@ object SparkEntry {
   private def simGraphIndexArtifact(s: SparkSession, dir: String): String = {
     val docs = Tables.documents(s, dir)
     cachedBuild(dir, "documents.parquet", "target/q154_simgraph_idx",
-        params = s"simidx.v2:jaccard=$simGraphThreshold" +
+        params = s"simidx.v3:jaccard=$simGraphThreshold" +
           s":w=$simGraphShingleWidth:split=m10e6x2") { p =>
       operators.SimGraphIndex.build(docs.filter(col("doc_id") % 10 =!= 6),
         "doc_id", "text", p, simGraphThreshold, simGraphShingleWidth)
@@ -3834,7 +3834,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val idx = cachedBuild(dir, "documents.parquet",
           "target/q157_simgraph_del",
-          params = s"simidx.v2:jaccard=$simGraphThreshold" +
+          params = s"simidx.v3:jaccard=$simGraphThreshold" +
             s":w=$simGraphShingleWidth:split=m10e6:del=m7e2") { p =>
         operators.SimGraphIndex.build(docs.filter(col("doc_id") % 10 =!= 6),
           "doc_id", "text", p, simGraphThreshold, simGraphShingleWidth)

@@ -152,16 +152,16 @@ private[graft] object MaintenanceIo {
   }
 
   /** Delete generation dirs referenced by NEITHER the current manifest
-    * NOR the grace copy. Only `<table>.g<n>` and micro-batch
-    * `<table>.b<id>.e<epoch>` names are candidates — the cachedBuild
-    * marker, lock files, and unversioned side tables (centroids,
-    * ranges) are never touched.
+    * NOR the grace copy. Only `<table>.g<n>`, per-append
+    * `<table>.a<seq>.e<epoch>`, and micro-batch `<table>.b<id>.e<epoch>`
+    * names are candidates — the cachedBuild marker, lock files, and
+    * unversioned side tables (centroids, ranges) are never touched.
     */
   private def gc(root: String): Unit = {
     val keep =
       readManifest(root).map(_.tables.values.toSet).getOrElse(Set.empty) ++
         readPrev(root).map(_.tables.values.toSet).getOrElse(Set.empty)
-    val genRe = """^[A-Za-z_]+\.(g\d+|b\d+\.e\d+)$""".r
+    val genRe = """^[A-Za-z_]+\.(g\d+|[ab]\d+\.e\d+)$""".r
     Option(new java.io.File(root).list()).getOrElse(Array.empty)
       .filter(n => genRe.matches(n) && !keep.contains(n))
       .foreach(n => deleteDir(s"$root/$n"))

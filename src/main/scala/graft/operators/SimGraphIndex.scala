@@ -78,7 +78,15 @@ object SimGraphIndex {
       val sets = setsOf(corpus, idCol, textCol, shingleWidth)
         .localCheckpoint()
       val mGen = MaintenanceIo.nextGen(path, "meta")
-      Seq((t6, shingleWidth)).toDF("t6", "w").coalesce(1)
+      // `tbits` pins the EXACT build threshold (IEEE bits): the verify
+      // filter in build ([[Dedup.exactJaccardJoinFromSets]]) compares
+      // against the original double, so appends must too — reconstructing
+      // it as t6/1e6 floor-quantizes, and a pair whose jaccard lands in
+      // [t6/1e6, threshold) would be admitted by the append but rejected
+      // by a from-scratch rebuild (round-15 verdict #4; boundary spec in
+      // SimGraphIndexSpec). t6 stays the integer-filter operand.
+      Seq((t6, shingleWidth, java.lang.Double.doubleToLongBits(threshold)))
+        .toDF("t6", "w", "tbits").coalesce(1)
         .write.parquet(s"$path/$mGen")
       val sGen = MaintenanceIo.nextGen(path, "sets")
       sets.write.parquet(s"$path/$sGen")
@@ -108,12 +116,25 @@ object SimGraphIndex {
 
   /** Append a shard of NEW documents (ids disjoint from the standing
     * corpus — re-appending a live id is the caller's bug, the IVF/
-    * inverted-index contract). Work is shard-probe-sized: the standing
-    * corpus contributes only the postings the shard's prefix shingles
-    * actually touch (an equi-join the optimizer prunes to matching
-    * keys), never a corpus-wide scan-and-rank. All four artifact tables
-    * grow by the shard's contribution; edges gains exactly the pairs
-    * with ≥ 1 shard member (proof in the object scaladoc).
+    * inverted-index contract, now ENFORCED against the tombstone set:
+    * this index has no per-row epochs, so a dead id sneaking back in
+    * before a [[compact]] would resurrect under the reader's anti-join
+    * the moment tombstones reset). Work is shard-probe-sized: the
+    * standing corpus contributes only the postings the shard's prefix
+    * shingles actually touch (an equi-join the optimizer prunes to
+    * matching keys), never a corpus-wide scan-and-rank.
+    *
+    * CRASH-ATOMIC (round-15 verdict #1): the shard's contribution lands
+    * as its OWN generation quad (`sets.a<seq>.e<epoch>` etc.) — never
+    * `mode("append")` into directories the live manifest references —
+    * and becomes visible only at [[MaintenanceIo.publish]]. A crash at
+    * any earlier point leaves every published directory byte-identical
+    * (readers keep seeing the exact pre-append graph) and the quad dirs
+    * as unreferenced orphans; a RETRY recomputes against the unchanged
+    * standing state, overwrites the orphans, and publishes once — edges
+    * equal a from-scratch rebuild, no double-append possible. Readers
+    * union main + append + batch generations through one snapshot
+    * ([[readTable]]); [[compact]] folds them back into singles.
     */
   def append(shard: DataFrame, idCol: String, textCol: String,
              path: String): Unit =
@@ -124,21 +145,66 @@ object SimGraphIndex {
       val meta = sp.read.parquet(s"$path/${m.tables("meta")}").head()
       val t6 = meta.getAs[Long]("t6")
       val w = meta.getAs[Int]("w")
-      val threshold = t6 / 1e6
 
       val newSets = setsOf(shard, idCol, textCol, w).localCheckpoint()
+      requireNotTombstoned(sp, path, m, newSets)
       val newPost = newSets.select(col("doc_id"), col("sz"),
         explode(col("hs")).as("h")).localCheckpoint()
       val delta = newPost.groupBy("h").agg(count(lit(1)).as("df"))
       val newEdges = appendEdgesPlan(sp, path, m, newSets, newPost, delta,
-        t6, threshold)
+        t6, exactThreshold(meta, t6))
 
-      newEdges.write.mode("append").parquet(s"$path/${m.tables("edges")}")
-      newSets.write.mode("append").parquet(s"$path/${m.tables("sets")}")
-      newPost.write.mode("append").parquet(s"$path/${m.tables("postings")}")
-      delta.write.mode("append").parquet(s"$path/${m.tables("dfreq")}")
-      MaintenanceIo.publish(path, m.copy(epoch = e))
+      // a crashed attempt never published, so a retry recomputes the SAME
+      // seq against the same standing state and overwrites its orphans
+      val seq = nextAppendSeq(m)
+      val dirOf = Seq("edges", "sets", "postings", "dfreq")
+        .map(t => s"$t.a$seq" -> s"$t.a$seq.e$e").toMap
+      newEdges.write.mode("overwrite").parquet(s"$path/${dirOf(s"edges.a$seq")}")
+      newSets.write.mode("overwrite").parquet(s"$path/${dirOf(s"sets.a$seq")}")
+      newPost.write.mode("overwrite")
+        .parquet(s"$path/${dirOf(s"postings.a$seq")}")
+      delta.write.mode("overwrite").parquet(s"$path/${dirOf(s"dfreq.a$seq")}")
+      MaintenanceIo.publish(path,
+        MaintenanceIo.Manifest(e, m.tables ++ dirOf))
     }
+
+  /** Exact verify threshold: the pinned IEEE bits when the artifact
+    * carries them; the floor-quantized t6/1e6 only for pre-`tbits`
+    * artifacts (superseded layouts self-invalidate via cachedBuild salts,
+    * but an external artifact read must not throw).
+    */
+  private def exactThreshold(meta: org.apache.spark.sql.Row,
+                             t6: Long): Double =
+    if (meta.schema.fieldNames.contains("tbits"))
+      java.lang.Double.longBitsToDouble(meta.getAs[Long]("tbits"))
+    else t6 / 1e6
+
+  /** Next append-generation sequence: one past every `sets.a<n>` key the
+    * manifest carries (manifest-only — a crashed attempt's orphan dirs
+    * are deliberately reclaimed by the retry's overwrite).
+    */
+  private def nextAppendSeq(m: MaintenanceIo.Manifest): Long = {
+    val re = """^sets\.a(\d+)$""".r
+    m.tables.keys.collect { case re(n) => n.toLong }
+      .foldLeft(-1L)(math.max) + 1
+  }
+
+  /** The re-append contract check: shard ids must be disjoint from live
+    * tombstones (broadcast semi-join — tombstones are takedown-sized).
+    */
+  private def requireNotTombstoned(sp: SparkSession, path: String,
+                                   m: MaintenanceIo.Manifest,
+                                   newSets: DataFrame): Unit = {
+    val clash = newSets.select("doc_id")
+      .join(broadcast(
+          sp.read.parquet(s"$path/${m.tables("tombstones")}")),
+        Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"SimGraphIndex: doc_id ${clash.head.getLong(0)} is tombstoned — " +
+        "re-appending a deleted id before compact() is unsupported " +
+        "(no per-row epochs); compact first")
+  }
 
   /** Micro-batch append with EXACTLY-ONCE replay semantics — the
     * streaming-maintenance writer ([[graft.streaming.IngestStream
@@ -176,10 +242,12 @@ object SimGraphIndex {
       val dirOf = Map(sKey -> s"$sKey.e$e", pKey -> s"$pKey.e$e",
         dKey -> s"$dKey.e$e", eKey -> s"$eKey.e$e")
       val newSets = setsOf(shard, idCol, textCol, w).localCheckpoint()
+      requireNotTombstoned(sp, path, m, newSets)
       val newPost = newSets.select(col("doc_id"), col("sz"),
         explode(col("hs")).as("h")).localCheckpoint()
       val delta = newPost.groupBy("h").agg(count(lit(1)).as("df"))
-      appendEdgesPlan(sp, path, m, newSets, newPost, delta, t6, t6 / 1e6)
+      appendEdgesPlan(sp, path, m, newSets, newPost, delta, t6,
+          exactThreshold(meta, t6))
         .write.mode("overwrite").parquet(s"$path/${dirOf(eKey)}")
       newSets.write.mode("overwrite").parquet(s"$path/${dirOf(sKey)}")
       newPost.write.mode("overwrite").parquet(s"$path/${dirOf(pKey)}")
@@ -189,13 +257,14 @@ object SimGraphIndex {
           m.tables ++ dirOf.map { case (k, v) => (k, v) }))
     }
 
-  /** One logical table = its main generation plus every committed batch
-    * generation, resolved through ONE manifest.
+  /** One logical table = its main generation plus every committed append
+    * (`.a<seq>`) and batch (`.b<id>`) generation, resolved through ONE
+    * manifest.
     */
   private def readTable(sp: SparkSession, path: String,
                         m: MaintenanceIo.Manifest, base: String): DataFrame = {
     val dirs = m.tables.collect {
-      case (k, v) if k == base || k.startsWith(base + ".b") => s"$path/$v"
+      case (k, v) if k == base || k.startsWith(base + ".") => s"$path/$v"
     }.toSeq.sorted
     sp.read.parquet(dirs: _*)
   }
@@ -278,25 +347,36 @@ object SimGraphIndex {
     val newPost = newSets.select(col("doc_id"), col("sz"),
       explode(col("hs")).as("h"))
     appendEdgesPlan(sp, path, m, newSets, newPost,
-      newPost.groupBy("h").agg(count(lit(1)).as("df")), t6, t6 / 1e6)
+      newPost.groupBy("h").agg(count(lit(1)).as("df")), t6,
+      exactThreshold(meta, t6))
   }
 
   /** Tombstone DELETE — the takedown path completing the lifecycle
     * (build/append/read/delete/compact, the IVF/inverted-index
-    * contract). O(|ids|): one append into the tombstones table; every
-    * reader anti-joins both edge endpoints against it, and subsequent
-    * appends drop dead postings from their probe target. Dead stays
-    * dead until [[compact]] physically drops the rows — RE-APPENDING a
-    * tombstoned id is NOT supported before a compact (this index has no
-    * per-row epochs; the inverted index demonstrates the epoch rule
-    * where takedown-then-recrawl must compose without compaction).
+    * contract). Takedown-sized: the new tombstone set (old ∪ ids) lands
+    * as a FRESH generation swapped in at publish — never an in-place
+    * append into the directory live readers resolved (round-15 verdict
+    * #7: an in-flight reader on the old manifest must never observe a
+    * partial deletion; the grace generation keeps its directory alive).
+    * Every reader anti-joins both edge endpoints against the live set,
+    * and subsequent appends drop dead postings from their probe target.
+    * Dead stays dead until [[compact]] physically drops the rows —
+    * RE-APPENDING a tombstoned id before a compact throws (enforced in
+    * [[append]]/[[appendBatch]]; this index has no per-row epochs — the
+    * inverted index demonstrates the epoch rule where takedown-then-
+    * recrawl must compose without compaction).
     */
   def delete(ids: DataFrame, idCol: String, path: String): Unit =
     MaintenanceIo.withMaintenanceLock(path) {
+      val sp = ids.sparkSession
       val m = MaintenanceIo.requireManifest(path)
-      ids.select(col(idCol).as("doc_id")).distinct()
-        .write.mode("append").parquet(s"$path/${m.tables("tombstones")}")
-      MaintenanceIo.publish(path, m.copy(epoch = m.epoch + 1))
+      val tGen = MaintenanceIo.nextGen(path, "tombstones")
+      sp.read.parquet(s"$path/${m.tables("tombstones")}")
+        .unionByName(ids.select(col(idCol).as("doc_id")))
+        .distinct()
+        .coalesce(1).write.parquet(s"$path/$tGen")
+      MaintenanceIo.publish(path, MaintenanceIo.Manifest(m.epoch + 1,
+        m.tables + ("tombstones" -> tGen)))
     }
 
   /** Physically drop tombstoned rows: every table rewrites into a fresh
@@ -329,10 +409,10 @@ object SimGraphIndex {
         .write.parquet(s"$path/$eGen")
       val tGen = MaintenanceIo.nextGen(path, "tombstones")
       dead.limit(0).coalesce(1).write.parquet(s"$path/$tGen")
-      // batch generations are folded into the fresh singles — drop their
-      // manifest keys so the dirs GC at publish
+      // append/batch generations are folded into the fresh singles — drop
+      // their manifest keys so the dirs GC at publish
       MaintenanceIo.publish(path, MaintenanceIo.Manifest(m.epoch + 1,
-        m.tables.view.filterKeys(k => !k.contains(".b")).toMap ++
+        m.tables.view.filterKeys(k => !k.contains(".")).toMap ++
           Map("sets" -> sGen, "postings" -> pGen,
             "dfreq" -> dGen, "edges" -> eGen, "tombstones" -> tGen)))
     }

@@ -140,6 +140,108 @@ class SimGraphIndexSpec extends SparkSpec {
       "re-append after compact must restore the original graph")
   }
 
+  test("append is crash-atomic: published dirs never mutate, a simulated " +
+      "crash leaves readers on the pre-append graph, retry == rebuild") {
+    val path = Files.createTempDirectory("simidx_atomic").toString
+    SimGraphIndex.build(docs.filter(col("doc_id") < 10), "doc_id", "text",
+      path, threshold = 0.6)
+    val m0 = MaintenanceIo.requireManifest(path)
+    def dirSig(gen: String): Seq[(String, Long)] =
+      Option(new java.io.File(s"$path/$gen").listFiles())
+        .getOrElse(Array.empty).map(f => f.getName -> f.length)
+        .toSeq.sortBy(_._1)
+    val sigs0 = m0.tables.map { case (k, g) => k -> dirSig(g) }
+    val before = edgeSet(SimGraphIndex.edges(spark, path))
+
+    // a crashed append = quad dirs on disk, manifest untouched. Emulate
+    // one (junk content — a real crash can leave any bytes) and assert
+    // readers resolve the pre-append graph regardless.
+    for (t <- Seq("sets", "postings", "dfreq", "edges")) {
+      val d = new java.io.File(s"$path/$t.a0.e1"); d.mkdirs()
+      Files.writeString(d.toPath.resolve("part-torn.parquet"), "torn")
+    }
+    assert(edgeSet(SimGraphIndex.edges(spark, path)) == before,
+      "orphan quad dirs must be invisible to readers")
+
+    // the retry: recomputes, overwrites the orphans, publishes once
+    SimGraphIndex.append(docs.filter(col("doc_id") >= 10L),
+      "doc_id", "text", path)
+    val want = edgeSet(
+      Dedup.exactJaccardJoin(docs, "doc_id", "text", 0.6, 3))
+    assert(edgeSet(SimGraphIndex.edges(spark, path)) == want,
+      "retried append must equal the from-scratch rebuild")
+    // every directory the PRE-append manifest referenced is byte-stable —
+    // the append never wrote into a published generation
+    val m1 = MaintenanceIo.requireManifest(path)
+    for ((k, g) <- m0.tables)
+      assert(dirSig(g) == sigs0(k), s"append mutated published dir $g")
+    assert(m1.tables.keys.count(_.matches("""sets\.a\d+""")) == 1,
+      "append must land as its own generation quad")
+  }
+
+  test("append verifies at the EXACT built threshold, not the floor-" +
+      "quantized t6/1e6 (boundary pair)") {
+    // threshold 0.7000004 floor-quantizes to t6=700000 → 0.7; the pair
+    // below has jaccard EXACTLY 0.7 (|∩|=7, |∪|=10), which the quantized
+    // reconstruction would admit but the built threshold rejects. The
+    // integer prefix/size filters still surface the pair as a candidate
+    // (sizes 8 vs 9, well inside the t6 band), so the case isolates the
+    // verify comparison itself.
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")              // 8 shingles
+    val b = ((1 to 9).map(i => s"a$i") ++ Seq("x", "y")).mkString(" ") // 9, ∩=7
+    val path = Files.createTempDirectory("simidx_t").toString
+    SimGraphIndex.build(Seq((1L, a)).toDF("doc_id", "text"),
+      "doc_id", "text", path, threshold = 0.7000004)
+    SimGraphIndex.append(Seq((2L, b)).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    assert(edgeSet(SimGraphIndex.edges(spark, path)).isEmpty,
+      "J=0.7 must NOT pass the 0.7000004 gate on the append path")
+    // agreement with the from-scratch rebuild at the same threshold
+    assert(edgeSet(Dedup.exactJaccardJoin(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+      "doc_id", "text", 0.7000004, 3)).isEmpty)
+    // positive control: at exactly 0.7 the same append admits the pair
+    val path2 = Files.createTempDirectory("simidx_t2").toString
+    SimGraphIndex.build(Seq((1L, a)).toDF("doc_id", "text"),
+      "doc_id", "text", path2, threshold = 0.7)
+    SimGraphIndex.append(Seq((2L, b)).toDF("doc_id", "text"),
+      "doc_id", "text", path2)
+    assert(edgeSet(SimGraphIndex.edges(spark, path2)) ==
+      Set((1L, 2L, 0.7)), "J=0.7 must pass the exact-0.7 gate")
+  }
+
+  test("delete is snapshot-isolated: a reader resolved pre-delete never " +
+      "observes the deletion; re-append of a tombstoned id throws until " +
+      "compact") {
+    val path = Files.createTempDirectory("simidx_del").toString
+    SimGraphIndex.build(docs.filter(col("doc_id") < 10), "doc_id", "text",
+      path, threshold = 0.6)
+    SimGraphIndex.append(docs.filter(col("doc_id") >= 10L),
+      "doc_id", "text", path)
+    val before = edgeSet(SimGraphIndex.edges(spark, path))
+    // resolve a reader's frame (manifest snapshot taken NOW, lazily
+    // evaluated after the delete lands)
+    val inFlight = SimGraphIndex.edges(spark, path)
+    SimGraphIndex.delete(Seq(10L).toDF("doc_id"), "doc_id", path)
+    assert(edgeSet(inFlight) == before,
+      "in-flight reader must see the exact pre-delete graph " +
+        "(tombstones land as a fresh generation, old one on grace)")
+    assert(edgeSet(SimGraphIndex.edges(spark, path)) ==
+      before.filterNot { case (x, y, _) => x == 10L || y == 10L })
+
+    // the re-append contract: tombstoned id rejected until compact
+    val ex = intercept[IllegalArgumentException] {
+      SimGraphIndex.append(docs.filter(col("doc_id") === 10L),
+        "doc_id", "text", path)
+    }
+    assert(ex.getMessage.contains("tombstoned"))
+    SimGraphIndex.compact(spark, path)
+    SimGraphIndex.append(docs.filter(col("doc_id") === 10L),
+      "doc_id", "text", path)
+    assert(edgeSet(SimGraphIndex.edges(spark, path)) == before,
+      "re-append after compact must restore the original graph")
+  }
+
   test("appendBatch: replay-idempotent, compact folds batch generations") {
     val path = Files.createTempDirectory("simidx5").toString
     SimGraphIndex.build(docs.filter(col("doc_id") < 10), "doc_id", "text",
