@@ -2064,17 +2064,18 @@ object SparkEntry {
     // stored IVF index at exhaustive probe — so the result is exactly
     // the quadratic brute-force kNN graph, but the plan is the batch
     // shape that scales: queries route via one broadcast centroid cross,
-    // the corpus side is the cell-partitioned stored table joined
-    // cell-co-located (at production nProbe the scan prunes to probed
-    // cells), and the per-query top-k is the bounded-heap partial
-    // aggregate — no corpus x corpus anything.
+    // the corpus-as-queries side SHUFFLE-equi-joins the cell-partitioned
+    // stored table on cell (ivfKnnJoinFromIndex — never a forced
+    // broadcast of a corpus-sized frame; round-15 verdict #2), and the
+    // per-query top-k is the bounded-heap partial aggregate — no corpus
+    // x corpus anything, nothing corpus-sized through the driver.
     "q160_knn_join" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idx = cachedBuild(dir, "embeddings.parquet",
           "target/q160_knn_idx", params = "ivf:nlists=8:knn") { p =>
         Similarity.buildIvfIndex(emb, p, nLists = 8)
       }
-      Similarity.ivfTopKFromIndex(idx, emb, k = 5, nProbe = 8)
+      Similarity.ivfKnnJoinFromIndex(idx, emb, k = 5, nProbe = 8)
         .orderBy("q_id", "rn")
     }),
 

@@ -209,10 +209,23 @@ object Similarity {
     * `nProbe` nearest cells, score only those cells' members, reduce with
     * the bounded heap. `assigned` = (n_id, v_n, nrm_n, cell); `cent` =
     * (cell_id, cen).
+    *
+    * `broadcastQueries` picks the cell-join shape. TRUE (the interactive
+    * default) force-broadcasts the fanned-out query side — right for
+    * bounded query batches, and the broadcast is what lets dynamic
+    * partition pruning cut the cell-partitioned scan to probed cells.
+    * FALSE (the batch path, [[ivfKnnJoinFromIndex]]) shuffle-equi-joins
+    * on `cell` instead: a corpus-sized query side fanned out ×nProbe
+    * *with full vectors* must never transit the driver (round-15 verdict
+    * #2 — the forced broadcast was the scale killer in the kNN
+    * self-join), and AQE still converts to broadcast at runtime when the
+    * query side turns out genuinely small. Parallelism = nLists cells;
+    * at production list counts (√N ≈ 10⁴-10⁵) the shuffle spreads wide.
     */
   private def ivfProbe(assigned: DataFrame, cent: DataFrame,
                        queries: DataFrame, k: Int, nProbe: Int,
-                       idCol: String, vecCol: String): DataFrame = {
+                       idCol: String, vecCol: String,
+                       broadcastQueries: Boolean = true): DataFrame = {
     val centC2 = cent.withColumn("c2", V.dot(col("cen"), col("cen")))
     val qBase = queries.select(col(idCol).as("q_id"),
         V.toDoubleArray(col(vecCol)).as("v_q"))
@@ -227,7 +240,8 @@ object Similarity {
       .select(col("q_id"), explode(col("cells")).as("ce"))
       .select(col("q_id"), col("ce.n_id").cast("int").as("cell"))
     val q = qBase.join(qCells, Seq("q_id"))
-    val scored = assigned.join(broadcast(q), Seq("cell"))
+    val scored = assigned
+      .join(if (broadcastQueries) broadcast(q) else q, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", round(
         V.dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")), 6))
@@ -284,6 +298,30 @@ object Similarity {
     ivfProbe(liveIvfAssignmentsFrom(spark, snap),
       centroidsFrom(spark, indexPath, snap), queries, k,
       nProbe, idCol, vecCol)
+  }
+
+  /** Batch kNN join against a persisted IVF index — the entry point for
+    * CORPUS-SIZED query batches (the nightly SemDeDup-style kNN-graph
+    * pass, q160). Identical routing/scoring/reduction to
+    * [[ivfTopKFromIndex]], but the fanned-out query side is
+    * shuffle-equi-joined to the cell-partitioned stored table on `cell`
+    * instead of force-broadcast: broadcasting a whole corpus ×nProbe
+    * with full vectors dies at the driver long before 100 TB, while the
+    * shuffle join co-locates by cell and scales with data volume. AQE
+    * may still pick a broadcast at runtime when the query batch is
+    * genuinely small — the point is that nothing FORCES it. For bounded
+    * interactive batches prefer [[ivfTopKFromIndex]], whose broadcast
+    * buys dynamic partition pruning of the stored files (irrelevant
+    * here: a corpus-sized batch probes every cell anyway).
+    */
+  def ivfKnnJoinFromIndex(indexPath: String, queries: DataFrame, k: Int,
+                          nProbe: Int = 4, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val snap = MaintenanceIo.snapshot(indexPath)
+    ivfProbe(liveIvfAssignmentsFrom(spark, snap),
+      centroidsFrom(spark, indexPath, snap), queries, k,
+      nProbe, idCol, vecCol, broadcastQueries = false)
   }
 
   /** Centroids under a manifest snapshot: reclustered artifacts version

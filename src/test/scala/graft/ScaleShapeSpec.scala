@@ -438,6 +438,45 @@ class ScaleShapeSpec extends SparkSpec {
       "assignments scan lost its dynamic partition pruning")
   }
 
+  test("batch kNN join (q160) never force-broadcasts the query side; the " +
+      "interactive path keeps its hint") {
+    // round-15 verdict #2: q160's corpus-as-queries frame (fanned out
+    // ×nProbe with full vectors) must reach the stored table via a
+    // shuffle equi-join on cell, not a driver-killing broadcast. Disable
+    // auto/AQE broadcast so the ONLY way a BroadcastHashJoin can appear
+    // is a forced hint — then assert the batch path has none while the
+    // small-batch path (whose hint buys dynamic partition pruning)
+    // still does.
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("ivf_knn").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    graft.operators.Similarity.buildIvfIndex(emb, idx, nLists = 8)
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val batch = graft.operators.Similarity
+        .ivfKnnJoinFromIndex(idx, emb, k = 5, nProbe = 8)
+      batch.write.format("noop").mode("overwrite").save()
+      val bp = batch.queryExecution.executedPlan.toString
+      assert(!bp.contains("BroadcastHashJoin"),
+        "batch kNN must not force-broadcast any equi-join side:\n" + bp)
+      assert(bp.contains("SortMergeJoin [cell") ||
+        bp.contains("ShuffledHashJoin [cell"),
+        "batch kNN must shuffle-equi-join on cell:\n" + bp)
+
+      val small = graft.operators.Similarity
+        .ivfTopKFromIndex(idx, emb.filter(col("vec_id") < 3), k = 5,
+          nProbe = 2)
+      small.write.format("noop").mode("overwrite").save()
+      assert(small.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "interactive path must keep its broadcast hint (DPP depends on it)")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("q90 z-order write is ONE range shuffle with the sort inside partitions") {
     // the written-copy scan side is covered by the oracle; this pins the
     // WRITE plan: repartitionByRange (range exchange on the z key) +
