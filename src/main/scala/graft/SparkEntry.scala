@@ -3930,6 +3930,62 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- STREAM-maintained similarity graph, driver-oracle gated ---------
+    // q154's artifact maintained by the REAL ingest stream (a
+    // checkpointed file-source through selfDedupIngest, one writer
+    // lifetime per staged shard — the q134 gap closed for the simgraph;
+    // StreamingEtlSpec separately proves the kill-mid-batch replay).
+    // The admission gate is pinned to its DETERMINISTIC configuration:
+    // ingest threshold > 1 disables the LSH near-dup flag path (whose
+    // recall is probabilistic — band collisions — and therefore not
+    // oracle-expressible), leaving bloomAdmit's exact-verified text
+    // anti-join + the within-batch keep-smallest-id collapse, both of
+    // which the DuckDB oracle reproduces row-for-row: admitted = one rep
+    // per novel text in (batch, doc_id) order, NULL texts admitted
+    // outright (inert in the graph). Live edges must hash-match the
+    // from-scratch exact join over corpus ∪ admitted — the streamed
+    // artifact cannot silently drift (round-15 verdict #6).
+    "q163_simgraph_stream_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 3 === 0)
+      val root = cachedBuild(dir, "documents.parquet",
+          "target/q163_simgraph_stream",
+          params = s"simidx.v3:jaccard=$simGraphThreshold" +
+            s":w=$simGraphShingleWidth:stream=m3b2") { p =>
+        import java.nio.file.{Files, Paths}
+        operators.Dedup.buildExactBloom(corpus, "text", s"$p/bloom")
+        operators.Dedup.writeLshBandIndex(corpus, "doc_id", "text",
+          s"$p/lsh")
+        operators.SimGraphIndex.build(corpus, "doc_id", "text",
+          s"$p/graph", simGraphThreshold, simGraphShingleWidth)
+        val stageDir = s"$p/stage"
+        Files.createDirectories(Paths.get(stageDir))
+        def stage(n: Int, shard: org.apache.spark.sql.DataFrame): Unit = {
+          val tmp = Files.createTempDirectory("q163_stage")
+          shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(f => f.toString.endsWith(".parquet"))
+            .findFirst().get()
+          Files.move(part, Paths.get(stageDir, f"s$n%02d.parquet"))
+        }
+        def drain(): Unit = {
+          val q = graft.streaming.IngestStream.selfDedupIngest(
+            s.readStream.schema("doc_id LONG, text STRING")
+              .option("maxFilesPerTrigger", "1").parquet(stageDir),
+            corpus, "doc_id", "text", s"$p/bloom", s"$p/lsh",
+            threshold = 1.5, s"$p/out", s"$p/ckpt",
+            simGraphPath = Some(s"$p/graph"))
+          q.processAllAvailable(); q.stop()
+        }
+        stage(0, docs.filter(col("doc_id") % 3 === 1))
+        drain() // writer dies between shards — next drain resumes the ckpt
+        stage(1, docs.filter(col("doc_id") % 3 === 2))
+        drain()
+      }
+      operators.SimGraphIndex.edges(s, s"$root/graph")
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- SUBSUMPTION DEDUP POLICY -------------------------------------------
     // The end-to-end composition over q149 (the dropNearDuplicates of
     // containment): drop every document >= 80 % contained in a STRICTLY
@@ -5110,6 +5166,55 @@ object SparkEntry {
          ON p1.id_a = p2.id_a AND p1.id_b = p2.id_b
        ORDER BY id_a, id_b"""
   }
+
+  /** q163 oracle: replays the stream's deterministic admission in SQL —
+    * corpus = doc_id%3==0; the stream delivers %3==1 (batch 0) then
+    * %3==2 (batch 1); admitted = per distinct non-NULL text the first
+    * stream doc in (batch, doc_id) order whose text is not in the
+    * corpus (bloomAdmit exact-verifies its candidates, so Bloom FPs
+    * cannot change the outcome), plus NULL-text rows (admitted
+    * outright, shingle-inert). The gated edge set is then the q139
+    * quadratic join over corpus ∪ admitted.
+    */
+  private lazy val streamSimGraphOracleSql: String =
+    raw"""WITH corp AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       strm AS (
+         SELECT doc_id, text,
+           CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS b
+         FROM documents WHERE doc_id % 3 <> 0),
+       reps AS (
+         SELECT doc_id, text FROM (
+           SELECT doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY b, doc_id) AS rk
+           FROM strm WHERE text IS NOT NULL)
+         WHERE rk = 1),
+       adm AS (
+         SELECT r.doc_id, r.text FROM reps r
+         WHERE NOT EXISTS (SELECT 1 FROM corp c WHERE c.text = r.text)
+         UNION ALL
+         SELECT doc_id, text FROM strm WHERE text IS NULL),
+       live AS (
+         SELECT doc_id, text FROM corp
+         UNION ALL SELECT doc_id, text FROM adm),
+       toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+         FROM live),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+           END AS s
+         FROM toks),
+       nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       prs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         FROM nz a, nz b WHERE a.doc_id < b.doc_id)
+       SELECT id_a, id_b, jaccard FROM prs
+       WHERE jaccard >= $simGraphThreshold ORDER BY id_a, id_b"""
 
   /** q68 oracle: re-derives the packing spans — FNV bucket (the q62
     * stream, mod 8), within-bucket running token offset as the same
@@ -6846,6 +6951,7 @@ object SparkEntry {
     "q161_simgraph_snapshot_diff" -> simGraphDiffOracleSql,
     // the maintained-index delta path must reproduce the identical diff
     "q162_simgraph_incr_diff" -> simGraphDiffOracleSql,
+    "q163_simgraph_stream_ingest" -> streamSimGraphOracleSql,
     "q155_simgraph_incr_components" ->
       ("WITH RECURSIVE " + componentClosureBody("documents",
         simGraphThreshold) + raw"""
