@@ -117,8 +117,12 @@ def main():
             f"sides (current repeat={cr}, base repeat={pr})")
     cq = dict(cur.get("queries", {}))
     pq = dict(prev.get("queries", {}))
+    # result-row counts (round-14 verdict #7): a "speedup" whose output
+    # shrank is a fixture/semantics change, not a win — surface it
+    crows = dict(cur.get("rows", {}))
+    prows = dict(prev.get("rows", {}))
 
-    rows, alarms, newly_failed = [], [], []
+    rows, alarms, newly_failed, shrunk_speedups = [], [], [], []
     for name in sorted(set(cq) | set(pq)):
         c, p = cq.get(name), pq.get(name)
         if p is None:
@@ -142,6 +146,12 @@ def main():
                 alarms.append(name)
         elif ratio < 0.5 and p >= floor:
             status = "improved"
+        cr, pr2 = crows.get(name, -1), prows.get(name, -1)
+        if cr >= 0 and pr2 >= 0 and cr != pr2:
+            status = (status + " ROWSΔ " +
+                      f"{pr2}->{cr}").strip()
+            if ratio < 0.5 and p >= floor and cr < pr2 and name not in allow:
+                shrunk_speedups.append(name)
         rows.append((name, p, c, ratio, status))
 
     ct = cur.get("value", 0.0)
@@ -170,6 +180,11 @@ def main():
     if pt and ct / pt > 1.5 and not alarms and not newly_failed:
         print(f"WARN: total regressed {ct / pt:.2f}x with no single-query "
               "alarm — distributed slowdown, investigate")
+    if shrunk_speedups:
+        print("FAIL: >2x 'speedups' whose result shrank (fixture change "
+              "masquerading as a win): " + ", ".join(shrunk_speedups) +
+              " (adjudicate and pass --allow, or fix)")
+        ok = False
     if ok:
         print("bench diff OK")
     return 0 if ok else 1

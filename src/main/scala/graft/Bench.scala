@@ -55,20 +55,31 @@ object Bench {
       case c                => c.toString
     }
 
-    def run(name: String): (Double, Option[String]) = {
+    // result-row count rides the SAME timed execution as an Observation
+    // (one streaming count over the output — no second run): fixture or
+    // plan changes that shrink a pair-volume-bound result (q133's ~29M
+    // pairs) can no longer masquerade as a speedup in round-over-round
+    // diffs (round-14 verdict #7).
+    var runSeq = 0L
+    def run(name: String): (Double, Long, Option[String]) = {
       spark.catalog.clearCache()
       System.gc()
+      runSeq += 1
+      val obs = new org.apache.spark.sql.Observation(s"rows_$runSeq")
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
+          .observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
           .write.format("noop").mode("overwrite").save()
-        ((System.nanoTime() - t0) / 1e9, None)
+        val rows = obs.get("n").asInstanceOf[Long]
+        ((System.nanoTime() - t0) / 1e9, rows, None)
       } catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: " +
           Option(e.getMessage).getOrElse("").linesIterator
             .find(_.nonEmpty).getOrElse("")
         System.err.println(s"[bench] $name failed: $msg")
-        (-1.0, Some(msg))
+        (-1.0, -1L, Some(msg))
       }
     }
 
@@ -99,11 +110,12 @@ object Bench {
 
     // one compact line per query AS IT COMPLETES: tail-truncation of the
     // final summary line can never eat per-query numbers again
-    def pass(p: Int, names: Seq[String]): Seq[(String, (Double, Option[String]))] =
+    def pass(p: Int, names: Seq[String])
+        : Seq[(String, (Double, Long, Option[String]))] =
       names.map { n =>
-        val r @ (t, err) = run(n)
+        val r @ (t, rows, err) = run(n)
         val errJson = err.map(e => s""","err":"${esc(e)}"""").getOrElse("")
-        println(s"""{"q":"$n","pass":$p,"s":$t$errJson}""")
+        println(s"""{"q":"$n","pass":$p,"s":$t,"rows":$rows$errJson}""")
         n -> r
       }
     val passes = (1 to repeat).map(p => pass(p, selected) ++ pass(p, msNames))
@@ -112,12 +124,14 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    case class Agg(med: Double, min: Double, err: Option[String])
+    case class Agg(med: Double, min: Double, rows: Long, err: Option[String])
     def agg(name: String): Agg = {
       val rs = passes.flatMap(_.collect { case (`name`, r) => r })
       val ok = rs.map(_._1).filter(_ >= 0)
-      val err = rs.flatMap(_._2).headOption
-      if (ok.isEmpty) Agg(-1.0, -1.0, err) else Agg(median(ok), ok.min, err)
+      val rows = rs.map(_._2).filter(_ >= 0).lastOption.getOrElse(-1L)
+      val err = rs.flatMap(_._3).headOption
+      if (ok.isEmpty) Agg(-1.0, -1.0, rows, err)
+      else Agg(median(ok), ok.min, rows, err)
     }
     val results = selected.map(n => n -> agg(n))
     val msResults = msNames.map(n => n -> agg(n))
@@ -128,12 +142,14 @@ object Bench {
     val qs = jsonMap(results.map { case (k, a) => k -> a.med })
     val qmin = jsonMap(results.map { case (k, a) => k -> a.min })
     val ms = jsonMap(msResults.map { case (k, a) => k -> a.med })
+    val rowsJson = all.map { case (k, a) => "\"" + k + "\":" + a.rows }
+      .mkString("{", ",", "}")
     val ex = excluded.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val errs = all.collect { case (k, Agg(_, _, Some(e))) =>
+    val errs = all.collect { case (k, Agg(_, _, _, Some(e))) =>
       "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val failed = all.count(_._2.med < 0)
     val total = results.map(_._2.med).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"failed":$failed,"errors":$errs,"queries":$qs,"queries_min":$qmin,"model_selection":$ms,"excluded":$ex,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"failed":$failed,"errors":$errs,"queries":$qs,"queries_min":$qmin,"rows":$rowsJson,"model_selection":$ms,"excluded":$ex,"sf":"$sfDir"}"""
     // full JSON also goes to a FILE (driver stdout capture truncates the
     // one giant line to a tail — BENCH_r0N.json came back `parsed: null`
     // five rounds running); jq-diffable across rounds
