@@ -66,6 +66,11 @@ object Explain {
         // q159: q122's probe shape over the RECLUSTERED index — the same
         // queries x nLists-row stored-centroid broadcast cross.
         "q159_ivf_recluster" -> Set("BroadcastNestedLoopJoin"),
+        // q164: the identical coarse-probe cross (50 query rows x the
+        // 16-row stored centroid table) at production nProbe — plus the
+        // in-query ivfRecallAtK probe, which routes through the same
+        // shape before the recall floor is enforced.
+        "q164_ivf_prod_probe" -> Set("BroadcastNestedLoopJoin"),
         // q160: the same broadcast centroid cross — here the query side
         // is the whole corpus, but the broadcast side is still the
         // nLists-row centroid table (tiny), so the cross is linear in
@@ -78,6 +83,16 @@ object Explain {
         // through the same quantizedRefineTopK coarse-probe cross.
         "q124_quantized_append" -> Set("BroadcastNestedLoopJoin"),
         "q69_bm25_search" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q165/q166: the sparse channel is the q69 shape (crossJoin of
+        // the broadcast 1-row corpus stats) and the dense channel the
+        // q26 shape (queries × corpus broadcast cross); the
+        // SinglePartition exchanges are the stats frame's own global
+        // aggregate. Everything downstream of the channels (fusion,
+        // MMR greedy) works on |queries|-bounded frames.
+        "q165_hybrid_rrf" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        "q166_mmr_rerank" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         // q143: the q69 shape — crossJoin(broadcast(1-row n_tok/n_bg
         // stats)); the SinglePartition exchanges are those frames' own

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.functions.TextFunctions.WS
-import graft.operators.{Dedup, Graph, Linkage, MaintenanceIo, Relational, Similarity}
+import graft.operators.{Dedup, Graph, Linkage, MaintenanceIo, Relational, Retrieval, Similarity}
 import graft.sources.Sources
 import graft.streaming.EventStream
 
@@ -2104,6 +2104,59 @@ object SparkEntry {
         f"q164: production-probe recall@10 = $recall%.4f fell below the " +
           "0.70 application floor — recluster before serving this index")
       Similarity.ivfTopKFromIndex(idx, queries, k = 10, nProbe = 8)
+        .orderBy("q_id", "rn")
+    }),
+
+    // ---- North-star: HYBRID retrieval with reciprocal-rank fusion ------
+    // The RAG-stack front door: per-query BM25 (q69's kernel, widened to
+    // a per-query term map) and dense cosine top-k (q26's kernel) each
+    // truncate to their channel top-50 with the bounded-heap aggregate,
+    // then fuse on RANKS — rrf = Σ 1/(60+rank) — so no cross-channel
+    // score calibration exists to drift. Scale shape: two corpus scans
+    // (one per channel), broadcast stats/df/term-map, and a fusion join
+    // over |queries|×100 rows — constant in corpus size. Oracle
+    // re-derives both channels and the fusion in SQL
+    // (hybridRrfOracleSql; terms/constants single-sourced).
+    "q165_hybrid_rrf" -> ((s, dir) => {
+      val sparse = Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id",
+          "text", hybridQueries, k = hybridChannelK)
+        .select("q_id", "doc_id", "rank")
+      val emb = Tables.embeddings(s, dir)
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 5), k = hybridChannelK)
+        .select(col("q_id").cast("long").as("q_id"),
+          col("n_id").cast("long").as("doc_id"), col("rn").as("rank"))
+      Retrieval.rrfFuse(sparse, dense, kRrf = hybridRrfK, topK = hybridTopK)
+        .withColumnRenamed("a_rank", "sp_rank")
+        .withColumnRenamed("b_rank", "dn_rank")
+        .orderBy("q_id", "rn")
+    }),
+
+    // ---- North-star: DIVERSIFIED rerank (maximal marginal relevance) ---
+    // The pass after q165: greedy λ·rel − (1−λ)·max-cos-to-picked over
+    // the fused top-10, so near-duplicate hits don't crowd a context
+    // window. Selection is sequential only WITHIN a query over the
+    // bounded fused list — one flatMapGroups task per query, corpus
+    // touched only by the candidate-vector lookup join. The oracle
+    // replays the greedy recursion UNROLLED into mmrK chained SQL steps
+    // (argmax via ROW_NUMBER per step over the pairwise 6-dp cosine
+    // table — mmrOracleSql), constants single-sourced.
+    "q166_mmr_rerank" -> ((s, dir) => {
+      val sparse = Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id",
+          "text", hybridQueries, k = hybridChannelK)
+        .select("q_id", "doc_id", "rank")
+      val emb = Tables.embeddings(s, dir)
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 5), k = hybridChannelK)
+        .select(col("q_id").cast("long").as("q_id"),
+          col("n_id").cast("long").as("doc_id"), col("rn").as("rank"))
+      val fused = Retrieval.rrfFuse(sparse, dense, kRrf = hybridRrfK,
+          topK = hybridTopK)
+        .select(col("q_id"), col("doc_id"), col("rrf").as("rel"))
+      val vectors = emb.select(col("vec_id").as("doc_id"),
+        VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+      Retrieval.mmrRerank(fused, vectors, lambdaRel = mmrLambdaRel,
+          lambdaDiv = mmrLambdaDiv, k = mmrK)
         .orderBy("q_id", "rn")
     }),
 
@@ -4412,6 +4465,177 @@ object SparkEntry {
     * AND the oracle's IN list.
     */
   private val indexTerms: Seq[String] = Seq("join", "scan", "vector", "window")
+
+  /** q165/q166's hybrid queries: five (text-terms, query-embedding)
+    * pairs — the dense twin of query i is the embedding of vec_id = i
+    * (the fixture has no text↔embedding correspondence, so the pairing is
+    * a deterministic harness; RRF semantics don't depend on it). Terms
+    * are fixture-vocabulary words (q69/q130's sets) — single source for
+    * the engine's term map AND the oracle's VALUES list.
+    */
+  private val hybridQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join"),
+    1L -> Seq("stream", "scan"),
+    2L -> Seq("merge", "vector"),
+    3L -> Seq("spark", "window"),
+    4L -> Seq("stream", "merge"))
+
+  /** q165/q166 knobs, single-sourced into the oracles: per-channel top-k,
+    * the standard RRF constant, the fused cut, and the MMR relevance /
+    * diversity weights (λ and 1−λ as independent literals — recomputing
+    * 1−λ could differ in the last ulp) + pick count.
+    */
+  private val hybridChannelK = 50
+  private val hybridRrfK = 60
+  private val hybridTopK = 10
+  private val mmrLambdaRel = 0.7
+  private val mmrLambdaDiv = 0.3
+  private val mmrK = 5
+
+  /** The shared q165/q166 oracle CTE chain: both channels re-derived from
+    * scratch — BM25 with the q69 CTE chain widened per query (identical
+    * literals/op order, per-term 6 dp rounding, DECIMAL sum), dense
+    * cosine with the q26 chain — each ranked by
+    * ROW_NUMBER(score DESC, doc_id) (== the engine's heap contract),
+    * truncated to the channel k, full-outer fused with
+    * rrf = 1/(60+rank) summed sparse-then-dense and rounded AFTER the
+    * sum, exactly the engine's op order; `hybrid` is the fused top-k.
+    */
+  private def hybridFusedCtes: String = {
+    val qtRows = hybridQueries.flatMap { case (q, ts) =>
+      ts.map(t => s"(CAST($q AS BIGINT), '${t.replace("'", "''")}')")
+    }.mkString(", ")
+    val allTerms = hybridQueries.flatMap(_._2).distinct
+      .map(t => s"'${t.replace("'", "''")}'").mkString(",")
+    raw"""qt(q_id, tok) AS (SELECT * FROM (VALUES $qtRows)),
+         toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '[$WS]+') AS t
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         tf AS (
+           SELECT doc_id, tok, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+           WHERE tok IN ($allTerms) GROUP BY doc_id, tok),
+         stats AS (
+           SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl
+           FROM dl),
+         dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         sc AS (
+           SELECT t.q_id, f.doc_id,
+             CAST(SUM(CAST(round(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1) *
+                 (f.tf * 2.2) /
+                 (f.tf + 1.2 * (0.25 + 0.75 * l.dl /
+                   (CAST(s.tot_dl AS DOUBLE) / s.n_docs))), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) AS score
+           FROM tf f
+           JOIN dl l USING (doc_id)
+           CROSS JOIN stats s
+           JOIN dfq d ON f.tok = d.tok
+           JOIN qt t ON f.tok = t.tok
+           GROUP BY t.q_id, f.doc_id),
+         sp AS (
+           SELECT q_id, doc_id, rnk FROM (
+             SELECT q_id, doc_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY score DESC, doc_id) AS rnk
+             FROM sc)
+           WHERE rnk <= $hybridChannelK),
+         e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(v)+1), i -> v[i] * v[i])),
+               (acc, x) -> acc + x)) AS nrm
+           FROM e),
+         dscored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])),
+               (acc, x) -> acc + x) / (q.nrm * c.nrm), 6) AS sim
+           FROM n q, n c
+           WHERE q.vec_id < 5 AND c.vec_id != q.vec_id),
+         dn AS (
+           SELECT q_id, doc_id, rnk FROM (
+             SELECT q_id, doc_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY sim DESC, doc_id) AS rnk
+             FROM dscored)
+           WHERE rnk <= $hybridChannelK),
+         fused AS (
+           SELECT COALESCE(sp.q_id, dn.q_id) AS q_id,
+             COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+             round(
+               COALESCE(CAST(1 AS DOUBLE) / ($hybridRrfK + sp.rnk), 0) +
+               COALESCE(CAST(1 AS DOUBLE) / ($hybridRrfK + dn.rnk), 0),
+               6) AS rrf,
+             CAST(COALESCE(sp.rnk, -1) AS BIGINT) AS sp_rank,
+             CAST(COALESCE(dn.rnk, -1) AS BIGINT) AS dn_rank
+           FROM sp FULL OUTER JOIN dn
+             ON sp.q_id = dn.q_id AND sp.doc_id = dn.doc_id),
+         hybrid AS (
+           SELECT q_id, doc_id, rrf, sp_rank, dn_rank, rn FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY rrf DESC, doc_id) AS rn
+             FROM fused)
+           WHERE rn <= $hybridTopK)"""
+  }
+
+  private def hybridRrfOracleSql: String =
+    s"""WITH $hybridFusedCtes
+       SELECT q_id, doc_id, rrf, sp_rank, dn_rank, rn FROM hybrid
+       ORDER BY q_id, rn"""
+
+  /** q166 oracle: the greedy MMR recursion UNROLLED into mmrK chained
+    * steps over the fused candidates — step i's argmax is a ROW_NUMBER
+    * over `λ·rel − (1−λ)·maxsim` with maxsim the true (signed) max of
+    * the pairwise 6-dp cosines against the accumulated selection, 0 for
+    * the empty first step; exactly the engine's op order and tiebreak.
+    * Unrolling (vs a recursive CTE) keeps every step a plain window
+    * query — no dialect-specific recursion semantics to trust.
+    */
+  private def mmrOracleSql: String = {
+    val steps = (1 to mmrK).map { i =>
+      val notPicked =
+        if (i == 1) "TRUE"
+        else s"NOT EXISTS (SELECT 1 FROM sel${i - 1} s " +
+          "WHERE s.q_id = c.q_id AND s.doc_id = c.doc_id)"
+      val maxsim =
+        if (i == 1) "CAST(0 AS DOUBLE)"
+        else s"COALESCE((SELECT MAX(pc.sim) FROM pc, sel${i - 1} s " +
+          "WHERE pc.q_id = c.q_id AND s.q_id = c.q_id " +
+          "AND pc.id_a = c.doc_id AND pc.id_b = s.doc_id), 0)"
+      val sel =
+        if (i == 1) "SELECT q_id, doc_id FROM p1"
+        else s"SELECT q_id, doc_id FROM sel${i - 1} " +
+          s"UNION ALL SELECT q_id, doc_id FROM p$i"
+      s"""p$i AS (
+           SELECT q_id, doc_id, mmr, CAST($i AS BIGINT) AS rn FROM (
+             SELECT x.*, ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY mmr DESC, doc_id) AS r FROM (
+               SELECT c.q_id, c.doc_id,
+                 $mmrLambdaRel * c.rel - $mmrLambdaDiv * $maxsim AS mmr
+               FROM cand c WHERE $notPicked) x)
+           WHERE r = 1),
+         sel$i AS ($sel)"""
+    }.mkString(",\n         ")
+    val union = (1 to mmrK).map(i => s"SELECT * FROM p$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $hybridFusedCtes,
+         cand AS (SELECT q_id, doc_id, rrf AS rel FROM hybrid),
+         cv AS (SELECT c.q_id, c.doc_id, n.v, n.nrm
+                FROM cand c JOIN n ON n.vec_id = c.doc_id),
+         pc AS (
+           SELECT a.q_id, a.doc_id AS id_a, b.doc_id AS id_b,
+             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS sim
+           FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.doc_id != b.doc_id),
+         $steps
+       SELECT q_id, doc_id, round(mmr, 6) AS mmr, rn
+       FROM ($union) ORDER BY q_id, rn"""
+  }
 
   /** q69/q130 oracle: BM25 re-derived in DuckDB with the SAME double-op
     * order and literals (2.2 = k1+1 and 0.25 = 1-b are literals on BOTH
@@ -6980,6 +7204,8 @@ object SparkEntry {
     // the maintained-index delta path must reproduce the identical diff
     "q162_simgraph_incr_diff" -> simGraphDiffOracleSql,
     "q163_simgraph_stream_ingest" -> streamSimGraphOracleSql,
+    "q165_hybrid_rrf" -> hybridRrfOracleSql,
+    "q166_mmr_rerank" -> mmrOracleSql,
     "q155_simgraph_incr_components" ->
       ("WITH RECURSIVE " + componentClosureBody("documents",
         simGraphThreshold) + raw"""

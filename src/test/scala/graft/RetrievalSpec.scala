@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** Hybrid retrieval: bm25TopK per-query ranking and rrfFuse semantics
+  * (q165's kernels). The full-corpus numeric gate is the q165 DuckDB
+  * oracle; these pin the hand-checkable semantics and the scale shapes.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("bm25TopK: hand corpus — term match sets, multi-term accumulation, " +
+      "rank order") {
+    val docs = docsDf(
+      1L -> "apple banana apple",
+      2L -> "banana cherry",
+      3L -> "durian")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq(0L -> Seq("apple"), 1L -> Seq("apple", "banana")), k = 10)
+      .orderBy("q_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+
+    // q0 ("apple"): only d1 contains it
+    val q0 = got.filter(_._1 == 0L)
+    assert(q0.map(t => (t._2, t._4)).toSeq == Seq((1L, 1L)))
+
+    // q1 ("apple banana"): d1 (both terms) outranks d2 (banana only); d3
+    // matches nothing and never appears
+    val q1 = got.filter(_._1 == 1L)
+    assert(q1.map(t => (t._2, t._4)).toSeq == Seq((1L, 1L), (2L, 2L)))
+    assert(q1(0)._3 > q1(1)._3, "two matched terms must outscore one")
+
+    // q1's d1 score is q0's d1 score plus d1's banana term: per-term
+    // scores are independent of the query set (df/stats are corpus-side)
+    val d1Apple = q0.head._3
+    assert(q1.head._3 > d1Apple)
+  }
+
+  test("bm25TopK: k truncates per query; ranks stay 1..k contiguous") {
+    val docs = docsDf((1L to 20L).map(i =>
+      i -> s"pear ${Seq.fill(i.toInt)("kiwi").mkString(" ")}"): _*)
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq(0L -> Seq("pear"), 1L -> Seq("kiwi")), k = 5)
+    val byQ = got.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 5)
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 5L))
+    }
+  }
+
+  test("bm25TopK: equal scores tie-break by doc_id ascending (heap " +
+      "contract, matches the oracle's ROW_NUMBER tiebreak)") {
+    // identical docs → identical scores; ranks must follow doc_id
+    val docs = docsDf(9L -> "fig grape", 3L -> "fig grape", 6L -> "fig grape")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq(0L -> Seq("fig")), k = 3).orderBy("rank").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(3L, 6L, 9L))
+    assert(got.map(_.getDouble(2)).distinct.length == 1)
+  }
+
+  private def ranked(rows: (Long, Long, Long)*) =
+    rows.toSeq.toDF("q_id", "doc_id", "rank")
+
+  test("rrfFuse: both-channel docs accumulate, single-channel docs keep " +
+      "-1 on the missing side, fused rank is dense top-k") {
+    val a = ranked((0L, 10L, 1L), (0L, 11L, 2L))
+    val b = ranked((0L, 11L, 1L), (0L, 12L, 2L))
+    val got = Retrieval.rrfFuse(a, b, kRrf = 60, topK = 10)
+      .orderBy("rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // doc 11: 1/62 + 1/61; doc 10: 1/61; doc 12: 1/62
+    assert(got.map(_._2).toSeq == Seq(11L, 10L, 12L))
+    assert(got(0)._3 == BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(1)._4 == 1L && got(1)._5 == -1L, "a-only doc keeps dn=-1")
+    assert(got(2)._4 == -1L && got(2)._5 == 2L, "b-only doc keeps sp=-1")
+    assert(got.map(_._6).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("rrfFuse: symmetric single-channel ties resolve by doc_id; topK " +
+      "truncates") {
+    // same rank on opposite channels → identical rrf → doc_id order
+    val a = ranked((1L, 7L, 3L))
+    val b = ranked((1L, 5L, 3L))
+    val got = Retrieval.rrfFuse(a, b, kRrf = 60, topK = 1).collect()
+      .map(r => (r.getLong(1), r.getLong(5)))
+    assert(got.toSeq == Seq((5L, 1L)), "doc 5 wins the rrf tie, topK=1 cuts")
+  }
+
+  test("rrfFuse: queries present in only one channel survive fusion") {
+    val a = ranked((0L, 1L, 1L))
+    val b = ranked((9L, 2L, 1L))
+    val got = Retrieval.rrfFuse(a, b, kRrf = 60, topK = 5)
+      .orderBy("q_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 9L))
+  }
+
+  private def cands(rows: (Long, Long, Double)*) =
+    rows.toSeq.toDF("q_id", "doc_id", "rel")
+
+  private def vecs(rows: (Long, Seq[Double])*) =
+    rows.toSeq.toDF("doc_id", "v")
+
+  test("mmrRerank: near-duplicate high-rel pair is split by a diverse " +
+      "lower-rel doc (the whole point of MMR)") {
+    // docs 1,2 nearly identical (cos≈1), doc 3 orthogonal-ish
+    val c = cands((0L, 1L, 0.9), (0L, 2L, 0.89), (0L, 3L, 0.5))
+    val v = vecs(1L -> Seq(1.0, 0.0, 0.01), 2L -> Seq(1.0, 0.0, 0.0),
+      3L -> Seq(0.0, 1.0, 0.0))
+    val got = Retrieval.mmrRerank(c, v, 0.7, 0.3, k = 3)
+      .orderBy("rn").collect().map(r => (r.getLong(1), r.getLong(3)))
+    // pick1 = 1 (max rel); pick2: doc2 mmr ≈ .7*.89-.3*1 ≈ .323 <
+    // doc3 mmr = .7*.5-.3*0 = .35 → diversity wins; pick3 = 2
+    assert(got.toSeq == Seq((1L, 1L), (3L, 2L), (2L, 3L)))
+  }
+
+  test("mmrRerank: first pick is max rel with doc_id tiebreak; k caps " +
+      "at the candidate count") {
+    val c = cands((0L, 9L, 0.8), (0L, 4L, 0.8))
+    val v = vecs(9L -> Seq(1.0, 0.0), 4L -> Seq(0.0, 1.0))
+    val got = Retrieval.mmrRerank(c, v, 0.7, 0.3, k = 5)
+      .orderBy("rn").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((4L, 1L), (9L, 2L)), "doc_id breaks the rel tie")
+  }
+
+  test("mmrRerank: negative max-cosine is a diversity bonus (signed, " +
+      "unclamped — oracle parity)") {
+    // doc 2 is ANTI-correlated with pick 1 → bonus lifts it over doc 3
+    // which has rel advantage but near-zero sim
+    val c = cands((0L, 1L, 0.9), (0L, 2L, 0.50), (0L, 3L, 0.56))
+    val v = vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(-1.0, 0.0),
+      3L -> Seq(0.0, 1.0))
+    val got = Retrieval.mmrRerank(c, v, 0.7, 0.3, k = 2)
+      .orderBy("rn").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // doc2: .7*.5 - .3*(-1) = .65; doc3: .7*.56 - .3*0 = .392
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(math.abs(got(1)._2 - 0.65) < 1e-9)
+  }
+
+  test("mmrRerank: queries are independent groups; candidates without a " +
+      "vector row are dropped by the lookup join") {
+    val c = cands((0L, 1L, 0.9), (0L, 7L, 0.8), (1L, 2L, 0.4))
+    val v = vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0)) // no doc 7
+    val got = Retrieval.mmrRerank(c, v, 0.7, 0.3, k = 3)
+      .orderBy("q_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 1L), (1L, 2L)))
+  }
+
+  test("scale shape: the corpus-sized sparse channel ranks via the " +
+      "bounded heap (no Window); only the bounded fusion frame uses one") {
+    val docs = Tables.documents(spark, sf0001)
+    val sparse = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq(0L -> Seq("spark", "join")), k = 50)
+    val sp = sparse.queryExecution.executedPlan.toString
+    assert(!sp.contains("Window"),
+      "per-query channel rank must come from the partial-agg heap, not a " +
+        "row_number window:\n" + sp)
+    assert(sp.contains("topkbyscore") || sp.contains("TopKByScore"),
+      "expected the bounded-heap aggregate in the sparse channel plan:\n" + sp)
+  }
+}
