@@ -94,6 +94,12 @@ object Explain {
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         "q166_mmr_rerank" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q167: the stored-index hybrid — q130's shape on the sparse
+        // side (crossJoin of the broadcast 1-row merged index stats, its
+        // own SinglePartition global aggregate) plus q92's coarse-probe
+        // centroid cross on the dense side.
+        "q167_hybrid_from_indexes" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         // q143: the q69 shape — crossJoin(broadcast(1-row n_tok/n_bg
         // stats)); the SinglePartition exchanges are those frames' own
         // global counts plus the top-50 TakeOrdered merge.

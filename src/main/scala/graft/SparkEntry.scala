@@ -2132,6 +2132,40 @@ object SparkEntry {
         .orderBy("q_id", "rn")
     }),
 
+    // ---- HYBRID retrieval SERVED FROM THE STORED ARTIFACTS -------------
+    // q165's production path: the sparse channel answered from the
+    // persisted inverted index (one probe of the union of query terms —
+    // scan bytes track |terms|/buckets, not corpus size) and the dense
+    // channel from the stored IVF index at exhaustive probe, fused by
+    // the same RRF. Gated against the SAME from-scratch oracle as q165:
+    // hash-green proves the two index artifacts (build + additive
+    // df/stats, cell-partitioned vectors) reproduce the raw-corpus
+    // fusion bit-for-bit — the serving stack can answer interactive
+    // hybrid queries without ever re-reading the corpus.
+    "q167_hybrid_from_indexes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val invIdx = cachedBuild(dir, "documents.parquet",
+          "target/q167_inv_idx", params = "inv:hybrid") { p =>
+        operators.InvertedIndex.buildIndex(docs, p)
+      }
+      val ivfIdx = cachedBuild(dir, "embeddings.parquet",
+          "target/q167_ivf_idx", params = "ivf:nlists=8:hybrid") { p =>
+        Similarity.buildIvfIndex(emb, p, nLists = 8)
+      }
+      val sparse = operators.InvertedIndex.bm25PerQueryFromIndex(s, invIdx,
+          hybridQueries, k = hybridChannelK)
+        .select("q_id", "doc_id", "rank")
+      val dense = Similarity.ivfTopKFromIndex(ivfIdx,
+          emb.filter(col("vec_id") < 5), k = hybridChannelK, nProbe = 8)
+        .select(col("q_id").cast("long").as("q_id"),
+          col("n_id").cast("long").as("doc_id"), col("rn").as("rank"))
+      Retrieval.rrfFuse(sparse, dense, kRrf = hybridRrfK, topK = hybridTopK)
+        .withColumnRenamed("a_rank", "sp_rank")
+        .withColumnRenamed("b_rank", "dn_rank")
+        .orderBy("q_id", "rn")
+    }),
+
     // ---- North-star: DIVERSIFIED rerank (maximal marginal relevance) ---
     // The pass after q165: greedy λ·rel − (1−λ)·max-cos-to-picked over
     // the fused top-10, so near-duplicate hits don't crowd a context
@@ -7206,6 +7240,10 @@ object SparkEntry {
     "q163_simgraph_stream_ingest" -> streamSimGraphOracleSql,
     "q165_hybrid_rrf" -> hybridRrfOracleSql,
     "q166_mmr_rerank" -> mmrOracleSql,
+    // q167 answers from the stored inverted + IVF indexes; the oracle is
+    // q165's from-scratch recompute VERBATIM — hash-green proves the
+    // artifacts reproduce the raw-corpus fusion exactly
+    "q167_hybrid_from_indexes" -> hybridRrfOracleSql,
     "q155_simgraph_incr_components" ->
       ("WITH RECURSIVE " + componentClosureBody("documents",
         simGraphThreshold) + raw"""

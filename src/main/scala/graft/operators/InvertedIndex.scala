@@ -314,4 +314,58 @@ object InvertedIndex {
           .as("score"),
         count(lit(1)).as("n_terms"))
   }
+
+  /** Per-query BM25 top-k answered from the STORED index — the serving
+    * twin of [[graft.operators.Retrieval.bm25TopK]] (which recomputes
+    * from raw text): ONE probe of the union of all query terms reads the
+    * probed-bucket postings once, the |queries|×|terms| term map fans the
+    * matched rows per query via a broadcast join, and the per-query rank
+    * is the same bounded-heap aggregate. Because the index's df/stats are
+    * additive build+append exact (q130's gate), the scores — identical
+    * literals, per-term 6 dp rounding, DECIMAL sum — reproduce the
+    * from-scratch kernel bit-for-bit, so a hybrid query served from this
+    * path hash-matches the recompute oracle.
+    * Returns (q_id, doc_id, score, rank), rank 1-based, ≤ k rows/query.
+    */
+  def bm25PerQueryFromIndex(spark: SparkSession, indexPath: String,
+                            queries: Seq[(Long, Seq[String])], k: Int,
+                            buckets: Int = DefaultBuckets): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25PerQueryFromIndex: every query needs at least one term")
+    require(k > 0, "bm25PerQueryFromIndex: k must be positive")
+    val terms = queries.flatMap(_._2).distinct
+    import spark.implicits._
+    val termMap = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("q_id", "tok")
+    val snap = MaintenanceIo.snapshot(indexPath)
+    val pbs = terms.toDF("tok")
+      .select(termBucket(col("tok"), buckets)).as[Int].collect().distinct
+    val post = livePostings(spark, snap)
+      .filter(col("pb").isin(pbs.map(Integer.valueOf).toIndexedSeq: _*) &&
+        col("tok").isin(terms: _*))
+    val dfq = readAll(spark, snap, "df")
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("tok").agg(sum("df").as("df"))
+      .filter(col("df") > 0L)
+    val stats = readAll(spark, snap, "stats")
+      .agg(sum("n_docs").as("n_docs"), sum("tot_dl").as("tot_dl"))
+    val scored = post.crossJoin(broadcast(stats))
+      .join(broadcast(dfq), Seq("tok"))
+      .join(broadcast(termMap), Seq("tok"))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("ts", round(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+          (col("tf") * 2.2) /
+          (col("tf") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
+        6))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("ts").cast(DecimalType(18, 6))).cast("double").as("score"))
+    scored.groupBy("q_id")
+      .agg(graft.functions.AggFunctions
+        .topKByScore(col("score"), col("doc_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.n_id").as("doc_id"),
+        col("col.sim").as("score"), (col("pos") + 1).cast("long").as("rank"))
+  }
 }

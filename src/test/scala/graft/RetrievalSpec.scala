@@ -155,6 +155,27 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L), (1L, 2L)))
   }
 
+  test("bm25PerQueryFromIndex: the stored-index serving path reproduces " +
+      "the from-scratch kernel row-for-row (build + append)") {
+    val docs = Tables.documents(spark, sf0001)
+    val idx = java.nio.file.Files.createTempDirectory("inv_hybrid").toString
+    graft.operators.InvertedIndex.buildIndex(
+      docs.filter(col("doc_id") % 3 =!= 2), idx)
+    graft.operators.InvertedIndex.appendToIndex(
+      docs.filter(col("doc_id") % 3 === 2), idx)
+    val queries = Seq(0L -> Seq("spark", "join"), 1L -> Seq("stream"))
+    val stored = graft.operators.InvertedIndex
+      .bm25PerQueryFromIndex(spark, idx, queries, k = 20)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val scratch = Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 20)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(stored.toSeq == scratch.toSeq,
+      "stored-index BM25 must equal the raw-text recompute exactly")
+    assert(stored.nonEmpty)
+  }
+
   test("scale shape: the corpus-sized sparse channel ranks via the " +
       "bounded heap (no Window); only the bounded fusion frame uses one") {
     val docs = Tables.documents(spark, sf0001)
