@@ -1164,9 +1164,14 @@ object SparkEntry {
         .withColumn("label",
           when(col("l_returnflag") === "N", 1.0).otherwise(0.0))
       val Array(train, test) = li.randomSplit(Array(0.7, 0.3), seed = 40)
-      val model = ml.Classifiers.randomForest(
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
-          "l_linenumber"), "label", numTrees = 20).fit(train)
+      // strip the training summary before serving: its SparkSession
+      // reference otherwise rides the prediction UDF's task closure
+      // (SummaryBridge scaladoc — "Task not serializable" once any
+      // Dataset.observe has touched the session)
+      val model = org.apache.spark.ml.graft.SummaryBridge
+        .stripTrainingSummaries(ml.Classifiers.randomForest(
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_linenumber"), "label", numTrees = 20).fit(train))
       ml.Classifiers.confusionMatrix(model.transform(test), "label")
     }),
 
@@ -1195,9 +1200,12 @@ object SparkEntry {
         .withColumn("label",
           when(col("o_orderstatus") === "F", 1.0).otherwise(0.0))
       val Array(train, test) = o.randomSplit(Array(0.7, 0.3), seed = 40)
-      val model = ml.Regressors.logistic(
-        Seq("o_orderpriority"), Seq("o_totalprice"), "label",
-        elasticNet = 0.0, maxIter = 25).fit(train)
+      // same summary strip as q29 (LogisticRegressionModel.copy would
+      // RE-ATTACH the summary — the bridge is the reliable path)
+      val model = org.apache.spark.ml.graft.SummaryBridge
+        .stripTrainingSummaries(ml.Regressors.logistic(
+          Seq("o_orderpriority"), Seq("o_totalprice"), "label",
+          elasticNet = 0.0, maxIter = 25).fit(train))
       val metrics = ml.Classifiers.classificationMetrics(
         model.transform(test), "label", binary = true)
       import s.implicits._
