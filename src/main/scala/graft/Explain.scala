@@ -100,6 +100,11 @@ object Explain {
         // centroid cross on the dense side.
         "q167_hybrid_from_indexes" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q168: the same two channel shapes feeding the candidate page;
+        // the dedup itself is broadcast candidate probes into the edge
+        // table (smell-free).
+        "q168_serp_dedup" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         // q143: the q69 shape — crossJoin(broadcast(1-row n_tok/n_bg
         // stats)); the SinglePartition exchanges are those frames' own
         // global counts plus the top-50 TakeOrdered merge.

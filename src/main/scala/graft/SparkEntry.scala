@@ -2174,6 +2174,39 @@ object SparkEntry {
         .orderBy("q_id", "rn")
     }),
 
+    // ---- SERP DEDUP against the persisted similarity graph -------------
+    // The "already seen this document" filter a retrieval page runs
+    // before display: fuse the wider top-50 candidate page (q165's
+    // kernels), then drop every candidate the STORED near-dup graph
+    // (q154's artifact, built once by the corpus pipeline) links to a
+    // better-ranked candidate of the same query — no text re-scoring at
+    // query time. The drop rule is one-pass against the original
+    // ranking (deterministic, SQL-replayable; chains over-drop by
+    // design — serpDedup scaladoc). Oracle re-derives the candidate
+    // page AND the pairwise Jaccard edges from scratch.
+    "q168_serp_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val sparse = Retrieval.bm25TopK(docs, "doc_id", "text",
+          hybridQueries, k = hybridChannelK)
+        .select("q_id", "doc_id", "rank")
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 5), k = hybridChannelK)
+        .select(col("q_id").cast("long").as("q_id"),
+          col("n_id").cast("long").as("doc_id"), col("rn").as("rank"))
+      val cand = Retrieval.rrfFuse(sparse, dense, kRrf = hybridRrfK,
+          topK = hybridChannelK)
+        .select("q_id", "doc_id", "rn")
+      val g = cachedBuild(dir, "documents.parquet", "target/q168_simgraph",
+          params = s"simidx.v3:jaccard=$simGraphThreshold" +
+            s":w=$simGraphShingleWidth:full") { p =>
+        operators.SimGraphIndex.build(docs.select("doc_id", "text"),
+          "doc_id", "text", p, simGraphThreshold, simGraphShingleWidth)
+      }
+      Retrieval.serpDedup(cand, operators.SimGraphIndex.edges(s, g))
+        .orderBy("q_id", "rn")
+    }),
+
     // ---- North-star: DIVERSIFIED rerank (maximal marginal relevance) ---
     // The pass after q165: greedy λ·rel − (1−λ)·max-cos-to-picked over
     // the fused top-10, so near-duplicate hits don't crowd a context
@@ -4541,9 +4574,11 @@ object SparkEntry {
     * ROW_NUMBER(score DESC, doc_id) (== the engine's heap contract),
     * truncated to the channel k, full-outer fused with
     * rrf = 1/(60+rank) summed sparse-then-dense and rounded AFTER the
-    * sum, exactly the engine's op order; `hybrid` is the fused top-k.
+    * sum, exactly the engine's op order; `hybrid` is the fused top-`cut`
+    * (q165/q166 use the default serving cut; q168 dedups the wider
+    * candidate page).
     */
-  private def hybridFusedCtes: String = {
+  private def hybridFusedCtes(cut: Int = hybridTopK): String = {
     val qtRows = hybridQueries.flatMap { case (q, ts) =>
       ts.map(t => s"(CAST($q AS BIGINT), '${t.replace("'", "''")}')")
     }.mkString(", ")
@@ -4621,11 +4656,11 @@ object SparkEntry {
              SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                       ORDER BY rrf DESC, doc_id) AS rn
              FROM fused)
-           WHERE rn <= $hybridTopK)"""
+           WHERE rn <= $cut)"""
   }
 
   private def hybridRrfOracleSql: String =
-    s"""WITH $hybridFusedCtes
+    s"""WITH ${hybridFusedCtes()}
        SELECT q_id, doc_id, rrf, sp_rank, dn_rank, rn FROM hybrid
        ORDER BY q_id, rn"""
 
@@ -4664,7 +4699,7 @@ object SparkEntry {
     }.mkString(",\n         ")
     val union = (1 to mmrK).map(i => s"SELECT * FROM p$i")
       .mkString(" UNION ALL ")
-    s"""WITH $hybridFusedCtes,
+    s"""WITH ${hybridFusedCtes()},
          cand AS (SELECT q_id, doc_id, rrf AS rel FROM hybrid),
          cv AS (SELECT c.q_id, c.doc_id, n.v, n.nrm
                 FROM cand c JOIN n ON n.vec_id = c.doc_id),
@@ -4678,6 +4713,52 @@ object SparkEntry {
        SELECT q_id, doc_id, round(mmr, 6) AS mmr, rn
        FROM ($union) ORDER BY q_id, rn"""
   }
+
+  /** q168 oracle: the fused candidate page at the wide cut, pairwise
+    * trigram-Jaccard edges re-derived among the candidate docs only
+    * (edge membership between two docs is independent of the rest of
+    * the corpus, so the restriction is exact — and the quadratic stays
+    * |candidates|²), then the one-pass drop rule: dropped iff some
+    * better-ranked candidate of the same query is a graph neighbor,
+    * dup_of = (rank, doc_id)-lexicographic best such neighbor.
+    */
+  private def serpDedupOracleSql: String =
+    s"""WITH ${hybridFusedCtes(hybridChannelK)},
+         cand AS (SELECT q_id, doc_id, rn FROM hybrid),
+         sh2 AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             END AS s
+           FROM toks
+           WHERE doc_id IN (SELECT DISTINCT doc_id FROM cand)),
+         nz2 AS (SELECT doc_id, s FROM sh2 WHERE len(s) > 0),
+         cpr AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM nz2 a, nz2 b WHERE a.doc_id < b.doc_id
+             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s)))
+                 >= $simGraphThreshold),
+         dup AS (
+           SELECT c.q_id, c.doc_id, e.doc_id AS nb, e.rn AS nb_rn
+           FROM cand c
+           JOIN cand e ON e.q_id = c.q_id AND e.rn < c.rn
+           JOIN cpr p ON p.id_a = least(c.doc_id, e.doc_id)
+                     AND p.id_b = greatest(c.doc_id, e.doc_id)),
+         bd AS (
+           SELECT q_id, doc_id, nb AS dup_of FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, doc_id
+                      ORDER BY nb_rn, nb) AS r
+             FROM dup)
+           WHERE r = 1)
+       SELECT c.q_id, c.doc_id, c.rn,
+         CASE WHEN b.dup_of IS NULL THEN 'kept' ELSE 'dropped' END
+           AS action,
+         CAST(COALESCE(b.dup_of, -1) AS BIGINT) AS dup_of
+       FROM cand c LEFT JOIN bd b
+         ON b.q_id = c.q_id AND b.doc_id = c.doc_id
+       ORDER BY c.q_id, c.rn"""
 
   /** q69/q130 oracle: BM25 re-derived in DuckDB with the SAME double-op
     * order and literals (2.2 = k1+1 and 0.25 = 1-b are literals on BOTH
@@ -7252,6 +7333,7 @@ object SparkEntry {
     // q165's from-scratch recompute VERBATIM — hash-green proves the
     // artifacts reproduce the raw-corpus fusion exactly
     "q167_hybrid_from_indexes" -> hybridRrfOracleSql,
+    "q168_serp_dedup" -> serpDedupOracleSql,
     "q155_simgraph_incr_components" ->
       ("WITH RECURSIVE " + componentClosureBody("documents",
         simGraphThreshold) + raw"""

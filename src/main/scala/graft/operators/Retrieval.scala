@@ -155,6 +155,47 @@ object Retrieval {
     * array<double>). Returns (q_id, doc_id, mmr, rn), rn = 1-based pick
     * order, min(k, |candidates|) rows per query.
     */
+  /** Search-result dedup against a persisted similarity graph: a
+    * candidate is DROPPED iff the graph links it to a better-ranked
+    * candidate of the same query — the "you've already seen this
+    * document" filter a retrieval page runs before display, using the
+    * near-dup structure the corpus pipeline already maintains
+    * ([[SimGraphIndex]]) instead of re-scoring text at query time.
+    *
+    * The rule is deliberately NON-ITERATIVE: it checks edges against the
+    * ORIGINAL ranking, not the surviving set, so a chain a~b~c (a best,
+    * a~c not linked) drops BOTH b and c. That over-drops relative to the
+    * sequential variant, but it is order-deterministic, one-pass, and
+    * exactly replayable in SQL — the trade a serving layer makes. Emits
+    * every candidate with `action` kept/dropped and `dup_of` = the
+    * best-ranked duplicate neighbor ((rank, doc_id) lexicographic min;
+    * -1 when kept).
+    *
+    * Scale shape: `candidates` is a bounded |queries|×k frame
+    * (broadcast); the edge table is touched by ONE equi-join probe per
+    * direction — edge-volume, never corpus-volume.
+    *
+    * `candidates`: (q_id, doc_id, rn); `edges`: (id_a, id_b) undirected
+    * pairs (each stored once, either orientation).
+    */
+  def serpDedup(candidates: DataFrame, edges: DataFrame): DataFrame = {
+    val cand = candidates.select(col("q_id"), col("doc_id"), col("rn"))
+    val und = edges.select(col("id_a").as("doc_id"), col("id_b").as("nb"))
+      .union(edges.select(col("id_b").as("doc_id"), col("id_a").as("nb")))
+    val nbCand = cand.select(col("q_id"), col("doc_id").as("nb"),
+      col("rn").as("nb_rn"))
+    val dup = broadcast(cand).join(und, Seq("doc_id"))
+      .join(broadcast(nbCand), Seq("q_id", "nb"))
+      .filter(col("nb_rn") < col("rn"))
+      .groupBy("q_id", "doc_id")
+      .agg(min(struct(col("nb_rn"), col("nb"))).as("best"))
+      .select(col("q_id"), col("doc_id"), col("best.nb").as("__dup"))
+    cand.join(dup, Seq("q_id", "doc_id"), "left_outer")
+      .select(col("q_id"), col("doc_id"), col("rn"),
+        when(col("__dup").isNull, "kept").otherwise("dropped").as("action"),
+        coalesce(col("__dup"), lit(-1L)).as("dup_of"))
+  }
+
   def mmrRerank(candidates: DataFrame, vectors: DataFrame,
                 lambdaRel: Double, lambdaDiv: Double, k: Int): DataFrame = {
     require(k > 0, "mmrRerank: k must be positive")

@@ -155,6 +155,49 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L), (1L, 2L)))
   }
 
+  private def edgesDf(rows: (Long, Long)*) =
+    rows.toSeq.toDF("id_a", "id_b")
+
+  private def candDf(rows: (Long, Long, Long)*) =
+    rows.toSeq.toDF("q_id", "doc_id", "rn")
+
+  test("serpDedup: better-ranked neighbor drops; edge orientation is " +
+      "irrelevant; dup_of is the lexicographic-best duplicate") {
+    // q0: 10 (rn1) ~ 30 (rn3), 20 (rn2) ~ 30 via reversed edge → 30 has
+    // two better-ranked neighbors, dup_of must be the best-RANKED (10)
+    val cand = candDf((0L, 10L, 1L), (0L, 20L, 2L), (0L, 30L, 3L))
+    val edges = edgesDf(10L -> 30L, 30L -> 20L)
+    val got = Retrieval.serpDedup(cand, edges).orderBy("rn").collect()
+      .map(r => (r.getLong(1), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq((10L, "kept", -1L), (20L, "kept", -1L),
+      (30L, "dropped", 10L)))
+  }
+
+  test("serpDedup: one-pass rule — a chain a~b~c (a best, a!~c) drops " +
+      "BOTH b and c (documented over-drop); cross-query edges never " +
+      "interact") {
+    val cand = candDf((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L),
+      (1L, 2L, 1L), (1L, 3L, 2L))
+    val edges = edgesDf(1L -> 2L, 2L -> 3L)
+    val got = Retrieval.serpDedup(cand, edges)
+      .orderBy("q_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getLong(4)))
+    // q0: 1 kept; 2 dropped (dup of 1); 3 dropped (dup of 2 — checked
+    // against the ORIGINAL ranking, not the surviving set)
+    assert(got.filter(_._1 == 0L).toSeq == Seq((0L, 1L, "kept", -1L),
+      (0L, 2L, "dropped", 1L), (0L, 3L, "dropped", 2L)))
+    // q1: the 2~3 edge applies per query — 3 drops against q1's ranking
+    assert(got.filter(_._1 == 1L).toSeq == Seq((1L, 2L, "kept", -1L),
+      (1L, 3L, "dropped", 2L)))
+  }
+
+  test("serpDedup: no edges between candidates → everything kept") {
+    val cand = candDf((0L, 1L, 1L), (0L, 2L, 2L))
+    val got = Retrieval.serpDedup(cand, edgesDf(5L -> 6L))
+      .collect().map(_.getString(3))
+    assert(got.forall(_ == "kept"))
+  }
+
   test("bm25PerQueryFromIndex: the stored-index serving path reproduces " +
       "the from-scratch kernel row-for-row (build + append)") {
     val docs = Tables.documents(spark, sf0001)
