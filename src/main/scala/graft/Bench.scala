@@ -91,11 +91,18 @@ object Bench {
     }
     val sweepRows =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1") == "1"
-    def countRows(name: String): Long = {
-      if (!sweepRows) return -1L
+    // A failed count is LOUD (stderr + per-query line + summary
+    // `row_errors`): rows:-1 from a thrown count must stay distinguishable
+    // from the SPARK_GRAFT_BENCH_ROWS=0 skip sentinel, or a row-count
+    // regression could hide behind an unlogged failure.
+    def countRows(name: String): (Long, Option[String]) = {
+      if (!sweepRows) return (-1L, None)
       spark.catalog.clearCache()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
+      try (SparkEntry.queries(name)(spark, sfDir).count(), None)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name row sweep failed: ${errMsg(e)}")
+        (-1L, Some(errMsg(e)))
+      }
     }
 
     // warm-up: small full-pipeline pass (scan+shuffle+codegen), untimed.
@@ -136,11 +143,15 @@ object Bench {
     val passes = (1 to repeat).map(p => pass(p, selected) ++ pass(p, msNames))
     // the untimed row sweep, after ALL timed passes (counts are
     // repeat-invariant — see the countRows scaladoc)
-    val rowsByName = (selected ++ msNames).map { n =>
-      val r = countRows(n)
-      if (sweepRows) println(s"""{"q":"$n","rows":$r}""")
-      n -> r
-    }.toMap
+    val rowSweep = (selected ++ msNames).map { n =>
+      val (r, err) = countRows(n)
+      if (sweepRows) {
+        val errJson = err.map(e => s""","err":"${esc(e)}"""").getOrElse("")
+        println(s"""{"q":"$n","rows":$r$errJson}""")
+      }
+      n -> (r, err)
+    }
+    val rowsByName = rowSweep.map { case (n, (r, _)) => n -> r }.toMap
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -169,9 +180,11 @@ object Bench {
     val ex = excluded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errs = all.collect { case (k, Agg(_, _, _, Some(e))) =>
       "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
+    val rowErrs = rowSweep.collect { case (k, (_, Some(e))) =>
+      "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val failed = all.count(_._2.med < 0)
     val total = results.map(_._2.med).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"failed":$failed,"errors":$errs,"queries":$qs,"queries_min":$qmin,"rows":$rowsJson,"model_selection":$ms,"excluded":$ex,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"failed":$failed,"errors":$errs,"row_errors":$rowErrs,"queries":$qs,"queries_min":$qmin,"rows":$rowsJson,"model_selection":$ms,"excluded":$ex,"sf":"$sfDir"}"""
     // full JSON also goes to a FILE (driver stdout capture truncates the
     // one giant line to a tail — BENCH_r0N.json came back `parsed: null`
     // five rounds running); jq-diffable across rounds

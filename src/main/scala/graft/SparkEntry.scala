@@ -4671,6 +4671,14 @@ object SparkEntry {
     * the empty first step; exactly the engine's op order and tiebreak.
     * Unrolling (vs a recursive CTE) keeps every step a plain window
     * query — no dialect-specific recursion semantics to trust.
+    *
+    * `cand` joins the fused page to the embeddings (`n`) because the
+    * ENGINE's candidate-vector lookup is an INNER join
+    * ([[graft.operators.Retrieval.mmrRerank]]): a fused candidate with
+    * no embedding row is not rerankable and is dropped on both sides.
+    * Scoring a vectorless candidate with maxsim=0 here instead would let
+    * it win picks the engine never makes (divergent at any SF where
+    * |embeddings| < |documents|, e.g. sf0.1's 2000 vs 5000).
     */
   private def mmrOracleSql: String = {
     val steps = (1 to mmrK).map { i =>
@@ -4700,7 +4708,8 @@ object SparkEntry {
     val union = (1 to mmrK).map(i => s"SELECT * FROM p$i")
       .mkString(" UNION ALL ")
     s"""WITH ${hybridFusedCtes()},
-         cand AS (SELECT q_id, doc_id, rrf AS rel FROM hybrid),
+         cand AS (SELECT h.q_id, h.doc_id, h.rrf AS rel
+                  FROM hybrid h JOIN n ON n.vec_id = h.doc_id),
          cv AS (SELECT c.q_id, c.doc_id, n.v, n.nrm
                 FROM cand c JOIN n ON n.vec_id = c.doc_id),
          pc AS (

@@ -123,38 +123,6 @@ object Retrieval {
         col("rn"))
   }
 
-  /** Maximal-marginal-relevance rerank of per-query candidate lists:
-    * greedily pick k docs maximizing
-    * `lambdaRel·rel − lambdaDiv·max_{s∈picked} cos(d, s)` — the
-    * diversity pass a retrieval stack runs AFTER fusion, so near-
-    * duplicate hits don't crowd the context window.
-    *
-    * Greedy selection is inherently sequential, but only WITHIN a query
-    * over an ALREADY-BOUNDED candidate list (the fused top-k — tens of
-    * rows), so the right distribution is one `flatMapGroups` task per
-    * query doing O(k·|C|²)-bounded in-memory work — queries parallelize,
-    * the corpus is never touched. The only corpus-sized work is the
-    * candidate-vector lookup join (an equi-join on the id, broadcast-able
-    * from the candidate side upstream).
-    *
-    * Determinism (oracle-matched): pairwise cosines round to 6 dp before
-    * the max (same sequential dot/norm op order as
-    * [[Similarity.bruteForceTopK]]); the objective is
-    * `lambdaRel*rel - lambdaDiv*maxsim` in that textual order; maxsim is
-    * the TRUE max over picked — cosine is signed, so an all-dissimilar
-    * picked set yields a diversity BONUS, the classic formula unclamped —
-    * and 0.0 only for the empty first step; the argmax tie-breaks by
-    * doc_id ASC (== an oracle's ROW_NUMBER(mmr DESC, doc_id)); only the
-    * OUTPUT mmr rounds to 6 dp (comparisons use the unrounded double —
-    * both engines see identical bits, so the argmax agrees).
-    *
-    * Zero-norm candidate vectors are the caller's bug (cosine undefined);
-    * candidates without a vector row are dropped by the lookup join.
-    *
-    * `candidates`: (q_id, doc_id, rel); `vectors`: (doc_id, v
-    * array<double>). Returns (q_id, doc_id, mmr, rn), rn = 1-based pick
-    * order, min(k, |candidates|) rows per query.
-    */
   /** Search-result dedup against a persisted similarity graph: a
     * candidate is DROPPED iff the graph links it to a better-ranked
     * candidate of the same query — the "you've already seen this
@@ -196,6 +164,40 @@ object Retrieval {
         coalesce(col("__dup"), lit(-1L)).as("dup_of"))
   }
 
+  /** Maximal-marginal-relevance rerank of per-query candidate lists:
+    * greedily pick k docs maximizing
+    * `lambdaRel·rel − lambdaDiv·max_{s∈picked} cos(d, s)` — the
+    * diversity pass a retrieval stack runs AFTER fusion, so near-
+    * duplicate hits don't crowd the context window.
+    *
+    * Greedy selection is inherently sequential, but only WITHIN a query
+    * over an ALREADY-BOUNDED candidate list (the fused top-k — tens of
+    * rows), so the right distribution is one `flatMapGroups` task per
+    * query doing O(k·|C|²)-bounded in-memory work — queries parallelize,
+    * the corpus is never touched. The only corpus-sized work is the
+    * candidate-vector lookup join (an equi-join on the id, broadcast-able
+    * from the candidate side upstream).
+    *
+    * Determinism (oracle-matched): pairwise cosines round to 6 dp before
+    * the max (same sequential dot/norm op order as
+    * [[Similarity.bruteForceTopK]]); the objective is
+    * `lambdaRel*rel - lambdaDiv*maxsim` in that textual order; maxsim is
+    * the TRUE max over picked — cosine is signed, so an all-dissimilar
+    * picked set yields a diversity BONUS, the classic formula unclamped —
+    * and 0.0 only for the empty first step; the argmax tie-breaks by
+    * doc_id ASC (== an oracle's ROW_NUMBER(mmr DESC, doc_id)); only the
+    * OUTPUT mmr rounds to 6 dp (comparisons use the unrounded double —
+    * both engines see identical bits, so the argmax agrees).
+    *
+    * Zero-norm candidate vectors are the caller's bug (cosine undefined —
+    * every MMR comparison goes NaN-false and the greedy fails fast with a
+    * diagnostic); candidates without a vector row are dropped by the
+    * lookup join.
+    *
+    * `candidates`: (q_id, doc_id, rel); `vectors`: (doc_id, v
+    * array<double>). Returns (q_id, doc_id, mmr, rn), rn = 1-based pick
+    * order, min(k, |candidates|) rows per query.
+    */
   def mmrRerank(candidates: DataFrame, vectors: DataFrame,
                 lambdaRel: Double, lambdaDiv: Double, k: Int): DataFrame = {
     require(k > 0, "mmrRerank: k must be positive")
@@ -242,6 +244,9 @@ object Retrieval {
           }
           i += 1
         }
+        require(best >= 0,
+          s"mmrRerank: no finite MMR candidate for query $q at step " +
+            s"${step + 1} (zero-norm candidate vector making cosine NaN?)")
         picked += best
         out += ((q, cs(best)._2,
           BigDecimal(bestMmr).setScale(6, BigDecimal.RoundingMode.HALF_UP)
