@@ -100,6 +100,14 @@ object Explain {
         // centroid cross on the dense side.
         "q167_hybrid_from_indexes" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q169: q167's two channel shapes exactly (stored-index BM25's
+        // broadcast 1-row stats cross + its global aggregate, and the
+        // queries x 16-row stored-centroid coarse-probe cross), here at
+        // production nProbe — plus the in-query ivfRecallAtK probe,
+        // which routes through the same centroid cross before the
+        // recall floor is enforced.
+        "q169_hybrid_prod_probe" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         // q168: the same two channel shapes feeding the candidate page;
         // the dedup itself is broadcast candidate probes into the edge
         // table (smell-free).

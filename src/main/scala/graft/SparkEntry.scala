@@ -2087,6 +2087,54 @@ object SparkEntry {
         .orderBy("q_id", "rn")
     }),
 
+    // ---- North-star: APPLIED SEMANTIC DEDUP (SemDeDup-style rewrite) ---
+    // The end-to-end rewrite an embedding-dedup pipeline actually ships
+    // (the SemDeDup shape — drop semantic near-duplicates discovered
+    // through a kNN graph, keep one representative per cluster), composed
+    // from stages this engine already gates separately: (1) the batch kNN
+    // self-join from the STORED IVF index — q160's scale path,
+    // shuffle-equi-joined on cell; (2) θ=0.9 threshold over the 6-dp
+    // cosines → symmetric distinct edge set; (3) connected components by
+    // pointer jumping (Dedup.componentIds — O(log diameter) bounded
+    // shuffle rounds, lineage-truncated); (4) KEEP-BEST per component —
+    // highest 6-dp vector norm, vec_id ASC tiebreak — as ONE max_by
+    // hash-agg (map-side partials; never a per-component window). Output
+    // is the full decision table (every vector's component, size, fate,
+    // and kept representative), so the gate checks each individual drop,
+    // not just survivor counts. Corpus = the q61 near-dup twin corpus
+    // (raw fixture embeddings top out at 0.52 pairwise cosine — no
+    // semantic dups to find). Gated at exhaustive probe so the kNN graph
+    // is exact and the DuckDB oracle replays the WHOLE chain: twins →
+    // quadratic top-5 → θ-filter → RECURSIVE closure → per-component
+    // argmax. At scale the same composition runs with nLists ≈ 2√N and
+    // bounded nProbe under the q164/q169 recall-floor monitor.
+    "q170_semantic_dedup_apply" -> ((s, dir) => {
+      val corpus = neardupCorpus(s, dir)
+      val idx = cachedBuild(dir, "embeddings.parquet",
+          "target/q170_semdedup_idx", params = "ivf:nlists=8:semdedup") { p =>
+        Similarity.buildIvfIndex(corpus, p, nLists = 8)
+      }
+      val knn = Similarity.ivfKnnJoinFromIndex(idx, corpus, k = 5, nProbe = 8)
+      val edges = knn.filter(col("sim") >= 0.9)
+        .select(least(col("q_id"), col("n_id")).as("id_a"),
+          greatest(col("q_id"), col("n_id")).as("id_b"))
+        .distinct()
+      val comp = Dedup.componentIds(corpus, "vec_id", edges)
+        .select(col("id").as("vec_id"), col("comp").as("component"))
+      val quality = corpus.select(col("vec_id"),
+        round(VectorFunctions.norm(col("embedding")), 6).as("nrm"))
+      val keep = quality.join(comp, Seq("vec_id"))
+        .groupBy("component")
+        .agg(expr("max_by(vec_id, struct(nrm, -vec_id))").as("keep_id"),
+          count(lit(1)).as("csize"))
+      comp.join(keep, Seq("component"))
+        .select(col("vec_id"), col("component"), col("csize"),
+          when(col("vec_id") === col("keep_id"), "kept")
+            .otherwise("dropped").as("action"),
+          col("keep_id"))
+        .orderBy("vec_id")
+    }),
+
     // ---- IVF at the PRODUCTION probe setting (approximate regime) ------
     // Every other IVF row gates at exhaustive probe (exactness proof);
     // this is the configuration a deployment actually runs — nProbe=8 of
@@ -2166,6 +2214,55 @@ object SparkEntry {
         .select("q_id", "doc_id", "rank")
       val dense = Similarity.ivfTopKFromIndex(ivfIdx,
           emb.filter(col("vec_id") < 5), k = hybridChannelK, nProbe = 8)
+        .select(col("q_id").cast("long").as("q_id"),
+          col("n_id").cast("long").as("doc_id"), col("rn").as("rank"))
+      Retrieval.rrfFuse(sparse, dense, kRrf = hybridRrfK, topK = hybridTopK)
+        .withColumnRenamed("a_rank", "sp_rank")
+        .withColumnRenamed("b_rank", "dn_rank")
+        .orderBy("q_id", "rn")
+    }),
+
+    // ---- HYBRID serving at the PRODUCTION probe setting ----------------
+    // q167 gates the stored-artifact fusion at exhaustive probe (the
+    // exactness proof); THIS row is the configuration a 100 TB deployment
+    // actually serves: the dense channel probes nProbe=8 of nLists=16
+    // cells — the cell-pruned scan reads ~half the stored inverted file,
+    // and at production list counts (nLists ≈ 2√N) the probed fraction
+    // keeps shrinking — WITH the q164 safety net enforced per query
+    // batch: dense-channel recall@50 vs in-index brute force is measured
+    // in-line and the 0.70 application floor required, so quantizer /
+    // fixture drift can never serve a fast-but-degraded fusion silently.
+    // The sparse channel and the RRF fusion are q167's exactly. Output is
+    // the seeded approximate fused page: deterministic, rows-only for the
+    // driver (no SQL oracle can express the KMeans routing; fusion
+    // exactness is oracle-gated by q165/q167, channel exactness by
+    // q52/q92/q130), frozen by the GoldenSpec pin + the RetrievalSpec
+    // end-to-end overlap floor against the exact fusion.
+    "q169_hybrid_prod_probe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val invIdx = cachedBuild(dir, "documents.parquet",
+          "target/q169_inv_idx", params = "inv:hybridprod") { p =>
+        operators.InvertedIndex.buildIndex(docs, p)
+      }
+      val ivfIdx = cachedBuild(dir, "embeddings.parquet",
+          "target/q169_ivf_idx", params = "ivf:nlists=16:hybridprod") { p =>
+        Similarity.buildIvfIndex(emb, p, nLists = 16)
+      }
+      val denseQ = emb.filter(col("vec_id") < 5)
+      val recall = Similarity.ivfRecallAtK(ivfIdx, denseQ,
+        k = hybridChannelK, nProbe = 8)
+      System.err.println(f"[q169] dense recall@$hybridChannelK at " +
+        f"nProbe=8/nLists=16: $recall%.4f")
+      require(recall >= 0.70,
+        f"q169: production-probe dense recall@$hybridChannelK = " +
+          f"$recall%.4f fell below the 0.70 application floor — " +
+          "recluster before serving this index")
+      val sparse = operators.InvertedIndex.bm25PerQueryFromIndex(s, invIdx,
+          hybridQueries, k = hybridChannelK)
+        .select("q_id", "doc_id", "rank")
+      val dense = Similarity.ivfTopKFromIndex(ivfIdx, denseQ,
+          k = hybridChannelK, nProbe = 8)
         .select(col("q_id").cast("long").as("q_id"),
           col("n_id").cast("long").as("doc_id"), col("rn").as("rank"))
       Retrieval.rrfFuse(sparse, dense, kRrf = hybridRrfK, topK = hybridTopK)
@@ -4527,6 +4624,74 @@ object SparkEntry {
                (acc, x) -> acc + x) / (a.nrm * c.nrm), 4) AS sim
            FROM n a, n c WHERE a.vec_id < c.vec_id)
          WHERE sim > 0.9 ORDER BY id_a, id_b"""
+
+  /** q170 oracle: the SemDeDup decision table replayed start-to-finish in
+    * SQL — the q61 twin corpus re-derived (identical IEEE blend, see
+    * [[embedProdOracleSql]]), the exact kNN graph as a quadratic top-5
+    * (ROW_NUMBER on the 6-dp cosine, n_id tiebreak — the engine's heap
+    * contract), the θ=0.9 filter ON THE ROUNDED sim (both engines compare
+    * identical 6-dp values), symmetric distinct edges, RECURSIVE
+    * reachability closure (component = MIN reachable id — the q64
+    * pattern), and the keep-best argmax re-derived as a ranked window
+    * over (round(nrm,6) DESC, vec_id) — exactly the engine's
+    * max_by(vec_id, struct(nrm, -vec_id)).
+    */
+  private val semDedupOracleSql: String =
+    """WITH RECURSIVE b AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         tw AS (
+           SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(1, 65),
+               i -> (1 - a) * v[i] + a * v[1 + (i % 64)]) AS v
+           FROM (SELECT vec_id, v, CAST(vec_id % 8 AS DOUBLE) / 20 AS a
+                 FROM b WHERE vec_id < 50)),
+         allv AS (SELECT * FROM b UNION ALL SELECT * FROM tw),
+         n AS (
+           SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(v)+1), i -> v[i] * v[i])),
+               (acc, x) -> acc + x)) AS nrm
+           FROM allv),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])),
+               (acc, x) -> acc + x) / (q.nrm * c.nrm), 6) AS sim
+           FROM n q, n c WHERE c.vec_id != q.vec_id),
+         knn AS (
+           SELECT q_id, n_id, sim FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY sim DESC, n_id) AS rn
+             FROM scored)
+           WHERE rn <= 5),
+         eg AS (
+           SELECT DISTINCT least(q_id, n_id) AS u, greatest(q_id, n_id) AS v
+           FROM knn WHERE sim >= 0.9),
+         und AS (SELECT u, v FROM eg UNION SELECT v AS u, u AS v FROM eg),
+         reach AS (
+           SELECT vec_id AS src, vec_id AS dst FROM allv
+           UNION
+           SELECT r.src, e.v FROM reach r JOIN und e ON r.dst = e.u),
+         comp AS (
+           SELECT src AS vec_id, MIN(dst) AS component
+           FROM reach GROUP BY src),
+         qual AS (SELECT vec_id, round(nrm, 6) AS nrm FROM n),
+         keep AS (
+           SELECT component, vec_id AS keep_id, csize FROM (
+             SELECT c.component, q.vec_id,
+               COUNT(*) OVER (PARTITION BY c.component) AS csize,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                 ORDER BY q.nrm DESC, q.vec_id) AS r
+             FROM comp c JOIN qual q USING (vec_id))
+           WHERE r = 1)
+         SELECT c.vec_id, c.component, CAST(k.csize AS BIGINT) AS csize,
+           CASE WHEN c.vec_id = k.keep_id THEN 'kept' ELSE 'dropped' END
+             AS action,
+           k.keep_id
+         FROM comp c JOIN keep k USING (component)
+         ORDER BY c.vec_id"""
 
   /** q69 query terms — fixture-vocabulary words with distinct document
     * frequencies so the idf term differentiates. Single source for the
@@ -7064,6 +7229,11 @@ object SparkEntry {
     "q159_ivf_recluster" -> exactTopKOracle("c.vec_id % 7 <> 2"),
     // full-spine kNN graph: every vector, brute-force quadratic truth
     "q160_knn_join" -> exactTopKOracleFull("TRUE", "TRUE"),
+    // q170: the full SemDeDup chain re-derived from scratch — a
+    // hash-green row proves the stored-index kNN graph + pointer-jumping
+    // components + keep-best argmax equal the quadratic top-5 +
+    // RECURSIVE closure + ranked window, decision for decision.
+    "q170_semantic_dedup_apply" -> semDedupOracleSql,
     // The quantized filter-and-refine round trip must reproduce the exact
     // top-k too: the bound argument makes the survivor set a superset of
     // the true top-k, and the refine pass is the brute-force scoring.

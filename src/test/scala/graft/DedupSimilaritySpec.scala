@@ -938,4 +938,44 @@ class DedupSimilaritySpec extends SparkSpec {
     Dedup.compactLshBandIndex(spark, ldx)
     assert(probe() == full, "compaction changed the re-appended result")
   }
+
+  test("q170 applied semantic dedup: exact twins are dropped, each " +
+      "component keeps exactly one representative") {
+    // The hash gate freezes every decision against the DuckDB replay;
+    // this pins the hand-checkable invariants the decision table must
+    // satisfy regardless of fixture: (1) one 'kept' row per component and
+    // it names itself; (2) every alpha=0 synthetic twin (vec_id%8==0 —
+    // bit-identical to its base, cosine exactly 1) shares its base's
+    // component and is dropped in favor of a keeper with equal norm and
+    // smaller id (the base, unless a larger cluster absorbed both).
+    val rows = SparkEntry.queries("q170_semantic_dedup_apply")(
+      spark, "/root/testdata/sf0.01").collect()
+    val byComp = rows.groupBy(_.getAs[Long]("component"))
+    byComp.foreach { case (c, rs) =>
+      val kept = rs.filter(_.getAs[String]("action") == "kept")
+      assert(kept.length == 1, s"component $c kept ${kept.length} rows")
+      assert(kept.head.getAs[Long]("vec_id") ==
+        kept.head.getAs[Long]("keep_id"),
+        s"component $c keeper must name itself")
+      assert(rs.forall(_.getAs[Long]("keep_id") ==
+        kept.head.getAs[Long]("vec_id")),
+        s"component $c rows disagree on the keeper")
+      assert(rs.forall(_.getAs[Long]("csize") == rs.length),
+        s"component $c csize mismatch")
+    }
+    val byId = rows.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val exactTwins = rows.map(_.getAs[Long]("vec_id"))
+      .filter(id => id < 50 && id % 8 == 0)
+    assert(exactTwins.nonEmpty)
+    exactTwins.foreach { base =>
+      val twin = byId(base + 1000000L)
+      assert(twin.getAs[Long]("component") ==
+        byId(base).getAs[Long]("component"),
+        s"exact twin of $base not in the base's component")
+      assert(twin.getAs[String]("action") == "dropped",
+        s"exact twin of $base must be dropped")
+      assert(twin.getAs[Long]("keep_id") < twin.getAs[Long]("vec_id"),
+        s"exact twin of $base kept over a smaller-id equal-norm copy")
+    }
+  }
 }

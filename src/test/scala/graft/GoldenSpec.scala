@@ -78,6 +78,11 @@ class GoldenSpec extends SparkSpec {
   test("golden: q34_ml_cv_best_params exact rows at sf0.01")(check("q34_ml_cv_best_params"))
   test("golden: q35_ml_cluster_tokens exact rows at sf0.01")(check("q35_ml_cluster_tokens"))
   test("golden: q153_ml_gbt_cv_best_params exact rows at sf0.01")(check("q153_ml_gbt_cv_best_params"))
+  // q169 is the production-probe (approximate-regime) hybrid fusion — the
+  // KMeans cell routing is seeded and the sf0.01 scan is one partition in
+  // every gate config, so the fused page is exact; this pin freezes it
+  // (the DuckDB oracle cannot express the routing — rows-only otherwise)
+  test("golden: q169_hybrid_prod_probe exact rows at sf0.01")(check("q169_hybrid_prod_probe"))
   // STREAMING-side pins for the q18/q48/q56 twins: the stream==batch specs
   // prove equivalence, but both sides could co-drift; these freeze the
   // streaming output itself (same shared session config as StreamGoldenGen)

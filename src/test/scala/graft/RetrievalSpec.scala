@@ -231,4 +231,31 @@ class RetrievalSpec extends SparkSpec {
     assert(sp.contains("topkbyscore") || sp.contains("TopKByScore"),
       "expected the bounded-heap aggregate in the sparse channel plan:\n" + sp)
   }
+
+  test("q169 production-probe fusion: end-to-end overlap with the exact " +
+      "fusion stays above the serving floor at sf0.01") {
+    // q169's in-line monitor gates the DENSE CHANNEL's recall; this is the
+    // end-to-end number a deployment actually cares about — how much of
+    // the exact fused top-10 (q165) the pruned-probe fusion still surfaces.
+    // Measured 0.84 mean / 0.7 min per query at sf0.01 (nProbe=8/16);
+    // floors at 0.6/0.5 so fixture regeneration noise can't flake the
+    // suite while a real routing regression (e.g. probing the wrong
+    // cells → near-zero overlap) still fails loudly.
+    val sf001 = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q165_hybrid_rrf")(spark, sf001)
+      .select("q_id", "doc_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pruned = SparkEntry.queries("q169_hybrid_prod_probe")(spark, sf001)
+      .select("q_id", "doc_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(pruned.keySet == exact.keySet, "query sets must match")
+    val perQ = exact.map { case (q, e) =>
+      q -> pruned(q).intersect(e).size.toDouble / e.size
+    }
+    val mean = perQ.values.sum / perQ.size
+    assert(mean >= 0.6, s"mean fused overlap $mean fell below 0.6: $perQ")
+    perQ.foreach { case (q, o) =>
+      assert(o >= 0.5, s"query $q fused overlap $o fell below 0.5: $perQ")
+    }
+  }
 }
