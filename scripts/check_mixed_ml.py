@@ -20,6 +20,13 @@ ML_QUERIES = [
     "q32_ml_als_recs", "q33_ml_kmeans_embed", "q34_ml_cv_best_params",
     "q35_ml_cluster_tokens", "q37_random_split_counts",
     "q153_ml_gbt_cv_best_params",
+    # the no_oracle APPROXIMATE-ANN row whose only input (embeddings) is
+    # byte-copied into the mixed fixture: the seeded KMeans routing — and
+    # therefore the pruned-probe output — must be cell-identical. (q169
+    # does NOT qualify: its sparse channel reads `documents`, which the
+    # mixed fixture extends with planted docs, legitimately shifting
+    # BM25 ranks and the fusion.)
+    "q164_ivf_prod_probe",
 ]
 
 base, mixed = sys.argv[1], sys.argv[2]
