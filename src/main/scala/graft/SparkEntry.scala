@@ -2114,24 +2114,8 @@ object SparkEntry {
           "target/q170_semdedup_idx", params = "ivf:nlists=8:semdedup") { p =>
         Similarity.buildIvfIndex(corpus, p, nLists = 8)
       }
-      val knn = Similarity.ivfKnnJoinFromIndex(idx, corpus, k = 5, nProbe = 8)
-      val edges = knn.filter(col("sim") >= 0.9)
-        .select(least(col("q_id"), col("n_id")).as("id_a"),
-          greatest(col("q_id"), col("n_id")).as("id_b"))
-        .distinct()
-      val comp = Dedup.componentIds(corpus, "vec_id", edges)
-        .select(col("id").as("vec_id"), col("comp").as("component"))
-      val quality = corpus.select(col("vec_id"),
-        round(VectorFunctions.norm(col("embedding")), 6).as("nrm"))
-      val keep = quality.join(comp, Seq("vec_id"))
-        .groupBy("component")
-        .agg(expr("max_by(vec_id, struct(nrm, -vec_id))").as("keep_id"),
-          count(lit(1)).as("csize"))
-      comp.join(keep, Seq("component"))
-        .select(col("vec_id"), col("component"), col("csize"),
-          when(col("vec_id") === col("keep_id"), "kept")
-            .otherwise("dropped").as("action"),
-          col("keep_id"))
+      Dedup.semanticDedupApply(corpus, "vec_id", "embedding", idx,
+          threshold = 0.9, k = 5, nProbe = 8)
         .orderBy("vec_id")
     }),
 

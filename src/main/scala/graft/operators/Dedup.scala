@@ -714,6 +714,52 @@ object Dedup {
       .select(col("id").as(idCol), col("comp").as("component"))
   }
 
+  /** SemDeDup-style APPLIED semantic dedup: the end-to-end corpus rewrite
+    * an embedding-dedup pipeline ships, composed from this library's
+    * gated stages — (1) the batch kNN graph answered from a PERSISTED IVF
+    * index ([[Similarity.ivfKnnJoinFromIndex]] — the shuffle-on-cell
+    * batch path, q160's scale shape); (2) `threshold` over the 6-dp
+    * cosines → symmetric distinct edge set; (3) [[componentIds]] pointer-
+    * jumping connected components; (4) KEEP-BEST per component — highest
+    * 6-dp vector norm, id-ASC tiebreak — as ONE max_by hash-agg
+    * (map-side partials; never a per-component window).
+    *
+    * Returns the full decision table (idCol, component, csize, action
+    * kept/dropped, keep_id) — every row's fate, so a gate can check each
+    * individual drop; `filter(action = 'kept')` IS the rewrite.
+    *
+    * Scale: with the index built at production geometry (nLists ≈ 2·√N,
+    * bounded nProbe under the [[Similarity.ivfRecallAtK]] floor) every
+    * stage is sub-quadratic — the kNN join probes nProbe/nLists of the
+    * corpus per query, edges are ≤ |corpus|·k rows, the component loop is
+    * O(log diameter) bounded shuffle rounds, and keep-best is one agg.
+    * The caller owns index build/geometry (gates build at exhaustive
+    * probe for exactness; BenchSemDedup measures the production config).
+    */
+  def semanticDedupApply(corpus: DataFrame, idCol: String, vecCol: String,
+                         indexPath: String, threshold: Double, k: Int,
+                         nProbe: Int): DataFrame = {
+    val knn = Similarity.ivfKnnJoinFromIndex(indexPath, corpus, k = k,
+      nProbe = nProbe, idCol = idCol, vecCol = vecCol)
+    val edges = knn.filter(col("sim") >= threshold)
+      .select(least(col("q_id"), col("n_id")).as("id_a"),
+        greatest(col("q_id"), col("n_id")).as("id_b"))
+      .distinct()
+    val comp = componentIds(corpus, idCol, edges)
+      .select(col("id").as(idCol), col("comp").as("component"))
+    val quality = corpus.select(col(idCol),
+      round(V.norm(col(vecCol)), 6).as("nrm"))
+    val keep = quality.join(comp, Seq(idCol))
+      .groupBy("component")
+      .agg(expr(s"max_by($idCol, struct(nrm, -$idCol))").as("keep_id"),
+        count(lit(1)).as("csize"))
+    comp.join(keep, Seq("component"))
+      .select(col(idCol), col("component"), col("csize"),
+        when(col(idCol) === col("keep_id"), "kept")
+          .otherwise("dropped").as("action"),
+        col("keep_id"))
+  }
+
   /** Number of OR-amplified hyperplane tables needed so a pair at EXACTLY
     * cosine `threshold` is missed with probability ≤ `maxMiss`.
     *
