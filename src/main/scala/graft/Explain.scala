@@ -113,6 +113,12 @@ object Explain {
         // table (smell-free).
         "q168_serp_dedup" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q171: the q165/q168 channel shapes (broadcast 1-row stats
+        // crosses + their global aggregates) feeding the chained
+        // dedup → page → MMR pipeline; everything after the channels
+        // works on |queries|-bounded frames.
+        "q171_rag_pipeline" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         // q143: the q69 shape — crossJoin(broadcast(1-row n_tok/n_bg
         // stats)); the SinglePartition exchanges are those frames' own
         // global counts plus the top-50 TakeOrdered merge.

@@ -2316,6 +2316,57 @@ object SparkEntry {
         .orderBy("q_id", "rn")
     }),
 
+    // ---- North-star: the FULL RAG SERVING PIPELINE in one plan ---------
+    // What q165/q168/q166 gate separately, a serving stack runs as one
+    // chain per request: fuse the WIDE candidate page (top-50), drop
+    // already-seen near-dups against the persisted similarity graph,
+    // re-rank the survivors by their original fused order and cut to the
+    // serving page (top-10), then MMR-diversify the final context set.
+    // Every stage works on |queries|-bounded frames after the two channel
+    // scans — the chain adds NO corpus-sized work over q165 alone (the
+    // dedup is one broadcast probe of the stored edge table; the page
+    // window and the MMR greedy see ≤ 50 rows/query). The oracle replays
+    // the whole composition from the SAME single-sourced CTE blocks the
+    // standalone oracles use (ragPipelineOracleSql), so hash-green proves
+    // the stages compose exactly — not just that each works alone.
+    "q171_rag_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val sparse = Retrieval.bm25TopK(docs, "doc_id", "text",
+          hybridQueries, k = hybridChannelK)
+        .select("q_id", "doc_id", "rank")
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 5), k = hybridChannelK)
+        .select(col("q_id").cast("long").as("q_id"),
+          col("n_id").cast("long").as("doc_id"), col("rn").as("rank"))
+      val cand = Retrieval.rrfFuse(sparse, dense, kRrf = hybridRrfK,
+          topK = hybridChannelK)
+        .select("q_id", "doc_id", "rrf", "rn")
+      val g = cachedBuild(dir, "documents.parquet", "target/q171_simgraph",
+          params = s"simidx.v3:jaccard=$simGraphThreshold" +
+            s":w=$simGraphShingleWidth:full") { p =>
+        operators.SimGraphIndex.build(docs.select("doc_id", "text"),
+          "doc_id", "text", p, simGraphThreshold, simGraphShingleWidth)
+      }
+      val deduped = Retrieval.serpDedup(cand.select("q_id", "doc_id", "rn"),
+        operators.SimGraphIndex.edges(s, g))
+      // survivors re-ranked by the ORIGINAL fused rank, cut to the
+      // serving page; the window input is the kept subset of the bounded
+      // candidate page (≤ 50 rows/query) — never corpus-sized
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy("rn")
+      val page = deduped.filter(col("action") === "kept")
+        .join(cand.select("q_id", "doc_id", "rrf"), Seq("q_id", "doc_id"))
+        .withColumn("prn", row_number().over(w))
+        .filter(col("prn") <= hybridTopK)
+        .select(col("q_id"), col("doc_id"), col("rrf").as("rel"))
+      val vectors = emb.select(col("vec_id").as("doc_id"),
+        VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+      Retrieval.mmrRerank(page, vectors, lambdaRel = mmrLambdaRel,
+          lambdaDiv = mmrLambdaDiv, k = mmrK)
+        .orderBy("q_id", "rn")
+    }),
+
     // ---- PROVABLY-EXACT quantized ANN (filter-and-refine) --------------
     // The int8-code filter pass with a rigorous reconstruction-error
     // bound: per-query ε = Σ|q_i|Δ_i/2 gives per-candidate cosine bounds
@@ -4813,23 +4864,26 @@ object SparkEntry {
        SELECT q_id, doc_id, rrf, sp_rank, dn_rank, rn FROM hybrid
        ORDER BY q_id, rn"""
 
-  /** q166 oracle: the greedy MMR recursion UNROLLED into mmrK chained
-    * steps over the fused candidates — step i's argmax is a ROW_NUMBER
-    * over `λ·rel − (1−λ)·maxsim` with maxsim the true (signed) max of
-    * the pairwise 6-dp cosines against the accumulated selection, 0 for
-    * the empty first step; exactly the engine's op order and tiebreak.
-    * Unrolling (vs a recursive CTE) keeps every step a plain window
-    * query — no dialect-specific recursion semantics to trust.
+  /** The greedy MMR recursion UNROLLED into mmrK chained CTE steps over a
+    * `cand(q_id, doc_id, rel)` CTE already in scope — step i's argmax is
+    * a ROW_NUMBER over `λ·rel − (1−λ)·maxsim` with maxsim the true
+    * (signed) max of the pairwise 6-dp cosines against the accumulated
+    * selection, 0 for the empty first step; exactly the engine's op order
+    * and tiebreak. Unrolling (vs a recursive CTE) keeps every step a
+    * plain window query — no dialect-specific recursion semantics to
+    * trust. SHARED by q166 (cand = the fused top-10) and q171 (cand = the
+    * dedup-surviving page), so the two replays cannot drift; callers
+    * append [[mmrUnionSql]] as the final select.
     *
-    * `cand` joins the fused page to the embeddings (`n`) because the
-    * ENGINE's candidate-vector lookup is an INNER join
-    * ([[graft.operators.Retrieval.mmrRerank]]): a fused candidate with
-    * no embedding row is not rerankable and is dropped on both sides.
-    * Scoring a vectorless candidate with maxsim=0 here instead would let
-    * it win picks the engine never makes (divergent at any SF where
+    * `cand` must already be restricted to docs WITH embedding rows
+    * (JOIN `n`) because the ENGINE's candidate-vector lookup is an INNER
+    * join ([[graft.operators.Retrieval.mmrRerank]]): a candidate with no
+    * embedding row is not rerankable and is dropped on both sides.
+    * Scoring a vectorless candidate with maxsim=0 instead would let it
+    * win picks the engine never makes (divergent at any SF where
     * |embeddings| < |documents|, e.g. sf0.1's 2000 vs 5000).
     */
-  private def mmrOracleSql: String = {
+  private def mmrGreedyCtes: String = {
     val steps = (1 to mmrK).map { i =>
       val notPicked =
         if (i == 1) "TRUE"
@@ -4854,12 +4908,7 @@ object SparkEntry {
            WHERE r = 1),
          sel$i AS ($sel)"""
     }.mkString(",\n         ")
-    val union = (1 to mmrK).map(i => s"SELECT * FROM p$i")
-      .mkString(" UNION ALL ")
-    s"""WITH ${hybridFusedCtes()},
-         cand AS (SELECT h.q_id, h.doc_id, h.rrf AS rel
-                  FROM hybrid h JOIN n ON n.vec_id = h.doc_id),
-         cv AS (SELECT c.q_id, c.doc_id, n.v, n.nrm
+    s"""cv AS (SELECT c.q_id, c.doc_id, n.v, n.nrm
                 FROM cand c JOIN n ON n.vec_id = c.doc_id),
          pc AS (
            SELECT a.q_id, a.doc_id AS id_a, b.doc_id AS id_b,
@@ -4867,30 +4916,44 @@ object SparkEntry {
                list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i])),
                (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS sim
            FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.doc_id != b.doc_id),
-         $steps
-       SELECT q_id, doc_id, round(mmr, 6) AS mmr, rn
+         $steps"""
+  }
+
+  /** The final select over [[mmrGreedyCtes]]'s step CTEs. */
+  private def mmrUnionSql: String = {
+    val union = (1 to mmrK).map(i => s"SELECT * FROM p$i")
+      .mkString(" UNION ALL ")
+    s"""SELECT q_id, doc_id, round(mmr, 6) AS mmr, rn
        FROM ($union) ORDER BY q_id, rn"""
   }
 
-  /** q168 oracle: the fused candidate page at the wide cut, pairwise
-    * trigram-Jaccard edges re-derived among the candidate docs only
-    * (edge membership between two docs is independent of the rest of
-    * the corpus, so the restriction is exact — and the quadratic stays
-    * |candidates|²), then the one-pass drop rule: dropped iff some
-    * better-ranked candidate of the same query is a graph neighbor,
-    * dup_of = (rank, doc_id)-lexicographic best such neighbor.
+  /** q166 oracle: [[mmrGreedyCtes]] over the fused top-10. */
+  private def mmrOracleSql: String =
+    s"""WITH ${hybridFusedCtes()},
+         cand AS (SELECT h.q_id, h.doc_id, h.rrf AS rel
+                  FROM hybrid h JOIN n ON n.vec_id = h.doc_id),
+         $mmrGreedyCtes
+       $mmrUnionSql"""
+
+  /** The SERP-dedup drop-rule CTE block over a `candName(q_id, doc_id,
+    * rn)` CTE already in scope: pairwise trigram-Jaccard edges re-derived
+    * among the candidate docs only (edge membership between two docs is
+    * independent of the rest of the corpus, so the restriction is exact —
+    * and the quadratic stays |candidates|²), then the one-pass rule —
+    * dropped iff some better-ranked candidate of the same query is a
+    * graph neighbor, dup_of = (rank, doc_id)-lexicographic best such
+    * neighbor (`bd`). SHARED by q168 and q171 so the two replays cannot
+    * drift. Needs `toks` (from [[hybridFusedCtes]]) in scope.
     */
-  private def serpDedupOracleSql: String =
-    s"""WITH ${hybridFusedCtes(hybridChannelK)},
-         cand AS (SELECT q_id, doc_id, rn FROM hybrid),
-         sh2 AS (
+  private def serpDedupCtes(candName: String): String =
+    s"""sh2 AS (
            SELECT doc_id,
              CASE WHEN len(t) < 3 THEN []::VARCHAR[]
                   ELSE list_distinct(list_transform(range(1, len(t) - 1),
                          i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
              END AS s
            FROM toks
-           WHERE doc_id IN (SELECT DISTINCT doc_id FROM cand)),
+           WHERE doc_id IN (SELECT DISTINCT doc_id FROM $candName)),
          nz2 AS (SELECT doc_id, s FROM sh2 WHERE len(s) > 0),
          cpr AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -4900,8 +4963,8 @@ object SparkEntry {
                  >= $simGraphThreshold),
          dup AS (
            SELECT c.q_id, c.doc_id, e.doc_id AS nb, e.rn AS nb_rn
-           FROM cand c
-           JOIN cand e ON e.q_id = c.q_id AND e.rn < c.rn
+           FROM $candName c
+           JOIN $candName e ON e.q_id = c.q_id AND e.rn < c.rn
            JOIN cpr p ON p.id_a = least(c.doc_id, e.doc_id)
                      AND p.id_b = greatest(c.doc_id, e.doc_id)),
          bd AS (
@@ -4909,7 +4972,15 @@ object SparkEntry {
              SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, doc_id
                       ORDER BY nb_rn, nb) AS r
              FROM dup)
-           WHERE r = 1)
+           WHERE r = 1)"""
+
+  /** q168 oracle: the fused candidate page at the wide cut through
+    * [[serpDedupCtes]]'s drop rule.
+    */
+  private def serpDedupOracleSql: String =
+    s"""WITH ${hybridFusedCtes(hybridChannelK)},
+         cand AS (SELECT q_id, doc_id, rn FROM hybrid),
+         ${serpDedupCtes("cand")}
        SELECT c.q_id, c.doc_id, c.rn,
          CASE WHEN b.dup_of IS NULL THEN 'kept' ELSE 'dropped' END
            AS action,
@@ -4917,6 +4988,46 @@ object SparkEntry {
        FROM cand c LEFT JOIN bd b
          ON b.q_id = c.q_id AND b.doc_id = c.doc_id
        ORDER BY c.q_id, c.rn"""
+
+  /** q171 oracle: the WHOLE serving pipeline replayed in one statement —
+    * the wide fused page (cut = channel k), [[serpDedupCtes]]'s drop
+    * rule, the surviving page re-ranked by the ORIGINAL fused rank and
+    * cut to the serving top-10, then [[mmrGreedyCtes]]'s greedy over the
+    * survivors (vector inner join — q166's exact semantics). Every stage
+    * is the same single-sourced CTE block its standalone oracle uses, so
+    * a hash-green row proves the composition, not a re-derivation.
+    *
+    * The expensive stages are pinned `MATERIALIZED`: DuckDB re-expands
+    * multi-referenced CTEs inside correlated subqueries, and the mmrK
+    * unrolled steps would otherwise re-derive the whole fusion + dedup
+    * chain PER STEP (measured: >10 min at sf0.01 vs 4 s materialized;
+    * semantics unchanged — the hint only pins evaluation count).
+    */
+  private def ragPipelineOracleSql: String = Seq(
+    "hybrid AS (", "cand0 AS (", "bd AS (", "page AS (", "cand AS (",
+    "pc AS (").foldLeft(ragPipelineOracleRaw) { (s, n) =>
+      s.replace(n, n.replace("AS (", "AS MATERIALIZED ("))
+    }
+
+  private def ragPipelineOracleRaw: String =
+    s"""WITH ${hybridFusedCtes(hybridChannelK)},
+         cand0 AS (SELECT q_id, doc_id, rrf, rn FROM hybrid),
+         ${serpDedupCtes("cand0")},
+         keptp AS (
+           SELECT c.q_id, c.doc_id, c.rrf, c.rn
+           FROM cand0 c LEFT JOIN bd b
+             ON b.q_id = c.q_id AND b.doc_id = c.doc_id
+           WHERE b.dup_of IS NULL),
+         page AS (
+           SELECT q_id, doc_id, rrf FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY rn) AS prn
+             FROM keptp)
+           WHERE prn <= $hybridTopK),
+         cand AS (SELECT p.q_id, p.doc_id, p.rrf AS rel
+                  FROM page p JOIN n ON n.vec_id = p.doc_id),
+         $mmrGreedyCtes
+       $mmrUnionSql"""
 
   /** q69/q130 oracle: BM25 re-derived in DuckDB with the SAME double-op
     * order and literals (2.2 = k1+1 and 0.25 = 1-b are literals on BOTH
@@ -7497,6 +7608,9 @@ object SparkEntry {
     // artifacts reproduce the raw-corpus fusion exactly
     "q167_hybrid_from_indexes" -> hybridRrfOracleSql,
     "q168_serp_dedup" -> serpDedupOracleSql,
+    // q171: the composed serving chain replayed from the SAME CTE blocks
+    // as q165/q168/q166's standalone oracles.
+    "q171_rag_pipeline" -> ragPipelineOracleSql,
     "q155_simgraph_incr_components" ->
       ("WITH RECURSIVE " + componentClosureBody("documents",
         simGraphThreshold) + raw"""
