@@ -2119,6 +2119,34 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- North-star: INCREMENTALLY MAINTAINED semantic dedup -----------
+    // q170's nightly-ingest economics (the q162-vs-q161 pattern for the
+    // kNN graph): the index is built on the BASE corpus only, the kNN
+    // graph persisted beside it under the same manifest, and the recrawl
+    // shard (the 50 twins) arrives through appendToKnnGraph — ONE locked
+    // mutation that appends the inverted file AND delta-merges the graph
+    // (stored rows ∪ |old|×|shard| candidates through the same bounded
+    // heap; the standing N² is never recomputed), publishing both
+    // atomically. Decisions are then read from the STORED graph, no
+    // index probe at decision time. Gated against the SAME from-scratch
+    // DuckDB replay as q170 VERBATIM — hash-green proves the delta
+    // maintenance reproduces the full-corpus graph decision-for-decision.
+    "q172_semdedup_incremental" -> ((s, dir) => {
+      val corpus = neardupCorpus(s, dir)
+      val base = corpus.filter(col("vec_id") < 1000000L)
+      val shard = corpus.filter(col("vec_id") >= 1000000L)
+      val idx = cachedBuild(dir, "embeddings.parquet",
+          "target/q172_semdedup_incr",
+          params = "ivf:nlists=8:knngraph:k=5:incr") { p =>
+        Similarity.buildIvfIndex(base, p, nLists = 8)
+        Similarity.buildKnnGraph(s, p, k = 5, nProbe = 8)
+        Similarity.appendToKnnGraph(shard, p, k = 5, nProbe = 8)
+      }
+      Dedup.semanticDedupDecisions(corpus, "vec_id", "embedding",
+          Similarity.knnGraphFromIndex(s, idx), threshold = 0.9)
+        .orderBy("vec_id")
+    }),
+
     // ---- IVF at the PRODUCTION probe setting (approximate regime) ------
     // Every other IVF row gates at exhaustive probe (exactness proof);
     // this is the configuration a deployment actually runs — nProbe=8 of
@@ -7329,6 +7357,10 @@ object SparkEntry {
     // components + keep-best argmax equal the quadratic top-5 +
     // RECURSIVE closure + ranked window, decision for decision.
     "q170_semantic_dedup_apply" -> semDedupOracleSql,
+    // q172: the SAME from-scratch replay — hash-green proves the
+    // build-on-base + delta-append maintained graph reproduces the
+    // full-corpus decisions bit-for-bit (the q162-vs-q161 pattern).
+    "q172_semdedup_incremental" -> semDedupOracleSql,
     // The quantized filter-and-refine round trip must reproduce the exact
     // top-k too: the bound argument makes the survivor set a superset of
     // the true top-k, and the refine pass is the brute-force scoring.

@@ -738,9 +738,21 @@ object Dedup {
     */
   def semanticDedupApply(corpus: DataFrame, idCol: String, vecCol: String,
                          indexPath: String, threshold: Double, k: Int,
-                         nProbe: Int): DataFrame = {
-    val knn = Similarity.ivfKnnJoinFromIndex(indexPath, corpus, k = k,
-      nProbe = nProbe, idCol = idCol, vecCol = vecCol)
+                         nProbe: Int): DataFrame =
+    semanticDedupDecisions(corpus, idCol, vecCol,
+      Similarity.ivfKnnJoinFromIndex(indexPath, corpus, k = k,
+        nProbe = nProbe, idCol = idCol, vecCol = vecCol), threshold)
+
+  /** [[semanticDedupApply]]'s decision stage over an ALREADY-AVAILABLE
+    * kNN graph (q_id, n_id, sim) — the entry point when the graph is a
+    * maintained artifact ([[Similarity.knnGraphFromIndex]], q172's
+    * incremental path) rather than a per-run index probe: threshold →
+    * symmetric edges → components → keep-best, same contract and output
+    * shape as [[semanticDedupApply]].
+    */
+  def semanticDedupDecisions(corpus: DataFrame, idCol: String,
+                             vecCol: String, knn: DataFrame,
+                             threshold: Double): DataFrame = {
     val edges = knn.filter(col("sim") >= threshold)
       .select(least(col("q_id"), col("n_id")).as("id_a"),
         greatest(col("q_id"), col("n_id")).as("id_b"))

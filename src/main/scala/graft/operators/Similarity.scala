@@ -479,7 +479,20 @@ object Similarity {
   def appendToIvfIndex(shard: DataFrame, indexPath: String,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): Unit =
-      MaintenanceIo.withMaintenanceLock(indexPath) {
+    MaintenanceIo.withMaintenanceLock(indexPath) {
+      MaintenanceIo.publish(indexPath,
+        appendToIvfIndexLocked(shard, indexPath, idCol, vecCol))
+    }
+
+  /** [[appendToIvfIndex]]'s body WITHOUT lock or publish — returns the
+    * epoch-bumped manifest for the caller to publish, so a composite
+    * mutation ([[appendToKnnGraph]]) can fold the index append and its
+    * own table swap into ONE atomic publish under ONE lock (same-process
+    * FileLocks don't nest — they throw).
+    */
+  private def appendToIvfIndexLocked(
+      shard: DataFrame, indexPath: String, idCol: String,
+      vecCol: String): MaintenanceIo.Manifest = {
     val spark = shard.sparkSession
     val m = MaintenanceIo.requireManifest(indexPath)
     val e = m.epoch + 1
@@ -503,7 +516,7 @@ object Similarity {
     assigned.withColumn("epoch", lit(e))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexPath/${m.tables("assignments")}")
-    MaintenanceIo.publish(indexPath, m.copy(epoch = e))
+    m.copy(epoch = e)
   }
 
   /** The recall probe the append cadence needs ([[appendToIvfIndex]]
@@ -534,6 +547,111 @@ object Similarity {
     val denom = exact.count()
     if (denom == 0L) 1.0 else row.getLong(0).toDouble / denom
   }
+
+  /** Build and PERSIST the kNN GRAPH over the index's own live vectors:
+    * (q_id, n_id, sim, rn ≤ k) per vector — the SemDeDup candidate
+    * structure (q160's output) as a MAINTAINED artifact instead of a
+    * per-run recompute, stored under the index's OWN manifest so one
+    * snapshot resolves inverted file + graph consistently. At exhaustive
+    * nProbe (== nLists) the stored graph is EXACT regardless of cell
+    * assignment — every cell is probed — which is what makes the
+    * maintained-decisions gate (q172) oracle-checkable; at production
+    * geometry it is the q164-monitored approximate regime.
+    *
+    * Geometry contract: hold `k`/`nProbe` constant across
+    * [[appendToKnnGraph]] calls — the delta merge is only exact against
+    * the build's own geometry.
+    */
+  def buildKnnGraph(spark: SparkSession, indexPath: String, k: Int,
+                    nProbe: Int): Unit =
+    MaintenanceIo.withMaintenanceLock(indexPath) {
+      val m = MaintenanceIo.requireManifest(indexPath)
+      val snap = MaintenanceIo.snapshot(indexPath)
+      val corpus = liveIvfAssignmentsFrom(spark, snap)
+        .select(col("n_id").as("vec_id"), col("v_n").as("embedding"))
+      val graph = ivfProbe(liveIvfAssignmentsFrom(spark, snap),
+        centroidsFrom(spark, indexPath, snap), corpus, k, nProbe,
+        "vec_id", "embedding", broadcastQueries = false)
+      val gen = MaintenanceIo.nextGen(indexPath, "knngraph")
+      graph.write.parquet(s"$indexPath/$gen")
+      MaintenanceIo.publish(indexPath,
+        m.copy(tables = m.tables + ("knngraph" -> gen)))
+    }
+
+  /** The stored kNN graph under the current manifest snapshot. */
+  def knnGraphFromIndex(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(MaintenanceIo.snapshot(indexPath)("knngraph"))
+
+  /** Nightly-ingest DELTA maintenance of index + kNN graph as ONE locked
+    * mutation with a SINGLE publish — a reader snapshot never sees the
+    * shard in the inverted file without its graph rows. The standing
+    * graph is never recomputed; only rows a new vector can change are.
+    *
+    * Exactness (at the build's exhaustive geometry): for an OLD vector v,
+    * top-k over (old ∪ shard) ⊆ stored top-k(v) ∪ {(v, s) : s ∈ shard} —
+    * a non-shard vector outside the stored top-k cannot enter. Merging
+    * the stored rows with the |old|×|shard| candidate sims through the
+    * SAME bounded heap reproduces the from-scratch ranking bit-for-bit
+    * (identical 6-dp sims, identical (sim DESC, id ASC) order). For a
+    * SHARD vector s, top-k over (old ∪ shard) = the pre-append index
+    * probe (s vs old, exact at exhaustive nProbe) merged with the
+    * all-pairs shard×shard sims. q172 gates the composed decisions
+    * against the from-scratch DuckDB replay VERBATIM.
+    *
+    * Cost: one |shard|-query index probe + a broadcast-shard pass over
+    * the standing vectors (|old|·|shard| candidate dots — the shard is
+    * broadcast, the corpus only SCANS) + an O(N·k) graph rewrite — vs
+    * the O(N²/nLists) from-scratch graph recompute. Append-only:
+    * tombstoned indexes must compact first (a stored row's dead neighbor
+    * would need subtree recompute, not a merge — fail loudly instead).
+    */
+  def appendToKnnGraph(shard: DataFrame, indexPath: String, k: Int,
+                       nProbe: Int, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit =
+    MaintenanceIo.withMaintenanceLock(indexPath) {
+      val spark = shard.sparkSession
+      val m0 = MaintenanceIo.requireManifest(indexPath)
+      require(m0.tables.contains("knngraph"),
+        s"$indexPath has no stored kNN graph — buildKnnGraph first")
+      require(!m0.tables.contains("tombstones"),
+        "appendToKnnGraph is append-only — compact tombstones first " +
+          "(a dead stored neighbor needs recompute, not a merge)")
+      val snap = MaintenanceIo.snapshot(indexPath)
+      val oldGraph = spark.read.parquet(snap("knngraph"))
+        .select("q_id", "n_id", "sim")
+      val sh = shard.select(col(idCol).as("s_id"),
+          V.toDoubleArray(col(vecCol)).as("v_s"))
+        .withColumn("nrm_s", V.norm(col("v_s")))
+      // shard → old: probe the PRE-append index (the shard is not in it)
+      val shardVsOld = ivfProbe(liveIvfAssignmentsFrom(spark, snap),
+        centroidsFrom(spark, indexPath, snap), shard, k, nProbe,
+        idCol, vecCol).select("q_id", "n_id", "sim")
+      // shard → shard: all pairs, broadcast (the nightly-shard regime)
+      val shardVsShard = sh.crossJoin(broadcast(
+          sh.select(col("s_id").as("n_id"), col("v_s").as("v_n"),
+            col("nrm_s").as("nrm_n"))))
+        .filter(col("s_id") =!= col("n_id"))
+        .select(col("s_id").as("q_id"), col("n_id"),
+          round(V.dot(col("v_s"), col("v_n")) /
+            (col("nrm_s") * col("nrm_n")), 6).as("sim"))
+      // old → shard: every standing vector's candidate sims to the shard
+      val oldCand = liveIvfAssignmentsFrom(spark, snap)
+        .select(col("n_id").as("q_id"), col("v_n").as("v_q"),
+          col("nrm_n").as("nrm_q"))
+        .crossJoin(broadcast(sh))
+        .select(col("q_id"), col("s_id").as("n_id"),
+          round(V.dot(col("v_q"), col("v_s")) /
+            (col("nrm_q") * col("nrm_s")), 6).as("sim"))
+      val merged = topKReduce(oldGraph.unionByName(oldCand), k)
+        .unionByName(topKReduce(shardVsOld.unionByName(shardVsShard), k))
+      val gen = MaintenanceIo.nextGen(indexPath, "knngraph")
+      // materialize the merged graph BEFORE the index append mutates the
+      // assignments dir the probe plan reads from
+      merged.write.parquet(s"$indexPath/$gen")
+      val m1 = appendToIvfIndexLocked(shard, indexPath, idCol, vecCol)
+      MaintenanceIo.publish(indexPath,
+        m1.copy(tables = m1.tables + ("knngraph" -> gen)))
+    }
 
   /** Build and PERSIST the QUANTIZED refine index: the [[buildIvfIndex]]
     * layout plus per-vector int8 codes ([[V.quantizeInt8]] against

@@ -939,6 +939,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(probe() == full, "compaction changed the re-appended result")
   }
 
+  test("kNN-graph maintenance: build-on-base + two delta appends == the " +
+      "from-scratch graph, row for row; contracts enforced") {
+    val emb = Tables.embeddings(spark, sf0001).select(col("vec_id"),
+      graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
+        .as("embedding"))
+    val base = emb.filter(col("vec_id") % 5 > 1)
+    val shard1 = emb.filter(col("vec_id") % 5 === 0)
+    val shard2 = emb.filter(col("vec_id") % 5 === 1)
+    val p = java.nio.file.Files.createTempDirectory("knng_incr").toString
+    Similarity.buildIvfIndex(base, p, nLists = 4)
+    intercept[IllegalArgumentException] {
+      // graph append before a graph build must fail loudly
+      Similarity.appendToKnnGraph(shard1, p, k = 3, nProbe = 4)
+    }
+    Similarity.buildKnnGraph(spark, p, k = 3, nProbe = 4)
+    Similarity.appendToKnnGraph(shard1, p, k = 3, nProbe = 4)
+    Similarity.appendToKnnGraph(shard2, p, k = 3, nProbe = 4)
+    val maintained = Similarity.knnGraphFromIndex(spark, p)
+      .orderBy("q_id", "rn").collect().toSeq
+    val p2 = java.nio.file.Files.createTempDirectory("knng_full").toString
+    Similarity.buildIvfIndex(emb, p2, nLists = 4)
+    Similarity.buildKnnGraph(spark, p2, k = 3, nProbe = 4)
+    val scratch = Similarity.knnGraphFromIndex(spark, p2)
+      .orderBy("q_id", "rn").collect().toSeq
+    // exhaustive probe (nProbe == nLists) → both graphs are exact
+    // brute-force top-3, so the delta merge must match BIT FOR BIT
+    // (same 6-dp sims, same tie order) regardless of cell assignment
+    assert(maintained == scratch,
+      "delta-maintained kNN graph diverged from the from-scratch graph")
+    // append-only contract: a tombstoned index must refuse graph appends
+    Similarity.deleteFromIvfIndex(
+      emb.filter(col("vec_id") === 2).select("vec_id"), p)
+    intercept[IllegalArgumentException] {
+      Similarity.appendToKnnGraph(shard1, p, k = 3, nProbe = 4)
+    }
+  }
+
   test("q170 applied semantic dedup: exact twins are dropped, each " +
       "component keeps exactly one representative") {
     // The hash gate freezes every decision against the DuckDB replay;
