@@ -60,6 +60,13 @@ if [ "${SPARK_GRAFT_GATE_BENCH:-1}" = "1" ]; then
   # structured gate bench at a stable root path the judge can read
   # without digging into bench/.
   cp "$GATE_BENCH_OUT" BENCH_SUMMARY.json
+  # Round-stamp the artifact so bench_diff's base resolution finds the
+  # PREVIOUS round next time (r17 false alarm: rounds 14-16 wrote only
+  # the shared gate path, so the resolver fell back to bench_r13.json
+  # and flagged three rounds of accumulated drift as one regression).
+  LAST=$(ls CORRECTNESS_r*.json 2>/dev/null |
+    grep -oP 'r\K\d+' | sort -n | tail -1)
+  [ -n "$LAST" ] && cp "$GATE_BENCH_OUT" "bench/bench_r$((LAST + 1)).json"
   REQUIRE_MEDIAN=""
   [ "$REPEAT" -ge 3 ] && REQUIRE_MEDIAN="--require-median"
   python3 scripts/bench_diff.py "$GATE_BENCH_OUT" $REQUIRE_MEDIAN \
