@@ -26,7 +26,7 @@ ML_QUERIES = [
     # does NOT qualify: its sparse channel reads `documents`, which the
     # mixed fixture extends with planted docs, legitimately shifting
     # BM25 ranks and the fusion.)
-    "q164_ivf_prod_probe",
+    "q164_ivf_prod_probe", "q173_semdedup_prod_probe",
 ]
 
 base, mixed = sys.argv[1], sys.argv[2]

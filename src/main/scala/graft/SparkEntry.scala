@@ -2147,6 +2147,46 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- SEMANTIC DEDUP at the PRODUCTION probe setting ----------------
+    // q170/q172 gate the exhaustive configuration (exact graph → the
+    // DuckDB replay); THIS row is the geometry a 100 TB dedup run uses —
+    // nLists=16 probed at nProbe=8 — with the monitor that matters for
+    // DEDUP enforced in-line: not channel recall (q164/q169's serving
+    // proxy) but DECISION recall — the pruned run must still make ≥ 90 %
+    // of the drops the exhaustive run makes over the SAME index
+    // (BenchSemDedup measured 100 % at x1/x10/x100; the floor fails
+    // loudly on quantizer/fixture drift before a degraded dedup ships a
+    // duplicate-ridden corpus). At 100 TB the exhaustive side is a
+    // SAMPLED audit, not a full pass — the gate fixture is small enough
+    // to audit exactly. Output is the production decisions: rows-only
+    // for the driver (seeded KMeans routing), frozen by the GoldenSpec
+    // pin.
+    "q173_semdedup_prod_probe" -> ((s, dir) => {
+      val corpus = neardupCorpus(s, dir)
+      val idx = cachedBuild(dir, "embeddings.parquet",
+          "target/q173_semdedup_prod",
+          params = "ivf:nlists=16:semdedup-prod") { p =>
+        Similarity.buildIvfIndex(corpus, p, nLists = 16)
+      }
+      def decisions(nProbe: Int) = Dedup.semanticDedupApply(
+        corpus, "vec_id", "embedding", idx, threshold = 0.9, k = 5,
+        nProbe = nProbe)
+      val exactDrops = decisions(nProbe = 16) // exhaustive on this index
+        .filter(col("action") === "dropped").select("vec_id")
+      val prod = decisions(nProbe = 8)
+      val nExact = exactDrops.count()
+      val caught = prod.filter(col("action") === "dropped")
+        .join(exactDrops, Seq("vec_id"), "left_semi").count()
+      val dropRecall = if (nExact == 0L) 1.0 else caught.toDouble / nExact
+      System.err.println(f"[q173] decision recall at nProbe=8/nLists=16: " +
+        f"$dropRecall%.4f ($caught/$nExact)")
+      require(dropRecall >= 0.90,
+        f"q173: production-probe decision recall = $dropRecall%.4f fell " +
+          "below the 0.90 dedup floor — recluster before running the " +
+          "rewrite at this geometry")
+      prod.orderBy("vec_id")
+    }),
+
     // ---- IVF at the PRODUCTION probe setting (approximate regime) ------
     // Every other IVF row gates at exhaustive probe (exactness proof);
     // this is the configuration a deployment actually runs — nProbe=8 of

@@ -83,6 +83,9 @@ class GoldenSpec extends SparkSpec {
   // every gate config, so the fused page is exact; this pin freezes it
   // (the DuckDB oracle cannot express the routing — rows-only otherwise)
   test("golden: q169_hybrid_prod_probe exact rows at sf0.01")(check("q169_hybrid_prod_probe"))
+  // q173: the production-probe dedup decisions (same seeded-routing
+  // argument as q169; the in-line decision-recall floor rides the query)
+  test("golden: q173_semdedup_prod_probe exact rows at sf0.01")(check("q173_semdedup_prod_probe"))
   // STREAMING-side pins for the q18/q48/q56 twins: the stream==batch specs
   // prove equivalence, but both sides could co-drift; these freeze the
   // streaming output itself (same shared session config as StreamGoldenGen)
