@@ -2147,6 +2147,35 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- North-star: kNN-graph TAKEDOWN (delete + targeted repair) -----
+    // The licence-revocation path completing the maintained graph's
+    // build/append/delete lifecycle: victims tombstone out of the
+    // inverted file AND their graph rows drop in ONE atomic publish,
+    // with exactly the affected vertices repaired — a stored top-k only
+    // changes if it CONTAINED a deleted neighbor (losing one promotes
+    // the (k+1)th candidate, which the stored graph doesn't have), so
+    // those vertices (≤ k·|deleted|) re-probe the live index and
+    // everyone else's rows are provably untouched. Decisions over the
+    // remaining corpus then read the repaired graph; gated against the
+    // from-scratch replay ON THE REMAINING CORPUS (same predicate both
+    // sides) — hash-green proves the targeted repair equals a rebuild.
+    "q174_semdedup_delete" -> ((s, dir) => {
+      val corpus = neardupCorpus(s, dir)
+      val victims = corpus.filter(pmod(col("vec_id"), lit(10)) === 3)
+      val live = corpus.filter(pmod(col("vec_id"), lit(10)) =!= 3)
+      val idx = cachedBuild(dir, "embeddings.parquet",
+          "target/q174_semdedup_del",
+          params = "ivf:nlists=8:knngraph:k=5:del") { p =>
+        Similarity.buildIvfIndex(corpus, p, nLists = 8)
+        Similarity.buildKnnGraph(s, p, k = 5, nProbe = 8)
+        Similarity.deleteFromKnnGraph(victims.select("vec_id"), p,
+          k = 5, nProbe = 8)
+      }
+      Dedup.semanticDedupDecisions(live, "vec_id", "embedding",
+          Similarity.knnGraphFromIndex(s, idx), threshold = 0.9)
+        .orderBy("vec_id")
+    }),
+
     // ---- SEMANTIC DEDUP at the PRODUCTION probe setting ----------------
     // q170/q172 gate the exhaustive configuration (exact graph → the
     // DuckDB replay); THIS row is the geometry a 100 TB dedup run uses —
@@ -4739,8 +4768,14 @@ object SparkEntry {
     * over (round(nrm,6) DESC, vec_id) — exactly the engine's
     * max_by(vec_id, struct(nrm, -vec_id)).
     */
-  private val semDedupOracleSql: String =
-    """WITH RECURSIVE b AS (
+  private val semDedupOracleSql: String = semDedupOracleSqlOn("TRUE")
+
+  /** The q170/q172/q174 replay with the corpus restricted to `where`
+    * (q174: the post-takedown remaining corpus — twins and bases filter
+    * by the same predicate on BOTH sides).
+    */
+  private def semDedupOracleSqlOn(where: String): String =
+    s"""WITH RECURSIVE b AS (
            SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
@@ -4751,12 +4786,13 @@ object SparkEntry {
            FROM (SELECT vec_id, v, CAST(vec_id % 8 AS DOUBLE) / 20 AS a
                  FROM b WHERE vec_id < 50)),
          allv AS (SELECT * FROM b UNION ALL SELECT * FROM tw),
+         liv AS (SELECT * FROM allv WHERE $where),
          n AS (
            SELECT vec_id, v,
              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                list_transform(range(1, len(v)+1), i -> v[i] * v[i])),
                (acc, x) -> acc + x)) AS nrm
-           FROM allv),
+           FROM liv),
          scored AS (
            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
              round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -4774,7 +4810,7 @@ object SparkEntry {
            FROM knn WHERE sim >= 0.9),
          und AS (SELECT u, v FROM eg UNION SELECT v AS u, u AS v FROM eg),
          reach AS (
-           SELECT vec_id AS src, vec_id AS dst FROM allv
+           SELECT vec_id AS src, vec_id AS dst FROM liv
            UNION
            SELECT r.src, e.v FROM reach r JOIN und e ON r.dst = e.u),
          comp AS (
@@ -7401,6 +7437,10 @@ object SparkEntry {
     // build-on-base + delta-append maintained graph reproduces the
     // full-corpus decisions bit-for-bit (the q162-vs-q161 pattern).
     "q172_semdedup_incremental" -> semDedupOracleSql,
+    // q174: the same replay restricted to the post-takedown corpus —
+    // hash-green proves the targeted graph repair equals a full rebuild
+    // over the remaining vectors.
+    "q174_semdedup_delete" -> semDedupOracleSqlOn("NOT (vec_id % 10 = 3)"),
     // The quantized filter-and-refine round trip must reproduce the exact
     // top-k too: the bound argument makes the survivor set a superset of
     // the true top-k, and the refine pass is the brute-force scoring.

@@ -354,16 +354,27 @@ object Similarity {
   def deleteFromIvfIndex(ids: DataFrame, indexPath: String,
                          idCol: String = "vec_id"): Unit =
     MaintenanceIo.withMaintenanceLock(indexPath) {
-      val m = MaintenanceIo.requireManifest(indexPath)
-      val e = m.epoch + 1
-      val ts = m.tables.getOrElse("tombstones",
-        MaintenanceIo.nextGen(indexPath, "tombstones"))
-      ids.select(col(idCol).as("n_id")).distinct()
-        .withColumn("epoch", lit(e))
-        .write.mode("append").parquet(s"$indexPath/$ts")
       MaintenanceIo.publish(indexPath,
-        MaintenanceIo.Manifest(e, m.tables + ("tombstones" -> ts)))
+        deleteFromIvfIndexLocked(ids, indexPath, idCol))
     }
+
+  /** [[deleteFromIvfIndex]]'s body WITHOUT lock or publish (the
+    * [[appendToIvfIndexLocked]] pattern) — so [[deleteFromKnnGraph]] can
+    * fold the tombstone write and the graph repair into ONE atomic
+    * publish under ONE lock.
+    */
+  private def deleteFromIvfIndexLocked(
+      ids: DataFrame, indexPath: String,
+      idCol: String): MaintenanceIo.Manifest = {
+    val m = MaintenanceIo.requireManifest(indexPath)
+    val e = m.epoch + 1
+    val ts = m.tables.getOrElse("tombstones",
+      MaintenanceIo.nextGen(indexPath, "tombstones"))
+    ids.select(col(idCol).as("n_id")).distinct()
+      .withColumn("epoch", lit(e))
+      .write.mode("append").parquet(s"$indexPath/$ts")
+    MaintenanceIo.Manifest(e, m.tables + ("tombstones" -> ts))
+  }
 
   /** Fold tombstones into the stored inverted file: rewrite the
     * assignments minus tombstoned rows (cell-partitioned as built, so
@@ -649,6 +660,57 @@ object Similarity {
       // assignments dir the probe plan reads from
       merged.write.parquet(s"$indexPath/$gen")
       val m1 = appendToIvfIndexLocked(shard, indexPath, idCol, vecCol)
+      MaintenanceIo.publish(indexPath,
+        m1.copy(tables = m1.tables + ("knngraph" -> gen)))
+    }
+
+  /** Takedown DELETE from index + kNN graph as ONE locked mutation with
+    * a SINGLE publish (completing the graph's build/append/delete
+    * lifecycle): tombstone the ids in the inverted file, drop their
+    * graph rows, and REPAIR exactly the vertices the deletion can
+    * change — a stored top-k is provably unchanged unless it CONTAINED a
+    * deleted neighbor (removal of a non-top-k vector cannot promote
+    * anything), and an affected vertex's new k-th candidate is not in
+    * the stored graph, so those vertices (and only those) re-probe the
+    * LIVE index. Cost: one |affected|-query probe (|affected| ≤
+    * k·|deleted|) + an O(N·k) graph rewrite — the standing N² is never
+    * recomputed. q174 gates the result against the from-scratch replay
+    * over the remaining corpus VERBATIM.
+    *
+    * Same geometry contract as [[appendToKnnGraph]]; `ids` = one column
+    * of vector ids (any name).
+    */
+  def deleteFromKnnGraph(ids: DataFrame, indexPath: String, k: Int,
+                         nProbe: Int): Unit =
+    MaintenanceIo.withMaintenanceLock(indexPath) {
+      val spark = ids.sparkSession
+      val m0 = MaintenanceIo.requireManifest(indexPath)
+      require(m0.tables.contains("knngraph"),
+        s"$indexPath has no stored kNN graph — buildKnnGraph first")
+      val snap = MaintenanceIo.snapshot(indexPath)
+      val oldGraph = spark.read.parquet(snap("knngraph"))
+      val del = ids.select(col(ids.columns.head).as("del_id")).distinct()
+      val affected = oldGraph
+        .join(del, oldGraph("n_id") === del("del_id"), "left_semi")
+        .select(col("q_id").as("aff_id")).distinct()
+        .join(del, col("aff_id") === col("del_id"), "left_anti")
+      val m1 = deleteFromIvfIndexLocked(
+        del.select(col("del_id").as("vec_id")), indexPath, "vec_id")
+      val snap1 = m1.tables.view.mapValues(g => s"$indexPath/$g").toMap
+      val liveAsg = liveIvfAssignmentsFrom(spark, snap1)
+      val affectedQ = liveAsg
+        .join(affected, liveAsg("n_id") === affected("aff_id"), "left_semi")
+        .select(col("n_id").as("vec_id"), col("v_n").as("embedding"))
+      val reprobed = ivfProbe(liveAsg,
+        centroidsFrom(spark, indexPath, snap1), affectedQ, k, nProbe,
+        "vec_id", "embedding", broadcastQueries = false)
+      val keepRows = oldGraph
+        .join(del, oldGraph("q_id") === del("del_id"), "left_anti")
+        .join(affected, col("q_id") === col("aff_id"), "left_anti")
+      val gen = MaintenanceIo.nextGen(indexPath, "knngraph")
+      keepRows.select("q_id", "n_id", "sim", "rn")
+        .unionByName(reprobed.select("q_id", "n_id", "sim", "rn"))
+        .write.parquet(s"$indexPath/$gen")
       MaintenanceIo.publish(indexPath,
         m1.copy(tables = m1.tables + ("knngraph" -> gen)))
     }

@@ -976,6 +976,37 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kNN-graph delete: targeted repair == the from-scratch graph on " +
+      "the remaining corpus, row for row") {
+    val emb = Tables.embeddings(spark, sf0001).select(col("vec_id"),
+      graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
+        .as("embedding"))
+    val p = java.nio.file.Files.createTempDirectory("knng_del").toString
+    graft.operators.Similarity.buildIvfIndex(emb, p, nLists = 4)
+    graft.operators.Similarity.buildKnnGraph(spark, p, k = 3, nProbe = 4)
+    val victims = emb.filter(col("vec_id") % 7 === 2).select("vec_id")
+    graft.operators.Similarity.deleteFromKnnGraph(victims, p,
+      k = 3, nProbe = 4)
+    val maintained = graft.operators.Similarity
+      .knnGraphFromIndex(spark, p)
+      .orderBy("q_id", "rn").collect().toSeq
+    val p2 = java.nio.file.Files.createTempDirectory("knng_del2").toString
+    graft.operators.Similarity.buildIvfIndex(
+      emb.filter(col("vec_id") % 7 =!= 2), p2, nLists = 4)
+    graft.operators.Similarity.buildKnnGraph(spark, p2, k = 3, nProbe = 4)
+    val scratch = graft.operators.Similarity
+      .knnGraphFromIndex(spark, p2)
+      .orderBy("q_id", "rn").collect().toSeq
+    assert(maintained == scratch,
+      "post-delete repaired kNN graph diverged from the from-scratch " +
+        "graph over the remaining corpus")
+    // deleting an id the index never held is harmless
+    graft.operators.Similarity.deleteFromKnnGraph(
+      Seq(999999999L).toDF("vec_id"), p, k = 3, nProbe = 4)
+    assert(graft.operators.Similarity.knnGraphFromIndex(spark, p)
+      .orderBy("q_id", "rn").collect().toSeq == scratch)
+  }
+
   test("q170 applied semantic dedup: exact twins are dropped, each " +
       "component keeps exactly one representative") {
     // The hash gate freezes every decision against the DuckDB replay;
