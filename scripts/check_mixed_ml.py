@@ -22,9 +22,9 @@ ML_QUERIES = [
     "q153_ml_gbt_cv_best_params",
     # the no_oracle APPROXIMATE-ANN row whose only input (embeddings) is
     # byte-copied into the mixed fixture: the seeded KMeans routing — and
-    # therefore the pruned-probe output — must be cell-identical. (q169
-    # does NOT qualify: its sparse channel reads `documents`, which the
-    # mixed fixture extends with planted docs, legitimately shifting
+    # therefore the pruned-probe output — must be cell-identical. (q169 /
+    # q175 do NOT qualify: their sparse channel reads `documents`, which
+    # the mixed fixture extends with planted docs, legitimately shifting
     # BM25 ranks and the fusion.)
     "q164_ivf_prod_probe", "q173_semdedup_prod_probe",
 ]

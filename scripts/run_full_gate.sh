@@ -64,9 +64,20 @@ if [ "${SPARK_GRAFT_GATE_BENCH:-1}" = "1" ]; then
   # PREVIOUS round next time (r17 false alarm: rounds 14-16 wrote only
   # the shared gate path, so the resolver fell back to bench_r13.json
   # and flagged three rounds of accumulated drift as one regression).
-  LAST=$(ls CORRECTNESS_r*.json 2>/dev/null |
-    grep -oP 'r\K\d+' | sort -n | tail -1)
-  [ -n "$LAST" ] && cp "$GATE_BENCH_OUT" "bench/bench_r$((LAST + 1)).json"
+  # SPARK_GRAFT_ROUND pins the stamp explicitly; the fallback counts
+  # CORRECTNESS files, with `|| true` inside the substitution so an
+  # empty match (fresh checkout — grep exits 1 on no input, pipefail
+  # propagates into the assignment) degrades to "no stamp" instead of
+  # aborting the whole gate under set -euo pipefail (round-17 advice).
+  if [ -n "${SPARK_GRAFT_ROUND:-}" ]; then
+    cp "$GATE_BENCH_OUT" "bench/bench_r${SPARK_GRAFT_ROUND}.json"
+  else
+    LAST=$(ls CORRECTNESS_r*.json 2>/dev/null |
+      grep -oP 'r\K\d+' | sort -n | tail -1 || true)
+    if [ -n "$LAST" ]; then
+      cp "$GATE_BENCH_OUT" "bench/bench_r$((LAST + 1)).json"
+    fi
+  fi
   REQUIRE_MEDIAN=""
   [ "$REPEAT" -ge 3 ] && REQUIRE_MEDIAN="--require-median"
   python3 scripts/bench_diff.py "$GATE_BENCH_OUT" $REQUIRE_MEDIAN \

@@ -67,9 +67,9 @@ object Explain {
         // queries x nLists-row stored-centroid broadcast cross.
         "q159_ivf_recluster" -> Set("BroadcastNestedLoopJoin"),
         // q164: the identical coarse-probe cross (50 query rows x the
-        // 16-row stored centroid table) at production nProbe — plus the
-        // in-query ivfRecallAtK probe, which routes through the same
-        // shape before the recall floor is enforced.
+        // 16-row stored centroid table) at production nProbe; the recall
+        // floor reads the build-time certificate (one 1-row parquet),
+        // so no audit subplan rides the serving query anymore.
         "q164_ivf_prod_probe" -> Set("BroadcastNestedLoopJoin"),
         // q160: the same broadcast centroid cross — here the query side
         // is the whole corpus, but the broadcast side is still the
@@ -103,10 +103,15 @@ object Explain {
         // q169: q167's two channel shapes exactly (stored-index BM25's
         // broadcast 1-row stats cross + its global aggregate, and the
         // queries x 16-row stored-centroid coarse-probe cross), here at
-        // production nProbe — plus the in-query ivfRecallAtK probe,
-        // which routes through the same centroid cross before the
-        // recall floor is enforced.
+        // production nProbe; the dense-channel recall floor reads the
+        // build-time certificate — no audit subplan in the serving query.
         "q169_hybrid_prod_probe" ->
+          Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
+        // q175: the q169 channel shapes feeding the q171 chained
+        // dedup → page → MMR pipeline, all from stored artifacts at
+        // production nProbe; everything after the two index probes works
+        // on |queries|-bounded frames.
+        "q175_rag_prod_pipeline" ->
           Set("BroadcastNestedLoopJoin", "SinglePartition-exchange"),
         // q168: the same two channel shapes feeding the candidate page;
         // the dedup itself is broadcast candidate probes into the edge

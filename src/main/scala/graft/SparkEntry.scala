@@ -2180,67 +2180,70 @@ object SparkEntry {
     // q170/q172 gate the exhaustive configuration (exact graph → the
     // DuckDB replay); THIS row is the geometry a 100 TB dedup run uses —
     // nLists=16 probed at nProbe=8 — with the monitor that matters for
-    // DEDUP enforced in-line: not channel recall (q164/q169's serving
-    // proxy) but DECISION recall — the pruned run must still make ≥ 90 %
-    // of the drops the exhaustive run makes over the SAME index
-    // (BenchSemDedup measured 100 % at x1/x10/x100; the floor fails
-    // loudly on quantizer/fixture drift before a degraded dedup ships a
-    // duplicate-ridden corpus). At 100 TB the exhaustive side is a
-    // SAMPLED audit, not a full pass — the gate fixture is small enough
-    // to audit exactly. Output is the production decisions: rows-only
-    // for the driver (seeded KMeans routing), frozen by the GoldenSpec
-    // pin.
+    // DEDUP read from the PERSISTED DECISION CERTIFICATE (round-17
+    // verdict #1): not channel recall (q164/q169's serving proxy) but
+    // DECISION recall — the pruned run must still make ≥ 90 % of the
+    // drops the exhaustive run makes over the SAME index. The exhaustive
+    // audit runs ONCE at certification time (Dedup.certifyDecisionRecall,
+    // in the cachedBuild alongside the index; its published cert rides
+    // the manifest), and the production run only ASSERTS the stored
+    // number — floor + epoch freshness + (θ, k, nProbe) — via one 1-row
+    // read; a mutation without re-certification fails loudly on the
+    // stale epoch before a degraded dedup ships a duplicate-ridden
+    // corpus. At 100 TB the certification audit is SAMPLED; the gate
+    // fixture is small enough to audit exactly. Output is the production
+    // decisions: rows-only for the driver (seeded KMeans routing),
+    // frozen by the GoldenSpec pin.
     "q173_semdedup_prod_probe" -> ((s, dir) => {
       val corpus = neardupCorpus(s, dir)
       val idx = cachedBuild(dir, "embeddings.parquet",
           "target/q173_semdedup_prod",
-          params = "ivf:nlists=16:semdedup-prod") { p =>
+          params = "ivf:nlists=16:semdedup-prod:dcert=t0.9k5p8") { p =>
         Similarity.buildIvfIndex(corpus, p, nLists = 16)
+        Dedup.certifyDecisionRecall(s, p, threshold = 0.9, k = 5,
+          nProbe = 8)
       }
-      def decisions(nProbe: Int) = Dedup.semanticDedupApply(
-        corpus, "vec_id", "embedding", idx, threshold = 0.9, k = 5,
-        nProbe = nProbe)
-      val exactDrops = decisions(nProbe = 16) // exhaustive on this index
-        .filter(col("action") === "dropped").select("vec_id")
-      val prod = decisions(nProbe = 8)
-      val nExact = exactDrops.count()
-      val caught = prod.filter(col("action") === "dropped")
-        .join(exactDrops, Seq("vec_id"), "left_semi").count()
-      val dropRecall = if (nExact == 0L) 1.0 else caught.toDouble / nExact
-      System.err.println(f"[q173] decision recall at nProbe=8/nLists=16: " +
-        f"$dropRecall%.4f ($caught/$nExact)")
-      require(dropRecall >= 0.90,
-        f"q173: production-probe decision recall = $dropRecall%.4f fell " +
-          "below the 0.90 dedup floor — recluster before running the " +
-          "rewrite at this geometry")
-      prod.orderBy("vec_id")
+      val dropRecall = Dedup.requireCertifiedDecisionRecall(s, idx,
+        threshold = 0.9, k = 5, nProbe = 8, floor = 0.90)
+      System.err.println(f"[q173] certified decision recall at " +
+        f"nProbe=8/nLists=16: $dropRecall%.4f")
+      Dedup.semanticDedupApply(corpus, "vec_id", "embedding", idx,
+          threshold = 0.9, k = 5, nProbe = 8)
+        .orderBy("vec_id")
     }),
 
     // ---- IVF at the PRODUCTION probe setting (approximate regime) ------
     // Every other IVF row gates at exhaustive probe (exactness proof);
     // this is the configuration a deployment actually runs — nProbe=8 of
     // nLists=16, so the cell-pruned scan reads ~half the stored files —
-    // benched WITH its safety net: recall@10 is MEASURED on a 50-query
-    // sample against in-index brute force (ivfRecallAtK) and the
-    // application floor enforced in-line, so a quantizer/fixture drift
-    // that degrades recall fails the row loudly instead of benching a
-    // fast-but-wrong scan (round-14 ask #6). Output is the seeded
-    // approximate top-k: deterministic, rows-only for the driver (no SQL
-    // oracle can express the KMeans routing; the exactness side is
-    // already oracle-gated by q52/q92/q122).
+    // WITH its safety net read from the PERSISTED RECALL CERTIFICATE
+    // (round-17 verdict #1): recall@10 is measured ONCE at build time on
+    // the deterministic id-hash query sample, published in the same
+    // atomic manifest swap as the index, and the serving query only
+    // ASSERTS the stored certificate — floor + epoch freshness + geometry
+    // — via one 1-row parquet read. A quantizer/fixture drift that
+    // degrades recall fails the BUILD loudly; a mutation without a fresh
+    // cert fails the SERVE loudly (stale epoch); and the per-query
+    // corpus-linear brute-force audit the old in-line recall probe paid
+    // is gone from the serving path entirely (DeterminismLintSpec pins
+    // that no serving query calls it). Output is the seeded approximate
+    // top-k: deterministic, rows-only for the driver (no SQL oracle can
+    // express the KMeans routing; the exactness side is already
+    // oracle-gated by q52/q92/q122).
     "q164_ivf_prod_probe" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idx = cachedBuild(dir, "embeddings.parquet",
-          "target/q164_ivf_prod", params = "ivf:nlists=16:prod") { p =>
-        Similarity.buildIvfIndex(emb, p, nLists = 16)
+          "target/q164_ivf_prod",
+          params = "ivf:nlists=16:prod:cert=k10p8") { p =>
+        Similarity.buildIvfIndex(emb, p, nLists = 16,
+          cert = Some(Similarity.RecallCertSpec(k = 10, nProbe = 8)))
       }
-      val queries = emb.filter(col("vec_id") < 50)
-      val recall = Similarity.ivfRecallAtK(idx, queries, k = 10, nProbe = 8)
-      System.err.println(f"[q164] recall@10 at nProbe=8/nLists=16: $recall%.4f")
-      require(recall >= 0.70,
-        f"q164: production-probe recall@10 = $recall%.4f fell below the " +
-          "0.70 application floor — recluster before serving this index")
-      Similarity.ivfTopKFromIndex(idx, queries, k = 10, nProbe = 8)
+      val recall = Similarity.requireCertifiedRecall(s, idx, k = 10,
+        nProbe = 8, floor = 0.70)
+      System.err.println(
+        f"[q164] certified recall@10 at nProbe=8/nLists=16: $recall%.4f")
+      Similarity.ivfTopKFromIndex(idx, emb.filter(col("vec_id") < 50),
+          k = 10, nProbe = 8)
         .orderBy("q_id", "rn")
     }),
 
@@ -2327,18 +2330,20 @@ object SparkEntry {
         operators.InvertedIndex.buildIndex(docs, p)
       }
       val ivfIdx = cachedBuild(dir, "embeddings.parquet",
-          "target/q169_ivf_idx", params = "ivf:nlists=16:hybridprod") { p =>
-        Similarity.buildIvfIndex(emb, p, nLists = 16)
+          "target/q169_ivf_idx",
+          params = s"ivf:nlists=16:hybridprod:cert=k${hybridChannelK}p8") { p =>
+        Similarity.buildIvfIndex(emb, p, nLists = 16,
+          cert = Some(Similarity.RecallCertSpec(k = hybridChannelK,
+            nProbe = 8)))
       }
       val denseQ = emb.filter(col("vec_id") < 5)
-      val recall = Similarity.ivfRecallAtK(ivfIdx, denseQ,
-        k = hybridChannelK, nProbe = 8)
-      System.err.println(f"[q169] dense recall@$hybridChannelK at " +
-        f"nProbe=8/nLists=16: $recall%.4f")
-      require(recall >= 0.70,
-        f"q169: production-probe dense recall@$hybridChannelK = " +
-          f"$recall%.4f fell below the 0.70 application floor — " +
-          "recluster before serving this index")
+      // q164's discipline: the dense channel's recall floor is enforced
+      // from the build-time certificate (same atomic publish as the
+      // index), not an in-line corpus-linear audit per serving query
+      val recall = Similarity.requireCertifiedRecall(s, ivfIdx,
+        k = hybridChannelK, nProbe = 8, floor = 0.70)
+      System.err.println(f"[q169] certified dense recall@$hybridChannelK " +
+        f"at nProbe=8/nLists=16: $recall%.4f")
       val sparse = operators.InvertedIndex.bm25PerQueryFromIndex(s, invIdx,
           hybridQueries, k = hybridChannelK)
         .select("q_id", "doc_id", "rank")
@@ -2462,6 +2467,97 @@ object SparkEntry {
       Retrieval.mmrRerank(page, vectors, lambdaRel = mmrLambdaRel,
           lambdaDiv = mmrLambdaDiv, k = mmrK)
         .orderBy("q_id", "rn")
+    }),
+
+    // ---- The RAG PIPELINE at the PRODUCTION serving setting ------------
+    // q171 gates the composition's EXACTNESS (brute-force dense channel,
+    // corpus-side BM25, full DuckDB replay); THIS row is the deployed
+    // shape a serving stack actually runs per request (round-17 verdict
+    // #2): q169's stored-artifact channels — the persisted inverted index
+    // probed on the query terms' buckets, the persisted IVF index at
+    // production nProbe=8 of nLists=16 behind its build-time recall
+    // certificate — fused wide (top-50), SERP-deduped against the stored
+    // similarity graph, cut to the serving page, MMR-diversified. After
+    // the two index probes every stage works on |queries|-bounded frames;
+    // nothing re-reads the corpus, so the warm serving path is
+    // corpus-size-flat (BenchRagProd measures x1/x10/x100). Output is the
+    // seeded approximate final page: rows-only for the driver (KMeans
+    // routing), frozen by the GoldenSpec pin + RetrievalSpec's
+    // end-to-end overlap floor against the exact q171 composition.
+    "q175_rag_prod_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      // the q169 artifacts VERBATIM (same outBase + params → cachedBuild
+      // shares the build): serving and pipeline rows must answer from one
+      // artifact set, like a real deployment
+      val invIdx = cachedBuild(dir, "documents.parquet",
+          "target/q169_inv_idx", params = "inv:hybridprod") { p =>
+        operators.InvertedIndex.buildIndex(docs, p)
+      }
+      val ivfIdx = cachedBuild(dir, "embeddings.parquet",
+          "target/q169_ivf_idx",
+          params = s"ivf:nlists=16:hybridprod:cert=k${hybridChannelK}p8") { p =>
+        Similarity.buildIvfIndex(emb, p, nLists = 16,
+          cert = Some(Similarity.RecallCertSpec(k = hybridChannelK,
+            nProbe = 8)))
+      }
+      val g = cachedBuild(dir, "documents.parquet", "target/q171_simgraph",
+          params = s"simidx.v3:jaccard=$simGraphThreshold" +
+            s":w=$simGraphShingleWidth:full") { p =>
+        operators.SimGraphIndex.build(docs.select("doc_id", "text"),
+          "doc_id", "text", p, simGraphThreshold, simGraphShingleWidth)
+      }
+      Similarity.requireCertifiedRecall(s, ivfIdx, k = hybridChannelK,
+        nProbe = 8, floor = 0.70)
+      val sparse = operators.InvertedIndex.bm25PerQueryFromIndex(s, invIdx,
+          hybridQueries, k = hybridChannelK)
+        .select("q_id", "doc_id", "rank")
+      val dense = Similarity.ivfTopKFromIndex(ivfIdx,
+          emb.filter(col("vec_id") < 5), k = hybridChannelK, nProbe = 8)
+        .select(col("q_id").cast("long").as("q_id"),
+          col("n_id").cast("long").as("doc_id"), col("rn").as("rank"))
+      val cand = Retrieval.rrfFuse(sparse, dense, kRrf = hybridRrfK,
+          topK = hybridChannelK)
+        .select("q_id", "doc_id", "rrf", "rn")
+      val deduped = Retrieval.serpDedup(cand.select("q_id", "doc_id", "rn"),
+        operators.SimGraphIndex.edges(s, g))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy("rn")
+      val page = deduped.filter(col("action") === "kept")
+        .join(cand.select("q_id", "doc_id", "rrf"), Seq("q_id", "doc_id"))
+        .withColumn("prn", row_number().over(w))
+        .filter(col("prn") <= hybridTopK)
+        .select(col("q_id"), col("doc_id"), col("rrf").as("rel"))
+      val vectors = emb.select(col("vec_id").as("doc_id"),
+        VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+      Retrieval.mmrRerank(page, vectors, lambdaRel = mmrLambdaRel,
+          lambdaDiv = mmrLambdaDiv, k = mmrK)
+        .orderBy("q_id", "rn")
+    }),
+
+    // ---- SEMANTIC DEDUP over the QUANTIZED index ------------------------
+    // q170's rewrite with its kNN stage answered from the int8
+    // filter-refine index (round-17 verdict #5): the candidate pass scans
+    // 64-byte code columns instead of 512-byte double vectors (~8× fewer
+    // scan bytes for the non-surviving majority at dim 64 — parquet
+    // column pruning keeps the doubles unread), survivors re-rank
+    // exactly, and the batch join shuffles on cell — never a broadcast
+    // of the corpus-sized query side (quantizedKnnJoinFromIndex). The
+    // refine pass is PROVABLY exact (the Δ/2 reconstruction bound,
+    // q99/q124's gated property), so at exhaustive probe the kNN graph —
+    // and every decision — equals q170's, and the oracle is the SAME
+    // from-scratch DuckDB replay VERBATIM: hash-green proves the int8
+    // path changes the economics, not one decision.
+    "q176_semdedup_quantized" -> ((s, dir) => {
+      val corpus = neardupCorpus(s, dir)
+      val idx = cachedBuild(dir, "embeddings.parquet",
+          "target/q176_semdedup_quant",
+          params = "quant:nlists=8:semdedup") { p =>
+        Similarity.buildQuantizedIndex(corpus, p, nLists = 8)
+      }
+      Dedup.semanticDedupApplyQuantized(corpus, "vec_id", "embedding",
+          idx, threshold = 0.9, k = 5, nProbe = 8)
+        .orderBy("vec_id")
     }),
 
     // ---- PROVABLY-EXACT quantized ANN (filter-and-refine) --------------
@@ -4766,7 +4862,7 @@ object SparkEntry {
     * reachability closure (component = MIN reachable id — the q64
     * pattern), and the keep-best argmax re-derived as a ranked window
     * over (round(nrm,6) DESC, vec_id) — exactly the engine's
-    * max_by(vec_id, struct(nrm, -vec_id)).
+    * min_by(vec_id, struct(-nrm, vec_id)) keep-best ordering.
     */
   private val semDedupOracleSql: String = semDedupOracleSqlOn("TRUE")
 
@@ -7433,6 +7529,9 @@ object SparkEntry {
     // components + keep-best argmax equal the quadratic top-5 +
     // RECURSIVE closure + ranked window, decision for decision.
     "q170_semantic_dedup_apply" -> semDedupOracleSql,
+    // the int8 filter-refine path is provably exact, so the quantized
+    // rewrite replays against the IDENTICAL from-scratch oracle
+    "q176_semdedup_quantized" -> semDedupOracleSql,
     // q172: the SAME from-scratch replay — hash-green proves the
     // build-on-base + delta-append maintained graph reproduces the
     // full-corpus decisions bit-for-bit (the q162-vs-q161 pattern).

@@ -53,7 +53,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = selected(SparkEntry.oracleSql)
+    // ALWAYS dump the FULL oracle map — a subset run must not shrink a
+    // previously-complete dump's oracle_sql.json (the checker only visits
+    // queries whose parquet exists, so extra entries are harmless, while
+    // a shrunken map silently skipped every other query after a targeted
+    // backfill run)
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

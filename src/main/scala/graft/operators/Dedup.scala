@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
@@ -743,6 +743,24 @@ object Dedup {
       Similarity.ivfKnnJoinFromIndex(indexPath, corpus, k = k,
         nProbe = nProbe, idCol = idCol, vecCol = vecCol), threshold)
 
+  /** [[semanticDedupApply]] with its kNN stage answered from a QUANTIZED
+    * index ([[Similarity.buildQuantizedIndex]]) through the provably-exact
+    * int8 filter-refine batch join ([[Similarity.quantizedKnnJoinFromIndex]])
+    * — the 100 TB dedup shape where the non-surviving majority of the
+    * corpus is scanned as 64-byte codes instead of 512-byte double
+    * vectors (~8× fewer scan bytes at dim 64). The refine pass is exact
+    * (the Δ/2 reconstruction bound), so at a given geometry the decisions
+    * EQUAL [[semanticDedupApply]]'s over a plain index — q176 gates this
+    * against the very same from-scratch DuckDB replay as q170.
+    */
+  def semanticDedupApplyQuantized(corpus: DataFrame, idCol: String,
+                                  vecCol: String, indexPath: String,
+                                  threshold: Double, k: Int,
+                                  nProbe: Int): DataFrame =
+    semanticDedupDecisions(corpus, idCol, vecCol,
+      Similarity.quantizedKnnJoinFromIndex(indexPath, corpus, k = k,
+        nProbe = nProbe, idCol = idCol, vecCol = vecCol), threshold)
+
   /** [[semanticDedupApply]]'s decision stage over an ALREADY-AVAILABLE
     * kNN graph (q_id, n_id, sim) — the entry point when the graph is a
     * maintained artifact ([[Similarity.knnGraphFromIndex]], q172's
@@ -761,15 +779,109 @@ object Dedup {
       .select(col("id").as(idCol), col("comp").as("component"))
     val quality = corpus.select(col(idCol),
       round(V.norm(col(vecCol)), 6).as("nrm"))
+    // keep-best = min over (nrm DESC, id ASC), expressed as min_by on
+    // struct(−nrm, id) so the ordering never negates the ID — works for
+    // ANY orderable id type (string/UUID ids failed analysis under the
+    // old max_by(id, struct(nrm, −id)) form; round-17 advice), and the
+    // Column API sidesteps SQL-string interpolation of names needing
+    // backticks. Identical keep_id for numeric ids (same lexicographic
+    // order), so the q170/q172/q173/q174 oracles are unchanged.
     val keep = quality.join(comp, Seq(idCol))
       .groupBy("component")
-      .agg(expr(s"max_by($idCol, struct(nrm, -$idCol))").as("keep_id"),
+      .agg(min_by(col(idCol), struct((-col("nrm")).as("negnrm"),
+          col(idCol).as("id"))).as("keep_id"),
         count(lit(1)).as("csize"))
     comp.join(keep, Seq("component"))
       .select(col(idCol), col("component"), col("csize"),
         when(col(idCol) === col("keep_id"), "kept")
           .otherwise("dropped").as("action"),
         col("keep_id"))
+  }
+
+  /** A stored DECISION-RECALL certificate read back ([[certifyDecisionRecall]]). */
+  final case class DecisionCert(epoch: Long, threshold: Double, k: Int,
+                                nProbe: Int, exactDrops: Long, caught: Long,
+                                recall: Double)
+
+  /** Measure and PERSIST the decision-recall certificate for semantic
+    * dedup over this index at production geometry — the dedup-side
+    * sibling of [[Similarity.certifyIvfIndex]] (round-17 verdict #1):
+    * the fraction of the EXHAUSTIVE run's drops that the pruned
+    * (nProbe < nLists) run still makes, over the index's own live
+    * vectors, measured ONCE at certification time and stored in the
+    * manifest — so the production dedup query ([[semanticDedupApply]] at
+    * bounded nProbe behind [[requireCertifiedDecisionRecall]]) never
+    * re-runs the corpus-linear exhaustive audit per invocation. The
+    * exhaustive side here is the exact audit (right at gate-fixture
+    * scale); a 100 TB deployment samples the audited vertex set — the
+    * certificate schema and staleness contract are unchanged.
+    */
+  def certifyDecisionRecall(spark: SparkSession, indexPath: String,
+                            threshold: Double, k: Int,
+                            nProbe: Int): Double =
+    MaintenanceIo.withMaintenanceLock(indexPath) {
+      val m = MaintenanceIo.requireManifest(indexPath)
+      val corpus = Similarity.liveVectors(spark, indexPath)
+      val nLists = Similarity.storedNLists(spark, indexPath)
+      def drops(np: Int) = semanticDedupApply(corpus, "vec_id", "embedding",
+          indexPath, threshold, k, np)
+        .filter(col("action") === "dropped").select("vec_id")
+      val exact = drops(nLists) // exhaustive probe == exact on this index
+      val nExact = exact.count()
+      val caught = drops(nProbe).join(exact, Seq("vec_id"), "left_semi")
+        .count()
+      val recall = if (nExact == 0L) 1.0 else caught.toDouble / nExact
+      import spark.implicits._
+      val gen = MaintenanceIo.nextGen(indexPath, "decision_cert")
+      Seq((m.epoch, threshold, k, nProbe, nExact, caught, recall))
+        .toDF("epoch", "threshold", "k", "n_probe", "exact_drops",
+          "caught", "recall")
+        .coalesce(1).write.parquet(s"$indexPath/$gen")
+      MaintenanceIo.publish(indexPath,
+        m.copy(tables = m.tables + ("decision_cert" -> gen)))
+      recall
+    }
+
+  /** The stored decision certificate under the current manifest, if any. */
+  def readDecisionCert(spark: SparkSession,
+                       indexPath: String): Option[DecisionCert] =
+    MaintenanceIo.requireManifest(indexPath).tables.get("decision_cert")
+      .map { g =>
+        val r = spark.read.parquet(s"$indexPath/$g").head()
+        DecisionCert(r.getAs[Long]("epoch"), r.getAs[Double]("threshold"),
+          r.getAs[Int]("k"), r.getAs[Int]("n_probe"),
+          r.getAs[Long]("exact_drops"), r.getAs[Long]("caught"),
+          r.getAs[Double]("recall"))
+      }
+
+  /** Enforce the STORED decision-recall certificate before a production
+    * dedup run — [[Similarity.requireCertifiedRecall]]'s contract for the
+    * dedup monitor: fails loudly on a missing cert, a STALE cert (index
+    * epoch moved past it), a geometry/threshold mismatch, or a certified
+    * recall below the floor. One 1-row parquet read — O(1) in corpus
+    * size, vs the per-run exhaustive audit it replaces.
+    */
+  def requireCertifiedDecisionRecall(spark: SparkSession, indexPath: String,
+                                     threshold: Double, k: Int, nProbe: Int,
+                                     floor: Double): Double = {
+    val m = MaintenanceIo.requireManifest(indexPath)
+    val cert = readDecisionCert(spark, indexPath).getOrElse(
+      throw new IllegalStateException(
+        s"$indexPath has no decision-recall certificate — " +
+          "certifyDecisionRecall before running the production dedup"))
+    require(cert.epoch == m.epoch,
+      s"$indexPath decision certificate is STALE (cert epoch " +
+        s"${cert.epoch}, index epoch ${m.epoch}) — re-certify")
+    require(cert.threshold == threshold && cert.k == k &&
+        cert.nProbe == nProbe,
+      s"$indexPath decision certificate (θ=${cert.threshold}, k=${cert.k}, " +
+        s"nProbe=${cert.nProbe}) does not match the run configuration " +
+        s"(θ=$threshold, k=$k, nProbe=$nProbe) — re-certify")
+    require(cert.recall >= floor,
+      f"$indexPath certified decision recall = ${cert.recall}%.4f fell " +
+        f"below the $floor%.2f dedup floor — recluster before running " +
+        "the rewrite at this geometry")
+    cert.recall
   }
 
   /** Number of OR-amplified hyperplane tables needed so a pair at EXACTLY

@@ -21,6 +21,24 @@ import graft.functions.{AggFunctions, VectorFunctions => V}
   */
 object Similarity {
 
+  /** What a PERSISTED recall certificate measures: recall@`k` of the
+    * stored index probed at `nProbe`, over a deterministic query sample
+    * (every vector whose id hashes to 0 mod `sampleEvery` — seedless,
+    * reproducible, corpus-size-proportional). Passed to the index
+    * mutations ([[buildIvfIndex]], [[appendToIvfIndex]],
+    * [[reclusterIvfIndex]], [[appendToKnnGraph]], [[deleteFromKnnGraph]])
+    * so the certificate lands in the SAME atomic manifest publish as the
+    * mutation it certifies — see [[requireCertifiedRecall]] for why.
+    */
+  final case class RecallCertSpec(k: Int, nProbe: Int,
+                                  sampleEvery: Long = 10L)
+
+  /** A stored recall certificate read back: the recall measured at
+    * mutation time, stamped with the manifest epoch it certifies.
+    */
+  final case class RecallCert(epoch: Long, k: Int, nProbe: Int,
+                              sampleN: Long, recall: Double)
+
   /** Shared top-k reduction: scored(q_id, n_id, sim) → (q_id, n_id, sim, rn)
     * with rn = 1..k by (sim DESC, n_id ASC). A partial-merge aggregate, NOT
     * a row_number window: a window over partitionBy(q_id) would shuffle and
@@ -268,7 +286,8 @@ object Similarity {
                     trainSample: Double = Double.NaN,
                     trainRowBudget: Long = 100000L,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit =
+                    vecCol: String = "embedding",
+                    cert: Option[RecallCertSpec] = None): Unit =
     MaintenanceIo.withMaintenanceLock(indexPath) {
       val (assigned, cent) = ivfFit(corpus, nLists, seed, trainSample,
         trainRowBudget, idCol, vecCol)
@@ -277,8 +296,9 @@ object Similarity {
       val gen = MaintenanceIo.nextGen(indexPath, "assignments")
       assigned.withColumn("epoch", lit(0L))
         .write.partitionBy("cell").parquet(s"$indexPath/$gen")
-      MaintenanceIo.publish(indexPath,
-        MaintenanceIo.Manifest(0L, Map("assignments" -> gen)))
+      MaintenanceIo.publish(indexPath, withCert(corpus.sparkSession,
+        indexPath, MaintenanceIo.Manifest(0L, Map("assignments" -> gen)),
+        cert))
     }
 
   /** Query a persisted IVF index ([[buildIvfIndex]]): same routing/scoring
@@ -350,12 +370,25 @@ object Similarity {
     * compaction required (the takedown-then-recrawl workflow). Ties
     * favor the delete: a crash can orphan an epoch bump, and dead-stays-
     * dead is the safe direction.
+    *
+    * REFUSES on a kNN-graph-bearing index (round-17 advice): a plain
+    * tombstone leaves stored graph rows referencing dead vectors, and a
+    * later compaction would retire the tombstones while the stale graph
+    * silently survives the append-only guard — use [[deleteFromKnnGraph]],
+    * which repairs the graph in the same atomic publish.
     */
   def deleteFromIvfIndex(ids: DataFrame, indexPath: String,
-                         idCol: String = "vec_id"): Unit =
+                         idCol: String = "vec_id",
+                         cert: Option[RecallCertSpec] = None): Unit =
     MaintenanceIo.withMaintenanceLock(indexPath) {
-      MaintenanceIo.publish(indexPath,
-        deleteFromIvfIndexLocked(ids, indexPath, idCol))
+      require(!MaintenanceIo.requireManifest(indexPath).tables
+          .contains("knngraph"),
+        s"$indexPath carries a maintained kNN graph — a plain tombstone " +
+          "would leave graph rows referencing dead vectors; delete with " +
+          "deleteFromKnnGraph (tombstone + targeted graph repair, one " +
+          "atomic publish)")
+      MaintenanceIo.publish(indexPath, withCert(ids.sparkSession,
+        indexPath, deleteFromIvfIndexLocked(ids, indexPath, idCol), cert))
     }
 
   /** [[deleteFromIvfIndex]]'s body WITHOUT lock or publish (the
@@ -393,6 +426,25 @@ object Similarity {
     MaintenanceIo.withMaintenanceLock(indexPath) {
       val m = MaintenanceIo.requireManifest(indexPath)
       if (!m.tables.contains("tombstones")) return
+      // A maintained kNN graph must not survive a compaction that would
+      // retire tombstones it still references (round-17 advice: a stale
+      // graph past compaction passes appendToKnnGraph's append-only guard
+      // and dead vectors count as neighbors silently). deleteFromKnnGraph
+      // repairs the graph at delete time, so this check passes for every
+      // sanctioned sequence — it exists to fail loudly on an artifact
+      // whose graph predates an unsanctioned plain tombstone.
+      if (m.tables.contains("knngraph")) {
+        val live = liveIvfAssignments(spark, indexPath).select("n_id")
+        val g = spark.read.parquet(s"$indexPath/${m.tables("knngraph")}")
+        val deadRefs = g.select(col("q_id").as("n_id"))
+          .unionByName(g.select("n_id")).distinct()
+          .join(live, Seq("n_id"), "left_anti").count()
+        require(deadRefs == 0L,
+          s"$indexPath: stored kNN graph references $deadRefs dead " +
+            "vector id(s) — the graph predates a plain tombstone; " +
+            "rebuild it (buildKnnGraph) before compacting, or always " +
+            "delete through deleteFromKnnGraph")
+      }
       val gen = MaintenanceIo.nextGen(indexPath, "assignments")
       liveIvfAssignments(spark, indexPath)
         .write.partitionBy("cell").parquet(s"$indexPath/$gen")
@@ -419,7 +471,8 @@ object Similarity {
   def reclusterIvfIndex(spark: SparkSession, indexPath: String,
                         nLists: Int, seed: Long = 40L,
                         trainSample: Double = Double.NaN,
-                        trainRowBudget: Long = 100000L): Unit =
+                        trainRowBudget: Long = 100000L,
+                        cert: Option[RecallCertSpec] = None): Unit =
     MaintenanceIo.withMaintenanceLock(indexPath) {
       val m = MaintenanceIo.requireManifest(indexPath)
       require(!spark.read.parquet(s"$indexPath/${m.tables("assignments")}")
@@ -436,10 +489,10 @@ object Similarity {
       val aGen = MaintenanceIo.nextGen(indexPath, "assignments")
       assigned.withColumn("epoch", lit(0L))
         .write.partitionBy("cell").parquet(s"$indexPath/$aGen")
-      MaintenanceIo.publish(indexPath,
+      MaintenanceIo.publish(indexPath, withCert(spark, indexPath,
         MaintenanceIo.Manifest(m.epoch + 1,
           m.tables - "tombstones" +
-            ("assignments" -> aGen, "centroids" -> cGen)))
+            ("assignments" -> aGen, "centroids" -> cGen)), cert))
     }
 
   /** Live rows of the stored assignment table: stored rows minus
@@ -453,6 +506,20 @@ object Similarity {
   private def liveIvfAssignments(spark: SparkSession,
                                  indexPath: String): DataFrame =
     liveIvfAssignmentsFrom(spark, MaintenanceIo.snapshot(indexPath))
+
+  /** The index's own live vectors as a (vec_id, embedding) corpus frame —
+    * the self-contained view the certification paths audit against.
+    */
+  private[operators] def liveVectors(spark: SparkSession,
+                                     indexPath: String): DataFrame =
+    liveIvfAssignments(spark, indexPath)
+      .select(col("n_id").as("vec_id"), col("v_n").as("embedding"))
+
+  /** The stored coarse-quantizer list count (== exhaustive nProbe). */
+  private[operators] def storedNLists(spark: SparkSession,
+                                      indexPath: String): Int =
+    centroidsFrom(spark, indexPath, MaintenanceIo.snapshot(indexPath))
+      .count().toInt
 
   private def liveIvfAssignmentsFrom(spark: SparkSession,
                                      snap: Map[String, String]): DataFrame = {
@@ -489,10 +556,18 @@ object Similarity {
     */
   def appendToIvfIndex(shard: DataFrame, indexPath: String,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit =
+                       vecCol: String = "embedding",
+                       cert: Option[RecallCertSpec] = None): Unit =
     MaintenanceIo.withMaintenanceLock(indexPath) {
-      MaintenanceIo.publish(indexPath,
-        appendToIvfIndexLocked(shard, indexPath, idCol, vecCol))
+      require(!MaintenanceIo.requireManifest(indexPath).tables
+          .contains("knngraph"),
+        s"$indexPath carries a maintained kNN graph — a plain append " +
+          "would leave the graph missing the shard's rows (and standing " +
+          "vertices' top-k stale); append with appendToKnnGraph (index " +
+          "append + graph delta-merge, one atomic publish)")
+      MaintenanceIo.publish(indexPath, withCert(shard.sparkSession,
+        indexPath,
+        appendToIvfIndexLocked(shard, indexPath, idCol, vecCol), cert))
     }
 
   /** [[appendToIvfIndex]]'s body WITHOUT lock or publish — returns the
@@ -559,6 +634,114 @@ object Similarity {
     if (denom == 0L) 1.0 else row.getLong(0).toDouble / denom
   }
 
+  /** The one-row recall-certificate frame for manifest `m`'s (possibly
+    * not-yet-published) table set: recall@k at nProbe over the
+    * deterministic id-hash query sample, measured against in-index brute
+    * force — [[ivfRecallAtK]]'s math, run ONCE at mutation time instead
+    * of per serving query (round-17 verdict #1: at 100 TB a per-run
+    * corpus-linear audit dwarfs the probe it certifies; amortized at
+    * mutation time it is one sampled audit per index epoch). The exact
+    * side costs |sample| × |corpus| dot products — `sampleEvery` is the
+    * knob that bounds it; the sample is hash-of-id-deterministic, so the
+    * certificate is reproducible and not gameable by row order.
+    */
+  private def recallCertDf(spark: SparkSession, indexPath: String,
+                           m: MaintenanceIo.Manifest,
+                           spec: RecallCertSpec): DataFrame = {
+    val snap = m.tables.view.mapValues(g => s"$indexPath/$g").toMap
+    val asg = liveIvfAssignmentsFrom(spark, snap)
+    val cent = centroidsFrom(spark, indexPath, snap)
+    val corpus = asg.select(col("n_id").as("vec_id"),
+      col("v_n").as("embedding"))
+    val qs = corpus.filter(
+      pmod(abs(hash(col("vec_id"))), lit(spec.sampleEvery)) === 0)
+    val exact = bruteForceTopK(corpus, qs, spec.k).select("q_id", "n_id")
+    val approx = ivfProbe(asg, cent, qs, spec.k, spec.nProbe,
+      "vec_id", "embedding").select("q_id", "n_id")
+    val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi").count()
+    val denom = exact.count()
+    val sampleN = qs.count()
+    val recall = if (denom == 0L) 1.0 else hits.toDouble / denom
+    import spark.implicits._
+    Seq((m.epoch, spec.k, spec.nProbe, sampleN, recall))
+      .toDF("epoch", "k", "n_probe", "sample_n", "recall")
+  }
+
+  /** Fold an optional recall certificate into a manifest ABOUT TO BE
+    * published: measure over `m`'s table set (files already written,
+    * manifest not yet visible), land the cert as its own generation, and
+    * return the manifest with the cert pointer added — so the mutation
+    * and its certificate swap in ONE atomic publish and no reader can
+    * ever see the new index epoch without its matching certificate.
+    * Call only inside a [[MaintenanceIo.withMaintenanceLock]] body.
+    */
+  private def withCert(spark: SparkSession, indexPath: String,
+                       m: MaintenanceIo.Manifest,
+                       cert: Option[RecallCertSpec]): MaintenanceIo.Manifest =
+    cert.fold(m) { spec =>
+      val gen = MaintenanceIo.nextGen(indexPath, "recall_cert")
+      recallCertDf(spark, indexPath, m, spec).coalesce(1)
+        .write.parquet(s"$indexPath/$gen")
+      m.copy(tables = m.tables + ("recall_cert" -> gen))
+    }
+
+  /** Re-certify a STORED index at geometry `spec` without mutating it —
+    * the refresh path when the serving geometry changes or a mutation ran
+    * without a cert. Publishes the new certificate under the unchanged
+    * epoch; returns the measured recall.
+    */
+  def certifyIvfIndex(spark: SparkSession, indexPath: String,
+                      spec: RecallCertSpec): Double =
+    MaintenanceIo.withMaintenanceLock(indexPath) {
+      val m = MaintenanceIo.requireManifest(indexPath)
+      val m1 = withCert(spark, indexPath, m, Some(spec))
+      MaintenanceIo.publish(indexPath, m1)
+      readRecallCert(spark, indexPath).get.recall
+    }
+
+  /** The stored recall certificate under the current manifest, if any. */
+  def readRecallCert(spark: SparkSession, indexPath: String): Option[RecallCert] =
+    MaintenanceIo.requireManifest(indexPath).tables.get("recall_cert")
+      .map { g =>
+        val r = spark.read.parquet(s"$indexPath/$g").head()
+        RecallCert(r.getAs[Long]("epoch"), r.getAs[Int]("k"),
+          r.getAs[Int]("n_probe"), r.getAs[Long]("sample_n"),
+          r.getAs[Double]("recall"))
+      }
+
+  /** The serving-path recall assertion (round-17 verdict #1): READ the
+    * stored certificate and enforce floor + freshness + geometry, instead
+    * of re-running a corpus-linear brute-force audit inside every serving
+    * query. Fails loudly when (a) the index was never certified, (b) the
+    * cert is STALE — the index epoch moved past the cert's (any mutation
+    * without a fresh cert invalidates it; re-certify or mutate with a
+    * `cert` spec), (c) the cert was measured at a different (k, nProbe)
+    * than the serving geometry, or (d) the certified recall is below the
+    * application floor (recluster, then serve). One 1-row parquet read —
+    * O(1) in corpus size. Returns the certified recall.
+    */
+  def requireCertifiedRecall(spark: SparkSession, indexPath: String,
+                             k: Int, nProbe: Int, floor: Double): Double = {
+    val m = MaintenanceIo.requireManifest(indexPath)
+    val cert = readRecallCert(spark, indexPath).getOrElse(
+      throw new IllegalStateException(
+        s"$indexPath has no recall certificate — build/append/recluster " +
+          "with a RecallCertSpec, or certifyIvfIndex, before serving"))
+    require(cert.epoch == m.epoch,
+      s"$indexPath recall certificate is STALE (cert epoch ${cert.epoch}, " +
+        s"index epoch ${m.epoch}) — the index mutated since certification; " +
+        "re-certify before serving")
+    require(cert.k == k && cert.nProbe == nProbe,
+      s"$indexPath certificate geometry (k=${cert.k}, nProbe=${cert.nProbe}) " +
+        s"does not match the serving geometry (k=$k, nProbe=$nProbe) — " +
+        "certifyIvfIndex at the serving geometry")
+    require(cert.recall >= floor,
+      f"$indexPath certified recall@$k = ${cert.recall}%.4f at " +
+        f"nProbe=$nProbe fell below the $floor%.2f application floor — " +
+        "recluster before serving this index")
+    cert.recall
+  }
+
   /** Build and PERSIST the kNN GRAPH over the index's own live vectors:
     * (q_id, n_id, sim, rn ≤ k) per vector — the SemDeDup candidate
     * structure (q160's output) as a MAINTAINED artifact instead of a
@@ -618,7 +801,8 @@ object Similarity {
     */
   def appendToKnnGraph(shard: DataFrame, indexPath: String, k: Int,
                        nProbe: Int, idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit =
+                       vecCol: String = "embedding",
+                       cert: Option[RecallCertSpec] = None): Unit =
     MaintenanceIo.withMaintenanceLock(indexPath) {
       val spark = shard.sparkSession
       val m0 = MaintenanceIo.requireManifest(indexPath)
@@ -630,12 +814,19 @@ object Similarity {
       val snap = MaintenanceIo.snapshot(indexPath)
       val oldGraph = spark.read.parquet(snap("knngraph"))
         .select("q_id", "n_id", "sim")
-      val sh = shard.select(col(idCol).as("s_id"),
+      // SNAPSHOT the caller's shard before any write (round-17 advice):
+      // the frame is evaluated again by the graph merge AND the index
+      // append — a shard derived from the index's own live view would
+      // otherwise re-evaluate differently once the mutation starts.
+      // Nightly-shard-sized by the regime contract, so the executor-local
+      // materialization is cheap.
+      val shardSnap = shard.select(col(idCol), col(vecCol)).localCheckpoint()
+      val sh = shardSnap.select(col(idCol).as("s_id"),
           V.toDoubleArray(col(vecCol)).as("v_s"))
         .withColumn("nrm_s", V.norm(col("v_s")))
       // shard → old: probe the PRE-append index (the shard is not in it)
       val shardVsOld = ivfProbe(liveIvfAssignmentsFrom(spark, snap),
-        centroidsFrom(spark, indexPath, snap), shard, k, nProbe,
+        centroidsFrom(spark, indexPath, snap), shardSnap, k, nProbe,
         idCol, vecCol).select("q_id", "n_id", "sim")
       // shard → shard: all pairs, broadcast (the nightly-shard regime)
       val shardVsShard = sh.crossJoin(broadcast(
@@ -659,9 +850,9 @@ object Similarity {
       // materialize the merged graph BEFORE the index append mutates the
       // assignments dir the probe plan reads from
       merged.write.parquet(s"$indexPath/$gen")
-      val m1 = appendToIvfIndexLocked(shard, indexPath, idCol, vecCol)
-      MaintenanceIo.publish(indexPath,
-        m1.copy(tables = m1.tables + ("knngraph" -> gen)))
+      val m1 = appendToIvfIndexLocked(shardSnap, indexPath, idCol, vecCol)
+      MaintenanceIo.publish(indexPath, withCert(spark, indexPath,
+        m1.copy(tables = m1.tables + ("knngraph" -> gen)), cert))
     }
 
   /** Takedown DELETE from index + kNN graph as ONE locked mutation with
@@ -681,7 +872,8 @@ object Similarity {
     * of vector ids (any name).
     */
   def deleteFromKnnGraph(ids: DataFrame, indexPath: String, k: Int,
-                         nProbe: Int): Unit =
+                         nProbe: Int,
+                         cert: Option[RecallCertSpec] = None): Unit =
     MaintenanceIo.withMaintenanceLock(indexPath) {
       val spark = ids.sparkSession
       val m0 = MaintenanceIo.requireManifest(indexPath)
@@ -689,7 +881,15 @@ object Similarity {
         s"$indexPath has no stored kNN graph — buildKnnGraph first")
       val snap = MaintenanceIo.snapshot(indexPath)
       val oldGraph = spark.read.parquet(snap("knngraph"))
+      // SNAPSHOT the victim set before the tombstone write (round-17
+      // advice): `del` is consumed eagerly by the tombstone write but
+      // lazily again by the affected/keep joins AFTER the mutation — an
+      // id set derived from the index's own live view (the natural
+      // takedown pattern) would re-evaluate empty post-tombstone and the
+      // repair would silently keep rows with dead neighbors. Takedown
+      // sets are small; the executor-local materialization is cheap.
       val del = ids.select(col(ids.columns.head).as("del_id")).distinct()
+        .localCheckpoint()
       val affected = oldGraph
         .join(del, oldGraph("n_id") === del("del_id"), "left_semi")
         .select(col("q_id").as("aff_id")).distinct()
@@ -711,8 +911,8 @@ object Similarity {
       keepRows.select("q_id", "n_id", "sim", "rn")
         .unionByName(reprobed.select("q_id", "n_id", "sim", "rn"))
         .write.parquet(s"$indexPath/$gen")
-      MaintenanceIo.publish(indexPath,
-        m1.copy(tables = m1.tables + ("knngraph" -> gen)))
+      MaintenanceIo.publish(indexPath, withCert(spark, indexPath,
+        m1.copy(tables = m1.tables + ("knngraph" -> gen)), cert))
     }
 
   /** Build and PERSIST the QUANTIZED refine index: the [[buildIvfIndex]]
@@ -858,6 +1058,26 @@ object Similarity {
                           vecCol: String = "embedding"): DataFrame =
     quantizedRefineFrames(indexPath, queries, k, nProbe, idCol, vecCol)._3
 
+  /** Batch kNN join against a QUANTIZED index — [[ivfKnnJoinFromIndex]]'s
+    * sibling for the int8 filter-refine path, and the kNN stage a 100 TB
+    * semantic dedup should run ([[Dedup.semanticDedupApplyQuantized]]):
+    * the corpus-sized query batch SHUFFLE-equi-joins the code table on
+    * `cell` (never a forced broadcast of a corpus-sized frame — the
+    * round-15 scale killer), per-query prune thresholds and the survivor
+    * set join back on their keys, and only survivors ever read the full
+    * double vectors. Filter-refine is provably exact (the Δ/2 bound —
+    * [[quantizedRefineTopK]] scaladoc), so at exhaustive nProbe this
+    * RETURNS EXACTLY the brute-force kNN graph while the non-surviving
+    * majority of the corpus is scanned as 64-byte codes instead of
+    * 512-byte doubles (~8× fewer scan bytes at dim 64).
+    */
+  def quantizedKnnJoinFromIndex(indexPath: String, queries: DataFrame,
+                                k: Int, nProbe: Int = 8,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame =
+    quantizedRefineFrames(indexPath, queries, k, nProbe, idCol, vecCol,
+      broadcastQueries = false)._3
+
   /** (candidate rows scored from codes, survivor rows re-ranked exactly)
     * — the measured prune rate of [[quantizedRefineTopK]].
     */
@@ -869,10 +1089,22 @@ object Similarity {
     (approx.count(), surv.count())
   }
 
+  /** `broadcastQueries` mirrors [[ivfProbe]]'s switch: TRUE (interactive
+    * default) force-broadcasts the fanned-out query side, the per-query
+    * thresholds, and the survivor keys — right for bounded query batches,
+    * where the broadcasts keep every pass a single corpus scan. FALSE
+    * (the batch path, [[quantizedKnnJoinFromIndex]]) shuffle-equi-joins
+    * each of them instead — a corpus-sized query batch must never
+    * transit the driver; AQE still converts to broadcast at runtime when
+    * a side turns out genuinely small.
+    */
   private def quantizedRefineFrames(indexPath: String, queries: DataFrame,
                                     k: Int, nProbe: Int, idCol: String,
-                                    vecCol: String)
+                                    vecCol: String,
+                                    broadcastQueries: Boolean = true)
       : (DataFrame, DataFrame, DataFrame) = {
+    def side(df: DataFrame): DataFrame =
+      if (broadcastQueries) broadcast(df) else df
     val spark = queries.sparkSession
     val cent = spark.read.parquet(s"$indexPath/centroids.parquet")
       .withColumn("c2", V.dot(col("cen"), col("cen")))
@@ -917,7 +1149,7 @@ object Similarity {
     // EXCLUDED from the threshold and ALWAYS survive to the exact
     // re-rank, so the filter-refine equality proof never leans on them.
     val approx = asg.select("cell", "n_id", "nrm_n", "codes", "oob")
-      .join(broadcast(q), Seq("cell"))
+      .join(side(q), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("dhat", col("qa") + aggregate(
         zip_with(col("w"), col("codes"), (wi, c) => wi * (c + 128)),
@@ -936,15 +1168,15 @@ object Similarity {
         when(size(col("h")) >= k,
           element_at(col("h"), size(col("h"))).getField("sim"))
           .otherwise(lit(-2.0)).as("t"))
-    val surv = approx.join(broadcast(thr), Seq("q_id"), "left")
+    val surv = approx.join(side(thr), Seq("q_id"), "left")
       .filter(col("oob") ||
         coalesce(col("chat") + col("err") >= col("t"), lit(false)))
       .select("q_id", "cell", "n_id")
     // REFINE pass: full vectors for survivors only
     val scored = asg.select(col("cell"), col("n_id"), col("v_n"),
         col("nrm_n"))
-      .join(broadcast(surv), Seq("cell", "n_id"))
-      .join(broadcast(qBase.select("q_id", "v_q", "nrm_q")), Seq("q_id"))
+      .join(side(surv), Seq("cell", "n_id"))
+      .join(side(qBase.select("q_id", "v_q", "nrm_q")), Seq("q_id"))
       .withColumn("sim", round(
         V.dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")), 6))
     (approx, surv, topKReduce(scored, k))

@@ -968,12 +968,77 @@ class DedupSimilaritySpec extends SparkSpec {
     // (same 6-dp sims, same tie order) regardless of cell assignment
     assert(maintained == scratch,
       "delta-maintained kNN graph diverged from the from-scratch graph")
+    // stale-graph guards (round-17 advice): a graph-bearing index must
+    // refuse the PLAIN mutations — a bare tombstone would leave graph
+    // rows referencing dead vectors, a bare append would leave the graph
+    // missing the shard — and point to the graph-aware variants
+    intercept[IllegalArgumentException] {
+      Similarity.deleteFromIvfIndex(
+        emb.filter(col("vec_id") === 2).select("vec_id"), p)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(shard1, p)
+    }
     // append-only contract: a tombstoned index must refuse graph appends
-    Similarity.deleteFromIvfIndex(
-      emb.filter(col("vec_id") === 2).select("vec_id"), p)
+    // (tombstones arrive through the sanctioned deleteFromKnnGraph and
+    // stay pending until compaction)
+    Similarity.deleteFromKnnGraph(
+      emb.filter(col("vec_id") === 2).select("vec_id"), p, k = 3,
+      nProbe = 4)
     intercept[IllegalArgumentException] {
       Similarity.appendToKnnGraph(shard1, p, k = 3, nProbe = 4)
     }
+    // ... and compaction retires them with the graph CONSISTENT (the
+    // dead id was repaired out at delete time), after which the append
+    // path reopens for a FRESH shard — the full sanctioned lifecycle is
+    // proved decision-for-decision by the closure-law test below
+    Similarity.compactIvfIndex(spark, p)
+    Similarity.appendToKnnGraph(
+      shard1.select((col("vec_id") + 100000L).as("vec_id"),
+        col("embedding")), p, k = 3, nProbe = 4)
+  }
+
+  test("kNN-graph lifecycle closure law: delete -> compact -> append == " +
+      "the from-scratch rebuild, decision for decision") {
+    // The sanctioned mutation sequence end-to-end (round-17 verdict #4):
+    // takedown through deleteFromKnnGraph (tombstones pending + targeted
+    // graph repair), compactIvfIndex (retires tombstones; the stale-graph
+    // check passes because the repair already ran), then appendToKnnGraph
+    // (reopened by the compaction). At exhaustive geometry the maintained
+    // graph — and therefore every semantic-dedup decision — must equal a
+    // from-scratch build over exactly (corpus \ victims) ∪ shard.
+    val emb = Tables.embeddings(spark, sf0001).select(col("vec_id"),
+      graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
+        .as("embedding"))
+    val baseAll = emb.filter(col("vec_id") < 400)
+    val victims = baseAll.filter(col("vec_id") % 9 === 4).select("vec_id")
+    val shard = emb.filter(col("vec_id") >= 400)
+    val p = java.nio.file.Files.createTempDirectory("knng_law").toString
+    Similarity.buildIvfIndex(baseAll, p, nLists = 4)
+    Similarity.buildKnnGraph(spark, p, k = 3, nProbe = 4)
+    Similarity.deleteFromKnnGraph(victims, p, k = 3, nProbe = 4)
+    Similarity.compactIvfIndex(spark, p)
+    Similarity.appendToKnnGraph(shard, p, k = 3, nProbe = 4)
+    val live = baseAll.filter(col("vec_id") % 9 =!= 4).unionByName(shard)
+    val maintained = Dedup.semanticDedupDecisions(live, "vec_id",
+        "embedding", Similarity.knnGraphFromIndex(spark, p),
+        threshold = 0.5)
+      .orderBy("vec_id").collect().toSeq
+    val p2 = java.nio.file.Files.createTempDirectory("knng_law2").toString
+    Similarity.buildIvfIndex(live, p2, nLists = 4)
+    Similarity.buildKnnGraph(spark, p2, k = 3, nProbe = 4)
+    val scratch = Dedup.semanticDedupDecisions(live, "vec_id", "embedding",
+        Similarity.knnGraphFromIndex(spark, p2), threshold = 0.5)
+      .orderBy("vec_id").collect().toSeq
+    assert(maintained == scratch,
+      "delete->compact->append decisions diverged from the from-scratch " +
+        "rebuild")
+    // and the graphs themselves agree bit for bit at exhaustive probe
+    assert(Similarity.knnGraphFromIndex(spark, p)
+        .orderBy("q_id", "rn").collect().toSeq ==
+      Similarity.knnGraphFromIndex(spark, p2)
+        .orderBy("q_id", "rn").collect().toSeq,
+      "maintained graph diverged from the from-scratch graph")
   }
 
   test("kNN-graph delete: targeted repair == the from-scratch graph on " +

@@ -81,4 +81,21 @@ class DeterminismLintSpec extends SparkSpec {
       .orderBy("l_returnflag")
     assert(lint(fixed).isEmpty, lint(fixed).toString)
   }
+
+  test("no serving query runs an in-line corpus-linear recall audit " +
+      "(round-17 verdict #1: certificates, not per-query brute force)") {
+    // The production-probe rows (q164/q169/q173) must enforce their
+    // recall floors by READING the persisted certificate, never by
+    // re-running ivfRecallAtK / an exhaustive-decisions pass inside the
+    // serving query. Source-level pin: the query layer may not reference
+    // the audit primitive at all — it lives in the mutation/certification
+    // layer (Similarity.certifyIvfIndex, Dedup.certifyDecisionRecall)
+    // and in specs.
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala"))
+    assert(!src.contains("ivfRecallAtK"),
+      "SparkEntry references ivfRecallAtK — a serving query regressed " +
+        "to the in-line corpus-linear audit; read the stored recall " +
+        "certificate instead (requireCertifiedRecall)")
+  }
 }

@@ -84,8 +84,14 @@ class GoldenSpec extends SparkSpec {
   // (the DuckDB oracle cannot express the routing — rows-only otherwise)
   test("golden: q169_hybrid_prod_probe exact rows at sf0.01")(check("q169_hybrid_prod_probe"))
   // q173: the production-probe dedup decisions (same seeded-routing
-  // argument as q169; the in-line decision-recall floor rides the query)
+  // argument as q169; the decision-recall floor reads the stored cert)
   test("golden: q173_semdedup_prod_probe exact rows at sf0.01")(check("q173_semdedup_prod_probe"))
+  // q175: the production RAG pipeline served from the stored artifacts
+  // (q169's channels -> SERP dedup -> page cut -> MMR) — same
+  // seeded-routing determinism argument as q169; the composition's
+  // exactness is oracle-gated by q171, the channel floors by the
+  // persisted recall certificate
+  test("golden: q175_rag_prod_pipeline exact rows at sf0.01")(check("q175_rag_prod_pipeline"))
   // STREAMING-side pins for the q18/q48/q56 twins: the stream==batch specs
   // prove equivalence, but both sides could co-drift; these freeze the
   // streaming output itself (same shared session config as StreamGoldenGen)

@@ -258,4 +258,37 @@ class RetrievalSpec extends SparkSpec {
       assert(o >= 0.5, s"query $q fused overlap $o fell below 0.5: $perQ")
     }
   }
+
+  test("q175 production RAG pipeline: end-to-end overlap with the exact " +
+      "q171 composition stays above the serving floor at sf0.01") {
+    // The q169 discipline applied to the WHOLE pipeline (round-17 verdict
+    // #2): how much of the exact composition's final MMR page (q171 —
+    // brute-force dense channel, corpus-side BM25, full DuckDB replay)
+    // the stored-artifact production form still serves. The dense
+    // channel's recall floor is certificate-enforced inside the query;
+    // this measures what survives fusion → dedup → page cut → MMR.
+    // Measured at sf0.01 (nProbe=8/nLists=16): mean 0.64, per-query
+    // {0.6, 0.2, 0.8, 1.0, 0.6} — the 5-pick MMR greedy AMPLIFIES a
+    // single fused-candidate difference (one early pick shifts every
+    // later diversity penalty), so the per-query floor is deliberately
+    // loose (0.2) and the mean floor (0.45) carries the regression
+    // signal: a routing bug (wrong cells) produces near-disjoint pages
+    // (~0.0) on every query, far below both.
+    val sf001 = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q171_rag_pipeline")(spark, sf001)
+      .select("q_id", "doc_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val prod = SparkEntry.queries("q175_rag_prod_pipeline")(spark, sf001)
+      .select("q_id", "doc_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(prod.keySet == exact.keySet, "query sets must match")
+    val perQ = exact.map { case (q, e) =>
+      q -> prod(q).intersect(e).size.toDouble / e.size
+    }
+    val mean = perQ.values.sum / perQ.size
+    assert(mean >= 0.45, s"mean page overlap $mean fell below 0.45: $perQ")
+    perQ.foreach { case (q, o) =>
+      assert(o >= 0.2, s"query $q page overlap $o fell below 0.2: $perQ")
+    }
+  }
 }
