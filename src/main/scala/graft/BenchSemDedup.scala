@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   *
   * Env: SPARK_GRAFT_SF_DIR (fixture dir), SPARK_GRAFT_CPUS,
   * SPARK_GRAFT_SEMDEDUP_NPROBE (default 8), SPARK_GRAFT_SEMDEDUP_NLISTS
-  * (default max(8, 2^ceil(log2(2·√N)))). Prints ONE JSON line.
+  * (default max(8, 2^ceil(log2(2·√N)))), SPARK_GRAFT_SEMDEDUP_QUANT=1
+  * to run the int8 filter-refine variant (q176's path: buildQuantizedIndex
+  * + semanticDedupApplyQuantized — the candidate pass scans 64-byte code
+  * columns instead of 512-byte doubles; decisions are provably identical,
+  * so kept/dropped must match the plain variant at the same geometry).
+  * Prints ONE JSON line.
   */
 object BenchSemDedup {
   def main(args: Array[String]): Unit = {
@@ -65,22 +70,35 @@ object BenchSemDedup {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val tBuild = timed(operators.Similarity.buildIvfIndex(
-      corpus, path, nLists = nLists))
+    val quant = sys.env.get("SPARK_GRAFT_SEMDEDUP_QUANT").contains("1")
+    val tBuild = timed {
+      if (quant)
+        operators.Similarity.buildQuantizedIndex(corpus, path,
+          nLists = nLists)
+      else
+        operators.Similarity.buildIvfIndex(corpus, path, nLists = nLists)
+    }
     var kept = 0L
     var dropped = 0L
     val tRewrite = timed {
-      val decisions = operators.Dedup.semanticDedupApply(
-        corpus, "vec_id", "embedding", path,
-        threshold = 0.9, k = 5, nProbe = nProbe)
+      val decisions =
+        if (quant)
+          operators.Dedup.semanticDedupApplyQuantized(
+            corpus, "vec_id", "embedding", path,
+            threshold = 0.9, k = 5, nProbe = nProbe)
+        else
+          operators.Dedup.semanticDedupApply(
+            corpus, "vec_id", "embedding", path,
+            threshold = 0.9, k = 5, nProbe = nProbe)
       val counts = decisions.groupBy("action").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       kept = counts.getOrElse("kept", 0L)
       dropped = counts.getOrElse("dropped", 0L)
     }
+    val variant = if (quant) "quantized" else "plain"
     println(f"""{"build":$tBuild%.3f,"rewrite":$tRewrite%.3f,"n":$n,""" +
       s""""nLists":$nLists,"nProbe":$nProbe,"kept":$kept,""" +
-      s""""dropped":$dropped,"sf":"$sfDir"}""")
+      s""""dropped":$dropped,"variant":"$variant","sf":"$sfDir"}""")
     operators.MaintenanceIo.deleteDir(path)
     spark.stop()
   }

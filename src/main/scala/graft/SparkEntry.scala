@@ -2535,6 +2535,42 @@ object SparkEntry {
         .orderBy("q_id", "rn")
     }),
 
+    // ---- kNN-graph LIFECYCLE CLOSURE (delete → compact → append) -------
+    // The SANCTIONED maintained-graph mutation sequence end-to-end as one
+    // oracle-gated row (round-17 verdict #4): takedown through
+    // deleteFromKnnGraph (tombstones pending + targeted repair, one
+    // atomic publish), compactIvfIndex (retires the tombstones — its
+    // stale-graph check passes because the repair already ran), then
+    // appendToKnnGraph for the recrawl shard (reopened by the
+    // compaction). Decisions over the final corpus read the maintained
+    // graph; the oracle replays the WHOLE chain from scratch over
+    // exactly (base ∖ victims) ∪ shard — hash-green proves three
+    // composed delta mutations reproduce the full rebuild
+    // decision-for-decision. At exhaustive geometry every step's
+    // exactness argument is airtight (delete repair re-probes all
+    // cells; append merges through the same bounded heap).
+    "q177_semdedup_lifecycle" -> ((s, dir) => {
+      val corpus = neardupCorpus(s, dir)
+      val base = corpus.filter(col("vec_id") < 1000000L)
+      val victims = base.filter(pmod(col("vec_id"), lit(10)) === 3)
+      val shard = corpus.filter(col("vec_id") >= 1000000L)
+      val idx = cachedBuild(dir, "embeddings.parquet",
+          "target/q177_semdedup_lifecycle",
+          params = "ivf:nlists=8:knngraph:k=5:del+compact+append") { p =>
+        Similarity.buildIvfIndex(base, p, nLists = 8)
+        Similarity.buildKnnGraph(s, p, k = 5, nProbe = 8)
+        Similarity.deleteFromKnnGraph(victims.select("vec_id"), p,
+          k = 5, nProbe = 8)
+        Similarity.compactIvfIndex(s, p)
+        Similarity.appendToKnnGraph(shard, p, k = 5, nProbe = 8)
+      }
+      val live = base.filter(pmod(col("vec_id"), lit(10)) =!= 3)
+        .unionByName(shard)
+      Dedup.semanticDedupDecisions(live, "vec_id", "embedding",
+          Similarity.knnGraphFromIndex(s, idx), threshold = 0.9)
+        .orderBy("vec_id")
+    }),
+
     // ---- SEMANTIC DEDUP over the QUANTIZED index ------------------------
     // q170's rewrite with its kNN stage answered from the int8
     // filter-refine index (round-17 verdict #5): the candidate pass scans
@@ -7540,6 +7576,11 @@ object SparkEntry {
     // hash-green proves the targeted graph repair equals a full rebuild
     // over the remaining vectors.
     "q174_semdedup_delete" -> semDedupOracleSqlOn("NOT (vec_id % 10 = 3)"),
+    // the delete→compact→append lifecycle: base minus victims, shard
+    // (the twins) re-appended — the from-scratch replay over exactly
+    // that corpus gates the three composed delta mutations
+    "q177_semdedup_lifecycle" ->
+      semDedupOracleSqlOn("NOT (vec_id < 1000000 AND vec_id % 10 = 3)"),
     // The quantized filter-and-refine round trip must reproduce the exact
     // top-k too: the bound argument makes the survivor set a superset of
     // the true top-k, and the refine pass is the brute-force scoring.

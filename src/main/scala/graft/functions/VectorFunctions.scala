@@ -30,6 +30,17 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Σ wᵢ·(cᵢ+128) over (array<double> weights, array<long> int8 codes) —
+    * the quantized candidate-score kernel, compiled
+    * (expressions.ShiftedDot); bit-identical to
+    * aggregate(zip_with(w, codes, (wi,c) => wi*(c+128)), 0.0, +).
+    */
+  def shiftedDot(w: Column, codes: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.ShiftedDot(
+      ColumnBridge.expression(w), ColumnBridge.expression(codes)))
+  }
+
   /** Cosine similarity; NaN on zero vectors (callers filter). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

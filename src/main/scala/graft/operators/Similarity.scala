@@ -1151,11 +1151,24 @@ object Similarity {
     val approx = asg.select("cell", "n_id", "nrm_n", "codes", "oob")
       .join(side(q), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("dhat", col("qa") + aggregate(
-        zip_with(col("w"), col("codes"), (wi, c) => wi * (c + 128)),
-        lit(0.0), _ + _))
+      // compiled kernel (V.shiftedDot): the HOF aggregate(zip_with(...))
+      // form is CodegenFallback — an interpreted lambda + a 64-element
+      // intermediate array PER CANDIDATE, which at batch-kNN volume
+      // dominated the whole rewrite (1158 s at x100; the kernel is
+      // bit-identical, same fold order)
+      .withColumn("dhat", col("qa") + V.shiftedDot(col("w"), col("codes")))
       .withColumn("chat", col("dhat") / (col("nrm_q") * col("nrm_n")))
       .withColumn("err", col("qeps") / (col("nrm_q") * col("nrm_n")))
+      // PROJECT the candidate frame to scalars the moment the code math
+      // is done: both downstream consumers (threshold heap, survivor
+      // filter) need only these six columns, and in the BATCH regime the
+      // candidate frame is corpus×nProbe/nLists rows that must cross a
+      // q_id exchange — letting the 64-element codes / query-weight
+      // arrays ride that shuffle multiplied its bytes ~20× (measured
+      // 176 → 1206 s at x100 before this projection). The narrow frame
+      // also canonicalizes both consumers onto ONE exchange, so Spark's
+      // ReuseExchange computes the candidate join once.
+      .select("q_id", "cell", "n_id", "oob", "chat", "err")
     // t = k-th largest LOWER bound among bound-valid candidates; with
     // FEWER than k of them the k-th best true similarity may sit below
     // every collected bound, so pruning is disabled outright (t = −2 <

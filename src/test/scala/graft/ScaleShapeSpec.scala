@@ -181,6 +181,27 @@ class ScaleShapeSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("shiftedDot kernel is bit-identical to the HOF code-score form") {
+    // the quantized filter-refine candidate kernel: Σ wᵢ·(cᵢ+128) — the
+    // compiled loop must reproduce aggregate(zip_with(...)) EXACTLY (the
+    // bound soundness argument leans on the fold order being unchanged)
+    import graft.functions.{VectorFunctions => V}
+    val df = Tables.embeddings(spark, sf0001).limit(50)
+      .select(V.toDoubleArray(col("embedding")).as("w"),
+        // synthetic int8-ish codes derived deterministically from the row
+        transform(col("embedding"),
+          (x, i) => (abs(hash(x, i)) % 256 - 128).cast("long")).as("codes"))
+    val viaKernel = df.select(V.shiftedDot(col("w"), col("codes")))
+      .as[Double].collect()
+    val viaHof = df.select(aggregate(
+        zip_with(col("w"), col("codes"), (wi, c) => wi * (c + 128)),
+        lit(0.0), _ + _))
+      .as[Double].collect()
+    assert(viaKernel.length == 50 &&
+      viaKernel.zip(viaHof).forall { case (k, h) => k == h },
+      "compiled shiftedDot diverged from the HOF fold")
+  }
+
   test("partition pruning reaches the scan on partitioned data") {
     val dir = "target/tmp/events_by_type"
     Tables.events(spark, sf0001)

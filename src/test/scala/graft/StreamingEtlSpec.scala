@@ -1091,6 +1091,110 @@ class StreamingEtlSpec extends SparkSpec {
       s"stream-maintained graph drifted: $got vs $want")
   }
 
+  test("search-while-ingesting: retrieval served from the maintained " +
+      "index + simgraph WHILE the ingest query is active equals " +
+      "from-scratch at every trigger boundary") {
+    // Round-16/17 carried stretch: the stream-maintained artifacts are
+    // gated above AFTER the writer stops — this drives the actual serving
+    // pattern, a retrieval probe (BM25 from the inverted index + SERP
+    // dedup against the simgraph) issued BETWEEN micro-batches with the
+    // streaming query still ACTIVE. The manifest-snapshot read path must
+    // serve a consistent page equal to a from-scratch build over
+    // corpus ∪ admitted-so-far, and the next trigger's admissions must
+    // become searchable at the following boundary.
+    import java.nio.file.Files
+    def toks(p: String) = (1 to 30).map(i => s"${p}w$i").mkString(" ")
+    def blend(p: String, q: String, k: Int) =
+      ((1 to (30 - k)).map(i => s"${p}w$i") ++
+        (1 to k).map(i => s"${q}x$i")).mkString(" ")
+    val corpus = Seq((1L, toks("a")), (2L, toks("b"))).toDF("doc_id", "text")
+    val bloomPath = Files.createTempDirectory("swi_bloom").toString
+    val lshPath = Files.createTempDirectory("swi_lsh").toString
+    val idxPath = Files.createTempDirectory("swi_idx").toString
+    val gPath = Files.createTempDirectory("swi_graph").toString
+    graft.operators.Dedup.buildExactBloom(corpus, "text", bloomPath)
+    graft.operators.Dedup.writeLshBandIndex(corpus, "doc_id", "text",
+      lshPath)
+    graft.operators.InvertedIndex.buildIndex(corpus, idxPath)
+    graft.operators.SimGraphIndex.build(corpus, "doc_id", "text", gPath,
+      threshold = 0.4)
+    val stageDir = Files.createTempDirectory("swi_stage")
+    val ckpt = Files.createTempDirectory("swi_ckpt").toString
+    val outDir = Files.createTempDirectory("swi_out").toString
+    var staged = 0
+    def stage(rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"swi_tmp_$staged")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, stageDir.resolve(f"s$staged%02d.parquet"))
+      staged += 1
+    }
+    // the serving probe: BM25 candidate page from the index, ranked
+    // (score DESC, doc_id), then SERP-deduped against the graph edges
+    val terms = Seq("aw1", "aw2", "bw5", "gx1")
+    def probe(ip: String, gp: String): Seq[(Long, Long, String, Long)] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+      val cand = graft.operators.InvertedIndex.bm25FromIndex(spark, ip,
+          terms)
+        .withColumn("q_id", lit(0L))
+        .withColumn("rn", row_number().over(w))
+        .select("q_id", "doc_id", "rn")
+      graft.operators.Retrieval.serpDedup(cand,
+          graft.operators.SimGraphIndex.edges(spark, gp))
+        .orderBy("rn")
+        .select("rn", "doc_id", "action", "dup_of")
+        .as[(Long, Long, String, Long)].collect().toSeq
+    }
+    def scratchProbe(): Seq[(Long, Long, String, Long)] = {
+      val admitted = spark.read.parquet(outDir).select("doc_id", "text")
+      val all = corpus.unionByName(admitted)
+      val si = Files.createTempDirectory("swi_scr_idx").toString
+      val sg = Files.createTempDirectory("swi_scr_g").toString
+      graft.operators.InvertedIndex.buildIndex(all, si)
+      graft.operators.SimGraphIndex.build(all, "doc_id", "text", sg,
+        threshold = 0.4)
+      probe(si, sg)
+    }
+    // shard 1: a near-dup blend of doc 1 (admits; 0.4-edge to doc 1) and
+    // a fresh doc carrying the "gx1" term
+    stage(Seq(101L -> blend("a", "g", 10), 102L -> toks("c")))
+    val q = graft.streaming.IngestStream.selfDedupIngest(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString),
+      corpus, "doc_id", "text", bloomPath, lshPath, threshold = 0.8,
+      outDir, ckpt, searchIndexPath = Some(idxPath),
+      simGraphPath = Some(gPath))
+    q.processAllAvailable()
+    assert(q.isActive, "the ingest query must still be running")
+    val live1 = probe(idxPath, gPath)
+    val want1 = scratchProbe()
+    assert(live1.nonEmpty && live1 == want1,
+      s"mid-stream probe diverged from from-scratch: $live1 vs $want1")
+    assert(live1.exists(_._2 == 101L),
+      "batch-1 admission must already be searchable mid-stream")
+    assert(live1.exists { case (_, d, a, dup) =>
+      d == 101L && a == "dropped" && dup == 1L } ||
+      live1.exists { case (_, d, a, dup) =>
+        d == 1L && a == "dropped" && dup == 101L },
+      s"the near-dup pair (1, 101) must SERP-dedup against the live " +
+        s"graph: $live1")
+    // shard 2 lands while the SAME query instance keeps running — its
+    // admissions must be searchable at the next boundary
+    stage(Seq(111L -> blend("b", "h", 10)))
+    q.processAllAvailable()
+    assert(q.isActive)
+    val live2 = probe(idxPath, gPath)
+    val want2 = scratchProbe()
+    assert(live2 == want2,
+      s"post-trigger-2 probe diverged: $live2 vs $want2")
+    assert(live2.exists(_._2 == 111L),
+      "batch-2 admission must be searchable after its trigger")
+    q.stop()
+  }
+
   test("writeShards: export is identical under input repartitioning") {
     // the bit-reproducibility claim: shard membership, global positions,
     // and in-file order are pure functions of (ids, seed) — independent
