@@ -60,6 +60,14 @@ if [ "${SPARK_GRAFT_GATE_BENCH:-1}" = "1" ]; then
   # structured gate bench at a stable root path the judge can read
   # without digging into bench/.
   cp "$GATE_BENCH_OUT" BENCH_SUMMARY.json
+  # Diff BEFORE round-stamping: the stamp copies the gate artifact to
+  # bench/bench_r<N>.json, and bench_diff's base resolver picks the
+  # highest bench_r*.json — stamping first made the diff compare the
+  # artifact to ITSELF (a vacuous 1.00x; bit round 18's first gate run).
+  REQUIRE_MEDIAN=""
+  [ "$REPEAT" -ge 3 ] && REQUIRE_MEDIAN="--require-median"
+  python3 scripts/bench_diff.py "$GATE_BENCH_OUT" $REQUIRE_MEDIAN \
+    ${SPARK_GRAFT_BENCH_ALLOW:+--allow "$SPARK_GRAFT_BENCH_ALLOW"}
   # Round-stamp the artifact so bench_diff's base resolution finds the
   # PREVIOUS round next time (r17 false alarm: rounds 14-16 wrote only
   # the shared gate path, so the resolver fell back to bench_r13.json
@@ -78,10 +86,6 @@ if [ "${SPARK_GRAFT_GATE_BENCH:-1}" = "1" ]; then
       cp "$GATE_BENCH_OUT" "bench/bench_r$((LAST + 1)).json"
     fi
   fi
-  REQUIRE_MEDIAN=""
-  [ "$REPEAT" -ge 3 ] && REQUIRE_MEDIAN="--require-median"
-  python3 scripts/bench_diff.py "$GATE_BENCH_OUT" $REQUIRE_MEDIAN \
-    ${SPARK_GRAFT_BENCH_ALLOW:+--allow "$SPARK_GRAFT_BENCH_ALLOW"}
 else
   echo "== 5/5 bench diff skipped (SPARK_GRAFT_GATE_BENCH=0) =="
 fi
