@@ -815,32 +815,47 @@ object Dedup {
     * exhaustive side here is the exact audit (right at gate-fixture
     * scale); a 100 TB deployment samples the audited vertex set — the
     * certificate schema and staleness contract are unchanged.
+    *
+    * The two dedup passes run LOCK-FREE (they are reads; holding the
+    * writer lock through a corpus-scale audit would stall every
+    * mutation — the [[Similarity.certifyIvfIndex]] discipline); the lock
+    * is taken only for the publish, which refuses if the epoch moved
+    * mid-audit. A QUANTIZED index certifies through the same call: the
+    * int8 filter-refine channel is provably exact, so at equal geometry
+    * the plain-probe decisions measured here equal
+    * [[semanticDedupApplyQuantized]]'s (q176 == q170 hash-green), and
+    * one certificate covers both run forms.
     */
   def certifyDecisionRecall(spark: SparkSession, indexPath: String,
                             threshold: Double, k: Int,
-                            nProbe: Int): Double =
+                            nProbe: Int): Double = {
+    val m0 = MaintenanceIo.requireManifest(indexPath)
+    val corpus = Similarity.liveVectors(spark, indexPath)
+    val nLists = Similarity.storedNLists(spark, indexPath)
+    def drops(np: Int) = semanticDedupApply(corpus, "vec_id", "embedding",
+        indexPath, threshold, k, np)
+      .filter(col("action") === "dropped").select("vec_id")
+    val exact = drops(nLists) // exhaustive probe == exact on this index
+    val nExact = exact.count()
+    val caught = drops(nProbe).join(exact, Seq("vec_id"), "left_semi")
+      .count()
+    val recall = if (nExact == 0L) 1.0 else caught.toDouble / nExact
+    import spark.implicits._
+    val gen = MaintenanceIo.nextGen(indexPath, "decision_cert")
+    Seq((m0.epoch, threshold, k, nProbe, nExact, caught, recall))
+      .toDF("epoch", "threshold", "k", "n_probe", "exact_drops",
+        "caught", "recall")
+      .coalesce(1).write.parquet(s"$indexPath/$gen")
     MaintenanceIo.withMaintenanceLock(indexPath) {
       val m = MaintenanceIo.requireManifest(indexPath)
-      val corpus = Similarity.liveVectors(spark, indexPath)
-      val nLists = Similarity.storedNLists(spark, indexPath)
-      def drops(np: Int) = semanticDedupApply(corpus, "vec_id", "embedding",
-          indexPath, threshold, k, np)
-        .filter(col("action") === "dropped").select("vec_id")
-      val exact = drops(nLists) // exhaustive probe == exact on this index
-      val nExact = exact.count()
-      val caught = drops(nProbe).join(exact, Seq("vec_id"), "left_semi")
-        .count()
-      val recall = if (nExact == 0L) 1.0 else caught.toDouble / nExact
-      import spark.implicits._
-      val gen = MaintenanceIo.nextGen(indexPath, "decision_cert")
-      Seq((m.epoch, threshold, k, nProbe, nExact, caught, recall))
-        .toDF("epoch", "threshold", "k", "n_probe", "exact_drops",
-          "caught", "recall")
-        .coalesce(1).write.parquet(s"$indexPath/$gen")
+      require(m.epoch == m0.epoch,
+        s"$indexPath mutated during decision certification (epoch " +
+          s"${m0.epoch} -> ${m.epoch}) — re-run certifyDecisionRecall")
       MaintenanceIo.publish(indexPath,
         m.copy(tables = m.tables + ("decision_cert" -> gen)))
       recall
     }
+  }
 
   /** The stored decision certificate under the current manifest, if any. */
   def readDecisionCert(spark: SparkSession,

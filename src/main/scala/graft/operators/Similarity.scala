@@ -689,15 +689,31 @@ object Similarity {
     * the refresh path when the serving geometry changes or a mutation ran
     * without a cert. Publishes the new certificate under the unchanged
     * epoch; returns the measured recall.
+    *
+    * The audit runs LOCK-FREE against a manifest snapshot (readers never
+    * need the maintenance lock, and at 100 TB the sampled audit is
+    * minutes — holding the writer lock through it would stall every
+    * mutation); the lock is taken only for the publish, which re-reads
+    * the manifest and REFUSES if the epoch moved mid-audit (the measured
+    * number would describe a superseded index — re-run).
     */
   def certifyIvfIndex(spark: SparkSession, indexPath: String,
-                      spec: RecallCertSpec): Double =
+                      spec: RecallCertSpec): Double = {
+    val m0 = MaintenanceIo.requireManifest(indexPath)
+    val gen = MaintenanceIo.nextGen(indexPath, "recall_cert")
+    recallCertDf(spark, indexPath, m0, spec).coalesce(1)
+      .write.parquet(s"$indexPath/$gen")
     MaintenanceIo.withMaintenanceLock(indexPath) {
       val m = MaintenanceIo.requireManifest(indexPath)
-      val m1 = withCert(spark, indexPath, m, Some(spec))
-      MaintenanceIo.publish(indexPath, m1)
+      require(m.epoch == m0.epoch,
+        s"$indexPath mutated during certification (epoch ${m0.epoch} -> " +
+          s"${m.epoch}) — the measured recall describes a superseded " +
+          "index; re-run certifyIvfIndex")
+      MaintenanceIo.publish(indexPath,
+        m.copy(tables = m.tables + ("recall_cert" -> gen)))
       readRecallCert(spark, indexPath).get.recall
     }
+  }
 
   /** The stored recall certificate under the current manifest, if any. */
   def readRecallCert(spark: SparkSession, indexPath: String): Option[RecallCert] =
