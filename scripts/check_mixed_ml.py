@@ -27,6 +27,9 @@ ML_QUERIES = [
     # the mixed fixture extends with planted docs, legitimately shifting
     # BM25 ranks and the fusion.)
     "q164_ivf_prod_probe", "q173_semdedup_prod_probe",
+    # q178: the quantized production-probe dedup — same embeddings-only
+    # input as q173, certified through the same decision-cert machinery.
+    "q178_semdedup_quant_prod",
 ]
 
 base, mixed = sys.argv[1], sys.argv[2]

@@ -31,14 +31,25 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# Verify dumps selected.json = the UNION of query names every run against
+# this outdir actually selected (r18 advice: without it, a FULL run whose
+# driver silently failed to dump one query was indistinguishable from a
+# targeted run that never selected it — the gate exited 0 with a "skipped"
+# note instead of failing). A selected query with no parquet dir is now a
+# FAIL; only queries outside the selected set skip.
+selected = None
+if os.path.exists(f"{outdir}/selected.json"):
+    selected = set(json.load(open(f"{outdir}/selected.json")))
 fails = 0
 skipped = 0
 for name, sql in sorted(oracle.items()):
-    # Verify always dumps the FULL oracle map (so targeted backfill runs
-    # never shrink it); a query with no parquet dump here was simply not
-    # selected for this run — skip it, don't fail it.
     if not os.path.isdir(f"{outdir}/{name}"):
-        skipped += 1
+        if selected is not None and name in selected:
+            print(f"FAIL {name}: selected for this dump but no parquet "
+                  f"directory — the Verify run failed to dump it")
+            fails += 1
+        else:
+            skipped += 1
         continue
     try:
         got = con.execute(

@@ -2507,6 +2507,14 @@ object SparkEntry {
         operators.SimGraphIndex.build(docs.select("doc_id", "text"),
           "doc_id", "text", p, simGraphThreshold, simGraphShingleWidth)
       }
+      // ONE snapshot descriptor over the whole artifact SET (round-18
+      // verdict #1): the three epochs are pinned here, before any channel
+      // resolves a manifest, and re-asserted after the last channel is
+      // built — a mutation landing on any ONE artifact between the
+      // sparse channel's resolution and the serp-dedup's graph read
+      // fails loudly instead of serving a mixed-snapshot page
+      val servingSnap = operators.Serving.resolveServingSnapshot(
+        Seq(invIdx, ivfIdx, g))
       Similarity.requireCertifiedRecall(s, ivfIdx, k = hybridChannelK,
         nProbe = 8, floor = 0.70)
       val sparse = operators.InvertedIndex.bm25PerQueryFromIndex(s, invIdx,
@@ -2530,9 +2538,13 @@ object SparkEntry {
         .select(col("q_id"), col("doc_id"), col("rrf").as("rel"))
       val vectors = emb.select(col("vec_id").as("doc_id"),
         VectorFunctions.toDoubleArray(col("embedding")).as("v"))
-      Retrieval.mmrRerank(page, vectors, lambdaRel = mmrLambdaRel,
-          lambdaDiv = mmrLambdaDiv, k = mmrK)
+      val served = Retrieval.mmrRerank(page, vectors,
+          lambdaRel = mmrLambdaRel, lambdaDiv = mmrLambdaDiv, k = mmrK)
         .orderBy("q_id", "rn")
+      // every channel's manifest resolution is behind us — assert no
+      // artifact epoch moved across the whole construction
+      operators.Serving.requireServingSnapshot(servingSnap)
+      served
     }),
 
     // ---- kNN-graph LIFECYCLE CLOSURE (delete → compact → append) -------
@@ -2591,6 +2603,39 @@ object SparkEntry {
           params = "quant:nlists=8:semdedup") { p =>
         Similarity.buildQuantizedIndex(corpus, p, nLists = 8)
       }
+      Dedup.semanticDedupApplyQuantized(corpus, "vec_id", "embedding",
+          idx, threshold = 0.9, k = 5, nProbe = 8)
+        .orderBy("vec_id")
+    }),
+
+    // ---- QUANTIZED semantic dedup at PRODUCTION geometry ---------------
+    // q176 gates the int8 path at exhaustive probe (the exactness proof);
+    // THIS row is the geometry a 100 TB quantized dedup run uses —
+    // nLists=16 probed at nProbe=8 — behind the PERSISTED DECISION
+    // CERTIFICATE (round-18 verdict #3, q173's discipline widened to the
+    // quantized artifact): the exhaustive-vs-pruned decision audit runs
+    // ONCE at certification time over the index's own vectors and its
+    // cert rides the manifest; the serve ASSERTS floor + epoch freshness
+    // + (θ, k, nProbe) via one 1-row read. One certificate covers the
+    // plain-probe AND int8 filter-refine run forms: at equal geometry the
+    // refine pass is provably exact (the Δ/2 bound), so the decisions
+    // measured on the plain probe equal the quantized run's — q176==q170
+    // hash-green is the standing witness. Output is the production
+    // decisions: rows-only for the driver (seeded KMeans routing), frozen
+    // by the GoldenSpec pin.
+    "q178_semdedup_quant_prod" -> ((s, dir) => {
+      val corpus = neardupCorpus(s, dir)
+      val idx = cachedBuild(dir, "embeddings.parquet",
+          "target/q178_semdedup_quant_prod",
+          params = "quant:nlists=16:semdedup-prod:dcert=t0.9k5p8") { p =>
+        Similarity.buildQuantizedIndex(corpus, p, nLists = 16)
+        Dedup.certifyDecisionRecall(s, p, threshold = 0.9, k = 5,
+          nProbe = 8)
+      }
+      val dropRecall = Dedup.requireCertifiedDecisionRecall(s, idx,
+        threshold = 0.9, k = 5, nProbe = 8, floor = 0.90)
+      System.err.println(f"[q178] certified decision recall (quantized) " +
+        f"at nProbe=8/nLists=16: $dropRecall%.4f")
       Dedup.semanticDedupApplyQuantized(corpus, "vec_id", "embedding",
           idx, threshold = 0.9, k = 5, nProbe = 8)
         .orderBy("vec_id")
@@ -4370,30 +4415,32 @@ object SparkEntry {
     // NEAR-DUP STRUCTURE — which edges a release added, removed, or kept
     // (a sudden burst of added edges = a syndication/boilerplate leak
     // that per-doc diffs cannot see). Same v1/v2 snapshot pair as
-    // q104/q109. From-scratch derivation on both sides (the release-
-    // audit gate); the PRODUCTION cadence maintains one SimGraphIndex
-    // per snapshot via appendBatch/delete deltas and diffs the edge
-    // artifacts — edges can only change at a changed endpoint, so the
-    // incremental path is delta-sized, not two corpus joins.
+    // q104/q109. Derivation is Dedup.snapshotEdgeDiff (round-18 verdict
+    // #6): the shared UNCHANGED core's edges are computed once and are
+    // `kept` by construction (identical texts ⇒ identical jaccard), and
+    // only edges incident to a CHANGED doc run per snapshot — a
+    // single-sided prefix-blocked delta join sized |changed|×candidates,
+    // never core². At a realistic release delta (~5 % churn) that
+    // removes ~90 % of the naive two-full-joins pair work; the oracle is
+    // STILL the two from-scratch derivations replayed in DuckDB —
+    // hash-green proves the decomposition loses and invents nothing. The
+    // PRODUCTION cadence maintains one SimGraphIndex per snapshot via
+    // appendBatch/delete deltas and diffs the edge artifacts (q162).
     "q161_simgraph_snapshot_diff" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val v1 = docs.filter(col("doc_id") % 10 =!= 7)
-      val v2 = docs.filter(col("doc_id") % 10 =!= 4)
-        .select(col("doc_id"),
-          when(col("doc_id") % 10 === 5,
-            concat(col("text"), lit(" v2edit")))
-            .otherwise(col("text")).as("text"))
-      val e1 = Dedup.exactJaccardJoin(v1, "doc_id", "text",
+      // core: text identical in both snapshots; ch1/ch2: per-version
+      // content of the churned ids (%10==4 removed by v2, %10==7 absent
+      // from v1, %10==5 edited in v2)
+      val core = docs.filter(col("doc_id") % 10 =!= 4 &&
+        col("doc_id") % 10 =!= 5 && col("doc_id") % 10 =!= 7)
+      val ch1 = docs.filter(col("doc_id") % 10 === 4 ||
+        col("doc_id") % 10 === 5)
+      val ch2 = docs.filter(col("doc_id") % 10 === 7)
+        .unionByName(docs.filter(col("doc_id") % 10 === 5)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" v2edit")).as("text")))
+      Dedup.snapshotEdgeDiff(core, ch1, ch2, "doc_id", "text",
           simGraphThreshold, simGraphShingleWidth)
-        .select(col("id_a"), col("id_b"), lit(1L).as("__in1"))
-      val e2 = Dedup.exactJaccardJoin(v2, "doc_id", "text",
-          simGraphThreshold, simGraphShingleWidth)
-        .select(col("id_a"), col("id_b"), lit(1L).as("__in2"))
-      e1.join(e2, Seq("id_a", "id_b"), "full_outer")
-        .select(col("id_a"), col("id_b"),
-          when(col("__in1").isNull, "added")
-            .when(col("__in2").isNull, "removed")
-            .otherwise("kept").as("status"))
         .orderBy("id_a", "id_b")
     }),
 

@@ -61,6 +61,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // selected.json = the UNION of names every run against this outDir
+    // selected — so the checker can FAIL a selected query whose parquet
+    // dump is missing (a silently-failed dump in a full run) while still
+    // skipping queries no run ever selected (r18 advice: without this, a
+    // dropped dump and a never-selected query were indistinguishable and
+    // the gate exited green). Union, not overwrite: a targeted backfill
+    // into a full dump must not shrink the full run's selected set.
+    val selPath = Paths.get(s"$outDir/selected.json")
+    val prior: Set[String] =
+      if (Files.exists(selPath))
+        """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(Files.readString(selPath))
+          .map(_.group(1)).toSet
+      else Set.empty
+    val sel = (prior ++ selected(SparkEntry.queries).keySet).toSeq.sorted
+    Files.writeString(selPath, sel.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -1,9 +1,10 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Codegen'd Σ wᵢ·(cᵢ + 128) over (`array<double>`, `array<long>`) — the
   * int8-code dot-product estimate of the quantized filter-refine path
@@ -25,6 +26,24 @@ case class ShiftedDot(left: Expression, right: Expression)
 
   // left must be array<double> (query weights), right array<long> (codes)
   override def dataType: DataType = DoubleType
+
+  /** Enforced input shape (round-18 advice): `getDouble`/`getLong` on an
+    * ArrayData backed by any other element width would misread bytes and
+    * produce plausible-but-wrong scores — fail ANALYSIS, not results.
+    * Length mismatch stays legal with MIN-LENGTH semantics (the loop
+    * folds the common prefix): every engine caller guards dims upstream
+    * (quantizeInt8 raises on a dim mismatch), so the equal-length case is
+    * the only one that occurs — but a raw caller gets a documented
+    * partial sum here, never a misread.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ShiftedDot requires (array<double>, array<long>), got " +
+          s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val w = a.asInstanceOf[ArrayData]

@@ -305,6 +305,105 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Near-dup-STRUCTURE diff between two corpus snapshots that share an
+    * unchanged core — the release-audit primitive (q161): which exact-
+    * Jaccard edges v2 `added`, `removed`, or `kept` relative to v1, where
+    * v1 = `unchanged` ∪ `v1Changed` and v2 = `unchanged` ∪ `v2Changed`.
+    *
+    * The naive derivation runs the full [[exactJaccardJoin]] kernel over
+    * BOTH snapshots — two quadratic-shaped passes that re-derive the
+    * shared core's pairs twice (at a realistic release delta the core is
+    * ~95 % of the corpus, so ~90 % of all pair work is duplicated; this
+    * was q161's cost two rounds running). Decompose by the partition of
+    * pairs instead: an edge between two CORE docs is identical in both
+    * snapshots (same texts ⇒ same shingle sets ⇒ same jaccard) — compute
+    * it ONCE and emit `kept` directly; an edge INCIDENT to a changed doc
+    * is per-snapshot, but single-sided prefix blocking (the
+    * [[SimGraphIndex]] append theorem: probe-prefix over the changed
+    * docs, index-FULL over core ∪ changed) finds all of them with work
+    * proportional to |changed| × candidates, never core². The exact
+    * verify runs on full shingle sets, so the composed edge sets EQUAL
+    * the two from-scratch joins pair-for-pair — q161's from-scratch
+    * DuckDB replay stays the oracle, hash-green.
+    *
+    * Caller contract: `v1Changed`/`v2Changed` ids must be DISJOINT from
+    * `unchanged` ids (a doc whose text changed belongs in both changed
+    * frames, once per version); the changed frames may share ids. Text
+    * kernel cost: one pass over the core + one per changed frame — vs
+    * two full-corpus passes for the naive form.
+    */
+  def snapshotEdgeDiff(unchanged: DataFrame, v1Changed: DataFrame,
+                       v2Changed: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleWidth: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"snapshotEdgeDiff: threshold in (0,1], got $threshold")
+    val t6 = math.floor(threshold * 1e6).toLong
+    def setsOf(df: DataFrame) = df.select(col(idCol).as("__id"),
+        T.shingleHashSet(col(textCol), shingleWidth).as("__hs"))
+      .withColumn("__sz", size(col("__hs")).cast("long"))
+      .filter(col("__sz") > 0)
+      .localCheckpoint()
+    val setsU = setsOf(unchanged)
+    val core = exactJaccardJoinFromSets(setsU, t6, threshold)
+      .select(col("id_a"), col("id_b"), lit("kept").as("status"))
+    def incident(setsC: DataFrame) =
+      incidentJaccardEdges(setsU, setsC, t6, threshold)
+    val e1 = incident(setsOf(v1Changed))
+      .select(col("id_a"), col("id_b"), lit(1L).as("__in1"))
+    val e2 = incident(setsOf(v2Changed))
+      .select(col("id_a"), col("id_b"), lit(1L).as("__in2"))
+    val delta = e1.join(e2, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        when(col("__in1").isNull, "added")
+          .when(col("__in2").isNull, "removed")
+          .otherwise("kept").as("status"))
+    core.unionByName(delta)
+  }
+
+  /** All exact-Jaccard pairs with AT LEAST ONE endpoint in `setsC`, over
+    * the corpus `setsU` ∪ `setsC` — the [[snapshotEdgeDiff]] delta join.
+    * Single-sided prefix blocking ([[SimGraphIndex.appendEdgesPlan]]'s
+    * theorem): only the CHANGED side ranks a probe prefix (p rarest
+    * shingles under the merged (df, h) order — ordering affects only
+    * candidate volume, never recall), the target side keeps FULL
+    * postings, so a qualifying pair is found regardless of how the core
+    * doc's shingles rank. Core↔core pairs never enter the join.
+    */
+  private def incidentJaccardEdges(setsU: DataFrame, setsC: DataFrame,
+                                   t6: Long, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postC = setsC.select(col("__id"), col("__sz"),
+      explode(col("__hs")).as("__h"))
+    val allPost = setsU.select(col("__id"), col("__sz"),
+        explode(col("__hs")).as("__h"))
+      .unionByName(postC)
+    val dfreq = allPost.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy("__id").orderBy(col("__df"), col("__h"))
+    val probe = postC.join(dfreq, "__h")
+      .withColumn("__rk", row_number().over(wDoc))
+      .filter(col("__rk") <=
+        col("__sz") - expr(s"(($t6 * __sz + 999999) div 1000000)") + 1)
+      .select(col("__h"), col("__id").as("id_p"), col("__sz").as("__sp"))
+    val cands = probe
+      .join(allPost.select(col("__h"), col("__id").as("id_t"),
+        col("__sz").as("__st")), Seq("__h"))
+      .filter(col("id_p") =!= col("id_t") &&
+        col("__st") * 1000000L >= lit(t6) * col("__sp") &&
+        col("__sp") * 1000000L >= lit(t6) * col("__st"))
+      .select(least(col("id_p"), col("id_t")).as("id_a"),
+        greatest(col("id_p"), col("id_t")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val allSets = setsU.unionByName(setsC)
+    cands
+      .join(allSets.select(col("__id").as("id_a"), col("__hs").as("__ha")),
+        Seq("id_a"))
+      .join(allSets.select(col("__id").as("id_b"), col("__hs").as("__hb")),
+        Seq("id_b"))
+      .withColumn("jaccard", T.jaccard(col("__ha"), col("__hb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** Exact-recall CONTAINMENT join: all ordered pairs (a, b) with
     * |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ threshold — the
     * ASYMMETRIC near-dup relation Jaccard misses: a short document
@@ -828,33 +927,53 @@ object Dedup {
     */
   def certifyDecisionRecall(spark: SparkSession, indexPath: String,
                             threshold: Double, k: Int,
-                            nProbe: Int): Double = {
+                            nProbe: Int): Double =
+    certifyDecisionRecallHooked(spark, indexPath, threshold, k, nProbe,
+      () => ())
+
+  /** [[certifyDecisionRecall]] with the [[Similarity.certifyIvfIndexHooked]]
+    * test seam and race hygiene: the cert generation is RESERVED (name
+    * claimed, gc-exempt while in flight — round-18 advice: a concurrent
+    * publish's gc could reap the unreferenced cert dir between the
+    * lock-free audit and the publish), a refused publish deletes its own
+    * orphan generation before throwing, and the marker releases in the
+    * finally either way.
+    */
+  private[graft] def certifyDecisionRecallHooked(
+      spark: SparkSession, indexPath: String, threshold: Double, k: Int,
+      nProbe: Int, beforePublish: () => Unit): Double = {
     val m0 = MaintenanceIo.requireManifest(indexPath)
-    val corpus = Similarity.liveVectors(spark, indexPath)
-    val nLists = Similarity.storedNLists(spark, indexPath)
-    def drops(np: Int) = semanticDedupApply(corpus, "vec_id", "embedding",
-        indexPath, threshold, k, np)
-      .filter(col("action") === "dropped").select("vec_id")
-    val exact = drops(nLists) // exhaustive probe == exact on this index
-    val nExact = exact.count()
-    val caught = drops(nProbe).join(exact, Seq("vec_id"), "left_semi")
-      .count()
-    val recall = if (nExact == 0L) 1.0 else caught.toDouble / nExact
-    import spark.implicits._
-    val gen = MaintenanceIo.nextGen(indexPath, "decision_cert")
-    Seq((m0.epoch, threshold, k, nProbe, nExact, caught, recall))
-      .toDF("epoch", "threshold", "k", "n_probe", "exact_drops",
-        "caught", "recall")
-      .coalesce(1).write.parquet(s"$indexPath/$gen")
-    MaintenanceIo.withMaintenanceLock(indexPath) {
-      val m = MaintenanceIo.requireManifest(indexPath)
-      require(m.epoch == m0.epoch,
-        s"$indexPath mutated during decision certification (epoch " +
-          s"${m0.epoch} -> ${m.epoch}) — re-run certifyDecisionRecall")
-      MaintenanceIo.publish(indexPath,
-        m.copy(tables = m.tables + ("decision_cert" -> gen)))
-      recall
-    }
+    val gen = MaintenanceIo.reserveGen(indexPath, "decision_cert")
+    try {
+      val corpus = Similarity.liveVectors(spark, indexPath)
+      val nLists = Similarity.storedNLists(spark, indexPath)
+      def drops(np: Int) = semanticDedupApply(corpus, "vec_id", "embedding",
+          indexPath, threshold, k, np)
+        .filter(col("action") === "dropped").select("vec_id")
+      val exact = drops(nLists) // exhaustive probe == exact on this index
+      val nExact = exact.count()
+      val caught = drops(nProbe).join(exact, Seq("vec_id"), "left_semi")
+        .count()
+      val recall = if (nExact == 0L) 1.0 else caught.toDouble / nExact
+      import spark.implicits._
+      Seq((m0.epoch, threshold, k, nProbe, nExact, caught, recall))
+        .toDF("epoch", "threshold", "k", "n_probe", "exact_drops",
+          "caught", "recall")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/$gen")
+      beforePublish()
+      MaintenanceIo.withMaintenanceLock(indexPath) {
+        val m = MaintenanceIo.requireManifest(indexPath)
+        if (m.epoch != m0.epoch) {
+          MaintenanceIo.deleteDir(s"$indexPath/$gen")
+          throw new IllegalStateException(
+            s"$indexPath mutated during decision certification (epoch " +
+              s"${m0.epoch} -> ${m.epoch}) — re-run certifyDecisionRecall")
+        }
+        MaintenanceIo.publish(indexPath,
+          m.copy(tables = m.tables + ("decision_cert" -> gen)))
+        recall
+      }
+    } finally MaintenanceIo.releaseGen(indexPath, gen)
   }
 
   /** The stored decision certificate under the current manifest, if any. */

@@ -156,6 +156,13 @@ private[graft] object MaintenanceIo {
     * `<table>.a<seq>.e<epoch>`, and micro-batch `<table>.b<id>.e<epoch>`
     * names are candidates — the cachedBuild marker, lock files, and
     * unversioned side tables (centroids, ranges) are never touched.
+    * Generations carrying an in-progress marker ([[reserveGen]]) are
+    * exempt: a lock-free certification writes its cert generation BEFORE
+    * taking the publish lock, and a concurrent writer's publish-time gc
+    * must not reap that in-flight dir (round-18 advice: two concurrent
+    * certifies — B's publish gc'd A's unreferenced-but-about-to-be-
+    * published gen, and A then published a manifest pointing at a
+    * deleted directory).
     */
   private def gc(root: String): Unit = {
     val keep =
@@ -163,8 +170,36 @@ private[graft] object MaintenanceIo {
         readPrev(root).map(_.tables.values.toSet).getOrElse(Set.empty)
     val genRe = """^[A-Za-z_]+\.(g\d+|[ab]\d+\.e\d+)$""".r
     Option(new java.io.File(root).list()).getOrElse(Array.empty)
-      .filter(n => genRe.matches(n) && !keep.contains(n))
+      .filter(n => genRe.matches(n) && !keep.contains(n) &&
+        !Files.exists(Paths.get(root, s"$n.inprogress")))
       .foreach(n => deleteDir(s"$root/$n"))
+  }
+
+  /** RESERVE a generation name for a LOCK-FREE writer (the certification
+    * paths, which measure outside the lock so a corpus-scale audit never
+    * stalls mutations): under a brief lock, claim the next `table`
+    * generation by creating the (empty) dir plus an `.inprogress` marker
+    * file. The dir claims the name against a concurrent [[nextGen]] scan
+    * (two lock-free certifiers must never write into one dir); the marker
+    * exempts it from every concurrent publish's [[gc]] until the owner
+    * calls [[releaseGen]] — on success (the gen is manifest-referenced by
+    * then) or on refusal (the owner deletes the orphan dir first). A hard
+    * crash can strand one marker+dir pair; it is bounded (one dir per
+    * crashed certifier) and harmless — the next certification reserves a
+    * fresh name past it.
+    */
+  def reserveGen(root: String, table: String): String =
+    withMaintenanceLock(root) {
+      val gen = nextGen(root, table)
+      Files.createDirectories(Paths.get(root, gen))
+      Files.writeString(Paths.get(root, s"$gen.inprogress"), "")
+      gen
+    }
+
+  /** Drop [[reserveGen]]'s in-progress marker (call in a finally). */
+  def releaseGen(root: String, gen: String): Unit = {
+    Files.deleteIfExists(Paths.get(root, s"$gen.inprogress"))
+    ()
   }
 
   private def readPrev(root: String): Option[Manifest] =

@@ -448,6 +448,15 @@ object Similarity {
       val gen = MaintenanceIo.nextGen(indexPath, "assignments")
       liveIvfAssignments(spark, indexPath)
         .write.partitionBy("cell").parquet(s"$indexPath/$gen")
+      // Publishes under the UNCHANGED epoch, so a pre-compaction recall /
+      // decision certificate stays valid past it. That is sound ONLY
+      // because compaction is exactly live-set-preserving: the rewrite is
+      // the liveIvfAssignments frame itself, so every query result —
+      // including the certified audits — is bit-identical before and
+      // after. Any future change that lets compaction alter query results
+      // (re-quantizing codes, re-assigning cells, dropping columns) MUST
+      // bump the epoch and re-certify via withCert like the other
+      // mutations, or stale certificates silently stay "fresh".
       MaintenanceIo.publish(indexPath, MaintenanceIo.Manifest(m.epoch,
         m.tables - "tombstones" + ("assignments" -> gen)))
     }
@@ -698,21 +707,48 @@ object Similarity {
     * number would describe a superseded index — re-run).
     */
   def certifyIvfIndex(spark: SparkSession, indexPath: String,
-                      spec: RecallCertSpec): Double = {
+                      spec: RecallCertSpec): Double =
+    certifyIvfIndexHooked(spark, indexPath, spec, () => ())
+
+  /** [[certifyIvfIndex]] with a test seam: `beforePublish` runs after the
+    * lock-free audit, before the publish lock — where a concurrent
+    * mutation or certification can land (CertificationSpec drives the
+    * refusal branch and the concurrent-certify race through it).
+    *
+    * Race hygiene (round-18 advice): the cert generation is RESERVED
+    * ([[MaintenanceIo.reserveGen]] — dir claims the name, marker exempts
+    * it from concurrent publishes' gc) so a concurrent certify can
+    * neither collide on the generation name nor reap this one mid-write;
+    * a REFUSED publish (epoch moved mid-audit) deletes its own orphan
+    * generation before throwing, and the marker releases in the finally
+    * either way. A concurrent CERTIFY (epoch unchanged) does NOT refuse:
+    * both measurements describe the live epoch, last publish wins, and
+    * the loser's generation ages out through the manifest grace copy.
+    */
+  private[graft] def certifyIvfIndexHooked(spark: SparkSession,
+                                           indexPath: String,
+                                           spec: RecallCertSpec,
+                                           beforePublish: () => Unit): Double = {
     val m0 = MaintenanceIo.requireManifest(indexPath)
-    val gen = MaintenanceIo.nextGen(indexPath, "recall_cert")
-    recallCertDf(spark, indexPath, m0, spec).coalesce(1)
-      .write.parquet(s"$indexPath/$gen")
-    MaintenanceIo.withMaintenanceLock(indexPath) {
-      val m = MaintenanceIo.requireManifest(indexPath)
-      require(m.epoch == m0.epoch,
-        s"$indexPath mutated during certification (epoch ${m0.epoch} -> " +
-          s"${m.epoch}) — the measured recall describes a superseded " +
-          "index; re-run certifyIvfIndex")
-      MaintenanceIo.publish(indexPath,
-        m.copy(tables = m.tables + ("recall_cert" -> gen)))
-      readRecallCert(spark, indexPath).get.recall
-    }
+    val gen = MaintenanceIo.reserveGen(indexPath, "recall_cert")
+    try {
+      recallCertDf(spark, indexPath, m0, spec).coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexPath/$gen")
+      beforePublish()
+      MaintenanceIo.withMaintenanceLock(indexPath) {
+        val m = MaintenanceIo.requireManifest(indexPath)
+        if (m.epoch != m0.epoch) {
+          MaintenanceIo.deleteDir(s"$indexPath/$gen")
+          throw new IllegalStateException(
+            s"$indexPath mutated during certification (epoch ${m0.epoch} " +
+              s"-> ${m.epoch}) — the measured recall describes a " +
+              "superseded index; re-run certifyIvfIndex")
+        }
+        MaintenanceIo.publish(indexPath,
+          m.copy(tables = m.tables + ("recall_cert" -> gen)))
+        readRecallCert(spark, indexPath).get.recall
+      }
+    } finally MaintenanceIo.releaseGen(indexPath, gen)
   }
 
   /** The stored recall certificate under the current manifest, if any. */

@@ -152,4 +152,125 @@ class CertificationSpec extends SparkSpec {
       Dedup.requireCertifiedDecisionRecall(spark, p2, 0.5, 5, 4, 0.5)
     }
   }
+
+  private def certGens(p: String, table: String): Seq[String] =
+    Option(new java.io.File(p).list()).getOrElse(Array.empty)
+      .filter(n => n.startsWith(s"$table.g") && !n.endsWith(".inprogress"))
+      .toSeq.sorted
+
+  test("lock-free certify REFUSES when the index mutates mid-audit, " +
+      "cleans its orphan generation, and a re-run succeeds") {
+    val p = tmp("cert_race_mut")
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 400), p, nLists = 4)
+    val shard = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    val ex = intercept[IllegalStateException] {
+      Similarity.certifyIvfIndexHooked(spark, p,
+        RecallCertSpec(k = 5, nProbe = 4),
+        () => Similarity.appendToIvfIndex(shard, p))
+    }
+    assert(ex.getMessage.contains("mutated during certification"))
+    // the refused publish must not strand its pre-written generation (the
+    // in-progress marker would otherwise shield the orphan from gc forever)
+    assert(certGens(p, "recall_cert").isEmpty,
+      s"refused certify left orphan gens: ${certGens(p, "recall_cert")}")
+    // re-run against the post-mutation index: publishes and serves
+    Similarity.certifyIvfIndex(spark, p, RecallCertSpec(k = 5, nProbe = 4))
+    assert(Similarity.requireCertifiedRecall(spark, p, 5, 4, 0.99) == 1.0)
+  }
+
+  test("concurrent certify: a second certify publishing mid-flight does " +
+      "not gc the first's in-flight generation (round-18 advice)") {
+    val p = tmp("cert_race_cc")
+    Similarity.buildIvfIndex(emb, p, nLists = 4)
+    // A audits at (k=5, nProbe=4); B lands a FULL certify (different
+    // geometry) between A's audit and A's publish. B's publish runs gc —
+    // pre-fix it reaped A's unreferenced cert dir and A then published a
+    // manifest pointing at a deleted directory (readRecallCert threw at
+    // serve time). With reservation, A completes: same epoch, so A's
+    // measurement is still valid and last-publish-wins.
+    val recall = Similarity.certifyIvfIndexHooked(spark, p,
+      RecallCertSpec(k = 5, nProbe = 4),
+      () => { Similarity.certifyIvfIndex(spark, p,
+        RecallCertSpec(k = 3, nProbe = 2)); () })
+    assert(recall == 1.0) // exhaustive probe over 4 lists
+    val cert = Similarity.readRecallCert(spark, p).get
+    assert(cert.k == 5 && cert.nProbe == 4,
+      s"final cert must be A's geometry: $cert")
+    assert(Similarity.requireCertifiedRecall(spark, p, 5, 4, 0.99) == 1.0)
+    // no in-progress markers survive either certify
+    assert(Option(new java.io.File(p).list()).getOrElse(Array.empty)
+      .count(_.endsWith(".inprogress")) == 0)
+  }
+
+  test("serving snapshot: a mid-serve mutation of ANY artifact in the " +
+      "composed set fails loudly (q175's cross-artifact discipline)") {
+    import graft.operators.{Serving, SimGraphIndex}
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val ivf = tmp("snap_ivf")
+    val sg = tmp("snap_sg")
+    Similarity.buildIvfIndex(emb, ivf, nLists = 4)
+    SimGraphIndex.build(docs, "doc_id", "text", sg, 0.8, 3)
+    val snap = Serving.resolveServingSnapshot(Seq(ivf, sg))
+    // nothing moved: the assertion is a silent pass
+    Serving.requireServingSnapshot(snap)
+    // ... channels resolve, and then ONE artifact of the set mutates
+    // (the q175 hazard window: simgraph delete between the candidate
+    // channels' resolution and the serp-dedup's graph read)
+    SimGraphIndex.delete(docs.limit(3).select("doc_id"), "doc_id", sg)
+    val ex = intercept[IllegalStateException] {
+      Serving.requireServingSnapshot(snap)
+    }
+    assert(ex.getMessage.contains(sg) &&
+      ex.getMessage.contains("mutated mid-serve"),
+      s"must name the moved artifact: ${ex.getMessage}")
+    // a FRESH snapshot over the post-mutation set serves cleanly
+    Serving.requireServingSnapshot(
+      Serving.resolveServingSnapshot(Seq(ivf, sg)))
+  }
+
+  test("QUANTIZED index decision cert (q178): certify -> assert; an " +
+      "uncertified append staleness-fails; one cert covers both run forms") {
+    val p = tmp("cert_quant")
+    val base = emb.filter(col("vec_id") < 400)
+    Similarity.buildQuantizedIndex(base, p, nLists = 4)
+    // exhaustive geometry: pruned == exact, cert is exactly 1.0
+    assert(Dedup.certifyDecisionRecall(spark, p, 0.9, 5, 4) == 1.0)
+    assert(Dedup.requireCertifiedDecisionRecall(spark, p, 0.9, 5, 4,
+      floor = 0.99) == 1.0)
+    // one certificate covers BOTH run forms: at equal (pruned) geometry
+    // the int8 filter-refine decisions EQUAL the plain-probe decisions
+    // the audit measured (the Δ/2 exactness bound) — assert it directly
+    val plain = Dedup.semanticDedupApply(base, "vec_id", "embedding", p,
+      0.9, 5, nProbe = 2).orderBy("vec_id").collect()
+    val quant = Dedup.semanticDedupApplyQuantized(base, "vec_id",
+      "embedding", p, 0.9, 5, nProbe = 2).orderBy("vec_id").collect()
+    assert(plain.sameElements(quant),
+      "quantized decisions must equal plain-probe decisions at equal geometry")
+    // an uncertified QUANTIZED append moves the epoch -> cert goes stale
+    Similarity.appendToQuantizedIndex(
+      emb.filter(col("vec_id") >= 400 && col("vec_id") < 420), p)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.requireCertifiedDecisionRecall(spark, p, 0.9, 5, 4, 0.5)
+    }
+    assert(ex.getMessage.contains("STALE"))
+    // re-certification over the quantized artifact restores serving
+    assert(Dedup.certifyDecisionRecall(spark, p, 0.9, 5, 4) == 1.0)
+    Dedup.requireCertifiedDecisionRecall(spark, p, 0.9, 5, 4, 0.99)
+    ()
+  }
+
+  test("decision certify refuses on a mid-audit mutation and cleans up") {
+    val p = tmp("cert_race_dec")
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 400), p, nLists = 4)
+    val shard = emb.filter(col("vec_id") >= 400 && col("vec_id") < 420)
+    val ex = intercept[IllegalStateException] {
+      Dedup.certifyDecisionRecallHooked(spark, p, 0.5, 5, 4,
+        () => Similarity.appendToIvfIndex(shard, p))
+    }
+    assert(ex.getMessage.contains("mutated during decision certification"))
+    assert(certGens(p, "decision_cert").isEmpty)
+    assert(Dedup.certifyDecisionRecall(spark, p, 0.5, 5, 4) == 1.0)
+    assert(Dedup.requireCertifiedDecisionRecall(spark, p, 0.5, 5, 4,
+      floor = 0.99) == 1.0)
+  }
 }

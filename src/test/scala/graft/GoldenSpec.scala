@@ -86,6 +86,11 @@ class GoldenSpec extends SparkSpec {
   // q173: the production-probe dedup decisions (same seeded-routing
   // argument as q169; the decision-recall floor reads the stored cert)
   test("golden: q173_semdedup_prod_probe exact rows at sf0.01")(check("q173_semdedup_prod_probe"))
+  // q178: q173's quantized sibling — production geometry over the int8
+  // index, decision-cert asserted at serve; the int8 filter-refine is
+  // provably exact at equal geometry, so the pin freezes the same seeded
+  // routing through the quantized artifact
+  test("golden: q178_semdedup_quant_prod exact rows at sf0.01")(check("q178_semdedup_quant_prod"))
   // q175: the production RAG pipeline served from the stored artifacts
   // (q169's channels -> SERP dedup -> page cut -> MMR) — same
   // seeded-routing determinism argument as q169; the composition's
