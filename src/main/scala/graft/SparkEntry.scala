@@ -2600,7 +2600,7 @@ object SparkEntry {
       val corpus = neardupCorpus(s, dir)
       val idx = cachedBuild(dir, "embeddings.parquet",
           "target/q176_semdedup_quant",
-          params = "quant:nlists=8:semdedup") { p =>
+          params = "quant.v2:nlists=8:semdedup") { p =>
         Similarity.buildQuantizedIndex(corpus, p, nLists = 8)
       }
       Dedup.semanticDedupApplyQuantized(corpus, "vec_id", "embedding",
@@ -2627,7 +2627,7 @@ object SparkEntry {
       val corpus = neardupCorpus(s, dir)
       val idx = cachedBuild(dir, "embeddings.parquet",
           "target/q178_semdedup_quant_prod",
-          params = "quant:nlists=16:semdedup-prod:dcert=t0.9k5p8") { p =>
+          params = "quant.v2:nlists=16:semdedup-prod:dcert=t0.9k5p8") { p =>
         Similarity.buildQuantizedIndex(corpus, p, nLists = 16)
         Dedup.certifyDecisionRecall(s, p, threshold = 0.9, k = 5,
           nProbe = 8)
@@ -2652,7 +2652,7 @@ object SparkEntry {
     // DedupSimilaritySpec measures that the prune actually bites.
     "q99_quantized_refine" -> ((s, dir) => {
       val idx = cachedBuild(dir, "embeddings.parquet",
-          "target/q99_pq_index", params = "pq:nlists=8") { p =>
+          "target/q99_pq_index", params = "pq.v2:nlists=8") { p =>
         Similarity.buildQuantizedIndex(Tables.embeddings(s, dir), p,
           nLists = 8)
       }
@@ -2676,7 +2676,7 @@ object SparkEntry {
     "q124_quantized_append" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idx = cachedBuild(dir, "embeddings.parquet",
-          "target/q124_pq_append", params = "pq:nlists=8:app=m10e3") { p =>
+          "target/q124_pq_append", params = "pq.v2:nlists=8:app=m10e3") { p =>
         Similarity.buildQuantizedIndex(emb.filter(col("vec_id") % 10 =!= 3),
           p, nLists = 8)
         Similarity.appendToQuantizedIndex(emb.filter(col("vec_id") % 10 === 3),
@@ -4548,6 +4548,73 @@ object SparkEntry {
       }
       operators.SimGraphIndex.edges(s, s"$root/graph")
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- STREAM-maintained DENSE channel, oracle gated -----------------
+    // q92's persisted IVF index maintained by the REAL ingest stream
+    // (r18 verdict #5): the corpus third of the embeddings seeds the
+    // index, the other two thirds arrive as staged shards through
+    // selfDedupIngest(denseIndexPath=...) — each micro-batch's
+    // admissions land as their own overwrite-idempotent generation
+    // (appendBatchToIvfIndex: exactly-once under foreachBatch replay)
+    // with the recall certificate re-measured in the SAME per-batch
+    // manifest swap. Admission is pinned deterministic exactly like
+    // q163 (unique texts, threshold>1 disables the probabilistic LSH
+    // flag path), so the maintained index must hold the FULL corpus —
+    // and the exhaustive-probe query must hash-match the same exact
+    // brute-force oracle as q52/q92: the streamed dense artifact cannot
+    // silently drift. The serve asserts the cert the streaming side
+    // published (floor + epoch freshness), the q164/q173 discipline at
+    // stream cadence.
+    "q179_ivf_stream_ingest" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val docs = emb.select(col("vec_id").as("doc_id"),
+        concat(lit("doc "), col("vec_id")).as("text"),
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
+          .as("embedding"))
+      val corpus = docs.filter(col("doc_id") % 3 === 0)
+      val cert = Similarity.RecallCertSpec(k = 5, nProbe = 8)
+      val root = cachedBuild(dir, "embeddings.parquet",
+          "target/q179_ivf_stream",
+          params = "ivfstream.v1:nlists=8:cert=k5p8:stream=m3b2") { p =>
+        import java.nio.file.{Files, Paths}
+        operators.Dedup.buildExactBloom(corpus, "text", s"$p/bloom")
+        operators.Dedup.writeLshBandIndex(corpus, "doc_id", "text",
+          s"$p/lsh")
+        Similarity.buildIvfIndex(
+          corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+          s"$p/ivf", nLists = 8, cert = Some(cert))
+        val stageDir = s"$p/stage"
+        Files.createDirectories(Paths.get(stageDir))
+        def stage(n: Int, shard: org.apache.spark.sql.DataFrame): Unit = {
+          val tmp = Files.createTempDirectory("q179_stage")
+          shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(f => f.toString.endsWith(".parquet"))
+            .findFirst().get()
+          Files.move(part, Paths.get(stageDir, f"s$n%02d.parquet"))
+        }
+        def drain(): Unit = {
+          val q = graft.streaming.IngestStream.selfDedupIngest(
+            s.readStream
+              .schema("doc_id LONG, text STRING, embedding ARRAY<DOUBLE>")
+              .option("maxFilesPerTrigger", "1").parquet(stageDir),
+            corpus, "doc_id", "text", s"$p/bloom", s"$p/lsh",
+            threshold = 1.5, s"$p/out", s"$p/ckpt",
+            denseIndexPath = Some(s"$p/ivf"), denseCert = Some(cert))
+          q.processAllAvailable(); q.stop()
+        }
+        stage(0, docs.filter(col("doc_id") % 3 === 1))
+        drain() // writer dies between shards — next drain resumes the ckpt
+        stage(1, docs.filter(col("doc_id") % 3 === 2))
+        drain()
+      }
+      // the streaming side's own per-batch certificate gates the serve
+      Similarity.requireCertifiedRecall(s, s"$root/ivf",
+        k = 5, nProbe = 8, floor = 0.99)
+      Similarity.ivfTopKFromIndex(s"$root/ivf",
+          emb.filter(col("vec_id") < 5), k = 5, nProbe = 8)
+        .orderBy("q_id", "rn")
     }),
 
     // ---- SUBSUMPTION DEDUP POLICY -------------------------------------------
@@ -7900,6 +7967,9 @@ object SparkEntry {
     // the maintained-index delta path must reproduce the identical diff
     "q162_simgraph_incr_diff" -> simGraphDiffOracleSql,
     "q163_simgraph_stream_ingest" -> streamSimGraphOracleSql,
+    // stream-maintained dense index at exhaustive probe == brute force
+    // over the full corpus (every staged row deterministically admitted)
+    "q179_ivf_stream_ingest" -> exactTopKSql,
     "q165_hybrid_rrf" -> hybridRrfOracleSql,
     "q166_mmr_rerank" -> mmrOracleSql,
     // q167 answers from the stored inverted + IVF indexes; the oracle is

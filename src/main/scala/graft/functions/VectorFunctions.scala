@@ -41,6 +41,28 @@ object VectorFunctions {
       ColumnBridge.expression(w), ColumnBridge.expression(codes)))
   }
 
+  /** Σ wᵢ·(cᵢ+128) over (array<double> weights, BINARY byte-packed codes)
+    * — [[shiftedDot]] for the storage form [[packInt8]] writes;
+    * bit-identical for in-range codes (ScaleShapeSpec pins all three
+    * forms against each other).
+    */
+  def shiftedDotBytes(w: Column, codes: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.ShiftedDotBytes(
+      ColumnBridge.expression(w), ColumnBridge.expression(codes)))
+  }
+
+  /** array<long> int8-range codes → one-byte-per-dim `binary` (clamping
+    * out-of-range values — see expressions.PackInt8: such rows are
+    * oob-flagged and never pruned by code scores). The storage form that
+    * actually delivers the quantized index's scan-byte economics.
+    */
+  def packInt8(codes: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.PackInt8(
+      ColumnBridge.expression(codes)))
+  }
+
   /** Cosine similarity; NaN on zero vectors (callers filter). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

@@ -266,6 +266,23 @@ object Similarity {
     topKReduce(scored, k)
   }
 
+  /** Land an assignment frame cell-partitioned with ONE file per cell
+    * (round 19): a bare `partitionBy("cell")` fans every upstream task
+    * across every cell directory — writerTasks × nLists files, each a
+    * few rows, and at scan time per-file footer/dictionary overhead
+    * dwarfs the column data (measured: it inverted the code-vs-vector
+    * scan-byte comparison outright, BENCH_SCALE.md r19). The hash
+    * repartition on `cell` routes each cell's rows to exactly one
+    * writer — nLists files total, the layout a 1000-executor scan
+    * actually wants (one splittable run per cell, pruning unchanged).
+    * One extra shuffle of the assignment frame at mutation time,
+    * amortized over every query batch.
+    */
+  private def writeCellPartitioned(df: DataFrame, path: String,
+                                   mode: String = "error"): Unit =
+    df.repartition(col("cell"))
+      .write.mode(mode).partitionBy("cell").parquet(path)
+
   /** Build and PERSIST the IVF index: centroids + per-vector cell
     * assignments written as parquet under `indexPath`. This is the 100 TB
     * ANN shape (round-10 verdict #2): the KMeans fit and the corpus
@@ -294,8 +311,8 @@ object Similarity {
       cent.coalesce(1).write.mode("overwrite")
         .parquet(s"$indexPath/centroids.parquet")
       val gen = MaintenanceIo.nextGen(indexPath, "assignments")
-      assigned.withColumn("epoch", lit(0L))
-        .write.partitionBy("cell").parquet(s"$indexPath/$gen")
+      writeCellPartitioned(assigned.withColumn("epoch", lit(0L)),
+        s"$indexPath/$gen")
       MaintenanceIo.publish(indexPath, withCert(corpus.sparkSession,
         indexPath, MaintenanceIo.Manifest(0L, Map("assignments" -> gen)),
         cert))
@@ -425,7 +442,8 @@ object Similarity {
   def compactIvfIndex(spark: SparkSession, indexPath: String): Unit =
     MaintenanceIo.withMaintenanceLock(indexPath) {
       val m = MaintenanceIo.requireManifest(indexPath)
-      if (!m.tables.contains("tombstones")) return
+      val hasBatchGens = m.tables.keys.exists(_.startsWith("assignments."))
+      if (!m.tables.contains("tombstones") && !hasBatchGens) return
       // A maintained kNN graph must not survive a compaction that would
       // retire tombstones it still references (round-17 advice: a stale
       // graph past compaction passes appendToKnnGraph's append-only guard
@@ -446,19 +464,22 @@ object Similarity {
             "delete through deleteFromKnnGraph")
       }
       val gen = MaintenanceIo.nextGen(indexPath, "assignments")
-      liveIvfAssignments(spark, indexPath)
-        .write.partitionBy("cell").parquet(s"$indexPath/$gen")
+      writeCellPartitioned(liveIvfAssignments(spark, indexPath),
+        s"$indexPath/$gen")
       // Publishes under the UNCHANGED epoch, so a pre-compaction recall /
       // decision certificate stays valid past it. That is sound ONLY
       // because compaction is exactly live-set-preserving: the rewrite is
-      // the liveIvfAssignments frame itself, so every query result —
+      // the liveIvfAssignments frame itself (tombstone-subtracted, every
+      // micro-batch generation folded in), so every query result —
       // including the certified audits — is bit-identical before and
       // after. Any future change that lets compaction alter query results
       // (re-quantizing codes, re-assigning cells, dropping columns) MUST
       // bump the epoch and re-certify via withCert like the other
       // mutations, or stale certificates silently stay "fresh".
       MaintenanceIo.publish(indexPath, MaintenanceIo.Manifest(m.epoch,
-        m.tables - "tombstones" + ("assignments" -> gen)))
+        m.tables.view.filterKeys(k => k != "tombstones" &&
+            !k.startsWith("assignments.")).toMap +
+          ("assignments" -> gen)))
     }
 
   /** RECLUSTER the stored index — the actuator [[ivfRecallAtK]]'s
@@ -496,11 +517,12 @@ object Similarity {
       val cGen = MaintenanceIo.nextGen(indexPath, "centroids")
       cent.coalesce(1).write.parquet(s"$indexPath/$cGen")
       val aGen = MaintenanceIo.nextGen(indexPath, "assignments")
-      assigned.withColumn("epoch", lit(0L))
-        .write.partitionBy("cell").parquet(s"$indexPath/$aGen")
+      writeCellPartitioned(assigned.withColumn("epoch", lit(0L)),
+        s"$indexPath/$aGen")
       MaintenanceIo.publish(indexPath, withCert(spark, indexPath,
         MaintenanceIo.Manifest(m.epoch + 1,
-          m.tables - "tombstones" +
+          m.tables.view.filterKeys(k => k != "tombstones" &&
+              !k.startsWith("assignments.")).toMap +
             ("assignments" -> aGen, "centroids" -> cGen)), cert))
     }
 
@@ -532,7 +554,14 @@ object Similarity {
 
   private def liveIvfAssignmentsFrom(spark: SparkSession,
                                      snap: Map[String, String]): DataFrame = {
-    val assigned = spark.read.parquet(snap("assignments"))
+    // the stored table = the main generation plus every committed
+    // micro-batch generation ([[appendBatchToIvfIndex]]), one snapshot —
+    // each dir read separately (multi-root partition discovery would
+    // try to parse the generation dirs themselves as partitions)
+    val dirs = snap.collect {
+      case (k, p) if k == "assignments" || k.startsWith("assignments.") => p
+    }.toSeq.sorted
+    val assigned = dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
     snap.get("tombstones") match {
       case None => assigned
       case Some(ts) =>
@@ -608,11 +637,76 @@ object Similarity {
         first("v_n").as("v_n"), first("nrm_n").as("nrm_n"))
       .select(col("n_id"), col("v_n"), col("nrm_n"),
         element_at(col("c"), 1).getField("n_id").cast("int").as("cell"))
-    assigned.withColumn("epoch", lit(e))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$indexPath/${m.tables("assignments")}")
+    writeCellPartitioned(assigned.withColumn("epoch", lit(e)),
+      s"$indexPath/${m.tables("assignments")}", mode = "append")
     m.copy(epoch = e)
   }
+
+  /** Micro-batch index append with EXACTLY-ONCE replay semantics — the
+    * STREAMING-maintenance writer for the dense channel
+    * ([[graft.streaming.IngestStream.selfDedupIngest]]'s IVF side effect,
+    * round-18 verdict #5). foreachBatch side effects are at-least-once;
+    * the plain [[appendToIvfIndex]] `mode("append")`s into the live
+    * generation, so a replayed batch would land its rows TWICE (both
+    * epoch-live — duplicate neighbors in every probe). This writer
+    * instead lands batch `batchId`'s assignments as their OWN generation
+    * dir (`assignments.b<id>.e<epoch>`, cell-partitioned like the main
+    * table) written with OVERWRITE — a replayed batch recomputes the same
+    * assignment against the STORED centroids (deterministic) and rewrites
+    * its dir in place; readers union main + batch generations through one
+    * snapshot ([[liveIvfAssignmentsFrom]]) and [[compactIvfIndex]] folds
+    * them back into a single generation. The
+    * [[graft.operators.InvertedIndex.appendBatchToIndex]] /
+    * [[SimGraphIndex.appendBatch]] trick applied to the IVF artifact.
+    *
+    * With `cert` set, each batch publish re-measures the recall
+    * certificate over the post-append table set in the SAME manifest swap
+    * (the [[withCert]] contract), so the dense channel stays CERTIFIED
+    * serve-ready at every trigger boundary — a mid-stream reader asserts
+    * freshness exactly like a batch one. Same guards as the plain append:
+    * refuses on quantized and kNN-graph-bearing indexes.
+    */
+  def appendBatchToIvfIndex(shard: DataFrame, indexPath: String,
+                            batchId: Long, idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            cert: Option[RecallCertSpec] = None): Unit =
+    MaintenanceIo.withMaintenanceLock(indexPath) {
+      val spark = shard.sparkSession
+      val m = MaintenanceIo.requireManifest(indexPath)
+      require(!m.tables.contains("knngraph"),
+        s"$indexPath carries a maintained kNN graph — stream-append with " +
+          "appendToKnnGraph semantics is not supported; drop the graph " +
+          "or maintain it batch-cadence")
+      require(!spark.read.parquet(s"$indexPath/${m.tables("assignments")}")
+          .columns.contains("codes"),
+        "this is a QUANTIZED index — stream-append is plain-IVF only")
+      val key = s"assignments.b$batchId"
+      // a replayed batch reuses the epoch pinned in its existing dir name;
+      // a first attempt claims the next epoch
+      val e = m.tables.get(key) match {
+        case Some(dir) => dir.substring(dir.lastIndexOf(".e") + 2).toLong
+        case None      => m.epoch + 1
+      }
+      val dir = s"$key.e$e"
+      val cent = centroidsFrom(spark, indexPath,
+          m.tables.view.mapValues(g => s"$indexPath/$g").toMap)
+        .withColumn("c2", V.dot(col("cen"), col("cen")))
+      val s = shard.select(col(idCol).as("n_id"),
+          V.toDoubleArray(col(vecCol)).as("v_n"))
+        .withColumn("nrm_n", V.norm(col("v_n")))
+      val assignedB = s.crossJoin(broadcast(cent))
+        .withColumn("aff", V.dot(col("v_n"), col("cen")) * 2 - col("c2"))
+        .groupBy("n_id")
+        .agg(AggFunctions.topKByScore(col("aff"), col("cell_id"), 1).as("c"),
+          first("v_n").as("v_n"), first("nrm_n").as("nrm_n"))
+        .select(col("n_id"), col("v_n"), col("nrm_n"),
+          element_at(col("c"), 1).getField("n_id").cast("int").as("cell"))
+      writeCellPartitioned(assignedB.withColumn("epoch", lit(e)),
+        s"$indexPath/$dir", mode = "overwrite")
+      MaintenanceIo.publish(indexPath, withCert(spark, indexPath,
+        MaintenanceIo.Manifest(math.max(m.epoch, e),
+          m.tables + (key -> dir)), cert))
+    }
 
   /** The recall probe the append cadence needs ([[appendToIvfIndex]]
     * scaladoc: "many cheap appends, then a rebuild when a recall probe
@@ -998,12 +1092,18 @@ object Similarity {
         s => struct(s.getField("lo").as("lo"), s.getField("hi").as("hi")))
         .as("rgs"))
       val gen = MaintenanceIo.nextGen(indexPath, "assignments")
-      assigned.crossJoin(broadcast(rarr))
-        .withColumn("codes", V.quantizeInt8(col("v_n"), col("rgs")))
-        .withColumn("oob", quantOutOfBounds(col("v_n"), col("rgs")))
+      val packed = assigned.crossJoin(broadcast(rarr))
+        .withColumn("lcodes", V.quantizeInt8(col("v_n"), col("rgs")))
+        .withColumn("oob", quantOob(col("v_n"), col("rgs"), col("lcodes")))
+        // STORAGE form: one byte per dim (round-19 measured economics —
+        // array<long> codes cost ~3 B/dim on disk, MORE scan bytes than
+        // the doubles they were meant to undercut; BENCH_SCALE.md r19).
+        // At build time every code is in range by construction (ranges
+        // are the corpus min/max), so packing is lossless here.
+        .withColumn("codes", V.packInt8(col("lcodes")))
         .select("n_id", "v_n", "nrm_n", "codes", "oob", "cell")
         .withColumn("epoch", lit(0L))
-        .write.partitionBy("cell").parquet(s"$indexPath/$gen")
+      writeCellPartitioned(packed, s"$indexPath/$gen")
       MaintenanceIo.publish(indexPath,
         MaintenanceIo.Manifest(0L, Map("assignments" -> gen)))
     }
@@ -1023,6 +1123,22 @@ object Similarity {
     exists(zip_with(v, ranges, (x, r) =>
       r.getField("hi") === r.getField("lo") &&
         x.cast("double") =!= r.getField("lo").cast("double")), b => b)
+
+  /** The WIDENED bound-validity flag for byte-packed codes (round 19):
+    * a row's code estimate is a lie when (a) a degenerate dimension
+    * moved ([[quantOutOfBounds]] — Δ = 0, no code can express the
+    * offset) OR (b) any code fell outside [-128, 127] — such codes were
+    * CLAMPED by [[V.packInt8]] at write time, so the stored byte no
+    * longer reconstructs within Δ/2. Flagged rows are excluded from the
+    * prune threshold and always survive to the exact re-rank
+    * ([[quantizedRefineFrames]]), so clamping never touches a pruning
+    * decision and filter-refine exactness is preserved verbatim. Both
+    * cases only arise on rows appended PAST the fitted ranges; build-time
+    * rows are in range by construction.
+    */
+  private def quantOob(v: Column, ranges: Column, lcodes: Column): Column =
+    quantOutOfBounds(v, ranges) ||
+      exists(lcodes, c => c < -128L || c > 127L)
 
   /** INCREMENTAL append into the QUANTIZED refine index — the nightly
     * path completing its lifecycle (build/append/delete/compact/query,
@@ -1052,6 +1168,14 @@ object Similarity {
       val spark = shard.sparkSession
       val m = MaintenanceIo.requireManifest(indexPath)
       val e = m.epoch + 1
+      // match the STORED code layout: appends into a pre-round-19
+      // artifact keep writing array<long> codes (and the narrow
+      // degenerate-dim oob — packing never happened there), current
+      // artifacts write byte-packed codes with the widened flag
+      val storedBinary = spark.read
+        .parquet(s"$indexPath/${m.tables("assignments")}")
+        .schema("codes").dataType ==
+        org.apache.spark.sql.types.BinaryType
       val cent = spark.read.parquet(s"$indexPath/centroids.parquet")
         .withColumn("c2", V.dot(col("cen"), col("cen")))
       val rarr = spark.read.parquet(s"$indexPath/ranges.parquet")
@@ -1062,7 +1186,7 @@ object Similarity {
       val s = shard.select(col(idCol).as("n_id"),
           V.toDoubleArray(col(vecCol)).as("v_n"))
         .withColumn("nrm_n", V.norm(col("v_n")))
-      s.crossJoin(broadcast(cent))
+      val packedB = s.crossJoin(broadcast(cent))
         .withColumn("aff", V.dot(col("v_n"), col("cen")) * 2 - col("c2"))
         .groupBy("n_id")
         .agg(AggFunctions.topKByScore(col("aff"), col("cell_id"), 1).as("c"),
@@ -1070,12 +1194,16 @@ object Similarity {
         .select(col("n_id"), col("v_n"), col("nrm_n"),
           element_at(col("c"), 1).getField("n_id").cast("int").as("cell"))
         .crossJoin(broadcast(rarr))
-        .withColumn("codes", V.quantizeInt8(col("v_n"), col("rgs")))
-        .withColumn("oob", quantOutOfBounds(col("v_n"), col("rgs")))
+        .withColumn("lcodes", V.quantizeInt8(col("v_n"), col("rgs")))
+        .withColumn("oob",
+          if (storedBinary) quantOob(col("v_n"), col("rgs"), col("lcodes"))
+          else quantOutOfBounds(col("v_n"), col("rgs")))
+        .withColumn("codes",
+          if (storedBinary) V.packInt8(col("lcodes")) else col("lcodes"))
         .select("n_id", "v_n", "nrm_n", "codes", "oob", "cell")
         .withColumn("epoch", lit(e))
-        .write.mode("append").partitionBy("cell")
-        .parquet(s"$indexPath/${m.tables("assignments")}")
+      writeCellPartitioned(packedB,
+        s"$indexPath/${m.tables("assignments")}", mode = "append")
       MaintenanceIo.publish(indexPath, m.copy(epoch = e))
     }
 
@@ -1203,12 +1331,17 @@ object Similarity {
     val approx = asg.select("cell", "n_id", "nrm_n", "codes", "oob")
       .join(side(q), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      // compiled kernel (V.shiftedDot): the HOF aggregate(zip_with(...))
-      // form is CodegenFallback — an interpreted lambda + a 64-element
-      // intermediate array PER CANDIDATE, which at batch-kNN volume
-      // dominated the whole rewrite (1158 s at x100; the kernel is
-      // bit-identical, same fold order)
-      .withColumn("dhat", col("qa") + V.shiftedDot(col("w"), col("codes")))
+      // compiled kernel (V.shiftedDotBytes over the byte-packed storage
+      // form; V.shiftedDot for pre-round-19 array<long> artifacts — both
+      // bit-identical to the HOF aggregate(zip_with(...)) fold, which is
+      // CodegenFallback: an interpreted lambda + a 64-element
+      // intermediate array PER CANDIDATE, at batch-kNN volume it
+      // dominated the whole rewrite — 1158 s at x100)
+      .withColumn("dhat", col("qa") + (
+        if (asg.schema("codes").dataType ==
+            org.apache.spark.sql.types.BinaryType)
+          V.shiftedDotBytes(col("w"), col("codes"))
+        else V.shiftedDot(col("w"), col("codes"))))
       .withColumn("chat", col("dhat") / (col("nrm_q") * col("nrm_n")))
       .withColumn("err", col("qeps") / (col("nrm_q") * col("nrm_n")))
       // PROJECT the candidate frame to scalars the moment the code math

@@ -147,6 +147,18 @@ object IngestStream {
     * double-counting tf/df/stats), so the corpus is BM25-searchable as
     * it streams in and the index equals a from-scratch build at every
     * trigger boundary.
+    * With `denseIndexPath` set, each batch's admissions also land in a
+    * persisted IVF index ([[graft.operators.Similarity
+    * .appendBatchToIvfIndex]] over the `denseVecCol` embedding column)
+    * — the DENSE retrieval channel maintained at stream cadence
+    * (round-18 verdict #5): assignments go against the STORED centroids
+    * as their own per-batch generation (overwrite ⇒ exactly-once under
+    * replay, like the inverted-index side), so batch N's admissions are
+    * ANN-searchable at trigger boundary N+1 and the index equals a
+    * from-scratch build over corpus ∪ admissions at exhaustive probe.
+    * With `denseCert` set, every batch publish re-measures the recall
+    * certificate in the same manifest swap — the mid-stream dense
+    * channel stays CERTIFIED serve-ready, never staleness-blocked.
     * Within-batch exact dups are
     * collapsed (keep smallest id); within-batch NEAR-dups are the one
     * admitted-twice window, bounded by a single trigger's contents —
@@ -159,7 +171,11 @@ object IngestStream {
                       checkpoint: String,
                       cardPath: Option[String] = None,
                       searchIndexPath: Option[String] = None,
-                      simGraphPath: Option[String] = None)
+                      simGraphPath: Option[String] = None,
+                      denseIndexPath: Option[String] = None,
+                      denseVecCol: String = "embedding",
+                      denseCert: Option[
+                        graft.operators.Similarity.RecallCertSpec] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = stream.schema
     stream.writeStream
@@ -234,6 +250,18 @@ object IngestStream {
           simGraphPath.foreach { gp =>
             graft.operators.SimGraphIndex.appendBatch(
               admitted, idCol, textCol, gp, batchId)
+          }
+          // dense-channel maintenance (the q164-family artifact): the
+          // batch's admissions assigned against the STORED centroids as
+          // their own generation — a replayed batch recomputes the same
+          // assignment and overwrites its dir, exactly-once like the
+          // search-index side; an optional cert spec re-certifies recall
+          // in the same publish so mid-stream serves stay assertable
+          denseIndexPath.foreach { dp =>
+            graft.operators.Similarity.appendBatchToIvfIndex(
+              admitted.select(col(idCol).as("vec_id"),
+                col(denseVecCol).as("embedding")),
+              dp, batchId, cert = denseCert)
           }
         }
         ()

@@ -859,10 +859,18 @@ class DedupSimilaritySpec extends SparkSpec {
     Similarity.appendToQuantizedIndex(shardB, idx)
     val stored = spark.read.parquet(
       graft.operators.MaintenanceIo.snapshot(idx)("assignments"))
-    assert(stored.filter(col("oob")).select("n_id").distinct().count() ==
-      shardB.count(), "every degenerate-dim mover must be flagged oob")
-    assert(stored.filter(col("oob") && col("n_id") % 20 =!= 13).isEmpty,
-      "no in-distribution row may be flagged oob")
+    val oobIds = stored.filter(col("oob")).select("n_id").distinct()
+    assert(oobIds.join(shardB.select(col("vec_id").as("n_id")),
+        Seq("n_id"), "left_semi").count() == shardB.count(),
+      "every degenerate-dim mover must be flagged oob")
+    // round 19 (byte-packed codes): shardA rows may ALSO legitimately
+    // flag — an appended value past the fitted per-dim range takes a
+    // code outside [-128,127], which the binary storage form clamps, so
+    // the widened flag routes it to the exact re-rank. Build-time rows
+    // are in range by construction and must never flag.
+    assert(oobIds.join(base.select(col("vec_id").as("n_id")),
+        Seq("n_id"), "left_semi").isEmpty,
+      "no build-time row may be flagged oob")
     val combined = base.unionByName(shardA).unionByName(shardB)
     val queries = combined.filter(col("vec_id") < 5 ||
       col("vec_id") % 20 === 13 && col("vec_id") < 200)

@@ -200,6 +200,20 @@ class ScaleShapeSpec extends SparkSpec {
     assert(viaKernel.length == 50 &&
       viaKernel.zip(viaHof).forall { case (k, h) => k == h },
       "compiled shiftedDot diverged from the HOF fold")
+    // the BYTE-PACKED storage form (round 19): packInt8 + shiftedDotBytes
+    // must reproduce the same fold bit-for-bit on in-range codes — the
+    // three forms (HOF, long kernel, byte kernel) are interchangeable on
+    // every stored row that enters a pruning decision
+    val viaBytes = df.select(
+        V.shiftedDotBytes(col("w"), V.packInt8(col("codes"))))
+      .as[Double].collect()
+    assert(viaBytes.zip(viaHof).forall { case (k, h) => k == h },
+      "byte-packed shiftedDotBytes diverged from the HOF fold")
+    // and clamping is exactly [-128,127] saturation for out-of-range longs
+    val clamped = spark.sql(
+      "SELECT array(-500L, -128L, 0L, 127L, 500L) AS c")
+      .select(V.packInt8(col("c"))).as[Array[Byte]].head()
+    assert(clamped.toSeq == Seq[Byte](-128, -128, 0, 127, 127))
   }
 
   test("partition pruning reaches the scan on partitioned data") {

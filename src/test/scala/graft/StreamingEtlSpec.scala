@@ -1195,6 +1195,150 @@ class StreamingEtlSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-maintained DENSE channel: batch-N admissions are " +
+      "ANN-searchable at boundary N+1 with a FRESH certificate, and the " +
+      "maintained index equals a cold build (stream==batch law)") {
+    // Round-18 verdict #5: the ingest loop maintains the inverted index
+    // and simgraph at stream cadence; this drives the DENSE channel the
+    // same way — per-batch appendBatchToIvfIndex + cert refresh in the
+    // same publish — and probes it MID-STREAM like the
+    // search-while-ingesting smoke probes BM25.
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    def vec(id: Long): Seq[Double] =
+      (0 until 8).map(d => ((id * 31 + d * 17) % 1009).toDouble / 1009.0 + 0.01)
+    def doc(id: Long): (Long, String, Seq[Double]) =
+      (id, (1 to 20).map(i => s"d${id}t$i").mkString(" "), vec(id))
+    val corpus = (1L to 6L).map(doc).toDF("doc_id", "text", "embedding")
+    val bloomPath = Files.createTempDirectory("dn_bloom").toString
+    val lshPath = Files.createTempDirectory("dn_lsh").toString
+    val densePath = Files.createTempDirectory("dn_ivf").toString
+    val cert = Similarity.RecallCertSpec(k = 3, nProbe = 2, sampleEvery = 1L)
+    graft.operators.Dedup.buildExactBloom(corpus, "text", bloomPath)
+    graft.operators.Dedup.writeLshBandIndex(corpus, "doc_id", "text",
+      lshPath)
+    Similarity.buildIvfIndex(
+      corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+      densePath, nLists = 2, cert = Some(cert))
+    val stageDir = Files.createTempDirectory("dn_stage")
+    val ckpt = Files.createTempDirectory("dn_ckpt").toString
+    val outDir = Files.createTempDirectory("dn_out").toString
+    var staged = 0
+    def stage(ids: Seq[Long]): Unit = {
+      val tmp = Files.createTempDirectory(s"dn_tmp_$staged")
+      ids.map(doc).toDF("doc_id", "text", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, stageDir.resolve(f"s$staged%02d.parquet"))
+      staged += 1
+    }
+    // probe the live index for the vector of `target` under a foreign
+    // q_id; at exhaustive probe (nProbe == nLists) the top hit must be
+    // the target itself (cosine 1) the moment its batch committed
+    def topHit(target: Long): Long =
+      Similarity.ivfTopKFromIndex(densePath,
+          Seq((999L, vec(target))).toDF("vec_id", "embedding"),
+          k = 3, nProbe = 2)
+        .orderBy("rn").select("n_id").head().getLong(0)
+    // stream==batch law: the maintained index at exhaustive probe equals
+    // brute force over corpus ∪ admitted-so-far, query-for-query
+    def lawHolds(): Unit = {
+      val admitted = spark.read.parquet(outDir)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val all = corpus.select(col("doc_id").as("vec_id"), col("embedding"))
+        .unionByName(admitted)
+      val qs = Seq((101L, vec(101L)), (1L, vec(1L))).toDF("vec_id", "embedding")
+      val got = Similarity.ivfTopKFromIndex(densePath, qs, k = 3, nProbe = 2)
+        .select("q_id", "n_id", "sim", "rn")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val want = Similarity.bruteForceTopK(all, qs, k = 3)
+        .select("q_id", "n_id", "sim", "rn")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(got == want, s"maintained index drifted: $got vs $want")
+    }
+    stage(Seq(101L, 102L))
+    val q = graft.streaming.IngestStream.selfDedupIngest(
+      spark.readStream
+        .schema("doc_id LONG, text STRING, embedding ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString),
+      corpus, "doc_id", "text", bloomPath, lshPath, threshold = 0.8,
+      outDir, ckpt, denseIndexPath = Some(densePath),
+      denseCert = Some(cert))
+    q.processAllAvailable()
+    assert(q.isActive, "the ingest query must still be running")
+    // the batch publish re-certified: the mid-stream serve asserts
+    // freshness+floor exactly like a batch one (exhaustive probe -> 1.0)
+    assert(Similarity.requireCertifiedRecall(spark, densePath,
+      k = 3, nProbe = 2, floor = 0.99) == 1.0)
+    assert(topHit(101L) == 101L,
+      "batch-1 admission must be ANN-searchable mid-stream")
+    lawHolds()
+    // shard 2 lands while the SAME query instance keeps running
+    stage(Seq(111L))
+    q.processAllAvailable()
+    assert(Similarity.requireCertifiedRecall(spark, densePath,
+      k = 3, nProbe = 2, floor = 0.99) == 1.0)
+    assert(topHit(111L) == 111L,
+      "batch-2 admission must be ANN-searchable after its trigger")
+    lawHolds()
+    q.stop()
+  }
+
+  test("appendBatchToIvfIndex: a REPLAYED batch is exactly-once (the " +
+      "per-batch generation overwrites in place, rows never duplicate)") {
+    import graft.operators.Similarity
+    def vec(id: Long): Seq[Double] =
+      (0 until 8).map(d => ((id * 31 + d * 17) % 1009).toDouble / 1009.0 + 0.01)
+    val base = (1L to 6L).map(id => (id, vec(id)))
+      .toDF("vec_id", "embedding")
+    val shard = Seq((101L, vec(101L)), (102L, vec(102L)))
+      .toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("replay_ivf").toString
+    Similarity.buildIvfIndex(base, p, nLists = 2)
+    Similarity.appendBatchToIvfIndex(shard, p, batchId = 0L)
+    def state() = {
+      val qs = Seq((999L, vec(101L))).toDF("vec_id", "embedding")
+      (graft.operators.MaintenanceIo.requireManifest(p).epoch,
+        Similarity.ivfTopKFromIndex(p, qs, k = 8, nProbe = 2)
+          .select("n_id", "sim", "rn")
+          .as[(Long, Double, Long)].collect().toSet)
+    }
+    val (e1, s1) = state()
+    assert(s1.exists(_._1 == 101L))
+    // a foreachBatch replay re-delivers the SAME batchId: the append must
+    // overwrite its own generation — same epoch, same rows, no duplicates
+    Similarity.appendBatchToIvfIndex(shard, p, batchId = 0L)
+    val (e2, s2) = state()
+    assert(e1 == e2, s"replay must reuse the pinned epoch: $e1 -> $e2")
+    assert(s1 == s2, s"replay changed the index: $s1 vs $s2")
+    // 8 live vectors total (6 base + 2 shard), not 10
+    assert(Similarity.ivfTopKFromIndex(p,
+        Seq((999L, vec(1L))).toDF("vec_id", "embedding"),
+        k = 20, nProbe = 2).count() == 8L)
+    // compaction folds the batch generation back into ONE main table,
+    // result-identically (the lifecycle contract)
+    Similarity.compactIvfIndex(spark, p)
+    val mC = graft.operators.MaintenanceIo.requireManifest(p)
+    assert(!mC.tables.keys.exists(_.startsWith("assignments.")),
+      s"compact must retire batch generations: ${mC.tables.keys}")
+    assert(state()._2 == s1, "compaction changed query results")
+    // guards: stream-append refuses quantized and graph-bearing indexes
+    val pq = java.nio.file.Files.createTempDirectory("replay_pq").toString
+    Similarity.buildQuantizedIndex(base, pq, nLists = 2)
+    val eQ = intercept[IllegalArgumentException] {
+      Similarity.appendBatchToIvfIndex(shard, pq, batchId = 0L)
+    }
+    assert(eQ.getMessage.contains("QUANTIZED"))
+    val pg = java.nio.file.Files.createTempDirectory("replay_kg").toString
+    Similarity.buildIvfIndex(base, pg, nLists = 2)
+    Similarity.buildKnnGraph(spark, pg, k = 2, nProbe = 2)
+    val eG = intercept[IllegalArgumentException] {
+      Similarity.appendBatchToIvfIndex(shard, pg, batchId = 0L)
+    }
+    assert(eG.getMessage.contains("kNN graph"))
+  }
+
   test("writeShards: export is identical under input repartitioning") {
     // the bit-reproducibility claim: shard membership, global positions,
     // and in-file order are pure functions of (ids, seed) — independent
