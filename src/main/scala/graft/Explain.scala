@@ -59,6 +59,10 @@ object Explain {
         // table (a broadcast cross join of queries x nLists-row frame)
         "q92_ivf_index_query" -> Set("BroadcastNestedLoopJoin"),
         "q93_ivf_index_append" -> Set("BroadcastNestedLoopJoin"),
+        // q179: q92's serve shape verbatim (the STREAM-maintained index
+        // — maintenance happened at build time; the query-side plan is
+        // the same queries x nLists-row broadcast centroid cross)
+        "q179_ivf_stream_ingest" -> Set("BroadcastNestedLoopJoin"),
         // q122: the same coarse-probe cross as q92/q93 — queries x the
         // nLists-row stored centroid table; the tombstone subtraction is
         // a broadcast ANTI join, not a smell.

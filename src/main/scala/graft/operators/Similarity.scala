@@ -1328,8 +1328,11 @@ object Similarity {
     // bound — see quantOutOfBounds) carry lying code estimates: they are
     // EXCLUDED from the threshold and ALWAYS survive to the exact
     // re-rank, so the filter-refine equality proof never leans on them.
-    val approx = asg.select("cell", "n_id", "nrm_n", "codes", "oob")
-      .join(side(q), Seq("cell"))
+    // The pass is a FUNCTION because the batch regime runs it twice —
+    // see `surv` below.
+    def candPass(qFrame: DataFrame): DataFrame = asg
+      .select("cell", "n_id", "nrm_n", "codes", "oob")
+      .join(side(qFrame), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       // compiled kernel (V.shiftedDotBytes over the byte-packed storage
       // form; V.shiftedDot for pre-round-19 array<long> artifacts — both
@@ -1344,21 +1347,19 @@ object Similarity {
         else V.shiftedDot(col("w"), col("codes"))))
       .withColumn("chat", col("dhat") / (col("nrm_q") * col("nrm_n")))
       .withColumn("err", col("qeps") / (col("nrm_q") * col("nrm_n")))
-      // PROJECT the candidate frame to scalars the moment the code math
-      // is done: both downstream consumers (threshold heap, survivor
-      // filter) need only these six columns, and in the BATCH regime the
-      // candidate frame is corpus×nProbe/nLists rows that must cross a
-      // q_id exchange — letting the 64-element codes / query-weight
-      // arrays ride that shuffle multiplied its bytes ~20× (measured
-      // 176 → 1206 s at x100 before this projection). The narrow frame
-      // also canonicalizes both consumers onto ONE exchange, so Spark's
-      // ReuseExchange computes the candidate join once.
+    // PROJECT the candidate frame to scalars the moment the code math
+    // is done: the threshold heap needs only these six columns, and
+    // letting the 64-element codes / query-weight arrays ride any
+    // downstream movement multiplied bytes ~20× (measured 176 → 1206 s
+    // at x100 before this projection).
+    val approx = candPass(q)
       .select("q_id", "cell", "n_id", "oob", "chat", "err")
     // t = k-th largest LOWER bound among bound-valid candidates; with
     // FEWER than k of them the k-th best true similarity may sit below
     // every collected bound, so pruning is disabled outright (t = −2 <
     // any cosine) rather than pruning against a threshold the proof
-    // does not cover
+    // does not cover. topKByScore partial-aggregates: per-partition
+    // bounded heaps cross the q_id exchange, never candidates.
     val thr = approx.filter(!col("oob")).groupBy("q_id")
       .agg(AggFunctions.topKByScore(col("chat") - col("err"),
         col("n_id").cast("long"), k).as("h"))
@@ -1366,7 +1367,24 @@ object Similarity {
         when(size(col("h")) >= k,
           element_at(col("h"), size(col("h"))).getField("sim"))
           .otherwise(lit(-2.0)).as("t"))
-    val surv = approx.join(side(thr), Seq("q_id"), "left")
+    // Survivor selection. POINT regime (broadcast queries): join the
+    // threshold back onto the (broadcast-join-produced, never-shuffled)
+    // candidate frame — one cheap pass. BATCH regime: that join would
+    // push corpus×nProbe×cellsize candidate rows through a q_id
+    // exchange — measured 10.7 GB of the end-to-end join's 11.8 GB
+    // shuffle at entropy-200k, and at 10⁹ rows it is petabytes while
+    // every scan in the plan stays in terabytes. Instead the per-query
+    // threshold rides the QUERY frame (queries×nProbe rows, an exchange
+    // the plan already pays) into a SECOND candidate pass that applies
+    // the prune filter inline: the code column is scanned and scored
+    // twice — compiled-kernel work over the 8×-smaller column set — and
+    // the pair frame never crosses an exchange. Same floats both
+    // passes ⇒ bit-identical decisions (the q176==q170 oracle and the
+    // DedupSimilaritySpec prune laws gate it).
+    val surv = (if (broadcastQueries)
+        approx.join(side(thr), Seq("q_id"), "left")
+      else
+        candPass(q.join(thr, Seq("q_id"), "left")))
       .filter(col("oob") ||
         coalesce(col("chat") + col("err") >= col("t"), lit(false)))
       .select("q_id", "cell", "n_id")
