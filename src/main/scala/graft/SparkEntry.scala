@@ -211,6 +211,22 @@ object SparkEntry {
             sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
             sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb")),
         "value", 32)),
+    // q129/q133's sweep cut-point pass (construction-time 1-row collect
+    // inside Relational.rankSweepAgg): approximate percentiles over the
+    // DISTINCT value domain — bounded boundary scalars; cut placement
+    // only load-balances (any monotone bucketing yields identical
+    // ranks — the q114 adjudication, same ksCutsFrame machinery).
+    "q129_range_join_bands#cuts" -> ((s, dir) =>
+      operators.Relational.ksCutsFrame(
+        Tables.lineitem(s, dir).select(col("l_extendedprice").as("__swv"))
+          .distinct(), "__swv", 1024)),
+    "q133_interval_overlap_join#cuts" -> ((s, dir) =>
+      operators.Relational.ksCutsFrame(
+        Tables.lineitem(s, dir)
+          .select((col("l_extendedprice") * lit(0.9995)).as("__swv"))
+          .unionByName(Tables.lineitem(s, dir)
+            .select((col("l_extendedprice") * lit(1.0005)).as("__swv")))
+          .distinct(), "__swv", 1024)),
     // q138's per-iteration plan (construction-time: every round runs
     // between localCheckpoints, so the returned query's plan shows only
     // the final checkpoint scan): one node-keyed join + map-side-combined
@@ -2867,20 +2883,41 @@ object SparkEntry {
     // ≤ 5× worst-case and the point side not at all. Oracle is the plain
     // inequality join — DuckDB's IEJoin computes the same pairs its way.
     "q129_range_join_bands" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_extendedprice"), col("l_returnflag"), col("l_quantity"))
+      // Pair-free rewrite (r19, guide §8/§1.2): the 19M-pair binned
+      // range join fed a 15-row aggregate — but Σ over pairs needs no
+      // pairs: per band, count/sum over points in [lo,hi] is
+      // rank_le(hi) − rank_lt(lo) over the per-returnflag price
+      // distribution, swept in ONE exchange of O(|li|+|orders|) narrow
+      // rows (Relational.rankSweepAgg; exact-equivalence proof in its
+      // scaladoc — all-integer arithmetic, identical per-row rounding).
+      // The declarative pair-join ORACLE is unchanged and stays
+      // hash-green; groups with zero pairs are filtered exactly as the
+      // pair join leaves them absent. binnedRangeJoin itself stays
+      // spec-gated (RelationalSpec lossless/ownership laws).
+      val pts = Tables.lineitem(s, dir).select(col("l_returnflag"),
+          col("l_extendedprice").as("v"), lit(1L).as("n_pairs"),
+          round(col("l_quantity") * lit(10000.0)).cast("long").as("sq"))
+        .filter(col("v").isNotNull)
       val bands = Tables.orders(s, dir).select(
-        (col("o_totalprice") * lit(0.999)).as("band_lo"),
-        (col("o_totalprice") * lit(1.001)).as("band_hi"),
-        col("o_orderpriority"))
-      Relational.binnedRangeJoin(li, bands,
-          "l_extendedprice", "band_lo", "band_hi", binWidth = 250.0)
-        .groupBy("l_returnflag", "o_orderpriority")
-        // scaledLongSum: the 19M-pair aggregate is this query's hot
-        // path and quantities are exact at 4 digits — the long-backed
-        // sum halves the query (decimal accumulators measured 2x)
-        .agg(count(lit(1)).as("n_pairs"),
-          Relational.scaledLongSum(col("l_quantity")).as("sum_qty"))
+          (col("o_totalprice") * lit(0.999)).as("lo"),
+          (col("o_totalprice") * lit(1.001)).as("hi"),
+          col("o_orderpriority"))
+        .filter(col("lo").isNotNull && col("hi").isNotNull &&
+          col("lo") <= col("hi"))
+      val probes = bands.select(col("o_orderpriority"), col("hi").as("x"),
+          lit(1L).as("sgn"), lit(true).as("le"))
+        .unionByName(bands.select(col("o_orderpriority"),
+          col("lo").as("x"), lit(-1L).as("sgn"), lit(false).as("le")))
+      Relational.rankSweepAgg(pts, probes,
+          crossKeys = Seq("l_returnflag"), matchKeys = Seq.empty,
+          vCol = "v", measures = Seq("n_pairs", "sq"),
+          probeKeys = Seq("o_orderpriority"), xCol = "x",
+          signCol = "sgn", leCol = "le")
+        .filter(col("n_pairs") > 0)
+        .select(col("l_returnflag"), col("o_orderpriority"),
+          col("n_pairs").cast("long").as("n_pairs"),
+          (col("sq").cast("long").cast("double") / lit(10000.0))
+            .as("sum_qty"))
         .orderBy("l_returnflag", "o_orderpriority")
     }),
 
@@ -2939,20 +2976,50 @@ object SparkEntry {
     // (the operator scaladoc carries the proof; the spec exercises
     // pairs sharing many bins).
     "q133_interval_overlap_join" -> ((s, dir) => {
+      // Pair-free rewrite (r19, guide §8/§1.2 — see q129): for
+      // intervals, overlap([a,b],[lo,hi]) = a<=hi ∧ lo<=b, and per band
+      //   count = rank_le over the a-distribution at hi
+      //         − rank_lt over the b-distribution at lo
+      // ({b<lo} ⊆ {a<=hi} because a<=b<lo<=hi — the containment that
+      // makes the two-term difference exact). Both distributions ride
+      // ONE sweep via the `side` match key; the 29M-pair owned-bin join
+      // (and its oracle, which is unchanged and stays hash-green) never
+      // materializes. binnedIntervalJoin stays spec-gated.
       val li = Tables.lineitem(s, dir).select(
-        (col("l_extendedprice") * lit(0.9995)).as("li_lo"),
-        (col("l_extendedprice") * lit(1.0005)).as("li_hi"),
-        col("l_returnflag"), col("l_quantity"))
+          (col("l_extendedprice") * lit(0.9995)).as("a"),
+          (col("l_extendedprice") * lit(1.0005)).as("b"),
+          col("l_returnflag"),
+          round(col("l_quantity") * lit(10000.0)).cast("long").as("sq"))
+        .filter(col("a").isNotNull && col("b").isNotNull &&
+          col("a") <= col("b"))
+      val dist = li.select(lit("lo").as("side"), col("l_returnflag"),
+          col("a").as("v"), lit(1L).as("n_pairs"), col("sq"))
+        .unionByName(li.select(lit("hi").as("side"), col("l_returnflag"),
+          col("b").as("v"), lit(1L).as("n_pairs"), col("sq")))
       val bands = Tables.orders(s, dir).select(
-        (col("o_totalprice") * lit(0.999)).as("band_lo"),
-        (col("o_totalprice") * lit(1.001)).as("band_hi"),
-        col("o_orderpriority"))
-      Relational.binnedIntervalJoin(li, bands,
-          "li_lo", "li_hi", "band_lo", "band_hi", binWidth = 250.0)
+          (col("o_totalprice") * lit(0.999)).as("lo"),
+          (col("o_totalprice") * lit(1.001)).as("hi"),
+          col("o_orderpriority"))
+        .filter(col("lo").isNotNull && col("hi").isNotNull &&
+          col("lo") <= col("hi"))
+      val probes = bands.select(lit("lo").as("side"),
+          col("o_orderpriority"), col("hi").as("x"),
+          lit(1L).as("sgn"), lit(true).as("le"))
+        .unionByName(bands.select(lit("hi").as("side"),
+          col("o_orderpriority"), col("lo").as("x"),
+          lit(-1L).as("sgn"), lit(false).as("le")))
+      Relational.rankSweepAgg(dist, probes,
+          crossKeys = Seq("l_returnflag"), matchKeys = Seq("side"),
+          vCol = "v", measures = Seq("n_pairs", "sq"),
+          probeKeys = Seq("o_orderpriority"), xCol = "x",
+          signCol = "sgn", leCol = "le")
         .groupBy("l_returnflag", "o_orderpriority")
-        // long-backed sum over the 29M-pair stream (see q129)
-        .agg(count(lit(1)).as("n_pairs"),
-          Relational.scaledLongSum(col("l_quantity")).as("sum_qty"))
+        .agg(sum("n_pairs").as("n_pairs"), sum("sq").as("sq"))
+        .filter(col("n_pairs") > 0)
+        .select(col("l_returnflag"), col("o_orderpriority"),
+          col("n_pairs").cast("long").as("n_pairs"),
+          (col("sq").cast("long").cast("double") / lit(10000.0))
+            .as("sum_qty"))
         .orderBy("l_returnflag", "o_orderpriority")
     }),
 

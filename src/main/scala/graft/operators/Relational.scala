@@ -993,6 +993,142 @@ object Relational {
       .drop("__bin")
   }
 
+  /** Signed rank-sweep aggregation: Σ over probes of sign × (per-measure
+    * rank aggregate of a value distribution at the probe point), WITHOUT
+    * ever materializing the probe×value pair set — the pair-free form of
+    * "aggregate over a range/interval join" (guide-§8 class: every
+    * decision depends on small rows, so the heavy pair stream need not
+    * exist).
+    *
+    * Inputs:
+    *   - `dist`: the value distribution — `crossKeys ++ matchKeys ++ vCol
+    *     ++ measures` (measures LONG; include a lit(1) column to count).
+    *   - `probes`: `matchKeys ++ probeKeys ++ xCol ++ signCol(±1 long) ++
+    *     leCol(bool)` — each probe requests rank_le(x) (`le` true: weight
+    *     of values v <= x) or rank_lt(x) (v < x), contributed with its
+    *     sign.
+    * Output: one row per (crossKeys ++ matchKeys ++ probeKeys) group with
+    * each measure column = Σ_probes sign·rank_m as DECIMAL(38,0) — exact
+    * integer arithmetic end to end (the signed PARTIAL sums can exceed a
+    * long even when the net difference is small, so the final fold is
+    * decimal; per-probe ranks themselves are longs by caller contract).
+    *
+    * Why this exists: a COUNT/SUM over `points JOIN bands ON lo<=v AND
+    * v<=hi` (q129) or an interval-overlap join (q133) is algebraically
+    *   Σ_bands [rank_le(hi) − rank_lt(lo)]
+    * (overlap case: count{lo_l<=hi_b ∧ lo_b<=hi_l} = rank_le over the
+    * lo-distribution at hi_b − rank_lt over the hi-distribution at lo_b,
+    * valid because hi_l < lo_b implies lo_l <= hi_l < lo_b <= hi_b — the
+    * subtracted set is contained in the first). The binned pair join
+    * computes the same 15-row aggregate through a ~29M-row intermediate;
+    * this sweep computes it through O(|dist| + |probes|) narrow rows.
+    *
+    * Plan shape (scale-safe at any corpus size): the distribution is
+    * VALUE-COLLAPSED first (one map-side-combined agg to per-(keys, v)
+    * totals, localCheckpoint-pinned — a heavy repeated value crosses the
+    * exchange pre-counted and can never funnel one window); the
+    * collapsed values and the probes union into one stream; bucket id =
+    * #cuts <= v over percentile_approx cut points sized by
+    * [[ksBucketCount]] (few enough cuts that the per-row probe is cheap,
+    * enough buckets that each window stays ≲65k rows — monotone in v,
+    * so bucket order refines value order, the [[ksStatistic]]
+    * discipline); ONE hash exchange on (keys, bucket); within-bucket
+    * inclusive running sums (window per (keys, bucket)); exclusive
+    * cross-bucket offsets from the ≤buckets-row totals frame (bounded
+    * window, broadcast back). Probes ride the stream with zero-valued
+    * measures and an order flag that places them after equal values
+    * (`le`) or before (`lt`), so the running sum AT the probe row is
+    * exactly its rank — ties among probes are harmless (zero measures).
+    * The cut-point collect is a bounded boundary scalar (≤65535
+    * doubles), the [[ksCutsFrame]] precedent; the collapsed-count and
+    * cut passes are the operator's two construction-time actions.
+    *
+    * Caller contract: measure columns are LONG and every true rank total
+    * fits a long; `vCol`/`xCol` non-null doubles; crossKeys cardinality
+    * is group-by bounded (the keys land in the result); column names
+    * across the frames must not collide with the `__sw*` internals.
+    */
+  def rankSweepAgg(dist: DataFrame, probes: DataFrame,
+                   crossKeys: Seq[String], matchKeys: Seq[String],
+                   vCol: String, measures: Seq[String],
+                   probeKeys: Seq[String], xCol: String,
+                   signCol: String, leCol: String): DataFrame = {
+    val keys = crossKeys ++ matchKeys
+    require(measures.nonEmpty, "rankSweepAgg: at least one measure")
+    val mCols = measures.zipWithIndex.map { case (m, i) => (m, s"__swm$i") }
+    // ---- value-collapse the distribution first: rank aggregates only
+    // ever need per-(keys, value) measure totals, and the collapse (one
+    // map-side-combined agg) bounds every within-bucket window by
+    // DISTINCT values — a heavy repeated value crosses the exchange
+    // pre-counted (the q113/ksStatistic discipline). The collapsed frame
+    // feeds THREE consumers (sizing count, cut points, the stream) —
+    // localCheckpoint-pinned so the corpus-side agg runs exactly once.
+    val collapsed = dist
+      .groupBy((keys :+ vCol).map(col): _*)
+      .agg(mCols.head match { case (m, a) => sum(col(m)).as(a) },
+        mCols.tail.map { case (m, a) => sum(col(m)).as(a) }: _*)
+      .localCheckpoint()
+    val nVals = collapsed.count()
+    // ---- bucket sizing and cut points (the ksBucketCount discipline:
+    // few enough cuts that the per-row bucket probe is cheap, enough
+    // buckets that each within-bucket window stays ≲65k rows; ×4
+    // headroom covers the probe rows riding the same stream). Cut
+    // placement only load-balances — any monotone bucketing yields
+    // identical ranks.
+    val parts = dist.sparkSession.sessionState.conf.numShufflePartitions
+    val buckets = ksBucketCount(nVals * 4, 65536L, parts)
+    val cutRow = ksCutsFrame(
+      collapsed.select(col(vCol).as("__swv")), "__swv", buckets).head()
+    val cuts: Seq[Double] =
+      if (cutRow.isNullAt(0)) Seq.empty
+      else cutRow.getSeq[Double](0).distinct.sorted
+    def bkt(c: Column): Column =
+      size(filter(typedlit(cuts), p => p <= c.cast("double")))
+    // ---- the merged stream: values (ord 1, real measures) + probes
+    // (ord 0 = rank_lt: before equal values; ord 2 = rank_le: after)
+    val vstream = collapsed.select(
+      keys.map(col) ++
+        probeKeys.map(k => lit(null).cast(
+          probes.schema(k).dataType).as(k)) ++
+        Seq(col(vCol).cast("double").as("__swv"), lit(1).as("__swo"),
+          lit(0L).as("__swsgn")) ++
+        mCols.map { case (_, a) => col(a) }: _*)
+    val dks = collapsed.select(crossKeys.map(col): _*).distinct()
+    val pstream = probes.crossJoin(broadcast(dks)).select(
+      keys.map(col) ++ probeKeys.map(col) ++
+        Seq(col(xCol).cast("double").as("__swv"),
+          when(col(leCol), 2).otherwise(0).as("__swo"),
+          col(signCol).cast("long").as("__swsgn")) ++
+        mCols.map { case (_, a) => lit(0L).as(a) }: _*)
+    val stream = vstream.unionByName(pstream)
+      .withColumn("__swb", bkt(col("__swv")))
+    // ---- within-bucket inclusive running sums (parallel windows)
+    val wCum = Window.partitionBy((keys :+ "__swb").map(col): _*)
+      .orderBy(col("__swv"), col("__swo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ---- exclusive cross-bucket offsets (≤ buckets rows per key group)
+    val wOff = Window.partitionBy(keys.map(col): _*).orderBy("__swb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = stream.groupBy((keys :+ "__swb").map(col): _*)
+      .agg(mCols.head match { case (_, a) => sum(a).as(a) },
+        mCols.tail.map { case (_, a) => sum(a).as(a) }: _*)
+      .select(keys.map(col) ++ Seq(col("__swb")) ++
+        mCols.map { case (_, a) =>
+          coalesce(sum(a).over(wOff), lit(0L)).as(s"${a}_off") }: _*)
+    val ranked = stream
+      .select(keys.map(col) ++ probeKeys.map(col) ++
+        Seq(col("__swb"), col("__swo"), col("__swsgn")) ++
+        mCols.map { case (_, a) => sum(a).over(wCum).as(s"${a}_cum") }: _*)
+      .filter(col("__swo") =!= 1)
+      .join(broadcast(offs), keys :+ "__swb")
+    // ---- fold probes: exact decimal accumulation of the signed ranks
+    val aggs = mCols.zip(measures).map { case ((_, a), m) =>
+      sum((col("__swsgn") * (col(s"${a}_cum") + col(s"${a}_off")))
+        .cast(DecimalType(38, 0))).as(m) }
+    ranked.groupBy((keys ++ probeKeys).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Explode a delimited string column and count tokens, top-k.
     * Ref: als_clustering_analysis.py:138-144 (genre split/explode/count).
     */

@@ -467,6 +467,91 @@ class RelationalSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("rankSweepAgg: pair-free range aggregate equals the pair join, " +
+      "boundary-tie and zero-pair laws") {
+    // adversarial fixture: duplicate values, probe endpoints EXACTLY
+    // equal to point values (the le/lt boundary), negatives, a probe
+    // group with zero qualifying pairs, and multiple cross-key groups
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 400).map { i =>
+      ("RF" + (i % 3),
+        math.floor(rnd.nextDouble() * 40) - 20 +
+          (if (i % 5 == 0) 0.5 else 0.0),
+        1L, (rnd.nextInt(100) + 1).toLong)
+    }.toDF("rf", "v", "one", "q")
+    val bandRows = (1 to 120).map { i =>
+      val lo = math.floor(rnd.nextDouble() * 50) - 25
+      ("P" + (i % 4), lo, lo + rnd.nextInt(8).toDouble)
+    } :+ (("PZ", 1000.0, 1001.0)) // no point can qualify
+    val bands = bandRows.toDF("pg", "lo", "hi")
+    val probes = bands.select(col("pg"), col("hi").as("x"),
+        lit(1L).as("sgn"), lit(true).as("le"))
+      .unionByName(bands.select(col("pg"), col("lo").as("x"),
+        lit(-1L).as("sgn"), lit(false).as("le")))
+    val got = Relational.rankSweepAgg(pts, probes,
+        crossKeys = Seq("rf"), matchKeys = Seq.empty,
+        vCol = "v", measures = Seq("one", "q"),
+        probeKeys = Seq("pg"), xCol = "x", signCol = "sgn", leCol = "le")
+      .select(col("rf"), col("pg"), col("one").cast("long"),
+        col("q").cast("long"))
+      .as[(String, String, Long, Long)].collect()
+      .map { case (rf, pg, n, s) => (rf, pg) -> ((n, s)) }.toMap
+    val want = pts.crossJoin(bands)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy("rf", "pg").agg(count(lit(1)).as("n"), sum("q").as("s"))
+      .as[(String, String, Long, Long)].collect()
+      .map { case (rf, pg, n, s) => (rf, pg) -> ((n, s)) }.toMap
+    assert(want.nonEmpty && want.forall { case (k, v) => got.get(k)
+      .contains(v) }, s"sweep != pair join:\n got=$got\nwant=$want")
+    // groups absent from the pair join net to exactly zero in the sweep
+    assert(got.filterNot { case (k, _) => want.contains(k) }
+      .forall(_._2 == ((0L, 0L))), s"phantom non-zero group: $got")
+    // every zero-pair (rf, PZ) group is present and zero (the caller's
+    // n>0 filter is what reproduces pair-join group absence)
+    assert(got.keySet.filter(_._2 == "PZ").nonEmpty)
+  }
+
+  test("rankSweepAgg: interval-overlap decomposition (q133 shape) " +
+      "equals the pair join via the side match key") {
+    val rnd = new scala.util.Random(11)
+    val iv = (1 to 300).map { i =>
+      val a = math.floor(rnd.nextDouble() * 60) - 30
+      ("RF" + (i % 2), a, a + rnd.nextInt(6).toDouble,
+        (rnd.nextInt(50) + 1).toLong)
+    }.toDF("rf", "a", "b", "q")
+    val dist = iv.select(lit("lo").as("side"), col("rf"),
+        col("a").as("v"), lit(1L).as("one"), col("q"))
+      .unionByName(iv.select(lit("hi").as("side"), col("rf"),
+        col("b").as("v"), lit(1L).as("one"), col("q")))
+    val bandRows = (1 to 80).map { i =>
+      val lo = math.floor(rnd.nextDouble() * 70) - 35
+      ("P" + (i % 3), lo, lo + rnd.nextInt(10).toDouble)
+    }
+    val bands = bandRows.toDF("pg", "lo", "hi")
+    val probes = bands.select(lit("lo").as("side"), col("pg"),
+        col("hi").as("x"), lit(1L).as("sgn"), lit(true).as("le"))
+      .unionByName(bands.select(lit("hi").as("side"), col("pg"),
+        col("lo").as("x"), lit(-1L).as("sgn"), lit(false).as("le")))
+    val got = Relational.rankSweepAgg(dist, probes,
+        crossKeys = Seq("rf"), matchKeys = Seq("side"),
+        vCol = "v", measures = Seq("one", "q"),
+        probeKeys = Seq("pg"), xCol = "x", signCol = "sgn", leCol = "le")
+      .groupBy("rf", "pg")
+      .agg(sum("one").as("one"), sum("q").as("q"))
+      .filter(col("one") > 0)
+      .select(col("rf"), col("pg"), col("one").cast("long"),
+        col("q").cast("long"))
+      .as[(String, String, Long, Long)].collect()
+      .map { case (rf, pg, n, s) => (rf, pg) -> ((n, s)) }.toMap
+    val want = iv.crossJoin(bands)
+      .filter(col("a") <= col("hi") && col("lo") <= col("b"))
+      .groupBy("rf", "pg").agg(count(lit(1)).as("n"), sum("q").as("s"))
+      .as[(String, String, Long, Long)].collect()
+      .map { case (rf, pg, n, s) => (rf, pg) -> ((n, s)) }.toMap
+    assert(want.nonEmpty && got == want,
+      s"interval sweep != pair join:\n got=$got\nwant=$want")
+  }
+
   test("profile: null handling, exact distincts, and non-numeric slots") {
     val df = Seq(
       (Some(1L), Some("a"), Some(2.5)),
