@@ -224,6 +224,16 @@ object Explain {
         // global approx-percentile aggregate — its final merge is one
         // row through one task, the q03/q17/q82#pass1 shape.
         "q114_value_drift#cuts" -> Set("SinglePartition-exchange"),
+        // q129/q133 (r19 rank-sweep rewrite): the BNLJ is
+        // crossJoin(broadcast(distinct-returnflag frame)) — a ≤|flags|-
+        // row bounded side (the q26/q52 class); the probe stream, not
+        // the distribution, rides it. The #cuts passes are the
+        // q114#cuts shape: a 1-row approx-percentile merge.
+        "q129_range_join_bands" -> Set("BroadcastNestedLoopJoin"),
+        "q129_range_join_bands#cuts" -> Set("SinglePartition-exchange"),
+        "q133_interval_overlap_join" -> Set("BroadcastNestedLoopJoin"),
+        "q133_interval_overlap_join#cuts" ->
+          Set("SinglePartition-exchange"),
         // q125: the merged-__all__ sketch is a GLOBAL aggregate over the
         // ≤ 1024-row register frame (the q03/q17 bounded class), and the
         // global exact_distinct yardstick merges through one task the

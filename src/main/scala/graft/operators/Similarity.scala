@@ -258,6 +258,13 @@ object Similarity {
       .select(col("q_id"), explode(col("cells")).as("ce"))
       .select(col("q_id"), col("ce.n_id").cast("int").as("cell"))
     val q = qBase.join(qCells, Seq("q_id"))
+    // r19 probed and REJECTED a salt on this cell join (the equi key has
+    // only |cells| distinct values, so low-|cells| fixtures LOOK
+    // parallelism-capped): exploding the stored side ×S and salting
+    // q_id measured q160 7.0→8.1 s / q170 6.2→7.6 s isolated — AQE
+    // already handles the small-key case (broadcast conversion /
+    // coalescing) and the replication is pure overhead; at production
+    // geometry (nLists ≈ √N ≫ cores) the key is wide anyway.
     val scored = assigned
       .join(if (broadcastQueries) broadcast(q) else q, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
