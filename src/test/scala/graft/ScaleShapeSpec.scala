@@ -667,24 +667,34 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!eplan.contains("CartesianProduct"))
   }
 
-  test("q129/q133 range joins plan as binned equi-joins, never a nested loop") {
-    // The whole point of the binned rewrites: the inequality predicates
-    // Spark would execute as BroadcastNestedLoopJoin (per-row probes of
-    // the entire interval table — O(n·m) at 100 TB) must instead be ONE
-    // shuffled equi-join on the bin id with the exact predicate as a
-    // post-filter.
+  test("q129/q133 range aggregates plan as pair-free rank sweeps: no " +
+      "cartesian, no pair-sized join, bounded windows only") {
+    // r19: the inequality predicates Spark would execute as a nested
+    // loop (O(n·m) probes) — and that the r6-r18 binned rewrites turned
+    // into pair-PRODUCING equi-joins — are now pair-FREE rank sweeps
+    // (Relational.rankSweepAgg): the only join is the bounded
+    // cross of the ≤|returnflags|-row distinct-key frame plus the
+    // broadcast bucket-offsets attach; ranks come from bucketed running
+    // sums, so no operator anywhere is pair-sized.
     for (name <- Seq("q129_range_join_bands", "q133_interval_overlap_join")) {
       val plan = SparkEntry.queries(name)(spark, sf0001)
         .queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin"),
-        s"$name must not nested-loop the range predicate")
       assert(!plan.contains("CartesianProduct"), name)
-      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
-          || plan.contains("BroadcastHashJoin"),
-        s"$name must join hash/sort-merge on the bin id")
-      // and the pair aggregate must map-side combine before the final group
-      assert(plan.contains("partial_count"),
-        s"$name pair counts must partial-aggregate")
+      // the sweep's running sums are bucket-partitioned windows
+      assert(plan.contains("windowspecdefinition"),
+        s"$name must rank via the sweep's running-sum windows")
+      // the offsets attach must be a broadcast of the bounded frame,
+      // and the final fold must map-side combine
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name bucket offsets must attach via broadcast")
+      assert(plan.contains("partial_sum"),
+        s"$name signed-rank fold must partial-aggregate")
+      // no sort-merge/shuffled-hash join may appear: those were the
+      // pair-producing bin joins — their presence means the pair
+      // intermediate is back
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+        s"$name must not materialize a pair join")
     }
   }
 
