@@ -175,6 +175,62 @@ object SparkEntry {
     * hidden pass cannot slip past the smell scan. Keys are
     * `<queryName>#<passName>`.
     */
+  /** q129's sweep inputs (points, probes) — ONE construction shared by
+    * the declared query and the #cuts audit pass, so the audited
+    * construction-time plan is the plan that actually runs (r19 advice:
+    * the old audit entry re-approximated the cut pass inline and could
+    * stay green while the real pass drifted).
+    */
+  private def q129SweepInputs(s: SparkSession,
+                              dir: String): (DataFrame, DataFrame) = {
+    val pts = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        col("l_extendedprice").as("v"), lit(1L).as("n_pairs"),
+        round(col("l_quantity") * lit(10000.0)).cast("long").as("sq"))
+      .filter(col("v").isNotNull)
+    val bands = Tables.orders(s, dir).select(
+        (col("o_totalprice") * lit(0.999)).as("lo"),
+        (col("o_totalprice") * lit(1.001)).as("hi"),
+        col("o_orderpriority"))
+      .filter(col("lo").isNotNull && col("hi").isNotNull &&
+        col("lo") <= col("hi"))
+    val probes = bands.select(col("o_orderpriority"), col("hi").as("x"),
+        lit(1L).as("sgn"), lit(true).as("le"))
+      .unionByName(bands.select(col("o_orderpriority"),
+        col("lo").as("x"), lit(-1L).as("sgn"), lit(false).as("le")))
+    (pts, probes)
+  }
+
+  /** q133's sweep inputs (two-sided distribution, probes) — shared by
+    * the declared query and the #cuts audit pass (see [[q129SweepInputs]]).
+    */
+  private def q133SweepInputs(s: SparkSession,
+                              dir: String): (DataFrame, DataFrame) = {
+    val li = Tables.lineitem(s, dir).select(
+        (col("l_extendedprice") * lit(0.9995)).as("a"),
+        (col("l_extendedprice") * lit(1.0005)).as("b"),
+        col("l_returnflag"),
+        round(col("l_quantity") * lit(10000.0)).cast("long").as("sq"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") <= col("b"))
+    val dist = li.select(lit("lo").as("side"), col("l_returnflag"),
+        col("a").as("v"), lit(1L).as("n_pairs"), col("sq"))
+      .unionByName(li.select(lit("hi").as("side"), col("l_returnflag"),
+        col("b").as("v"), lit(1L).as("n_pairs"), col("sq")))
+    val bands = Tables.orders(s, dir).select(
+        (col("o_totalprice") * lit(0.999)).as("lo"),
+        (col("o_totalprice") * lit(1.001)).as("hi"),
+        col("o_orderpriority"))
+      .filter(col("lo").isNotNull && col("hi").isNotNull &&
+        col("lo") <= col("hi"))
+    val probes = bands.select(lit("lo").as("side"),
+        col("o_orderpriority"), col("hi").as("x"),
+        lit(1L).as("sgn"), lit(true).as("le"))
+      .unionByName(bands.select(lit("hi").as("side"),
+        col("o_orderpriority"), col("lo").as("x"),
+        lit(-1L).as("sgn"), lit(false).as("le")))
+    (dist, probes)
+  }
+
   def auditPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_heavy_hitters#pass1" -> ((s, dir) => q82Pass1(s, dir)),
     // the SimGraphIndex append's construction-time plan (probe-prefix vs
@@ -213,20 +269,32 @@ object SparkEntry {
         "value", 32)),
     // q129/q133's sweep cut-point pass (construction-time 1-row collect
     // inside Relational.rankSweepAgg): approximate percentiles over the
-    // DISTINCT value domain — bounded boundary scalars; cut placement
-    // only load-balances (any monotone bucketing yields identical
-    // ranks — the q114 adjudication, same ksCutsFrame machinery).
-    "q129_range_join_bands#cuts" -> ((s, dir) =>
+    // ACTUAL cut source the operator builds — the collapsed value
+    // distribution ∪ distinct probe points (rankSweepCutSource over
+    // rankSweepCollapsed, the exact construction rankSweepAgg calls, fed
+    // by the same shared input builders as the declared queries — r19
+    // advice: no inline re-approximation that could stay green while the
+    // real pass drifts). Bounded boundary scalars; cut placement only
+    // load-balances (any monotone bucketing yields identical ranks —
+    // the q114 adjudication, same ksCutsFrame machinery).
+    "q129_range_join_bands#cuts" -> ((s, dir) => {
+      val (pts, probes) = q129SweepInputs(s, dir)
       operators.Relational.ksCutsFrame(
-        Tables.lineitem(s, dir).select(col("l_extendedprice").as("__swv"))
-          .distinct(), "__swv", 1024)),
-    "q133_interval_overlap_join#cuts" -> ((s, dir) =>
+        operators.Relational.rankSweepCutSource(
+          operators.Relational.rankSweepCollapsed(
+            pts, Seq("l_returnflag"), "v", Seq("n_pairs", "sq")),
+          "v", probes, "x"),
+        "__swv", 1024)
+    }),
+    "q133_interval_overlap_join#cuts" -> ((s, dir) => {
+      val (dist, probes) = q133SweepInputs(s, dir)
       operators.Relational.ksCutsFrame(
-        Tables.lineitem(s, dir)
-          .select((col("l_extendedprice") * lit(0.9995)).as("__swv"))
-          .unionByName(Tables.lineitem(s, dir)
-            .select((col("l_extendedprice") * lit(1.0005)).as("__swv")))
-          .distinct(), "__swv", 1024)),
+        operators.Relational.rankSweepCutSource(
+          operators.Relational.rankSweepCollapsed(
+            dist, Seq("l_returnflag", "side"), "v", Seq("n_pairs", "sq")),
+          "v", probes, "x"),
+        "__swv", 1024)
+    }),
     // q138's per-iteration plan (construction-time: every round runs
     // between localCheckpoints, so the returned query's plan shows only
     // the final checkpoint scan): one node-keyed join + map-side-combined
@@ -2893,21 +2961,10 @@ object SparkEntry {
       // The declarative pair-join ORACLE is unchanged and stays
       // hash-green; groups with zero pairs are filtered exactly as the
       // pair join leaves them absent. binnedRangeJoin itself stays
-      // spec-gated (RelationalSpec lossless/ownership laws).
-      val pts = Tables.lineitem(s, dir).select(col("l_returnflag"),
-          col("l_extendedprice").as("v"), lit(1L).as("n_pairs"),
-          round(col("l_quantity") * lit(10000.0)).cast("long").as("sq"))
-        .filter(col("v").isNotNull)
-      val bands = Tables.orders(s, dir).select(
-          (col("o_totalprice") * lit(0.999)).as("lo"),
-          (col("o_totalprice") * lit(1.001)).as("hi"),
-          col("o_orderpriority"))
-        .filter(col("lo").isNotNull && col("hi").isNotNull &&
-          col("lo") <= col("hi"))
-      val probes = bands.select(col("o_orderpriority"), col("hi").as("x"),
-          lit(1L).as("sgn"), lit(true).as("le"))
-        .unionByName(bands.select(col("o_orderpriority"),
-          col("lo").as("x"), lit(-1L).as("sgn"), lit(false).as("le")))
+      // spec-gated (RelationalSpec lossless/ownership laws). Inputs are
+      // built by q129SweepInputs — ONE construction shared with the
+      // #cuts audit pass (r19 advice).
+      val (pts, probes) = q129SweepInputs(s, dir)
       Relational.rankSweepAgg(pts, probes,
           crossKeys = Seq("l_returnflag"), matchKeys = Seq.empty,
           vCol = "v", measures = Seq("n_pairs", "sq"),
@@ -2984,30 +3041,10 @@ object SparkEntry {
       // makes the two-term difference exact). Both distributions ride
       // ONE sweep via the `side` match key; the 29M-pair owned-bin join
       // (and its oracle, which is unchanged and stays hash-green) never
-      // materializes. binnedIntervalJoin stays spec-gated.
-      val li = Tables.lineitem(s, dir).select(
-          (col("l_extendedprice") * lit(0.9995)).as("a"),
-          (col("l_extendedprice") * lit(1.0005)).as("b"),
-          col("l_returnflag"),
-          round(col("l_quantity") * lit(10000.0)).cast("long").as("sq"))
-        .filter(col("a").isNotNull && col("b").isNotNull &&
-          col("a") <= col("b"))
-      val dist = li.select(lit("lo").as("side"), col("l_returnflag"),
-          col("a").as("v"), lit(1L).as("n_pairs"), col("sq"))
-        .unionByName(li.select(lit("hi").as("side"), col("l_returnflag"),
-          col("b").as("v"), lit(1L).as("n_pairs"), col("sq")))
-      val bands = Tables.orders(s, dir).select(
-          (col("o_totalprice") * lit(0.999)).as("lo"),
-          (col("o_totalprice") * lit(1.001)).as("hi"),
-          col("o_orderpriority"))
-        .filter(col("lo").isNotNull && col("hi").isNotNull &&
-          col("lo") <= col("hi"))
-      val probes = bands.select(lit("lo").as("side"),
-          col("o_orderpriority"), col("hi").as("x"),
-          lit(1L).as("sgn"), lit(true).as("le"))
-        .unionByName(bands.select(lit("hi").as("side"),
-          col("o_orderpriority"), col("lo").as("x"),
-          lit(-1L).as("sgn"), lit(false).as("le")))
+      // materializes. binnedIntervalJoin stays spec-gated. Inputs are
+      // built by q133SweepInputs — ONE construction shared with the
+      // #cuts audit pass (r19 advice).
+      val (dist, probes) = q133SweepInputs(s, dir)
       Relational.rankSweepAgg(dist, probes,
           crossKeys = Seq("l_returnflag"), matchKeys = Seq("side"),
           vCol = "v", measures = Seq("n_pairs", "sq"),

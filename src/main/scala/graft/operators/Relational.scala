@@ -993,6 +993,33 @@ object Relational {
       .drop("__bin")
   }
 
+  /** [[rankSweepAgg]]'s value-collapse pass: per-(keys, value) measure
+    * totals (one map-side-combined aggregate). Factored out (the
+    * [[ksCutsFrame]] precedent) so SparkEntry's plan audit registers the
+    * construction-time passes the operator ACTUALLY runs rather than an
+    * inline re-approximation (r19 advice).
+    */
+  def rankSweepCollapsed(dist: DataFrame, keys: Seq[String], vCol: String,
+                         measures: Seq[String]): DataFrame = {
+    val mCols = measures.zipWithIndex.map { case (m, i) => (m, s"__swm$i") }
+    dist.groupBy((keys :+ vCol).map(col): _*)
+      .agg(mCols.head match { case (m, a) => sum(col(m)).as(a) },
+        mCols.tail.map { case (m, a) => sum(col(m)).as(a) }: _*)
+  }
+
+  /** [[rankSweepAgg]]'s cut-pass SOURCE: the collapsed value
+    * distribution ∪ the DISTINCT probe points, both as double `__swv` —
+    * BOTH populations ride the (keys, bucket) windows, so both must feed
+    * the percentile histogram or probes outside (or skewed against) the
+    * value domain funnel into one extreme window (r19 advice). Factored
+    * out for the same audit-fidelity reason as [[rankSweepCollapsed]].
+    */
+  def rankSweepCutSource(collapsed: DataFrame, vCol: String,
+                         probes: DataFrame, xCol: String): DataFrame =
+    collapsed.select(col(vCol).cast("double").as("__swv"))
+      .unionByName(
+        probes.select(col(xCol).cast("double").as("__swv")).distinct())
+
   /** Signed rank-sweep aggregation: Σ over probes of sign × (per-measure
     * rank aggregate of a value distribution at the probe point), WITHOUT
     * ever materializing the probe×value pair set — the pair-free form of
@@ -1032,21 +1059,33 @@ object Relational {
     * [[ksBucketCount]] (few enough cuts that the per-row probe is cheap,
     * enough buckets that each window stays ≲65k rows — monotone in v,
     * so bucket order refines value order, the [[ksStatistic]]
-    * discipline); ONE hash exchange on (keys, bucket); within-bucket
-    * inclusive running sums (window per (keys, bucket)); exclusive
-    * cross-bucket offsets from the ≤buckets-row totals frame (bounded
-    * window, broadcast back). Probes ride the stream with zero-valued
-    * measures and an order flag that places them after equal values
-    * (`le`) or before (`lt`), so the running sum AT the probe row is
-    * exactly its rank — ties among probes are harmless (zero measures).
-    * The cut-point collect is a bounded boundary scalar (≤65535
-    * doubles), the [[ksCutsFrame]] precedent; the collapsed-count and
-    * cut passes are the operator's two construction-time actions.
+    * discipline). The cut HISTOGRAM sees both populations that ride the
+    * windows — collapsed values ∪ DISTINCT probe points
+    * ([[rankSweepCutSource]]) — because cuts from the value distribution
+    * alone strand probes outside (or skewed against) the value domain in
+    * one extreme (keys, bucket) window (the r19 advice finding: most
+    * q129/q133 probe points exceed max(v), so probe-dense regions must
+    * earn their own buckets). ONE hash exchange on (keys, bucket);
+    * within-bucket inclusive running sums (window per (keys, bucket));
+    * exclusive cross-bucket offsets from the ≤buckets-row totals frame
+    * (bounded window, broadcast back). Probes ride the stream with
+    * zero-valued measures and an order flag that places them after equal
+    * values (`le`) or before (`lt`), so the running sum AT the probe row
+    * is exactly its rank — ties among probes are harmless (zero
+    * measures). The cut-point collect is a bounded boundary scalar
+    * (≤65535 doubles), the [[ksCutsFrame]] precedent; the sizing/guard
+    * aggregate and the cut pass are the operator's construction-time
+    * actions.
     *
     * Caller contract: measure columns are LONG and every true rank total
-    * fits a long; `vCol`/`xCol` non-null doubles; crossKeys cardinality
-    * is group-by bounded (the keys land in the result); column names
-    * across the frames must not collide with the `__sw*` internals.
+    * fits a long — ENFORCED at construction time: the sizing pass folds
+    * each measure's per-(keys) absolute total in DECIMAL(38,0) and
+    * refuses to run past Long range, because the within-key running
+    * window sums would otherwise WRAP silently (the documented
+    * scaledLongSum caveat made loud). `vCol`/`xCol` non-null doubles;
+    * crossKeys cardinality is group-by bounded (the keys land in the
+    * result); column names across the frames must not collide with the
+    * `__sw*` internals.
     */
   def rankSweepAgg(dist: DataFrame, probes: DataFrame,
                    crossKeys: Seq[String], matchKeys: Seq[String],
@@ -1061,24 +1100,47 @@ object Relational {
     // map-side-combined agg) bounds every within-bucket window by
     // DISTINCT values — a heavy repeated value crosses the exchange
     // pre-counted (the q113/ksStatistic discipline). The collapsed frame
-    // feeds THREE consumers (sizing count, cut points, the stream) —
+    // feeds THREE consumers (sizing/guard, cut points, the stream) —
     // localCheckpoint-pinned so the corpus-side agg runs exactly once.
-    val collapsed = dist
-      .groupBy((keys :+ vCol).map(col): _*)
-      .agg(mCols.head match { case (m, a) => sum(col(m)).as(a) },
-        mCols.tail.map { case (m, a) => sum(col(m)).as(a) }: _*)
+    val collapsed = rankSweepCollapsed(dist, keys, vCol, measures)
       .localCheckpoint()
-    val nVals = collapsed.count()
+    // ---- sizing + overflow guard, ONE action on the collapsed frame:
+    // row count for bucket sizing, and per-(keys) absolute measure
+    // totals folded in DECIMAL(38,0) — the max running rank a window can
+    // reach. Past Long range the window sums would wrap silently; the
+    // guard turns that into a construction-time failure.
+    val gAggs = sum(col("__swgn")).as("__swgn") +:
+      mCols.map { case (_, a) => max(col(a)).as(a) }
+    val guardRow = collapsed
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__swgn"),
+        mCols.map { case (_, a) =>
+          sum(abs(col(a)).cast(DecimalType(38, 0))).as(a) }: _*)
+      .agg(gAggs.head, gAggs.tail: _*)
+      .head()
+    val nVals = if (guardRow.isNullAt(0)) 0L else guardRow.getLong(0)
+    val longMax = new java.math.BigDecimal(Long.MaxValue)
+    mCols.zip(measures).zipWithIndex.foreach { case (((_, _), m), i) =>
+      val t = guardRow.getDecimal(i + 1)
+      require(t == null || t.compareTo(longMax) <= 0,
+        s"rankSweepAgg: per-key absolute total of measure '$m' ($t) " +
+          "exceeds Long range — running rank sums would overflow; " +
+          "rescale the measure")
+    }
     // ---- bucket sizing and cut points (the ksBucketCount discipline:
     // few enough cuts that the per-row bucket probe is cheap, enough
-    // buckets that each within-bucket window stays ≲65k rows; ×4
-    // headroom covers the probe rows riding the same stream). Cut
-    // placement only load-balances — any monotone bucketing yields
-    // identical ranks.
+    // buckets that each within-bucket window stays ≲65k rows). Sized
+    // from the COMBINED value+probe count (×4 headroom: probes replicate
+    // once per cross-key group in the stream and duplicate probe points
+    // collapse in the cut source but not in the stream). Cut placement
+    // only load-balances — any monotone bucketing yields identical
+    // ranks.
     val parts = dist.sparkSession.sessionState.conf.numShufflePartitions
-    val buckets = ksBucketCount(nVals * 4, 65536L, parts)
+    val nProbes = probes.count() // narrow probe-frame count, one light job
+    val buckets = ksBucketCount((nVals + nProbes) * 4, 65536L, parts)
     val cutRow = ksCutsFrame(
-      collapsed.select(col(vCol).as("__swv")), "__swv", buckets).head()
+      rankSweepCutSource(collapsed, vCol, probes, xCol),
+      "__swv", buckets).head()
     val cuts: Seq[Double] =
       if (cutRow.isNullAt(0)) Seq.empty
       else cutRow.getSeq[Double](0).distinct.sorted

@@ -552,6 +552,47 @@ class RelationalSpec extends SparkSpec {
       s"interval sweep != pair join:\n got=$got\nwant=$want")
   }
 
+  test("rankSweepAgg: cut source covers the probe domain (r19 skew " +
+      "advice) and the per-key overflow guard fires") {
+    // probes live ENTIRELY outside the value domain — with value-only
+    // cuts every probe would land past max(v) in one (keys, bucket)
+    // window; the combined cut source must earn the probe region its
+    // own buckets (and keep cuts in the value region too)
+    val pts = (0 until 200).map(i => ("k", i.toDouble, 1L))
+      .toDF("k", "v", "one")
+    val probes = (0 until 200)
+      .map(i => ("p", 1000.0 + i, 1L, true)).toDF("pg", "x", "sgn", "le")
+    val collapsed = Relational.rankSweepCollapsed(
+      pts, Seq("k"), "v", Seq("one"))
+    val cuts = Relational.ksCutsFrame(
+        Relational.rankSweepCutSource(collapsed, "v", probes, "x"),
+        "__swv", 8)
+      .head().getSeq[Double](0)
+    assert(cuts.exists(_ > 199.0), s"no cut in the probe region: $cuts")
+    assert(cuts.exists(_ <= 199.0), s"no cut in the value region: $cuts")
+    // ranks stay exact with the combined cuts (all probes past max v)
+    val swept = Relational.rankSweepAgg(pts, probes,
+        crossKeys = Seq("k"), matchKeys = Seq.empty,
+        vCol = "v", measures = Seq("one"),
+        probeKeys = Seq("pg"), xCol = "x", signCol = "sgn", leCol = "le")
+      .select(col("one").cast("long")).as[Long].collect()
+    assert(swept.toSeq == Seq(200L * 200L),
+      s"probe-outside-domain ranks wrong: ${swept.toSeq}")
+    // the caller contract "every true rank total fits a long" is now
+    // ENFORCED: a per-key absolute measure total past Long range must
+    // refuse at construction time instead of wrapping silently
+    val big = Seq(("k", 1.0, Long.MaxValue), ("k", 2.0, Long.MaxValue))
+      .toDF("k", "v", "m")
+    val p2 = Seq(("p", 1.5, 1L, true)).toDF("pg", "x", "sgn", "le")
+    val e = intercept[IllegalArgumentException] {
+      Relational.rankSweepAgg(big, p2,
+        crossKeys = Seq("k"), matchKeys = Seq.empty,
+        vCol = "v", measures = Seq("m"),
+        probeKeys = Seq("pg"), xCol = "x", signCol = "sgn", leCol = "le")
+    }
+    assert(e.getMessage.contains("exceeds Long range"), e.getMessage)
+  }
+
   test("profile: null handling, exact distincts, and non-numeric slots") {
     val df = Seq(
       (Some(1L), Some("a"), Some(2.5)),
