@@ -78,8 +78,14 @@ object Explain {
         // q160: the same broadcast centroid cross — here the query side
         // is the whole corpus, but the broadcast side is still the
         // nLists-row centroid table (tiny), so the cross is linear in
-        // queries, never corpus x corpus.
-        "q160_knn_join" -> Set("BroadcastNestedLoopJoin"),
+        // queries, never corpus x corpus. Since r20 the returned plan is
+        // the checkpoint stub (the q138 class); the #knnjoin pass
+        // carries the full scoring plan and the same centroid cross.
+        "q160_knn_join#knnjoin" -> Set("BroadcastNestedLoopJoin"),
+        // q176's quantized batch kernel (registered r20): the identical
+        // nLists-row centroid cross routes the corpus-as-queries side.
+        "q176_semdedup_quantized#knnjoin" ->
+          Set("BroadcastNestedLoopJoin"),
         // q99: the same coarse-probe cross of queries x the nLists-row
         // stored centroid table as q52/q92.
         "q99_quantized_refine" -> Set("BroadcastNestedLoopJoin"),
@@ -340,11 +346,20 @@ object Explain {
         "the `adjudicated` map; a nonzero unexplained count is a " +
         "regression to triage)")
     } else {
+      // a selected query's registered construction-time passes
+      // (SparkEntry.auditPlans) print alongside it, so a query whose
+      // RETURNED plan is a checkpoint stub (q138/q160 class) still
+      // yields its full heavy plan here
       names.foreach { n =>
-        println(s"\n========== $n ==========")
-        try println(SparkEntry.queries(n)(spark, sfDir).queryExecution
-          .explainString(org.apache.spark.sql.execution.FormattedMode))
-        catch { case e: Throwable => println(s"explain failed: $e") }
+        val targets = (n -> SparkEntry.queries(n)) +:
+          SparkEntry.auditPlans.toSeq.sortBy(_._1)
+            .filter(_._1.takeWhile(_ != '#') == n)
+        targets.foreach { case (k, build) =>
+          println(s"\n========== $k ==========")
+          try println(build(spark, sfDir).queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode))
+          catch { case e: Throwable => println(s"explain failed: $e") }
+        }
       }
     }
     spark.stop()

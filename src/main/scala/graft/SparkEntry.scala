@@ -295,6 +295,34 @@ object SparkEntry {
           "v", probes, "x"),
         "__swv", 1024)
     }),
+    // q160's scoring join + bounded-heap top-k (the plan that runs
+    // BEFORE the tail localCheckpoint — the returned query's plan shows
+    // only the checkpoint scan + sort, the q138 precedent): the full
+    // shuffle/broadcast shape of the batch kNN self-join stays under the
+    // smell scan here.
+    "q160_knn_join#knnjoin" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = cachedBuild(dir, "embeddings.parquet",
+          "target/q160_knn_idx", params = "ivf:nlists=8:knn") { p =>
+        operators.Similarity.buildIvfIndex(emb, p, nLists = 8)
+      }
+      operators.Similarity.ivfKnnJoinFromIndex(idx, emb, k = 5, nProbe = 8)
+    }),
+    // q176's quantized batch kNN kernel (two-pass int8 filter + exact
+    // refine): consumed inside semanticDedupApplyQuantized before the
+    // component loop's checkpoints, so the RETURNED q176 plan never
+    // shows it — registered here so the code-scan passes (incl. the r20
+    // cell-pinned repartition) stay under the smell scan.
+    "q176_semdedup_quantized#knnjoin" -> ((s, dir) => {
+      val corpus = neardupCorpus(s, dir)
+      val idx = cachedBuild(dir, "embeddings.parquet",
+          "target/q176_semdedup_quant",
+          params = "quant.v2:nlists=8:semdedup") { p =>
+        operators.Similarity.buildQuantizedIndex(corpus, p, nLists = 8)
+      }
+      operators.Similarity.quantizedKnnJoinFromIndex(idx, corpus, k = 5,
+        nProbe = 8)
+    }),
     // q138's per-iteration plan (construction-time: every round runs
     // between localCheckpoints, so the returned query's plan shows only
     // the final checkpoint scan): one node-keyed join + map-side-combined
@@ -2167,7 +2195,19 @@ object SparkEntry {
           "target/q160_knn_idx", params = "ivf:nlists=8:knn") { p =>
         Similarity.buildIvfIndex(emb, p, nLists = 8)
       }
+      // localCheckpoint before the determinism sort (r20, guide §2.4):
+      // the scoring join and the bounded-heap top-k collapse into ONE
+      // stage (the stream side is already hash-partitioned by q_id, so
+      // no exchange separates them), and a global Sort's range-sampling
+      // pass re-executes its whole child stage — measured as 2× the
+      // scoring cost (BenchIvfParts: join 3.5-4.2 s, join+sort 7.3-8.4 s,
+      // join+checkpoint+sort 3.8-4.6 s). The checkpoint materializes the
+      // |corpus|×k result once; the sort then samples result-sized
+      // blocks. (A repartition boundary instead is optimized away under
+      // a global Sort — measured no-op.) The full scoring plan stays
+      // audited via the q160_knn_join#knnjoin auditPlans entry.
       Similarity.ivfKnnJoinFromIndex(idx, emb, k = 5, nProbe = 8)
+        .localCheckpoint()
         .orderBy("q_id", "rn")
     }),
 

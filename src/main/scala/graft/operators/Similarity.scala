@@ -257,14 +257,25 @@ object Similarity {
         .as("cells"))
       .select(col("q_id"), explode(col("cells")).as("ce"))
       .select(col("q_id"), col("ce.n_id").cast("int").as("cell"))
-    val q = qBase.join(qCells, Seq("q_id"))
-    // r19 probed and REJECTED a salt on this cell join (the equi key has
-    // only |cells| distinct values, so low-|cells| fixtures LOOK
-    // parallelism-capped): exploding the stored side ×S and salting
-    // q_id measured q160 7.0→8.1 s / q170 6.2→7.6 s isolated — AQE
-    // already handles the small-key case (broadcast conversion /
-    // coalescing) and the replication is pure overhead; at production
-    // geometry (nLists ≈ √N ≫ cores) the key is wide anyway.
+    // Batch arm: pin the fanned query side's partitioning on `cell`
+    // with an EXPLICIT partition count (r20, guide §2.5/§2.2 measured):
+    // the fanned frame is bytes-tiny at gate scale (16k narrow rows), so
+    // AQE's size-based coalescing folded it to ONE partition — and when
+    // the cell join broadcast-converts, that single partition becomes
+    // the scoring stage's whole parallelism (every pair scored in one
+    // task: BenchIvfParts measured the nProbe=8 self-join at 4.0 s
+    // coalesced vs 0.8-1.1 s with coalescing off). A user-numbered
+    // repartition is never AQE-coalesced; keying it on `cell` makes it
+    // the very exchange the production sort-merge join needs anyway
+    // (HashPartitioning(cell, parts) satisfies the join's clustered
+    // distribution — no second q-side shuffle at any scale), so the fix
+    // costs nothing where the key is wide and restores |cells|-way
+    // scoring where it is narrow. r19's REJECTED probe was different —
+    // it replicated the STORED side ×S and salted q_id (pure overhead,
+    // q160 7.0→8.1 s); this moves no extra bytes.
+    val parts = queries.sparkSession.sessionState.conf.numShufflePartitions
+    val q0 = qBase.join(qCells, Seq("q_id"))
+    val q = if (broadcastQueries) q0 else q0.repartition(parts, col("cell"))
     val scored = assigned
       .join(if (broadcastQueries) broadcast(q) else q, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
@@ -1328,8 +1339,17 @@ object Similarity {
         .as("cells"))
       .select(col("q_id"), explode(col("cells")).as("ce"))
       .select(col("q_id"), col("ce.n_id").cast("int").as("cell"))
-    val q = qBase.join(qCells, Seq("q_id"))
+    // Batch arm: same cell-pinned user repartition as ivfProbe (r20):
+    // the fanned query frame is bytes-tiny at gate scale, AQE's
+    // size-based coalescing folds it to one partition, and the
+    // broadcast-converted cell join then runs BOTH code-scoring passes
+    // single-task. HashPartitioning(cell, parts) is the exchange the
+    // production sort-merge join needs anyway — no extra q-side shuffle
+    // at any scale.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val q0 = qBase.join(qCells, Seq("q_id"))
       .select("q_id", "cell", "nrm_q", "qa", "w", "qeps")
+    val q = if (broadcastQueries) q0 else q0.repartition(parts, col("cell"))
     // FILTER pass: codes only — the double vectors stay unread here.
     // `oob` rows (appended values that broke a degenerate dimension's
     // bound — see quantOutOfBounds) carry lying code estimates: they are
