@@ -231,7 +231,60 @@ object SparkEntry {
     (dist, probes)
   }
 
-  def auditPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def auditPlans: Map[String, (SparkSession, String) => DataFrame] =
+    // every checkpoint-before-sort query's FULL pre-sort plan audits as
+    // `<name>#pre` — those returned plans are checkpoint stubs (the
+    // q138/q160 class), and a hidden heavy plan must not slip the scan
+    auditPlansBase ++ preSortBodies.map { case (k, f) => s"$k#pre" -> f }
+
+  /** Pre-sort bodies of the queries that MATERIALIZE before their
+    * determinism ORDER BY (r20, guide §2.4): a global Sort's
+    * range-sampling pass re-executes the final query stage, and for
+    * these rows that stage held real compute (q139's verify-join tail,
+    * q161's two-snapshot edge diff). Each declared query runs
+    * `body.localCheckpoint().orderBy(...)` — result-sized, INSIDE the
+    * timed region (an intra-query pin, the q138 precedent; never a
+    * cross-run cache). Measured isolated median-of-3 (bench/
+    * r20_sorttail_{before,after}.json): q139 5.85→5.03 s,
+    * q161 6.27→5.68 s. The SAME treatment was probed and REJECTED for
+    * eight more sort-tail rows (q25/q28/q53/q64/q71/q88/q119/q137):
+    * their sampling re-runs ride reused shuffle outputs, so the
+    * checkpoint only added a materialization (q137 5.70→7.00 s,
+    * q119 3.73→4.60 s — same artifacts) — kept inline there.
+    */
+  private def preSortBodies
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_exact_jaccard_join" -> ((s, dir) =>
+      Dedup.exactJaccardJoin(Tables.documents(s, dir), "doc_id", "text",
+        threshold = simGraphThreshold,
+        shingleWidth = simGraphShingleWidth)),
+    "q161_simgraph_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      // core: text identical in both snapshots; ch1/ch2: per-version
+      // content of the churned ids (%10==4 removed by v2, %10==7 absent
+      // from v1, %10==5 edited in v2)
+      val core = docs.filter(col("doc_id") % 10 =!= 4 &&
+        col("doc_id") % 10 =!= 5 && col("doc_id") % 10 =!= 7)
+      val ch1 = docs.filter(col("doc_id") % 10 === 4 ||
+        col("doc_id") % 10 === 5)
+      val ch2 = docs.filter(col("doc_id") % 10 === 7)
+        .unionByName(docs.filter(col("doc_id") % 10 === 5)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" v2edit")).as("text")))
+      Dedup.snapshotEdgeDiff(core, ch1, ch2, "doc_id", "text",
+        simGraphThreshold, simGraphShingleWidth)
+    }))
+
+  /** `preSortBodies(name)` materialized then totally ordered — the
+    * declared-query form of the checkpoint-before-sort rows.
+    */
+  private def checkpointedSort(name: String, sortCols: String*)
+      : (SparkSession, String) => DataFrame =
+    (s, dir) => preSortBodies(name)(s, dir).localCheckpoint()
+      .orderBy(sortCols.map(col): _*)
+
+  private def auditPlansBase
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_heavy_hitters#pass1" -> ((s, dir) => q82Pass1(s, dir)),
     // the SimGraphIndex append's construction-time plan (probe-prefix vs
     // stored postings) — the artifact's cachedBuild runs first if needed
@@ -4067,11 +4120,10 @@ object SparkEntry {
     // (Dedup.exactJaccardJoin scaladoc carries the proof). The oracle IS
     // the quadratic shingle-set join, so hash-green proves exact recall
     // AND precision at this threshold.
-    "q139_exact_jaccard_join" -> ((s, dir) =>
-      Dedup.exactJaccardJoin(Tables.documents(s, dir), "doc_id", "text",
-          threshold = simGraphThreshold,
-          shingleWidth = simGraphShingleWidth)
-        .orderBy("id_a", "id_b")),
+    // body in preSortBodies (checkpoint-before-sort, r20; plan audited
+    // as q139_exact_jaccard_join#pre)
+    "q139_exact_jaccard_join" ->
+      checkpointedSort("q139_exact_jaccard_join", "id_a", "id_b"),
 
     // ---- GRAPH K-CORE: dense-subgraph curation signal --------------------
     // Connected components chain weak links; the k-core keeps only nodes
@@ -4570,23 +4622,10 @@ object SparkEntry {
     // hash-green proves the decomposition loses and invents nothing. The
     // PRODUCTION cadence maintains one SimGraphIndex per snapshot via
     // appendBatch/delete deltas and diffs the edge artifacts (q162).
-    "q161_simgraph_snapshot_diff" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      // core: text identical in both snapshots; ch1/ch2: per-version
-      // content of the churned ids (%10==4 removed by v2, %10==7 absent
-      // from v1, %10==5 edited in v2)
-      val core = docs.filter(col("doc_id") % 10 =!= 4 &&
-        col("doc_id") % 10 =!= 5 && col("doc_id") % 10 =!= 7)
-      val ch1 = docs.filter(col("doc_id") % 10 === 4 ||
-        col("doc_id") % 10 === 5)
-      val ch2 = docs.filter(col("doc_id") % 10 === 7)
-        .unionByName(docs.filter(col("doc_id") % 10 === 5)
-          .select(col("doc_id"),
-            concat(col("text"), lit(" v2edit")).as("text")))
-      Dedup.snapshotEdgeDiff(core, ch1, ch2, "doc_id", "text",
-          simGraphThreshold, simGraphShingleWidth)
-        .orderBy("id_a", "id_b")
-    }),
+    // body in preSortBodies (checkpoint-before-sort, r20; plan audited
+    // as q161_simgraph_snapshot_diff#pre)
+    "q161_simgraph_snapshot_diff" ->
+      checkpointedSort("q161_simgraph_snapshot_diff", "id_a", "id_b"),
 
     // ---- The PRODUCTION cadence of q161: index-vs-index delta diff -------
     // q161 re-derives both snapshots from scratch (2× the quadratic q139

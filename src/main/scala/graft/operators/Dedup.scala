@@ -760,7 +760,16 @@ object Dedup {
     var it = 0
     try {
       while (!converged && it < maxIter) {
-        // (1) neighbor-min: l'(v) = min(l(v), min_{u ~ v} l(u))
+        // (1) neighbor-min: l'(v) = min(l(v), min_{u ~ v} l(u)).
+        // r20 probed and REJECTED materializing `prop` before the
+        // pointer jump (the jump self-joins it, so this subtree is
+        // planned twice per round): one extra node-sized checkpoint per
+        // round measured WORSE on every component consumer
+        // (q144 2.07→3.25 s, q119 3.49→4.05 s, q98 10.4→11.4 s isolated
+        // median-of-3, bench/r20_components_{before,after}.json) — at
+        // bounded edge volumes the re-planned join is cheaper than an
+        // extra materialization + job round trip, the same economics as
+        // the r19 q138 checkpoint-cadence probe.
         val nbrMin = edges
           .join(comp.select(col("id").as("u"), col("comp").as("cu")), Seq("u"))
           .groupBy(col("v").as("id")).agg(min("cu").as("nc"))
