@@ -32,8 +32,7 @@ object BenchIvfParts {
           val rt = i.taskMetrics.executorRunTime
           if (rt > 200)
             println(f"""{"stage":${i.stageId},"tasks":${i.numTasks},""" +
-              f""""runMs":$rt,"desc":"${i.details.linesIterator
-                .take(1).mkString.take(0)}${i.name.take(60)}"}""")
+              f""""runMs":$rt,"desc":"${i.name.take(60)}"}""")
         }
       })
     val emb = Tables.embeddings(spark, sfDir)
